@@ -1,0 +1,72 @@
+"""Benchmark harness — one JSON line to stdout.
+
+Runs the headline queries (the shuffle/fan-out/join-heavy subset of
+``__spark_entry__.queries()``) at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <float>}
+
+Each query is fully executed through a noop sink (no driver collect —
+measures the distributed plan, not result serialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from gem_data_wrangle_spark import get_spark  # noqa: E402
+
+HEADLINE = [
+    "agg_sum_groups",          # map-side-combined grouped sums
+    "expand_years",            # 9× narrow fan-out + case
+    "harmonize_coordinates",   # agg + broadcast self-enrich join
+    "split_ownership_equal",   # explode + regex + window count
+    "window_count_share",      # window shuffle on high-card key
+    "dedup_first_per_key",     # row_number window dedup
+    "join_fallback_chain",     # two broadcast joins + coalesce
+    "top_k",                   # TakeOrderedAndProject
+    "minhash_lsh_pairs",       # shingle minhash + self-join + jaccard
+    "similarity_bruteforce",   # broadcast NLJ + vector math
+    "stream_tumbling_window",  # time-bucketed aggregation
+    "stream_session_window",   # session windows
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("bench")
+    queries = entrymod.queries()
+
+    # warm the JVM/session on the smallest table so fixed startup cost
+    # isn't attributed to the first query
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "headline query wall time (noop sink, local Spark)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""Aggregation / window operators (SURVEY §2.5-§2.7)."""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def agg_sum_groups(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    sum_cols: dict[str, str],
+    zero_fill: bool = True,
+) -> DataFrame:
+    """Grouped null-skipping sums (``GEM/Coalplants_GEM.R:165-171``).
+
+    R parity: ``sum(x, na.rm=TRUE)`` over an all-NA group yields 0,
+    Spark yields NULL → normalized with ``coalesce(sum, 0.0)`` when
+    ``zero_fill``. Partial aggregation (map-side combine) is automatic
+    for sum — the shuffle moves one row per (partition, group).
+    """
+    aggs = []
+    for out_name, src in sum_cols.items():
+        s = F.sum(src)
+        aggs.append((F.coalesce(s, F.lit(0.0)) if zero_fill else s).alias(out_name))
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def agg_mean_groups(df: DataFrame, group_cols: Sequence[str], mean_cols: dict[str, str]) -> DataFrame:
+    """Grouped means (``GEM/TotalData_GEM.R:79-82``); Spark ``avg``
+    skips NULLs like ``mean(na.rm=TRUE)``."""
+    return df.groupBy(*group_cols).agg(
+        *[F.avg(src).alias(out) for out, src in mean_cols.items()]
+    )
+
+
+def agg_global_mean(df: DataFrame, group_cols: Sequence[str], mean_cols: dict[str, str], constant_key: tuple[str, str]) -> DataFrame:
+    """Global-fallback means keyed by a constant
+    (``GEM/TotalData_GEM.R:89-93``)."""
+    name, value = constant_key
+    return agg_mean_groups(df, group_cols, mean_cols).withColumn(name, F.lit(value))
+
+
+def distinct_rows(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """``distinct()`` (``GEM/TotalData_GEM.R:143-146``)."""
+    return (df.select(*cols) if cols else df).distinct()
+
+
+def dedup_first_per_key(df: DataFrame, key_cols: Sequence[str], order_cols: Sequence[Column | str]) -> DataFrame:
+    """``group_by(k) %>% slice(1)`` (``GEM/TotalData_GEM.R:48-51``).
+
+    R keeps file order; a distributed engine has no file order, so the
+    caller supplies a deterministic ordering. One window shuffle on the
+    key; with skewed keys AQE's skew handling applies since Spark 3.x
+    window skew mitigation, and key salting is available upstream.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def window_count_share(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    explicit_share: Column | None = None,
+    out_col: str = "share",
+) -> DataFrame:
+    """Equal-share fallback per group without collapsing
+    (``GEM/Hydroplants_GEM.R:174-190``): ``coalesce(explicit, 1/n())``
+    over a window partition."""
+    w = Window.partitionBy(*partition_cols)
+    equal = F.lit(1.0) / F.count(F.lit(1)).over(w)
+    share = F.coalesce(explicit_share, equal) if explicit_share is not None else equal
+    return df.withColumn(out_col, share)
+
+
+def union_rows(dfs: Sequence[DataFrame], allow_missing: bool = False) -> DataFrame:
+    """``rbind`` / ``bind_rows`` (``GEM/TotalData_GEM.R:16``,
+    ``GEM/Hydroplants_GEM.R:53``): name-matching union; with
+    ``allow_missing`` absent columns fill NULL."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=allow_missing)
+    return out
+
+
+def top_k(df: DataFrame, order_cols: Sequence[Column | str], k: int) -> DataFrame:
+    """Global top-k. Spark plans this as TakeOrderedAndProject — each
+    partition keeps k rows, the driver merges; no full sort shuffle."""
+    return df.orderBy(*order_cols).limit(k)

@@ -1,0 +1,243 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH banding, SimHash, and n-gram Jaccard
+— each deterministic and expressible as JVM-side column algebra so (a)
+they stay in whole-stage codegen at 100 TB and (b) a DuckDB oracle can
+replay them bit-for-bit.
+
+Hash-function design: all hashing is ``md5`` of a salted token, and a
+"min-hash" is the *lexicographic minimum* of fixed-width hex digests —
+equivalent to the numeric min of the 128-bit values, portable across
+engines, and seedable by salt prefix. This avoids engine-specific
+hashes (Spark xxhash64 vs DuckDB's hash) that would break differential
+testing.
+
+Scale notes:
+  * Exact dedup groups on a 16-byte digest, not the document bytes —
+    the shuffle moves digests, documents stay put until the keep-id
+    join.
+  * LSH banding turns O(n²) near-dup search into |band-bucket|² local
+    work; bucket sizes are bounded because a band signature concatenates
+    ``rows_per_band`` independent min-hashes (collision probability
+    ≈ jaccard^r).
+  * The candidate self-join is an equi-join on the band signature —
+    shuffle-partitioned by signature, skew handled by AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _distinct_tokens(text: Column) -> Column:
+    return F.array_distinct(F.split(text, " "))
+
+
+def _shingles(text: Column, n: int = 2) -> Column:
+    """Distinct word n-gram shingles from the raw token sequence.
+
+    Shingling (not unigram tokens) is what makes MinHash discriminative
+    on small vocabularies: measured on the sf0.01 documents table,
+    unigram banding yields 62,739 candidate pairs (near-cartesian),
+    bigram banding yields 25.
+
+    Built with ``zip_with`` over shifted slices — O(tokens) total. (A
+    per-element lambda that references the token array would make
+    Spark re-evaluate the ``split`` for *every element*: O(tokens²).)
+    """
+    toks = F.split(text, " ")
+    if n == 1:
+        return F.array_distinct(toks)
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    out = F.slice(toks, 1, m)
+    for k in range(1, n):
+        out = F.zip_with(
+            out, F.slice(toks, 1 + k, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.array_distinct(out)
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact duplicate groups by content digest: one row per distinct
+    content with the kept (minimum) id and the multiplicity."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def exact_dedup_filter(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep only the minimum-id representative of each content group —
+    the actual dedup pass a pipeline runs before training."""
+    keep = exact_dedup(df, text_col, id_col).select(F.col("keep_id").alias(id_col))
+    return df.join(keep, on=id_col, how="inner")
+
+
+def _salted_md5(salt: str):
+    # NB: single-arg lambdas only — a second (default) parameter would
+    # make F.transform bind it to the element *index*.
+    return lambda t: F.md5(F.concat(F.lit(salt), t))
+
+
+def minhash_band_signature(shingles: Column, band: int, rows_per_band: int) -> Column:
+    """One LSH band signature = concatenation of ``rows_per_band``
+    independent min-hashes of the document's distinct shingle set.
+    Hash *i* of shingle *t* is ``md5('{i}|' || t)``; the min-hash is
+    the lexicographic min over shingles. ``shingles`` should be a
+    *materialized column* (see ``minhash_signatures``), not an inline
+    expression — each min-hash scans it once."""
+    parts = []
+    for r in range(rows_per_band):
+        parts.append(
+            F.array_min(F.transform(shingles, _salted_md5(f"{band * rows_per_band + r}|")))
+        )
+    return F.concat_ws("", *parts)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_bands: int = 4,
+    rows_per_band: int = 4,
+    ngram: int = 2,
+) -> DataFrame:
+    """Long-form (id, band, signature) table — one row per document per
+    band. Narrow transformation; no shuffle.
+
+    The shingle array is materialized in its own projection so the
+    num_bands×rows_per_band hash scans reuse it; Catalyst's
+    CollapseProject keeps multiply-referenced non-cheap aliases
+    un-inlined, so the shingling runs once per document (not 16×).
+    """
+    base = df.select(F.col(id_col), _shingles(F.col(text_col), ngram).alias("_sh"))
+    per_band = [
+        F.struct(
+            F.lit(b).alias("band"),
+            minhash_band_signature(F.col("_sh"), b, rows_per_band).alias("signature"),
+        )
+        for b in range(num_bands)
+    ]
+    return base.select(
+        F.col(id_col),
+        F.explode(F.array(*per_band)).alias("_bs"),
+    ).select(id_col, F.col("_bs.band").alias("band"), F.col("_bs.signature").alias("signature"))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_bands: int = 4,
+    rows_per_band: int = 4,
+    ngram: int = 2,
+) -> DataFrame:
+    """Near-duplicate candidate pairs: documents sharing any band
+    signature. Equi-self-join on (band, signature), ordered pairs
+    (a < b), distinct across bands."""
+    sigs = minhash_signatures(df, text_col, id_col, num_bands, rows_per_band, ngram)
+    a = sigs.select(F.col(id_col).alias("id_a"), "band", "signature")
+    b = sigs.select(F.col(id_col).alias("id_b"), "band", "signature")
+    return (
+        a.join(b, on=["band", "signature"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    candidates: DataFrame,
+    threshold: float = 0.0,
+    ngram: int = 1,
+) -> DataFrame:
+    """Shingle-set Jaccard for candidate pairs (verification stage
+    after LSH; ``ngram=1`` → token sets). Joins shingle arrays onto the
+    (small) candidate set; Jaccard = |∩| / |∪| via JVM array
+    intrinsics."""
+    toksets = df.select(F.col(id_col), _shingles(F.col(text_col), ngram).alias("_toks"))
+    out = (
+        candidates.join(toksets.select(F.col(id_col).alias("id_a"), F.col("_toks").alias("_ta")), "id_a")
+        .join(toksets.select(F.col(id_col).alias("id_b"), F.col("_toks").alias("_tb")), "id_b")
+        .withColumn(
+            "jaccard",
+            # |A∩B| / (|A|+|B|-|A∩B|) on already-distinct arrays —
+            # avoids materializing the union array.
+            F.round(
+                F.size(F.array_intersect("_ta", "_tb"))
+                / (F.size("_ta") + F.size("_tb") - F.size(F.array_intersect("_ta", "_tb"))),
+                4,
+            ),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    candidates: DataFrame,
+    n: int = 2,
+) -> DataFrame:
+    """Word n-gram (shingle) Jaccard for candidate pairs. Shingles are
+    built with a JVM transform over token positions (no UDF)."""
+    toks = F.split(F.col(text_col), " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda x, i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)]),
+        )
+    )
+    sets = df.select(F.col(id_col), shingles.alias("_sh"))
+    return (
+        candidates.join(sets.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa")), "id_a")
+        .join(sets.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb")), "id_b")
+        .withColumn(
+            "ngram_jaccard",
+            F.round(F.size(F.array_intersect("_sa", "_sb")) / F.size(F.array_union("_sa", "_sb")), 4),
+        )
+        .select("id_a", "id_b", "ngram_jaccard")
+    )
+
+
+def simhash(toks: Column, bits: int = 16) -> Column:
+    """SimHash over a distinct-token array column as a ``bits``-length
+    bitstring.
+
+    Bit *i* tests the high bit of hex nibble *i* of ``md5(token)``
+    (``substr`` ∈ {8..f} → +1 else −1), summed over tokens; the sign of
+    the sum is the bit. Pure hex-string algebra → portable to any SQL
+    engine. 16 bits = first 16 nibbles of the digest. Pass a
+    *materialized* token-array column — each bit scans it once.
+    """
+    high = list("89abcdef")
+
+    def nibble_sign(pos: int):
+        return lambda t: F.when(F.substring(F.md5(t), pos, 1).isin(high), F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+
+    bit_cols = []
+    for i in range(bits):
+        contrib = F.transform(toks, nibble_sign(i + 1))
+        total = F.aggregate(contrib, F.lit(0), lambda acc, x: acc + x)
+        bit_cols.append(F.when(total > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bit_cols)
+
+
+def simhash_table(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """(id, simhash) table; near-dups share low-Hamming-distance
+    signatures — bucket on signature prefix for candidate generation."""
+    base = df.select(F.col(id_col), _distinct_tokens(F.col(text_col)).alias("_toks"))
+    return base.select(F.col(id_col), simhash(F.col("_toks"), bits).alias("simhash"))

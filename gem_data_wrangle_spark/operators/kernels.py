@@ -1,0 +1,213 @@
+"""Compound kernels — the reference's signature operators (SURVEY §2.10-§2.12).
+
+Each kernel is a DataFrame→DataFrame composition of built-in Column
+expressions; no UDFs, no shuffles beyond the semantically required
+ones, so the whole kernel stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gem_data_wrangle_spark.functions import strings as S
+from gem_data_wrangle_spark.functions.conditional import case_when_capacity
+
+
+def add_row_id(df: DataFrame, col: str = "row_id") -> DataFrame:
+    """Stable pre-explode row identifier (``GEM/Hydroplants_GEM.R:162``).
+
+    ``monotonically_increasing_id`` is partition-local and shuffle-free;
+    it is only ever used as a *grouping key* (never as a dense rank), so
+    its non-contiguity is irrelevant and it scales to any cluster size —
+    unlike ``row_number()`` over a global window, which would funnel
+    every row through one partition.
+    """
+    return df.withColumn(col, F.monotonically_increasing_id())
+
+
+def split_ownership(
+    df: DataFrame,
+    owner_col: str,
+    capacity_col: str,
+    equal_share: bool,
+    out_owner: str = "company_name",
+    out_share: str = "ownership_share",
+    out_alloc: str = "capacity_allocated",
+    row_id_col: str = "row_id",
+) -> DataFrame:
+    """The ownership-split kernel (SURVEY §2.10) — both reference
+    variants behind one flag:
+
+    * ``equal_share=False`` — coal/gasoil semantics
+      (``GEM/Coalplants_GEM.R:104-116``): an owner without ``[NN%]``
+      keeps a NULL share → NULL allocated capacity → contributes 0 to
+      the later null-skipping sum (capacity silently dropped; 353 such
+      cells exist in the coal tracker).
+    * ``equal_share=True`` — hydro/nuclear/solar/wind/bio/geo semantics
+      (``GEM/Hydroplants_GEM.R:159-193``): missing percents default to
+      an equal split ``1/n`` among the row's owners, computed with a
+      window count per original row (no collapse).
+
+    Scale: the only shuffle is the window partition on ``row_id`` in
+    the equal-share variant, and because ``row_id`` is unique-ish the
+    key space is maximal → no skew. The explode itself is narrow.
+    """
+    exploded = add_row_id(df, row_id_col).withColumn(
+        "_owner_part", S.explode_split(F.col(owner_col))
+    )
+    exploded = exploded.withColumns(
+        {
+            out_owner: S.owner_name(F.col("_owner_part")),
+            "_pct": S.owner_pct(F.col("_owner_part")),
+        }
+    )
+    if equal_share:
+        w = Window.partitionBy(row_id_col)
+        share = F.coalesce(F.col("_pct"), F.lit(1.0) / F.count(F.lit(1)).over(w))
+    else:
+        share = F.col("_pct")
+    return (
+        exploded.withColumn(out_share, share)
+        .withColumn(out_alloc, F.col(capacity_col).cast("double") * F.col(out_share))
+        .drop("_owner_part", "_pct")
+    )
+
+
+def harmonize_coordinates(
+    df: DataFrame,
+    location_col: str,
+    lat_col: str = "Latitude",
+    lon_col: str = "Longitude",
+) -> DataFrame:
+    """Coordinate harmonization (``GEM/Coalplants_GEM.R:63-76``, in all
+    8 scripts): per location, if units disagree on (lat, lon) take the
+    mean, else the single value; then join the harmonized coords back
+    onto the unit rows, replacing the originals.
+
+    R parity note: the reference's ``mean()`` has no ``na.rm``, so one
+    NULL coordinate poisons the mean for that location — emulated with
+    the ``when(count(col) < count(*), NULL)`` guard.
+
+    Scale: one aggregation shuffle on the location key + one join. The
+    aggregated side is ~|locations| rows — orders of magnitude smaller
+    than units at 100 TB — so AQE broadcast-joins it; no sort-merge.
+    """
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    n_rows = F.count(F.lit(1))
+    na_poisoning_mean = lambda c: F.when(F.count(c) < n_rows, F.lit(None).cast("double")).otherwise(F.avg(c))  # noqa: E731
+    summary = df.groupBy(location_col).agg(
+        F.count_distinct(F.struct(lat, lon)).alias("_n_coord"),
+        na_poisoning_mean(lat).alias("_lat_mean"),
+        na_poisoning_mean(lon).alias("_lon_mean"),
+        F.first(lat, ignorenulls=False).alias("_lat_first"),
+        F.first(lon, ignorenulls=False).alias("_lon_first"),
+    )
+    summary = summary.select(
+        location_col,
+        F.when(F.col("_n_coord") > 1, F.col("_lat_mean")).otherwise(F.col("_lat_first")).alias(lat_col),
+        F.when(F.col("_n_coord") > 1, F.col("_lon_mean")).otherwise(F.col("_lon_first")).alias(lon_col),
+    )
+    return df.drop(lat_col, lon_col).join(F.broadcast(summary), on=location_col, how="left")
+
+
+def expand_years(
+    df: DataFrame,
+    start_year_col: str,
+    retirement_col: str | None,
+    alloc_col: str = "capacity_allocated",
+    year_start: int = 2023,
+    year_end: int = 2050,
+    out_year: str = "production_year",
+    out_value: str = "capacity",
+) -> DataFrame:
+    """Year-range expansion + per-year capacity case
+    (``GEM/Coalplants_GEM.R:134-152``).
+
+    The reference cross-joins a literal 28-row table
+    (``tidyr::crossing``); here it is ``explode(sequence(...))`` — a
+    *narrow* transformation (no shuffle, no join), which matters when
+    the left side is 100 TB: a crossJoin would force an exchange, the
+    explode is free and stays in codegen.
+    """
+    year = F.col(out_year)
+    start = F.col(start_year_col).cast("double")
+    ret = (
+        F.col(retirement_col).cast("double")
+        if retirement_col is not None
+        else F.lit(None).cast("double")
+    )
+    return df.withColumn(
+        out_year, F.explode(F.sequence(F.lit(year_start), F.lit(year_end)))
+    ).withColumn(
+        out_value,
+        case_when_capacity(year, start, ret, F.col(alloc_col), horizon_end=year_end),
+    )
+
+
+def binational_split(
+    df: DataFrame,
+    flag_col: str = "Binational",
+    id_cols: Sequence[str] = ("GEM location ID", "GEM unit ID"),
+    primary_overrides: dict[str, str] | None = None,
+    secondary_overrides: dict[str, str] | None = None,
+) -> DataFrame:
+    """Binational-asset splitter (``GEM/Hydroplants_GEM.R:23-74``):
+    rows flagged ``Yes`` are duplicated; the copy gets ``_2``-suffixed
+    IDs and its country/capacity/geo columns overwritten from the
+    ``... 2`` companion columns; the companion columns are nulled
+    everywhere. Pure column remapping + union — no shuffle at all.
+
+    ``secondary_overrides`` maps target column → source ``... 2``
+    column for the duplicated copy; ``primary_overrides`` (optional)
+    for the original copy (e.g. ``Capacity`` ← ``Country 1 Capacity``).
+    """
+    secondary_overrides = secondary_overrides or {}
+    primary_overrides = primary_overrides or {}
+    drop_cols = sorted(set(secondary_overrides.values()) | set(primary_overrides.values()))
+
+    is_bi = F.col(flag_col) == "Yes"
+    non_bi = df.filter(~is_bi | F.col(flag_col).isNull()).drop(*drop_cols)
+    bi = df.filter(is_bi)
+
+    primary = bi.withColumns(
+        {tgt: F.col(src) for tgt, src in primary_overrides.items()}
+    ).drop(*drop_cols)
+    secondary = bi.withColumns(
+        {
+            **{c: F.concat(F.col(c), F.lit("_2")) for c in id_cols},
+            **{tgt: F.col(src) for tgt, src in secondary_overrides.items()},
+        }
+    ).drop(*drop_cols)
+    return non_bi.unionByName(primary).unionByName(secondary)
+
+
+def surrogate_ids(
+    df: DataFrame,
+    name_col: str,
+    id_col: str = "company_id",
+    prefix_format: str = "TFL%08d",
+) -> DataFrame:
+    """Deterministic surrogate company IDs (``GEM/TotalData_GEM.R:21-34``).
+
+    The reference draws seeded random 8-digit numbers for the distinct
+    names; the semantics that matter are *deterministic, unique, stable
+    within a run* — not the values. Implemented as a dense
+    ``row_number`` over the distinct names ordered by name.
+
+    Scale note: the global window funnels the *distinct names* (not the
+    rows) through one partition. Company-name cardinality is bounded
+    (~10^4..10^6) so this is fine; for unbounded keys switch to
+    ``xxhash64(name)`` (collision-checked) — documented alternative,
+    same call site.
+    """
+    w = Window.orderBy(name_col)
+    dim = (
+        df.select(name_col)
+        .where(F.col(name_col).isNotNull())
+        .distinct()
+        .withColumn(id_col, F.format_string(prefix_format, F.row_number().over(w)))
+    )
+    return df.join(F.broadcast(dim), on=name_col, how="left")

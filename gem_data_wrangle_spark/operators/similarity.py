@@ -1,0 +1,129 @@
+"""Vector similarity search over embedding columns.
+
+Brute-force cosine top-k as the correctness baseline, and a random
+hyperplane (sign-LSH) bucketed variant as the scale path. Dot products
+are computed with JVM higher-order functions (``zip_with`` +
+``aggregate``) over double-cast arrays — sequential left-to-right
+summation, bit-reproducible in any engine that evaluates the same
+order (the DuckDB oracle does).
+
+Scale notes:
+  * Brute force is a broadcast nested loop: the *probe* set is small
+    (broadcast), the corpus streams — O(|corpus|·|probes|) FLOPs but no
+    shuffle of the corpus. Fine for ≤10³ probes; beyond that, use LSH.
+  * Sign-LSH buckets the corpus once (narrow), then joins probe buckets
+    — candidate sets shrink by ~2^planes, trading recall for compute.
+    Hyperplanes are fixed ±1 matrices from a seeded RNG (deterministic,
+    embeddable in an oracle query).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Deterministic ±1 hyperplanes: seed fixed so Spark and any oracle SQL
+# share the exact constants. Shape (planes, dim).
+_LSH_SEED = 20240813
+
+
+def hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
+    rng = np.random.default_rng(_LSH_SEED)
+    return (rng.integers(0, 2, size=(num_planes, dim)) * 2.0 - 1.0).tolist()
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential dot product of two array<double> columns (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def as_double_array(col: Column | str) -> Column:
+    """Normalize array<float> → array<double> so all engines compute in
+    float64 (bit-parity with the oracle)."""
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    probe_id: str = "query_id",
+) -> DataFrame:
+    """Brute-force cosine top-k: for each probe vector, the k nearest
+    corpus vectors (excluding itself). Returns (query_id, neighbor_id,
+    rank) — integer-only output so differential tests are float-safe;
+    ties broken by neighbor id.
+    """
+    p = probes.select(
+        F.col(id_col).alias(probe_id), as_double_array(vec_col).alias("_pv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("_cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(p))
+        .filter(F.col("neighbor_id") != F.col(probe_id))
+        .withColumn("_cos", cosine(F.col("_pv"), F.col("_cv")))
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(probe_id, "neighbor_id", "rank")
+    )
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: one bit per hyperplane (dot > 0)."""
+    bits = []
+    for plane in planes:
+        plane_col = F.array(*[F.lit(v) for v in plane])
+        bits.append(F.when(dot(vec_col, plane_col) > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    num_planes: int = 8,
+    probe_id: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the probe's LSH
+    bucket, ranked by exact cosine within it. Dimension is taken from
+    the data at plan time via a 1-row peek on the probe side (probes
+    are small by contract)."""
+    dim = len(probes.select(vec_col).first()[0])
+    planes = hyperplanes(num_planes, dim)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("_cv")
+    ).withColumn("bucket", lsh_bucket(F.col("_cv"), planes))
+    p = probes.select(
+        F.col(id_col).alias(probe_id), as_double_array(vec_col).alias("_pv")
+    ).withColumn("bucket", lsh_bucket(F.col("_pv"), planes))
+    scored = (
+        c.join(F.broadcast(p), on="bucket")
+        .filter(F.col("neighbor_id") != F.col(probe_id))
+        .withColumn("_cos", cosine(F.col("_pv"), F.col("_cv")))
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(probe_id, "neighbor_id", "rank")
+    )

@@ -1,0 +1,96 @@
+"""Text-analysis operators for training-data pipelines.
+
+No reference analogue (the reference is structured-data ETL only);
+these are the text ops a 100 TB LLM-data pipeline needs, built from
+JVM-side expressions (split/transform/filter/md5) — no Python in the
+hot path, so they stay in whole-stage codegen and scale linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately short & fixed: the operator's job is a cheap,
+# deterministic first-pass filter, not a real classifier.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "en", "un"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un"),
+    "de": ("der", "die", "das", "und", "ist", "von", "ein"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我"),
+}
+
+ENGLISH_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def tokens(text: Column | str, lowercase: bool = False) -> Column:
+    """Whitespace tokenization → array<string>."""
+    c = F.lower(text) if lowercase else (F.col(text) if isinstance(text, str) else text)
+    return F.split(c, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    """Token count (whitespace tokenizer)."""
+    return F.size(tokens(text))
+
+
+def char_count(text: Column | str) -> Column:
+    return F.length(text)
+
+
+def stopword_count(text: Column | str, stopwords: tuple[str, ...] = ENGLISH_STOPWORDS) -> Column:
+    """Number of tokens that are stopwords — JVM lambda, no UDF."""
+    return F.size(F.filter(tokens(text), lambda x: x.isin(list(stopwords))))
+
+
+def quality_score(text: Column | str, stopwords: tuple[str, ...] = ENGLISH_STOPWORDS) -> dict[str, Column]:
+    """Document quality heuristics: length, token count, mean token
+    length, stopword ratio. Returned as named Columns so callers pick
+    what they project (column pruning stays effective)."""
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    n_char = F.length(text)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(list(stopwords))))
+    return {
+        "n_chars": n_char,
+        "n_tokens": n_tok,
+        "mean_token_len": F.round((n_char - (n_tok - F.lit(1))) / n_tok, 4),
+        "stopword_ratio": F.round(n_stop / n_tok, 4),
+    }
+
+
+def _isin_filter(words: tuple[str, ...]):
+    # single-arg lambda only: a second (default) parameter would make
+    # F.filter bind it to the element index.
+    return lambda x: x.isin(list(words))
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit counts (the language-ID signal)."""
+    toks = tokens(text, lowercase=True)
+    return {
+        lang: F.size(F.filter(toks, _isin_filter(sw)))
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+
+
+def lang_id(text: Column | str, default: str = "und") -> Column:
+    """Argmax language by stopword hits; ties go to the alphabetically
+    first language code; zero hits → ``default``. Deterministic, fully
+    JVM-side."""
+    scores = lang_scores(text)
+    best = F.lit(default)
+    best_score = F.lit(0)
+    for lang in sorted(scores):  # strict > keeps the earlier code on ties
+        s = scores[lang]
+        best = F.when(s > best_score, F.lit(lang)).otherwise(best)
+        best_score = F.greatest(best_score, s)
+    return best
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Content fingerprint: md5 hex of the raw text. Used for exact
+    dedup at scale (group on the 16-byte digest, not the document)."""
+    return F.md5(F.col(text) if isinstance(text, str) else text)

@@ -1,0 +1,57 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The reference runs eagerly in a single R process (e.g.
+``GEM/Coalplants_GEM.R:2-7``). Here the session is the engine: Catalyst
+plans, AQE re-plans at runtime, Arrow accelerates any Python exchange.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the driver environment (local[N], 128 GiB, small
+# scale factors) but expressed so the same code runs on a real cluster:
+# AQE coalesces the 32 shuffle partitions locally and splits skewed
+# partitions at scale; nothing below hard-codes single-node behaviour.
+_DEFAULT_CONF = {
+    # Runtime re-planning: coalesce small shuffles, rewrite skew joins,
+    # demote/promote broadcast joins from runtime statistics.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Deterministic timestamp semantics for oracle parity (DuckDB is
+    # timezone-naive; pin Spark to UTC so wall-clock values agree).
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow for every pandas exchange (pandas UDFs, toPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Sized for local[32] at sf<=0.1; a real cluster would raise this
+    # (or rely on AQE initialPartitionNum) — see bench.py.
+    "spark.sql.shuffle.partitions": "32",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
+}
+
+
+def get_spark(
+    app_name: str = "gem_data_wrangle_spark",
+    master: str | None = None,
+    conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env) or
+    ``local[*]``; an existing active session is reused with its config.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    merged = dict(_DEFAULT_CONF)
+    if conf:
+        merged.update(conf)
+    for k, v in merged.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

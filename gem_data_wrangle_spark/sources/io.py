@@ -1,0 +1,131 @@
+"""Sources & sinks.
+
+Re-expresses the reference's scan/sink surface
+(``GEM/Coalplants_GEM.R:10`` read_excel, ``GEM/TotalData_GEM.R:6-13``
+read.csv, ``:65`` sep=";" CSV, ``:140`` write.csv) as Spark readers
+with explicit schemas. Excel has no scalable Spark source, so xlsx is
+an *offline ingest conversion* to Parquet (``xlsx_to_parquet``), after
+which everything is columnar, splittable, predicate-pushdown-capable
+Parquet — the only sane format at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def scan_parquet(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """Columnar scan; Catalyst pushes filters/projections into it."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def scan_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    sep: str = ",",
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan (``GEM/TotalData_GEM.R:6-13``; ``sep=";"`` at ``:65``).
+
+    Prefer an explicit schema: ``inferSchema`` costs a full extra pass —
+    unacceptable at scale, and the reference itself hit inference
+    instability (solar forces all-text, ``GEM/solarplants_GEM.R:12-14``).
+    """
+    reader = spark.read.option("header", str(header).lower()).option("sep", sep)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def scan_csv_all_text(spark: SparkSession, path: str, sep: str = ",") -> DataFrame:
+    """``scan_excel_typed`` analogue: every column read as string, cast
+    later (``GEM/solarplants_GEM.R:12-23``)."""
+    return (
+        spark.read.option("header", "true")
+        .option("sep", sep)
+        .option("inferSchema", "false")
+        .csv(path)
+    )
+
+
+def sink_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    """Partitioned Parquet sink — ``partition_by`` on a low-cardinality
+    column (e.g. ``production_year``) gives free partition pruning for
+    downstream year-ranged queries at scale."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def sink_csv(df: DataFrame, path: str, mode: str = "overwrite", single_file: bool = False) -> None:
+    """``write.csv(row.names=FALSE)`` parity (``GEM/Coalplants_GEM.R:229``).
+
+    ``single_file`` coalesces to one partition for small outputs only —
+    never for large data (it serializes the whole write through one
+    task).
+    """
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).option("header", "true").csv(path)
+
+
+def xlsx_to_parquet(xlsx_path: str, out_dir: str, sheets: list[str] | None = None) -> list[str]:
+    """Offline ingest converter for the reference's xlsx inputs
+    (``GEM/Coalplants_GEM.R:10``). One-time, driver-side, small-data by
+    definition (trackers are ~14k rows); downstream processing is all
+    Parquet. Gated: openpyxl may be absent in this container.
+    """
+    try:
+        import pandas as pd  # noqa: PLC0415
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError("pandas required for xlsx ingest") from exc
+    try:
+        book = pd.read_excel(xlsx_path, sheet_name=sheets, dtype=str)
+    except ImportError as exc:  # openpyxl missing
+        raise NotImplementedError(
+            "xlsx ingest needs openpyxl; convert offline and feed Parquet"
+        ) from exc
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    for sheet, frame in (book if isinstance(book, dict) else {"Sheet1": book}).items():
+        path = os.path.join(out_dir, f"{sheet.replace(' ', '_')}.parquet")
+        frame.to_parquet(path, index=False)
+        written.append(path)
+    return written
+
+
+def load_testdata(spark: SparkSession, sf_dir: str, register_views: bool = True) -> dict[str, DataFrame]:
+    """Load the driver's synthetic tables and (optionally) register
+    them as temp views so ``spark.sql`` works against the same names
+    DuckDB pre-registers."""
+    out: dict[str, DataFrame] = {}
+    for name in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            out[name] = df
+            if register_views:
+                df.createOrReplaceTempView(name)
+    return out

@@ -1,0 +1,13 @@
+from gem_data_wrangle_spark.streaming.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    stream_dedup,
+    tumbling_window_agg,
+)
+
+__all__ = [
+    "session_window_agg",
+    "sliding_window_agg",
+    "stream_dedup",
+    "tumbling_window_agg",
+]

@@ -1,0 +1,121 @@
+"""Dedup / similarity / text / multimodal extension operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gem_data_wrangle_spark.operators import dedup as D
+from gem_data_wrangle_spark.operators import multimodal as M
+from gem_data_wrangle_spark.operators import similarity as V
+from gem_data_wrangle_spark.operators import textops as T
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat"),          # near dup of 1
+    (4, "completely different content about spark engines here"),
+    (5, "el rapido zorro marron salta sobre el perro"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, text string")
+
+
+def test_exact_dedup(spark):
+    groups = D.exact_dedup(_docs(spark), "text", "doc_id").collect()
+    by_keep = {r["keep_id"]: r["n_copies"] for r in groups}
+    assert by_keep[1] == 2  # docs 1+2 collapse, min id kept
+    assert by_keep[3] == 1
+    kept = D.exact_dedup_filter(_docs(spark), "text", "doc_id")
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3, 4, 5}
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    cand = D.lsh_candidate_pairs(_docs(spark), "text", "doc_id")
+    pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert (1, 2) in pairs                      # identical docs always collide
+    assert (1, 3) in pairs or (2, 3) in pairs   # near-dup shares some band
+    scored = D.jaccard_pairs(_docs(spark), "text", "doc_id", cand, ngram=2).collect()
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in scored}
+    assert j[(1, 2)] == 1.0
+    for (a, b), v in j.items():
+        assert 0.0 <= v <= 1.0
+
+
+def test_simhash_similarity_structure(spark):
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash_table(_docs(spark), "text", "doc_id").collect()}
+    assert sh[1] == sh[2]  # identical text → identical signature
+    ham_near = sum(a != b for a, b in zip(sh[1], sh[3]))
+    ham_far = sum(a != b for a, b in zip(sh[1], sh[4]))
+    assert ham_near <= ham_far  # near-dup at most as far as unrelated doc
+    assert len(sh[1]) == 16 and set(sh[1]) <= {"0", "1"}
+
+
+def test_text_quality_and_lang(spark):
+    docs = _docs(spark)
+    q = T.quality_score(F.col("text"))
+    row = (
+        docs.filter(F.col("doc_id") == 1)
+        .select(*[v.alias(k) for k, v in q.items()])
+        .collect()[0]
+    )
+    assert row["n_tokens"] == 9
+    assert row["stopword_ratio"] == pytest.approx(round(2 / 9, 4))  # 'the' ×2
+    langs = {r["doc_id"]: r["lang"] for r in docs.select(
+        "doc_id", T.lang_id(F.col("text")).alias("lang")).collect()}
+    assert langs[1] == "en"
+    assert langs[5] == "es"
+
+
+def test_token_and_fingerprint(spark):
+    docs = _docs(spark)
+    counts = {r["doc_id"]: r["n"] for r in docs.select(
+        "doc_id", T.token_count("text").alias("n")).collect()}
+    assert counts[1] == 9
+    fp = {r["doc_id"]: r["f"] for r in docs.select(
+        "doc_id", T.fingerprint("text").alias("f")).collect()}
+    assert fp[1] == fp[2] and fp[1] != fp[3]
+    assert len(fp[1]) == 32
+
+
+def test_cosine_topk_selfsimilar(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),   # closest to 0
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),  # opposite of 0
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    probes = emb.filter(F.col("vec_id") == 0)
+    out = V.cosine_topk(emb, probes, "embedding", "vec_id", k=3)
+    ranked = [r["neighbor_id"] for r in out.orderBy("rank").collect()]
+    assert ranked[0] == 1 and ranked[-1] == 3
+
+
+def test_lsh_topk_bucket_recall(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = [(int(i), [float(x) for x in rng.normal(size=8)]) for i in range(60)]
+    emb = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>")
+    probes = emb.filter(F.col("vec_id") < 3)
+    out = V.lsh_topk(emb, probes, "embedding", "vec_id", k=5, num_planes=2)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert {r["query_id"] for r in rows} <= {0, 1, 2}
+    # candidates are genuinely restricted to the probe's bucket
+    exact = V.cosine_topk(emb, probes, "embedding", "vec_id", k=5)
+    assert len(rows) <= len(exact.collect())
+
+
+def test_multimodal_plumbing(spark):
+    media = M.attach_binary(_docs(spark), "text", "doc_id")
+    assert dict(media.dtypes)["media"] == "binary"
+    feats = {r["id"]: r for r in M.extract_features(media).collect()}
+    assert feats[1]["n_bytes"] == len(DOCS[0][1].encode())
+    assert feats[1]["feature"] == feats[2]["feature"]  # deterministic stub
+    assert 0.0 <= feats[1]["feature"] <= 1.0
+    with pytest.raises(NotImplementedError):
+        M.resize_images(media, 64, 64)
