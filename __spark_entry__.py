@@ -1039,6 +1039,368 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# §2.3 filter_capacity_known (GEM/GasOilplants_GEM.R:88-92)
+# --------------------------------------------------------------------
+_CAP_SYNTH_SPARK = (
+    "CASE WHEN l_orderkey % 97 = 0 THEN 'N/A' "
+    "WHEN l_orderkey % 89 = 0 THEN 'unknown' "
+    "ELSE CAST(l_orderkey % 500 AS STRING) END"
+)
+
+
+@_register(
+    "filter_capacity_known",
+    """
+    WITH src AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_orderkey % 97 = 0 THEN 'N/A'
+                  WHEN l_orderkey % 89 = 0 THEN 'unknown'
+                  ELSE CAST(l_orderkey % 500 AS VARCHAR) END AS cap
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, cap FROM src
+    WHERE NOT (cap IN ('N/A', 'unknown') OR cap IS NULL
+               OR TRY_CAST(cap AS DOUBLE) = 0.0)
+    """,
+)
+def _q_filter_capacity_known(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.expr(_CAP_SYNTH_SPARK).alias("cap")
+    )
+    return C.filter_capacity_known(li, "cap")
+
+
+# --------------------------------------------------------------------
+# §2.9 case_when_impute_year (GEM/Hydroplants_GEM.R:102-107)
+# --------------------------------------------------------------------
+@_register(
+    "impute_year",
+    """
+    WITH src AS (
+      SELECT o_orderkey,
+             CASE o_orderkey % 4 WHEN 0 THEN 'announced' WHEN 1 THEN 'operating'
+                  WHEN 2 THEN 'construction' ELSE 'retired' END AS status,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                  WHEN o_orderkey % 5 = 1 THEN 'not found'
+                  ELSE CAST(1990 + o_orderkey % 40 AS VARCHAR) END AS start_year
+      FROM orders
+    )
+    SELECT o_orderkey, status,
+           CASE WHEN status IN ('announced', 'construction')
+                     AND (start_year IS NULL OR start_year IN ('not found', 'unknown'))
+                THEN '2030'
+                WHEN status = 'operating'
+                     AND (start_year IS NULL OR start_year IN ('not found', 'unknown'))
+                THEN '2024'
+                ELSE start_year END AS start_year
+    FROM src
+    """,
+)
+def _q_impute_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "CASE CAST(o_orderkey % 4 AS INT) WHEN 0 THEN 'announced' "
+            "WHEN 1 THEN 'operating' WHEN 2 THEN 'construction' ELSE 'retired' END"
+        ).alias("status"),
+        F.expr(
+            "CASE WHEN o_orderkey % 5 = 0 THEN NULL "
+            "WHEN o_orderkey % 5 = 1 THEN 'not found' "
+            "ELSE CAST(1990 + o_orderkey % 40 AS STRING) END"
+        ).alias("start_year"),
+    )
+    return C.impute_year(
+        src, "start_year", "status", future_statuses=["announced", "construction"]
+    )
+
+
+# --------------------------------------------------------------------
+# §2.8 regex_remove — strip " [NN.N%]" decoration
+# (GEM/Hydroplants_GEM.R:201-202)
+# --------------------------------------------------------------------
+@_register(
+    "strip_pct_suffix",
+    """
+    SELECT c_custkey,
+           regexp_replace(c_name || ' [12.5%]', ' ?\\[[0-9]+(\\.[0-9]+)?%\\]', '')
+             AS owner_clean
+    FROM customer
+    """,
+)
+def _q_strip_pct_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        S.strip_pct_suffix(F.concat(F.col("c_name"), F.lit(" [12.5%]"))).alias(
+            "owner_clean"
+        ),
+    )
+
+
+# --------------------------------------------------------------------
+# §2.7 union_rows_byname — bind_rows with missing-column NULL fill
+# (GEM/Hydroplants_GEM.R:53, GEM/TotalData_GEM.R:96)
+# --------------------------------------------------------------------
+@_register(
+    "union_rows_byname",
+    """
+    SELECT n_nationkey, n_name, CAST(n_regionkey AS INTEGER) AS n_regionkey
+    FROM nation
+    UNION ALL
+    SELECT r_regionkey AS n_nationkey, r_name AS n_name, CAST(NULL AS INTEGER)
+    FROM region
+    """,
+)
+def _q_union_rows_byname(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("n_nationkey"), F.col("r_name").alias("n_name")
+    )
+    return A.union_rows([nat, reg], allow_missing=True)
+
+
+# --------------------------------------------------------------------
+# §2.9 case_when_capacity with retirement inside the horizon
+# (GEM/Coalplants_GEM.R:143-147)
+# --------------------------------------------------------------------
+@_register(
+    "expand_years_retirement",
+    """
+    WITH src AS (
+      SELECT o_orderkey, EXTRACT(year FROM o_orderdate) AS sy,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN EXTRACT(year FROM o_orderdate) + o_orderkey % 4 END AS ret,
+             round(o_totalprice, 2) AS alloc
+      FROM orders
+    )
+    SELECT o_orderkey, CAST(y.y AS INTEGER) AS production_year,
+           CASE WHEN y.y < sy THEN 0.0
+                WHEN ret IS NOT NULL AND y.y >= ret AND ret <= 2003 THEN 0.0
+                ELSE alloc END AS capacity
+    FROM src CROSS JOIN (SELECT unnest(range(1995, 2004)) AS y) y
+    """,
+)
+def _q_expand_years_retirement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    src = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("string").alias("sy"),
+        F.expr(
+            "CASE WHEN o_orderkey % 3 = 0 "
+            "THEN CAST(year(o_orderdate) + o_orderkey % 4 AS STRING) END"
+        ).alias("ret"),
+        F.round("o_totalprice", 2).alias("alloc"),
+    )
+    return K.expand_years(
+        src, start_year_col="sy", retirement_col="ret", alloc_col="alloc",
+        year_start=1995, year_end=2003,
+    ).select("o_orderkey", "production_year", "capacity")
+
+
+# --------------------------------------------------------------------
+# §2.5 agg_global_mean (GEM/TotalData_GEM.R:89-93)
+# --------------------------------------------------------------------
+@_register(
+    "agg_global_mean",
+    """
+    SELECT event_type, round(avg(value), 4) AS avg_value, 'Global' AS scope
+    FROM events GROUP BY event_type
+    """,
+)
+def _q_agg_global_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = A.agg_global_mean(
+        _events(spark, sf_dir), ["event_type"], {"avg_value": "value"},
+        constant_key=("scope", "Global"),
+    )
+    return out.select("event_type", F.round("avg_value", 4).alias("avg_value"), "scope")
+
+
+# --------------------------------------------------------------------
+# extension: embedding-cosine near-dup pairs (LSH-bucketed)
+# --------------------------------------------------------------------
+def _neardup_oracle() -> str:
+    planes = V.hyperplanes(_LSH_PLANES, _LSH_DIM)
+    bucket_bits = " || ".join(
+        "CASE WHEN list_dot_product({v}, [{c}]::DOUBLE[]) > 0 THEN '1' ELSE '0' END".format(
+            v="{v}", c=", ".join(f"{x:.1f}" for x in plane)
+        )
+        for plane in planes
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {bucket_bits.replace('{v}', 'embedding::DOUBLE[]')} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    """
+
+
+@_register("embedding_neardup_pairs", _neardup_oracle())
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = V.hyperplanes(_LSH_PLANES, _LSH_DIM)
+    e = emb.select(
+        "vec_id", V.as_double_array("embedding").alias("_v")
+    ).withColumn("bucket", V.lsh_bucket(F.col("_v"), planes))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("_v").alias("_va"), "bucket")
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("_v").alias("_vb"), "bucket")
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(V.cosine(F.col("_va"), F.col("_vb")) >= 0.4)
+        .select("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------
+# flagship parity proof: the complete coal pipeline (SURVEY §3.1) on
+# GEM-shaped data synthesized deterministically from `orders`, mirrored
+# step-for-step by one SQL oracle (status filter → global sentinel
+# replace → unknown-start drop → capacity sentinels → casts →
+# coordinate harmonization → ownership explode/allocation → retirement
+# filter → 2023-2050 expansion with capacity cases → group-sum →
+# country-dim enrichment with Kosovo override → canonical projection)
+# --------------------------------------------------------------------
+_GEM_SYNTH_SPARK = """
+    SELECT
+      concat('U', CAST(o_orderkey AS STRING)) AS `GEM unit/phase ID`,
+      concat('L', CAST(o_custkey AS STRING)) AS `GEM location ID`,
+      CASE CAST(o_custkey % 5 AS INT) WHEN 0 THEN 'France' WHEN 1 THEN 'Germany'
+           WHEN 2 THEN 'Kosovo' WHEN 3 THEN 'India' ELSE 'Narnia' END AS `Country/Area`,
+      CASE CAST(o_orderkey % 7 AS INT) WHEN 0 THEN 'operating' WHEN 1 THEN 'construction'
+           WHEN 2 THEN 'announced' WHEN 3 THEN 'pre-permit' WHEN 4 THEN 'retired'
+           WHEN 5 THEN 'cancelled' ELSE 'operating' END AS Status,
+      CASE CAST(o_orderkey % 3 AS INT)
+        WHEN 0 THEN concat('Owner', CAST(o_custkey % 50 AS STRING), ' [40%]; Partner ',
+                           CAST(o_custkey % 50 AS STRING), ' [60%]')
+        WHEN 1 THEN concat('Owner', CAST(o_custkey % 50 AS STRING), ' [100%]')
+        ELSE concat('Owner', CAST(o_custkey % 50 AS STRING), '; Partner ',
+                    CAST(o_custkey % 50 AS STRING)) END AS Owner,
+      CASE WHEN o_orderkey % 97 = 0 THEN 'N/A' WHEN o_orderkey % 89 = 0 THEN 'unknown'
+           ELSE CAST(o_orderkey % 500 AS STRING) END AS `Capacity (MW)`,
+      CASE WHEN o_orderkey % 13 = 0 THEN 'unknown'
+           ELSE CAST(1990 + o_orderkey % 45 AS STRING) END AS `Start year`,
+      CASE WHEN o_orderkey % 11 = 0 THEN CAST(2015 + o_orderkey % 25 AS STRING)
+           END AS `Planned retirement`,
+      CAST(CAST(o_custkey % 180 AS INT) - 90 AS STRING) AS Latitude,
+      CAST(CAST(o_custkey % 360 AS INT) - 180 AS STRING) AS Longitude,
+      CASE WHEN o_orderkey % 101 = 0 THEN '>0'
+           ELSE CASE CAST(o_custkey % 3 AS INT) WHEN 0 THEN 'Europe' WHEN 1 THEN 'Asia'
+                ELSE 'Americas' END END AS Region,
+      CAST(o_orderkey % 50 AS STRING) AS `Plant age (years)`
+    FROM orders
+"""
+
+_GEM_ORACLE = r"""
+    WITH src AS (
+      SELECT
+        'U' || CAST(o_orderkey AS VARCHAR) AS unit_id,
+        'L' || CAST(o_custkey AS VARCHAR) AS loc_id,
+        CASE o_custkey % 5 WHEN 0 THEN 'France' WHEN 1 THEN 'Germany'
+             WHEN 2 THEN 'Kosovo' WHEN 3 THEN 'India' ELSE 'Narnia' END AS country,
+        CASE o_orderkey % 7 WHEN 0 THEN 'operating' WHEN 1 THEN 'construction'
+             WHEN 2 THEN 'announced' WHEN 3 THEN 'pre-permit' WHEN 4 THEN 'retired'
+             WHEN 5 THEN 'cancelled' ELSE 'operating' END AS status,
+        CASE o_orderkey % 3
+          WHEN 0 THEN 'Owner' || CAST(o_custkey % 50 AS VARCHAR) || ' [40%]; Partner '
+                      || CAST(o_custkey % 50 AS VARCHAR) || ' [60%]'
+          WHEN 1 THEN 'Owner' || CAST(o_custkey % 50 AS VARCHAR) || ' [100%]'
+          ELSE 'Owner' || CAST(o_custkey % 50 AS VARCHAR) || '; Partner '
+               || CAST(o_custkey % 50 AS VARCHAR) END AS owner,
+        CASE WHEN o_orderkey % 97 = 0 THEN 'N/A' WHEN o_orderkey % 89 = 0 THEN 'unknown'
+             ELSE CAST(o_orderkey % 500 AS VARCHAR) END AS cap_s,
+        CASE WHEN o_orderkey % 13 = 0 THEN 'unknown'
+             ELSE CAST(1990 + o_orderkey % 45 AS VARCHAR) END AS start_year,
+        CASE WHEN o_orderkey % 11 = 0 THEN CAST(2015 + o_orderkey % 25 AS VARCHAR)
+             END AS retirement,
+        CAST(CAST(o_custkey % 180 AS INTEGER) - 90 AS VARCHAR) AS lat_s,
+        CAST(CAST(o_custkey % 360 AS INTEGER) - 180 AS VARCHAR) AS lon_s,
+        CASE WHEN o_orderkey % 101 = 0 THEN '>0'
+             ELSE CASE o_custkey % 3 WHEN 0 THEN 'Europe' WHEN 1 THEN 'Asia'
+                  ELSE 'Americas' END END AS region,
+        CAST(o_orderkey % 50 AS VARCHAR) AS plant_age_s
+      FROM orders
+    ), kept AS (
+      SELECT * FROM src
+      WHERE status IN ('operating', 'construction', 'announced', 'pre-construction',
+                       'pre-permit', 'permitted')
+        AND NOT (status IN ('announced', 'construction', 'pre-construction',
+                            'pre-permit', 'permitted')
+                 AND (start_year IS NULL OR start_year IN ('unknown', 'not found')))
+        AND NOT (cap_s IN ('N/A', 'unknown') OR cap_s IS NULL
+                 OR TRY_CAST(cap_s AS DOUBLE) = 0.0)
+    ), clean AS (
+      SELECT unit_id, loc_id, country, owner, start_year, retirement,
+             TRY_CAST(cap_s AS DOUBLE) AS cap,
+             TRY_CAST(lat_s AS DOUBLE) AS lat, TRY_CAST(lon_s AS DOUBLE) AS lon,
+             CASE WHEN region = '>0' THEN 'unknown' ELSE region END AS region,
+             TRY_CAST(plant_age_s AS DOUBLE) AS plant_age
+      FROM kept
+    ), coords AS (
+      SELECT loc_id,
+        CASE WHEN count(DISTINCT (lat, lon)) > 1 THEN avg(lat) ELSE min(lat) END AS hlat,
+        CASE WHEN count(DISTINCT (lat, lon)) > 1 THEN avg(lon) ELSE min(lon) END AS hlon
+      FROM clean GROUP BY loc_id
+    ), harm AS (
+      SELECT c.* EXCLUDE (lat, lon), s.hlat AS lat, s.hlon AS lon
+      FROM clean c LEFT JOIN coords s USING (loc_id)
+    ), owners AS (
+      SELECT *, unnest(string_split_regex(owner, ';\s*')) AS part FROM harm
+    ), parsed AS (
+      SELECT *, trim(regexp_extract(part, '^[^\[]+', 0)) AS company_name,
+             TRY_CAST(NULLIF(regexp_extract(part, '\[([0-9]+(?:\.[0-9]+)?)%\]', 1), '')
+                      AS DOUBLE) / 100 AS pct
+      FROM owners
+      WHERE retirement IS NULL OR TRY_CAST(retirement AS DOUBLE) >= 2024
+    ), expanded AS (
+      SELECT p.*, cap * pct AS alloc, CAST(y.y AS INTEGER) AS production_year,
+        CASE WHEN y.y < TRY_CAST(start_year AS DOUBLE) THEN 0.0
+             WHEN TRY_CAST(retirement AS DOUBLE) IS NOT NULL
+                  AND y.y >= TRY_CAST(retirement AS DOUBLE)
+                  AND TRY_CAST(retirement AS DOUBLE) <= 2050 THEN 0.0
+             ELSE cap * pct END AS capacity
+      FROM parsed p CROSS JOIN (SELECT unnest(range(2023, 2051)) AS y) y
+    ), grouped AS (
+      SELECT loc_id, unit_id, country, region, company_name, production_year,
+             lat, lon, plant_age, coalesce(sum(capacity), 0.0) AS capacity
+      FROM expanded
+      GROUP BY loc_id, unit_id, country, region, company_name, production_year,
+               lat, lon, plant_age
+    )
+    SELECT g.unit_id AS asset_id, g.loc_id AS asset_name, g.company_name,
+           CASE WHEN g.country = 'Kosovo' THEN 'XK' ELSE dim.iso2 END AS country_iso2,
+           g.country AS country_name, g.region,
+           CAST(g.lat AS VARCHAR) || ', ' || CAST(g.lon AS VARCHAR) AS coordinates,
+           'CoalCap' AS technology, round(g.capacity, 2) AS capacity,
+           g.production_year, g.plant_age AS plant_age_years
+    FROM grouped g
+    LEFT JOIN (VALUES ('France', 'FR'), ('Germany', 'DE'), ('Kosovo', 'XK'),
+                      ('India', 'IN')) AS dim(country_name, iso2)
+      ON g.country = dim.country_name
+    WHERE g.production_year IN (2024, 2035, 2050)
+"""
+
+
+@_register("gem_coal_pipeline", _GEM_ORACLE)
+def _q_gem_coal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.data.country_codes import country_dim
+    from gem_data_wrangle_spark.plans.gem import COAL, run_fuel_pipeline
+
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    units = spark.sql(_GEM_SYNTH_SPARK)
+    out = run_fuel_pipeline(units, COAL, country_dim(spark))
+    return out.filter(F.col("production_year").isin([2024, 2035, 2050])).select(
+        "asset_id", "asset_name", "company_name", "country_iso2", "country_name",
+        "region", "coordinates", "technology",
+        F.round("capacity", 2).alias("capacity"),
+        "production_year", "plant_age_years",
+    )
+
+
+# --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:

@@ -41,7 +41,9 @@ def cast_numeric(df: DataFrame, cols: Sequence[str], dtype: str = "double") -> D
     """String→double cast (``GEM/Coalplants_GEM.R:59-60``,
     ``GEM/solarplants_GEM.R:21-23``). Non-numeric strings become NULL,
     matching R ``as.numeric`` warnings-to-NA."""
-    return df.withColumns({c: F.col(c).cast(dtype) for c in cols})
+    # try_cast: Spark 4 ANSI mode makes plain cast throw on malformed
+    # strings; R as.numeric yields NA — try_cast matches that.
+    return df.withColumns({c: F.col(c).try_cast(dtype) for c in cols})
 
 
 def filter_isin(df: DataFrame, column: str, allowed: Sequence[str]) -> DataFrame:
@@ -64,7 +66,7 @@ def filter_capacity_known(df: DataFrame, column: str, sentinels: Sequence[str] =
     ``GEM/Coalplants_GEM.R:54``). Applied while the column is still
     string-typed."""
     c = F.col(column)
-    return df.filter(~(c.isin(list(sentinels)) | c.isNull() | (c.cast("double") == 0.0)))
+    return df.filter(~(c.isin(list(sentinels)) | c.isNull() | (c.try_cast("double") == 0.0)))
 
 
 def filter_notnull(df: DataFrame, cols: Sequence[str]) -> DataFrame:
@@ -79,7 +81,7 @@ def filter_null_or_ge(df: DataFrame, column: str, threshold: float) -> DataFrame
     """Keep NULL or >= threshold (``GEM/Coalplants_GEM.R:127-128``:
     retirement NULL or >= 2024)."""
     c = F.col(column)
-    return df.filter(c.isNull() | (c.cast("double") >= F.lit(threshold)))
+    return df.filter(c.isNull() | (c.try_cast("double") >= F.lit(threshold)))
 
 
 def replace_value_global(df: DataFrame, old: str, new: str) -> DataFrame:

@@ -71,7 +71,7 @@ def split_ownership(
         share = F.col("_pct")
     return (
         exploded.withColumn(out_share, share)
-        .withColumn(out_alloc, F.col(capacity_col).cast("double") * F.col(out_share))
+        .withColumn(out_alloc, F.col(capacity_col).try_cast("double") * F.col(out_share))
         .drop("_owner_part", "_pct")
     )
 
@@ -133,9 +133,9 @@ def expand_years(
     explode is free and stays in codegen.
     """
     year = F.col(out_year)
-    start = F.col(start_year_col).cast("double")
+    start = F.col(start_year_col).try_cast("double")
     ret = (
-        F.col(retirement_col).cast("double")
+        F.col(retirement_col).try_cast("double")
         if retirement_col is not None
         else F.lit(None).cast("double")
     )

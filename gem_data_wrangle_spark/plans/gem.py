@@ -171,7 +171,7 @@ def run_fuel_pipeline(df: DataFrame, cfg: FuelConfig, country_dim: DataFrame) ->
                 "technology": F.lit(cfg.technology),
                 "capacity_unit": F.lit("MW"),
                 "plant_age_years": (
-                    F.col(cfg.plant_age_col).cast("double")
+                    F.col(cfg.plant_age_col).try_cast("double")
                     if cfg.plant_age_col
                     else F.lit(None).cast("double")
                 ),
