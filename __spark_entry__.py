@@ -1401,6 +1401,312 @@ def _q_gem_coal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# §2.12 binational-asset splitter (GEM/Hydroplants_GEM.R:23-74)
+# --------------------------------------------------------------------
+@_register(
+    "binational_split",
+    """
+    WITH src AS (
+      SELECT 'U' || CAST(o_orderkey AS VARCHAR) AS unit,
+             'L' || CAST(o_orderkey AS VARCHAR) AS loc,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'Yes' ELSE 'No' END AS bina,
+             'France' AS c1,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'Spain' END AS c2,
+             CAST(o_orderkey % 500 AS DOUBLE) AS cap,
+             CAST(o_orderkey % 300 AS DOUBLE) AS cap1,
+             CAST(o_orderkey % 200 AS DOUBLE) AS cap2
+      FROM orders
+    )
+    SELECT unit, loc, c1 AS country, cap FROM src WHERE bina = 'No'
+    UNION ALL
+    SELECT unit, loc, c1, cap1 FROM src WHERE bina = 'Yes'
+    UNION ALL
+    SELECT unit || '_2', loc || '_2', c2, cap2 FROM src WHERE bina = 'Yes'
+    """,
+)
+def _q_binational_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _t(spark, sf_dir, "orders").selectExpr(
+        "concat('U', CAST(o_orderkey AS STRING)) AS unit",
+        "concat('L', CAST(o_orderkey AS STRING)) AS loc",
+        "CASE WHEN o_orderkey % 5 = 0 THEN 'Yes' ELSE 'No' END AS bina",
+        "'France' AS c1",
+        "CASE WHEN o_orderkey % 5 = 0 THEN 'Spain' END AS c2",
+        "CAST(o_orderkey % 500 AS DOUBLE) AS cap",
+        "CAST(o_orderkey % 300 AS DOUBLE) AS cap1",
+        "CAST(o_orderkey % 200 AS DOUBLE) AS cap2",
+    )
+    out = K.binational_split(
+        src,
+        flag_col="bina",
+        id_cols=("unit", "loc"),
+        primary_overrides={"cap": "cap1"},
+        secondary_overrides={"c1": "c2", "cap": "cap2"},
+    )
+    return out.select("unit", "loc", F.col("c1").alias("country"), "cap")
+
+
+# --------------------------------------------------------------------
+# §2.5 agg_coord_harmonize NA-poisoning path: one NULL coordinate in a
+# location poisons its mean, matching R mean() without na.rm
+# (GEM/Coalplants_GEM.R:63-69)
+# --------------------------------------------------------------------
+@_register(
+    "harmonize_na_poisoning",
+    """
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_orderkey % 7 = 0 AND l_linenumber = 1 THEN NULL
+                  ELSE l_quantity END AS lat,
+             CAST(l_partkey % 90 AS DOUBLE) AS lon
+      FROM lineitem
+    ), s AS (
+      SELECT l_orderkey,
+        CASE WHEN count(DISTINCT (lat, lon)) > 1
+             THEN CASE WHEN count(lat) < count(*) THEN NULL ELSE avg(lat) END
+             ELSE min(lat) END AS hlat,
+        CASE WHEN count(DISTINCT (lat, lon)) > 1
+             THEN CASE WHEN count(lon) < count(*) THEN NULL ELSE avg(lon) END
+             ELSE min(lon) END AS hlon
+      FROM base GROUP BY l_orderkey
+    )
+    SELECT b.l_orderkey, b.l_linenumber,
+           round(s.hlat, 4) AS harm_lat, round(s.hlon, 4) AS harm_lon
+    FROM base b LEFT JOIN s USING (l_orderkey)
+    """,
+)
+def _q_harmonize_na_poisoning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "CASE WHEN l_orderkey % 7 = 0 AND l_linenumber = 1 THEN NULL "
+            "ELSE l_quantity END"
+        ).alias("lat"),
+        (F.col("l_partkey") % 90).cast("double").alias("lon"),
+    )
+    out = K.harmonize_coordinates(base, "l_orderkey", lat_col="lat", lon_col="lon")
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("lat", 4).alias("harm_lat"),
+        F.round("lon", 4).alias("harm_lon"),
+    )
+
+
+# --------------------------------------------------------------------
+# flagship #2: hydro-variant pipeline — equal-share ownership,
+# start-year imputation, no retirement column
+# (GEM/Hydroplants_GEM.R:95-250)
+# --------------------------------------------------------------------
+_HYDRO_SYNTH_SPARK = """
+    SELECT
+      concat('U', CAST(o_orderkey AS STRING)) AS `GEM unit ID`,
+      concat('L', CAST(o_custkey AS STRING)) AS `GEM location ID`,
+      CASE CAST(o_custkey % 5 AS INT) WHEN 0 THEN 'France' WHEN 1 THEN 'Germany'
+           WHEN 2 THEN 'Kosovo' WHEN 3 THEN 'India' ELSE 'Narnia' END AS `Country 1`,
+      CASE CAST(o_orderkey % 7 AS INT) WHEN 0 THEN 'operating' WHEN 1 THEN 'construction'
+           WHEN 2 THEN 'announced' WHEN 3 THEN 'pre-construction' WHEN 4 THEN 'retired'
+           WHEN 5 THEN 'cancelled' ELSE 'operating' END AS Status,
+      CASE CAST(o_orderkey % 3 AS INT)
+        WHEN 0 THEN concat('Owner', CAST(o_custkey % 50 AS STRING), ' [40%]; Partner ',
+                           CAST(o_custkey % 50 AS STRING), ' [60%]')
+        WHEN 1 THEN concat('Owner', CAST(o_custkey % 50 AS STRING), ' [100%]')
+        ELSE concat('Owner', CAST(o_custkey % 50 AS STRING), '; Partner ',
+                    CAST(o_custkey % 50 AS STRING), '; Third ',
+                    CAST(o_custkey % 50 AS STRING)) END AS Owner,
+      CASE WHEN o_orderkey % 97 = 0 THEN 'N/A'
+           ELSE CAST(o_orderkey % 500 AS STRING) END AS `Capacity (MW)`,
+      CASE WHEN o_orderkey % 13 = 0 THEN 'not found'
+           WHEN o_orderkey % 17 = 0 THEN NULL
+           ELSE CAST(1990 + o_orderkey % 45 AS STRING) END AS `Start Year`,
+      CAST(CAST(o_custkey % 180 AS INT) - 90 AS STRING) AS Latitude,
+      CAST(CAST(o_custkey % 360 AS INT) - 180 AS STRING) AS Longitude,
+      CASE CAST(o_custkey % 3 AS INT) WHEN 0 THEN 'Europe' WHEN 1 THEN 'Asia'
+           ELSE 'Americas' END AS Region
+    FROM orders
+"""
+
+_HYDRO_ORACLE = r"""
+    WITH src AS (
+      SELECT
+        'U' || CAST(o_orderkey AS VARCHAR) AS unit_id,
+        'L' || CAST(o_custkey AS VARCHAR) AS loc_id,
+        CASE o_custkey % 5 WHEN 0 THEN 'France' WHEN 1 THEN 'Germany'
+             WHEN 2 THEN 'Kosovo' WHEN 3 THEN 'India' ELSE 'Narnia' END AS country,
+        CASE o_orderkey % 7 WHEN 0 THEN 'operating' WHEN 1 THEN 'construction'
+             WHEN 2 THEN 'announced' WHEN 3 THEN 'pre-construction' WHEN 4 THEN 'retired'
+             WHEN 5 THEN 'cancelled' ELSE 'operating' END AS status,
+        CASE o_orderkey % 3
+          WHEN 0 THEN 'Owner' || CAST(o_custkey % 50 AS VARCHAR) || ' [40%]; Partner '
+                      || CAST(o_custkey % 50 AS VARCHAR) || ' [60%]'
+          WHEN 1 THEN 'Owner' || CAST(o_custkey % 50 AS VARCHAR) || ' [100%]'
+          ELSE 'Owner' || CAST(o_custkey % 50 AS VARCHAR) || '; Partner '
+               || CAST(o_custkey % 50 AS VARCHAR) || '; Third '
+               || CAST(o_custkey % 50 AS VARCHAR) END AS owner,
+        CASE WHEN o_orderkey % 97 = 0 THEN 'N/A'
+             ELSE CAST(o_orderkey % 500 AS VARCHAR) END AS cap_s,
+        CASE WHEN o_orderkey % 13 = 0 THEN 'not found'
+             WHEN o_orderkey % 17 = 0 THEN NULL
+             ELSE CAST(1990 + o_orderkey % 45 AS VARCHAR) END AS start_raw,
+        CAST(CAST(o_custkey % 180 AS INTEGER) - 90 AS VARCHAR) AS lat_s,
+        CAST(CAST(o_custkey % 360 AS INTEGER) - 180 AS VARCHAR) AS lon_s,
+        CASE o_custkey % 3 WHEN 0 THEN 'Europe' WHEN 1 THEN 'Asia'
+             ELSE 'Americas' END AS region
+      FROM orders
+    ), kept AS (
+      SELECT *,
+        CASE WHEN status IN ('announced', 'construction', 'pre-construction',
+                             'pre-permit', 'permitted')
+                  AND (start_raw IS NULL OR start_raw IN ('not found', 'unknown'))
+             THEN '2030'
+             WHEN status = 'operating'
+                  AND (start_raw IS NULL OR start_raw IN ('not found', 'unknown'))
+             THEN '2024'
+             ELSE start_raw END AS start_year
+      FROM src
+      WHERE status IN ('operating', 'construction', 'announced', 'pre-construction',
+                       'pre-permit', 'permitted')
+        AND NOT (cap_s IN ('N/A', 'unknown') OR cap_s IS NULL
+                 OR TRY_CAST(cap_s AS DOUBLE) = 0.0)
+    ), clean AS (
+      SELECT unit_id, loc_id, country, owner, start_year, region,
+             TRY_CAST(cap_s AS DOUBLE) AS cap,
+             TRY_CAST(lat_s AS DOUBLE) AS lat, TRY_CAST(lon_s AS DOUBLE) AS lon
+      FROM kept
+    ), coords AS (
+      SELECT loc_id,
+        CASE WHEN count(DISTINCT (lat, lon)) > 1 THEN avg(lat) ELSE min(lat) END AS hlat,
+        CASE WHEN count(DISTINCT (lat, lon)) > 1 THEN avg(lon) ELSE min(lon) END AS hlon
+      FROM clean GROUP BY loc_id
+    ), harm AS (
+      SELECT c.* EXCLUDE (lat, lon), s.hlat AS lat, s.hlon AS lon
+      FROM clean c LEFT JOIN coords s USING (loc_id)
+    ), owners AS (
+      SELECT *, unnest(string_split_regex(owner, ';\s*')) AS part FROM harm
+    ), parsed AS (
+      SELECT *, trim(regexp_extract(part, '^[^\[]+', 0)) AS company_name,
+             coalesce(
+               TRY_CAST(NULLIF(regexp_extract(part, '\[([0-9]+(?:\.[0-9]+)?)%\]', 1), '')
+                        AS DOUBLE) / 100,
+               1.0 / count(*) OVER (PARTITION BY unit_id)) AS share
+      FROM owners
+    ), expanded AS (
+      SELECT p.*, CAST(y.y AS INTEGER) AS production_year,
+        CASE WHEN y.y < TRY_CAST(start_year AS DOUBLE) THEN 0.0
+             ELSE cap * share END AS capacity
+      FROM parsed p CROSS JOIN (SELECT unnest(range(2023, 2051)) AS y) y
+    ), grouped AS (
+      SELECT loc_id, unit_id, country, region, company_name, production_year,
+             lat, lon, coalesce(sum(capacity), 0.0) AS capacity
+      FROM expanded
+      GROUP BY loc_id, unit_id, country, region, company_name, production_year, lat, lon
+    )
+    SELECT g.unit_id AS asset_id, g.loc_id AS asset_name, g.company_name,
+           CASE WHEN g.country = 'Kosovo' THEN 'XK' ELSE dim.iso2 END AS country_iso2,
+           g.country AS country_name, g.region,
+           CAST(g.lat AS VARCHAR) || ', ' || CAST(g.lon AS VARCHAR) AS coordinates,
+           'RenewablesCap' AS technology, round(g.capacity, 2) AS capacity,
+           g.production_year
+    FROM grouped g
+    LEFT JOIN (VALUES ('France', 'FR'), ('Germany', 'DE'), ('Kosovo', 'XK'),
+                      ('India', 'IN')) AS dim(country_name, iso2)
+      ON g.country = dim.country_name
+    WHERE g.production_year IN (2024, 2031, 2050)
+"""
+
+
+@_register("gem_hydro_pipeline", _HYDRO_ORACLE)
+def _q_gem_hydro_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.data.country_codes import country_dim
+    from gem_data_wrangle_spark.plans.gem import HYDRO, run_fuel_pipeline
+
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    units = spark.sql(_HYDRO_SYNTH_SPARK)
+    out = run_fuel_pipeline(units, HYDRO, country_dim(spark))
+    return out.filter(F.col("production_year").isin([2024, 2031, 2050])).select(
+        "asset_id", "asset_name", "company_name", "country_iso2", "country_name",
+        "region", "coordinates", "technology",
+        F.round("capacity", 2).alias("capacity"),
+        "production_year",
+    )
+
+
+# --------------------------------------------------------------------
+# extension: TF-IDF (long-form + top-terms ranking)
+# --------------------------------------------------------------------
+@_register(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df_count FROM tf GROUP BY term
+    ), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT doc_id, term, rank FROM (
+      SELECT doc_id, term,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY round(tf * (ln((n_docs + 1) / (df_count + 1)) + 1), 4) DESC,
+                        term) AS rank
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ) WHERE rank <= 3
+    """,
+)
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    scored = T.tf_idf(docs, "text", "doc_id")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.round("tfidf", 4)), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "rank")
+    )
+
+
+# --------------------------------------------------------------------
+# extension: pyspark.ml LSH scale-path variants (seeded-deterministic
+# but not SQL-replayable -> rows-only checks)
+# --------------------------------------------------------------------
+@_register("ml_minhash_join")  # rows-only
+def _q_ml_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.ml_lsh import ml_minhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ml_minhash_pairs(docs, "text", "doc_id", threshold=0.8)
+
+
+@_register("ml_brp_join")  # rows-only
+def _q_ml_brp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.ml_lsh import ml_brp_neighbors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ml_brp_neighbors(emb, "embedding", "vec_id", threshold=1.2)
+
+
+# --------------------------------------------------------------------
+# extension/streaming: per-key running totals (applyInPandasWithState
+# in streaming mode; its batch equivalence is the oracle here)
+# --------------------------------------------------------------------
+@_register(
+    "stream_running_totals",
+    """
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total
+    FROM events GROUP BY user_id
+    """,
+)
+def _q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.streaming.stateful import running_totals
+
+    ev = _events(spark, sf_dir)
+    out = running_totals(ev, "user_id", "value")
+    return out.select("user_id", "n_events", F.round("total", 2).alias("total"))
+
+
+# --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:

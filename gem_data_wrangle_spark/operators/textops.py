@@ -90,6 +90,33 @@ def lang_id(text: Column | str, default: str = "und") -> Column:
     return best
 
 
+def tf_idf(df, text_col: str, id_col: str):
+    """Long-form TF-IDF table ``(id, term, tf, df_count, tfidf)``.
+
+    ``tfidf = tf * (ln((N+1)/(df+1)) + 1)`` (smoothed). Pure DataFrame
+    algebra: one explode, two aggregations, one join on ``term`` (the
+    only shuffle whose key cardinality grows with vocabulary), and the
+    corpus size attached as a broadcast scalar — no driver collect.
+    """
+    from pyspark.sql import DataFrame  # noqa: PLC0415
+
+    assert isinstance(df, DataFrame)
+    toks = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    return (
+        tf.join(dfreq, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (F.log((F.col("n_docs") + 1) / (F.col("df_count") + 1)) + 1),
+        )
+        .select(id_col, "term", "tf", "df_count", "tfidf")
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Content fingerprint: md5 hex of the raw text. Used for exact
     dedup at scale (group on the 16-byte digest, not the document)."""

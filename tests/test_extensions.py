@@ -119,3 +119,38 @@ def test_multimodal_plumbing(spark):
     assert 0.0 <= feats[1]["feature"] <= 1.0
     with pytest.raises(NotImplementedError):
         M.resize_images(media, 64, 64)
+
+
+def test_tf_idf_ranking(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "durian durian durian")],
+        "doc_id bigint, text string",
+    )
+    out = {(r["doc_id"], r["term"]): r for r in T.tf_idf(docs, "text", "doc_id").collect()}
+    # rare term in one doc outranks common term
+    assert out[(3, "durian")]["tf"] == 3 and out[(3, "durian")]["df_count"] == 1
+    assert out[(1, "banana")]["df_count"] == 2
+    assert out[(1, "apple")]["tfidf"] > out[(1, "banana")]["tfidf"]
+
+
+def test_ml_minhash_pairs_deterministic(spark):
+    from gem_data_wrangle_spark.operators.ml_lsh import ml_minhash_pairs
+
+    docs = _docs(spark)
+    a = {(r["id_a"], r["id_b"]) for r in ml_minhash_pairs(docs, "text", "doc_id", threshold=0.7).collect()}
+    b = {(r["id_a"], r["id_b"]) for r in ml_minhash_pairs(docs, "text", "doc_id", threshold=0.7).collect()}
+    assert a == b                 # seeded → rerun-stable
+    assert (1, 2) in a            # exact dup pair always found
+
+
+def test_ml_brp_neighbors(spark):
+    from gem_data_wrangle_spark.operators.ml_lsh import ml_brp_neighbors
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [5.0, 5.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["euclidean_dist"] for r in
+             ml_brp_neighbors(emb, "embedding", "vec_id", threshold=1.0).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] < 0.2
+    assert (0, 2) not in pairs

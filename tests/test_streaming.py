@@ -87,3 +87,56 @@ def test_streaming_end_to_end_memory_sink(spark, tmp_path):
     q.awaitTermination(60)
     rows = spark.sql("SELECT * FROM t_stream_agg").collect()
     assert sum(r["n"] for r in rows) == 5
+
+
+def test_running_totals_batch_and_stream(spark, tmp_path):
+    from gem_data_wrangle_spark.streaming.stateful import running_totals
+
+    ev = _events(spark)
+    batch = {r["event_type"]: r for r in running_totals(ev, "event_type", "value").collect()}
+    assert batch["click"]["n_events"] == 3 and batch["click"]["total"] == 6.0
+
+    src_dir = str(tmp_path / "rt_src")
+    ev.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, event_type string, value double"
+    ).parquet(src_dir)
+    totals = running_totals(
+        stream.withColumn("user_id", F.col("event_id") % 2), "user_id", "value"
+    )
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("t_running_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {r["user_id"]: r for r in spark.sql("SELECT * FROM t_running_totals").collect()}
+    assert sum(r["n_events"] for r in rows.values()) == 5
+    assert abs(sum(r["total"] for r in rows.values()) - 15.0) < 1e-9
+
+
+def test_sessionize_with_state_stream(spark, tmp_path):
+    from gem_data_wrangle_spark.streaming.stateful import sessionize_with_state
+
+    ev = _events(spark).withColumn("user_id", F.lit(1))
+    src_dir = str(tmp_path / "sess_src")
+    ev.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, event_type string, value double, user_id bigint"
+    ).parquet(src_dir)
+    sessions = sessionize_with_state(stream, "user_id", "ts", gap_seconds=1800)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM t_sessions ORDER BY session_start").collect()
+    # events at 0:00, 0:10, 1:05, 3:00, 3:30 with a 30-min gap: 3:30 is
+    # exactly gap seconds after 3:00 so it starts a new session too →
+    # closed sessions {0:00,0:10}, {1:05}, {3:00}; {3:30} stays open
+    assert [r["n_events"] for r in rows] == [2, 1, 1]
