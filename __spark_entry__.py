@@ -66,13 +66,11 @@ def _utc(spark: SparkSession) -> None:
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events has a nanosecond-precision parquet timestamp, which Spark
-    rejects by default; read nanos as long and convert to a microsecond
-    TimestampType (lossless here — the generator writes µs-precision
-    values), matching DuckDB's ns→µs read."""
+    rejects by default — see ``read_ns_timestamp_parquet``."""
+    from gem_data_wrangle_spark.sources.io import read_ns_timestamp_parquet
+
     _utc(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return read_ns_timestamp_parquet(spark, f"{sf_dir}/events.parquet", ["ts"])
 
 
 # --------------------------------------------------------------------
@@ -1704,6 +1702,181 @@ def _q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     out = running_totals(ev, "user_id", "value")
     return out.select("user_id", "n_events", F.round("total", 2).alias("total"))
+
+
+# --------------------------------------------------------------------
+# flagship #3: gas/oil-variant pipeline — per-row fuel classification
+# with first-mention tiebreak feeding the technology column
+# (GEM/GasOilplants_GEM.R:25-39, :70-73, :225-229)
+# --------------------------------------------------------------------
+_GASOIL_SYNTH_SPARK = """
+    SELECT
+      concat('U', CAST(o_orderkey AS STRING)) AS `GEM unit ID`,
+      concat('L', CAST(o_custkey AS STRING)) AS `GEM location ID`,
+      CASE CAST(o_custkey % 5 AS INT) WHEN 0 THEN 'France' WHEN 1 THEN 'Germany'
+           WHEN 2 THEN 'Kosovo' WHEN 3 THEN 'India' ELSE 'Narnia' END AS `Country/Area`,
+      CASE CAST(o_orderkey % 7 AS INT) WHEN 0 THEN 'operating' WHEN 1 THEN 'construction'
+           WHEN 2 THEN 'announced' WHEN 3 THEN 'pre-construction' WHEN 4 THEN 'retired'
+           WHEN 5 THEN 'mothballed' ELSE 'operating' END AS Status,
+      CASE CAST(o_orderkey % 4 AS INT)
+        WHEN 0 THEN 'fossil gas: natural gas'
+        WHEN 1 THEN 'fossil liquids: fuel oil'
+        WHEN 2 THEN 'fossil gas: LNG, fossil liquids: diesel'
+        ELSE 'industrial by-product: blast furnace gas' END AS Fuel,
+      CASE CAST(o_orderkey % 3 AS INT)
+        WHEN 0 THEN concat('Owner', CAST(o_custkey % 50 AS STRING), ' [40%]; Partner ',
+                           CAST(o_custkey % 50 AS STRING), ' [60%]')
+        WHEN 1 THEN concat('Owner', CAST(o_custkey % 50 AS STRING), ' [100%]')
+        ELSE concat('Owner', CAST(o_custkey % 50 AS STRING), '; Partner ',
+                    CAST(o_custkey % 50 AS STRING)) END AS `Owner(s)`,
+      CASE WHEN o_orderkey % 97 = 0 THEN 'N/A'
+           ELSE CAST(o_orderkey % 500 AS STRING) END AS `Capacity (MW)`,
+      CASE WHEN o_orderkey % 13 = 0 THEN 'not found'
+           ELSE CAST(1990 + o_orderkey % 45 AS STRING) END AS `Start year`,
+      CASE WHEN o_orderkey % 11 = 0 THEN CAST(2015 + o_orderkey % 25 AS STRING)
+           END AS `Planned retire`,
+      CAST(CAST(o_custkey % 180 AS INT) - 90 AS STRING) AS Latitude,
+      CAST(CAST(o_custkey % 360 AS INT) - 180 AS STRING) AS Longitude,
+      CASE CAST(o_custkey % 3 AS INT) WHEN 0 THEN 'Europe' WHEN 1 THEN 'Asia'
+           ELSE 'Americas' END AS Region
+    FROM orders
+"""
+
+_GASOIL_ORACLE = r"""
+    WITH src AS (
+      SELECT
+        'U' || CAST(o_orderkey AS VARCHAR) AS unit_id,
+        'L' || CAST(o_custkey AS VARCHAR) AS loc_id,
+        CASE o_custkey % 5 WHEN 0 THEN 'France' WHEN 1 THEN 'Germany'
+             WHEN 2 THEN 'Kosovo' WHEN 3 THEN 'India' ELSE 'Narnia' END AS country,
+        CASE o_orderkey % 7 WHEN 0 THEN 'operating' WHEN 1 THEN 'construction'
+             WHEN 2 THEN 'announced' WHEN 3 THEN 'pre-construction' WHEN 4 THEN 'retired'
+             WHEN 5 THEN 'mothballed' ELSE 'operating' END AS status,
+        CASE o_orderkey % 4
+          WHEN 0 THEN 'fossil gas: natural gas'
+          WHEN 1 THEN 'fossil liquids: fuel oil'
+          WHEN 2 THEN 'fossil gas: LNG, fossil liquids: diesel'
+          ELSE 'industrial by-product: blast furnace gas' END AS fuel,
+        CASE o_orderkey % 3
+          WHEN 0 THEN 'Owner' || CAST(o_custkey % 50 AS VARCHAR) || ' [40%]; Partner '
+                      || CAST(o_custkey % 50 AS VARCHAR) || ' [60%]'
+          WHEN 1 THEN 'Owner' || CAST(o_custkey % 50 AS VARCHAR) || ' [100%]'
+          ELSE 'Owner' || CAST(o_custkey % 50 AS VARCHAR) || '; Partner '
+               || CAST(o_custkey % 50 AS VARCHAR) END AS owner,
+        CASE WHEN o_orderkey % 97 = 0 THEN 'N/A'
+             ELSE CAST(o_orderkey % 500 AS VARCHAR) END AS cap_s,
+        CASE WHEN o_orderkey % 13 = 0 THEN 'not found'
+             ELSE CAST(1990 + o_orderkey % 45 AS VARCHAR) END AS start_year,
+        CASE WHEN o_orderkey % 11 = 0 THEN CAST(2015 + o_orderkey % 25 AS VARCHAR)
+             END AS retirement,
+        CAST(CAST(o_custkey % 180 AS INTEGER) - 90 AS VARCHAR) AS lat_s,
+        CAST(CAST(o_custkey % 360 AS INTEGER) - 180 AS VARCHAR) AS lon_s,
+        CASE o_custkey % 3 WHEN 0 THEN 'Europe' WHEN 1 THEN 'Asia'
+             ELSE 'Americas' END AS region
+      FROM orders
+    ), classified AS (
+      SELECT *,
+        CASE WHEN strpos(lower(fuel), 'fossil liquids') > 0
+                  AND NOT (strpos(lower(fuel), 'fossil gas') > 0
+                           AND strpos(lower(fuel), 'fossil gas')
+                               < strpos(lower(fuel), 'fossil liquids'))
+               THEN 'Oil'
+             WHEN strpos(lower(fuel), 'fossil gas') > 0
+                  AND NOT (strpos(lower(fuel), 'fossil liquids') > 0
+                           AND strpos(lower(fuel), 'fossil liquids')
+                               < strpos(lower(fuel), 'fossil gas'))
+               THEN 'Gas'
+             ELSE 'Not Sure' END AS classification
+      FROM src
+    ), kept AS (
+      SELECT *,
+             CASE classification WHEN 'Gas' THEN 'GasCap' ELSE 'OilCap' END AS technology
+      FROM classified
+      WHERE classification IN ('Gas', 'Oil')
+        AND status IN ('operating', 'construction', 'announced', 'pre-construction',
+                       'pre-permit', 'permitted')
+        AND NOT (status IN ('announced', 'construction', 'pre-construction',
+                            'pre-permit', 'permitted')
+                 AND (start_year IS NULL OR start_year IN ('unknown', 'not found')))
+        AND NOT (cap_s IN ('N/A', 'unknown') OR cap_s IS NULL
+                 OR TRY_CAST(cap_s AS DOUBLE) = 0.0)
+    ), clean AS (
+      SELECT unit_id, loc_id, country, owner, start_year, retirement, region, technology,
+             TRY_CAST(cap_s AS DOUBLE) AS cap,
+             TRY_CAST(lat_s AS DOUBLE) AS lat, TRY_CAST(lon_s AS DOUBLE) AS lon
+      FROM kept
+    ), coords AS (
+      SELECT loc_id,
+        CASE WHEN count(DISTINCT (lat, lon)) > 1 THEN avg(lat) ELSE min(lat) END AS hlat,
+        CASE WHEN count(DISTINCT (lat, lon)) > 1 THEN avg(lon) ELSE min(lon) END AS hlon
+      FROM clean GROUP BY loc_id
+    ), harm AS (
+      SELECT c.* EXCLUDE (lat, lon), s.hlat AS lat, s.hlon AS lon
+      FROM clean c LEFT JOIN coords s USING (loc_id)
+    ), owners AS (
+      SELECT *, unnest(string_split_regex(owner, ';\s*')) AS part FROM harm
+    ), parsed AS (
+      SELECT *, trim(regexp_extract(part, '^[^\[]+', 0)) AS company_name,
+             TRY_CAST(NULLIF(regexp_extract(part, '\[([0-9]+(?:\.[0-9]+)?)%\]', 1), '')
+                      AS DOUBLE) / 100 AS pct
+      FROM owners
+      WHERE retirement IS NULL OR TRY_CAST(retirement AS DOUBLE) >= 2024
+    ), expanded AS (
+      SELECT p.*, CAST(y.y AS INTEGER) AS production_year,
+        CASE WHEN y.y < TRY_CAST(start_year AS DOUBLE) THEN 0.0
+             WHEN TRY_CAST(retirement AS DOUBLE) IS NOT NULL
+                  AND y.y >= TRY_CAST(retirement AS DOUBLE)
+                  AND TRY_CAST(retirement AS DOUBLE) <= 2050 THEN 0.0
+             ELSE cap * pct END AS capacity
+      FROM parsed p CROSS JOIN (SELECT unnest(range(2023, 2051)) AS y) y
+    ), grouped AS (
+      SELECT loc_id, unit_id, country, region, company_name, production_year,
+             lat, lon, technology, coalesce(sum(capacity), 0.0) AS capacity
+      FROM expanded
+      GROUP BY loc_id, unit_id, country, region, company_name, production_year,
+               lat, lon, technology
+    )
+    SELECT g.unit_id AS asset_id, g.company_name,
+           CASE WHEN g.country = 'Kosovo' THEN 'XK' ELSE dim.iso2 END AS country_iso2,
+           g.country AS country_name, g.region, g.technology,
+           round(g.capacity, 2) AS capacity, g.production_year
+    FROM grouped g
+    LEFT JOIN (VALUES ('France', 'FR'), ('Germany', 'DE'), ('Kosovo', 'XK'),
+                      ('India', 'IN')) AS dim(country_name, iso2)
+      ON g.country = dim.country_name
+    WHERE g.production_year IN (2024, 2040)
+"""
+
+
+@_register("gem_gasoil_pipeline", _GASOIL_ORACLE)
+def _q_gem_gasoil_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import dataclasses
+
+    from gem_data_wrangle_spark.data.country_codes import country_dim
+    from gem_data_wrangle_spark.plans.gem import GASOIL, run_fuel_pipeline
+
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    units = spark.sql(_GASOIL_SYNTH_SPARK)
+    units = units.withColumn(
+        "classification",
+        classify_first_mention(
+            F.col("Fuel"),
+            [("fossil gas", "Gas"), ("fossil liquids", "Oil")],
+            default="Not Sure",
+        ),
+    ).filter(F.col("classification").isin(["Gas", "Oil"]))
+    units = units.withColumn(
+        "technology",
+        F.when(F.col("classification") == "Gas", "GasCap").otherwise("OilCap"),
+    )
+    cfg = dataclasses.replace(
+        GASOIL, technology=None, extra_group_cols=("technology",)
+    )
+    out = run_fuel_pipeline(units, cfg, country_dim(spark))
+    return out.filter(F.col("production_year").isin([2024, 2040])).select(
+        "asset_id", "company_name", "country_iso2", "country_name", "region",
+        "technology", F.round("capacity", 2).alias("capacity"), "production_year",
+    )
 
 
 # --------------------------------------------------------------------

@@ -37,6 +37,8 @@ HEADLINE = [
     "similarity_bruteforce",   # broadcast NLJ + vector math
     "stream_tumbling_window",  # time-bucketed aggregation
     "stream_session_window",   # session windows
+    "tfidf_top_terms",         # explode + 2 aggs + term join + window
+    "gem_coal_pipeline",       # full reference pipeline end-to-end
 ]
 
 

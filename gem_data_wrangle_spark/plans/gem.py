@@ -44,7 +44,11 @@ CANONICAL_COLUMNS = [
 class FuelConfig:
     """Per-fuel variation points (SURVEY §1.4, §2.10)."""
 
-    technology: str                      # e.g. "CoalCap"
+    technology: str | None               # e.g. "CoalCap"; None → the input
+                                         # carries a per-row `technology`
+                                         # column (gas/oil classification,
+                                         # GEM/GasOilplants_GEM.R:225-229) —
+                                         # add it to extra_group_cols
     unit_id_col: str                     # "GEM unit/phase ID" | "GEM unit ID" | "GEM phase ID"
     owner_col: str = "Owner"             # "Owner(s)" for gas/oil + bioenergy
     retirement_col: str | None = "Retired year"  # None → hydro (always-NA)
@@ -168,7 +172,7 @@ def run_fuel_pipeline(df: DataFrame, cfg: FuelConfig, country_dim: DataFrame) ->
                 "workforce_size": F.lit(None).cast("double"),
                 "workforce_source": F.lit(None).cast("string"),
                 "sector": F.lit("Power"),
-                "technology": F.lit(cfg.technology),
+                **({"technology": F.lit(cfg.technology)} if cfg.technology is not None else {}),
                 "capacity_unit": F.lit("MW"),
                 "plant_age_years": (
                     F.col(cfg.plant_age_col).try_cast("double")

@@ -116,6 +116,21 @@ def xlsx_to_parquet(xlsx_path: str, out_dir: str, sheets: list[str] | None = Non
     return written
 
 
+def read_ns_timestamp_parquet(spark: SparkSession, path: str, ts_cols: list[str]) -> DataFrame:
+    """Read parquet containing TIMESTAMP(NANOS) columns, which Spark 4
+    rejects outright: read nanos as long, convert to microsecond
+    TimestampType (lossless when the writer had µs precision, matching
+    DuckDB's ns→µs truncation)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ts_cols:
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
+
+
 def load_testdata(spark: SparkSession, sf_dir: str, register_views: bool = True) -> dict[str, DataFrame]:
     """Load the driver's synthetic tables and (optionally) register
     them as temp views so ``spark.sql`` works against the same names
@@ -124,7 +139,10 @@ def load_testdata(spark: SparkSession, sf_dir: str, register_views: bool = True)
     for name in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            df = spark.read.parquet(path)
+            if name == "events":  # nanosecond timestamps
+                df = read_ns_timestamp_parquet(spark, path, ["ts"])
+            else:
+                df = spark.read.parquet(path)
             out[name] = df
             if register_views:
                 df.createOrReplaceTempView(name)
