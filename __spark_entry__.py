@@ -1880,6 +1880,168 @@ def _q_gem_gasoil_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# §2.2 project_drop + rename_cols + reorder_cols + add_literals in one
+# canonical-projection pass (GEM/Coalplants_GEM.R:158-223)
+# --------------------------------------------------------------------
+@_register(
+    "canonical_projection",
+    """
+    SELECT s_suppkey AS asset_key, s_name AS asset_label,
+           'Power' AS sector, CAST(NULL AS DOUBLE) AS workforce_size,
+           s_acctbal
+    FROM supplier
+    """,
+)
+def _q_canonical_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir, "supplier")
+    out = C.project_drop(sup, ["s_nationkey"])
+    out = C.rename_cols(out, {"s_suppkey": "asset_key", "s_name": "asset_label"})
+    out = C.add_literals(out, {"sector": "Power"}, typed_nulls={"workforce_size": "double"})
+    return C.project(out, ["asset_key", "asset_label", "sector", "workforce_size", "s_acctbal"])
+
+
+# --------------------------------------------------------------------
+# §2.3 filter_notnull (GEM/Coalplants_GEM.R:122-123)
+# --------------------------------------------------------------------
+@_register(
+    "filter_notnull",
+    """
+    WITH src AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 9 = 0 THEN NULL
+                  ELSE 'U' || CAST(o_orderkey AS VARCHAR) END AS unit_id
+      FROM orders
+    )
+    SELECT o_orderkey, unit_id FROM src WHERE unit_id IS NOT NULL
+    """,
+)
+def _q_filter_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "CASE WHEN o_orderkey % 9 = 0 THEN NULL "
+            "ELSE concat('U', CAST(o_orderkey AS STRING)) END"
+        ).alias("unit_id"),
+    )
+    return C.filter_notnull(src, ["unit_id"])
+
+
+# --------------------------------------------------------------------
+# §2.3 filter_eq_timestamp — parse 'dd.MM.yy' strings and filter on an
+# exact timestamp (Climate Trace ingest, GEM/TotalData_GEM.R:71-76)
+# --------------------------------------------------------------------
+@_register(
+    "filter_eq_timestamp",
+    """
+    WITH src AS (
+      SELECT event_id, strftime(ts, '%d.%m.%y') AS end_time_s FROM events
+    )
+    SELECT event_id, strftime(strptime(end_time_s, '%d.%m.%y'),
+                              '%Y-%m-%d %H:%M:%S') AS end_time
+    FROM src
+    WHERE strptime(end_time_s, '%d.%m.%y') = TIMESTAMP '2024-01-05 00:00:00'
+    """,
+)
+def _q_filter_eq_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    src = ev.select("event_id", F.date_format("ts", "dd.MM.yy").alias("end_time_s"))
+    parsed = src.withColumn("_ts", F.to_timestamp("end_time_s", "dd.MM.yy"))
+    return parsed.filter(
+        F.col("_ts") == F.to_timestamp(F.lit("2024-01-05 00:00:00"))
+    ).select(
+        "event_id", F.date_format("_ts", "yyyy-MM-dd HH:mm:ss").alias("end_time")
+    )
+
+
+# --------------------------------------------------------------------
+# flagship #4: TotalData consolidation — union of fuel outputs,
+# deterministic surrogate company IDs, iso2→iso3 bridge, two-level
+# emission-factor fallback, non-fossil zeroing
+# (GEM/TotalData_GEM.R:16-135)
+# --------------------------------------------------------------------
+_TOTAL_SYNTH_SPARK = """
+    SELECT
+      concat('A', CAST(c_custkey AS STRING)) AS asset_id,
+      concat('Asset ', CAST(c_custkey AS STRING)) AS asset_name,
+      CAST(NULL AS STRING) AS company_id,
+      concat('Owner', CAST(c_custkey % 20 AS STRING)) AS company_name,
+      CASE CAST(c_custkey % 3 AS INT) WHEN 0 THEN 'FR' WHEN 1 THEN 'IN'
+           ELSE 'XX' END AS country_iso2,
+      CASE CAST(c_custkey % 3 AS INT) WHEN 0 THEN 'France' WHEN 1 THEN 'India'
+           ELSE 'Xanadu' END AS country_name,
+      'Europe' AS region, '1.0, 2.0' AS coordinates,
+      CAST(NULL AS DOUBLE) AS workforce_size,
+      CAST(NULL AS STRING) AS workforce_source,
+      'Power' AS sector,
+      CASE CAST(c_custkey % 4 AS INT) WHEN 0 THEN 'CoalCap' WHEN 1 THEN 'GasCap'
+           WHEN 2 THEN 'OilCap' ELSE 'RenewablesCap' END AS technology,
+      CAST(c_custkey % 100 AS DOUBLE) AS capacity, 'MW' AS capacity_unit,
+      CAST(2024 + c_custkey % 3 AS INT) AS production_year,
+      CAST(NULL AS DOUBLE) AS plant_age_years,
+      CAST(NULL AS DOUBLE) AS plant_age_rank,
+      CAST(NULL AS DOUBLE) AS capacity_factor,
+      CAST(NULL AS DOUBLE) AS emission_factor
+    FROM customer
+"""
+
+_TOTAL_ORACLE = """
+    WITH fuel AS (
+      SELECT
+        'A' || CAST(c_custkey AS VARCHAR) AS asset_id,
+        'Owner' || CAST(c_custkey % 20 AS VARCHAR) AS company_name,
+        CASE c_custkey % 3 WHEN 0 THEN 'FR' WHEN 1 THEN 'IN' ELSE 'XX' END AS country_iso2,
+        CASE c_custkey % 4 WHEN 0 THEN 'CoalCap' WHEN 1 THEN 'GasCap'
+             WHEN 2 THEN 'OilCap' ELSE 'RenewablesCap' END AS technology,
+        CAST(c_custkey % 100 AS DOUBLE) AS capacity,
+        CAST(2024 + c_custkey % 3 AS INTEGER) AS production_year
+      FROM customer
+    ), ids AS (
+      SELECT company_name, printf('TFL%08d', CAST(row_number() OVER (ORDER BY company_name) AS INTEGER)) AS company_id
+      FROM (SELECT DISTINCT company_name FROM fuel)
+    ), bridged AS (
+      SELECT f.*, ids.company_id,
+             CASE f.country_iso2 WHEN 'FR' THEN 'FRA' WHEN 'IN' THEN 'IND' END AS iso3,
+             CASE f.technology WHEN 'CoalCap' THEN 'coal' WHEN 'GasCap' THEN 'gas'
+                  WHEN 'OilCap' THEN 'oil' END AS source_type
+      FROM fuel f LEFT JOIN ids USING (company_name)
+    ), ef(source_type, iso3_country, emissions_factor) AS (
+      VALUES ('coal', 'FRA', 0.95), ('gas', 'FRA', 0.45),
+             ('coal', 'Global', 1.1), ('gas', 'Global', 0.75), ('oil', 'Global', 0.85)
+    )
+    SELECT b.asset_id, b.company_name, b.company_id, b.country_iso2,
+           b.technology, b.production_year, b.capacity,
+           CAST(CASE WHEN b.source_type IS NOT NULL
+                     THEN coalesce(spec.emissions_factor, glob_ef.emissions_factor, 0.0)
+                     ELSE 0.0 END AS DOUBLE) AS emission_factor
+    FROM bridged b
+    LEFT JOIN (SELECT * FROM ef WHERE iso3_country <> 'Global') spec
+      ON b.iso3 = spec.iso3_country AND b.source_type = spec.source_type
+    LEFT JOIN (SELECT source_type, emissions_factor FROM ef
+               WHERE iso3_country = 'Global') glob_ef
+      ON b.source_type = glob_ef.source_type
+"""
+
+
+@_register("gem_total_consolidation", _TOTAL_ORACLE)
+def _q_gem_total_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.data.country_codes import country_dim
+    from gem_data_wrangle_spark.plans.gem import consolidate_total
+
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    fuel = spark.sql(_TOTAL_SYNTH_SPARK)
+    ef = spark.createDataFrame(
+        [("coal", "FRA", 0.95), ("gas", "FRA", 0.45),
+         ("coal", "Global", 1.1), ("gas", "Global", 0.75), ("oil", "Global", 0.85)],
+        "source_type string, iso3_country string, emissions_factor double",
+    )
+    total = consolidate_total([fuel], emission_factors=ef, country_dim=country_dim(spark))
+    return total.select(
+        "asset_id", "company_name", "company_id", "country_iso2",
+        "technology", "production_year", "capacity", "emission_factor",
+    )
+
+
+# --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
