@@ -2042,6 +2042,34 @@ def _q_gem_total_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# scale hardening: salted two-phase aggregation — identical semantics
+# to a plain GROUP BY (which is exactly what the oracle runs), but the
+# hot key spreads over num_salts reducers
+# --------------------------------------------------------------------
+@_register(
+    "salted_aggregation",
+    """
+    SELECT l_returnflag,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def _q_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.skew import salted_sum
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_sum(
+        li, ["l_returnflag"], {"sum_qty": "l_quantity", "sum_price": "l_extendedprice"}
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("sum_price", 2).alias("sum_price"),
+    )
+
+
+# --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:

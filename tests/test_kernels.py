@@ -143,3 +143,36 @@ def test_surrogate_ids_deterministic_and_unique(spark):
     # rerun → identical mapping
     again = {r["company_name"]: r["company_id"] for r in K.surrogate_ids(df, "company_name").collect()}
     assert again == ids
+
+
+def test_salted_sum_equals_plain_groupby(spark, sf_dir):
+    from gem_data_wrangle_spark.operators.skew import salted_sum
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plain = {
+        r["l_returnflag"]: r["s"]
+        for r in li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s")).collect()
+    }
+    salted = {
+        r["l_returnflag"]: r["s"]
+        for r in salted_sum(li, ["l_returnflag"], {"s": "l_quantity"}, num_salts=16).collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert abs(plain[k] - salted[k]) < 1e-6
+
+
+def test_bucketed_join_elides_exchange(spark, tmp_path):
+    from gem_data_wrangle_spark.sources.bucketing import bucketed_join, write_bucketed
+
+    a = spark.range(0, 1000).withColumnRenamed("id", "k")
+    b = spark.range(0, 1000).withColumnRenamed("id", "k")
+    write_bucketed(a, "t_bucket_a", "k", num_buckets=8, sort_by="k")
+    write_bucketed(b, "t_bucket_b", "k", num_buckets=8, sort_by="k")
+    joined = bucketed_join(spark, "t_bucket_a", "t_bucket_b", on="k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert joined.count() == 1000
+    # co-located: no shuffle exchange below the join
+    assert "Exchange hashpartitioning" not in plan
+    spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+    spark.sql("DROP TABLE IF EXISTS t_bucket_b")

@@ -1,0 +1,93 @@
+"""Scale-stress: replicate sf0.1 N× (shifted keys, written to /tmp as
+multi-file parquet) and compare headline query wall time at 1× vs N×.
+Near-linear growth = the plan scales; super-linear growth exposes a
+bottleneck (driver work, single hot partition, O(n²) candidate blowup).
+
+    python tools/scale_test.py [N]        # default 10
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from gem_data_wrangle_spark import get_spark  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+QUERIES = [
+    "agg_sum_groups",
+    "expand_years",
+    "harmonize_coordinates",
+    "window_count_share",
+    "split_ownership_equal",
+    "gem_coal_pipeline",
+    "minhash_lsh_pairs",
+    "stream_tumbling_window",
+]
+
+BASE = "/root/testdata/sf0.1"
+
+
+def replicate(spark, n: int, out_dir: str) -> None:
+    """N copies with shifted keys so group/window cardinalities grow
+    with the data (pure replication would multiply group sizes
+    instead, which is a different — easier — scaling mode)."""
+    os.makedirs(out_dir, exist_ok=True)
+    shifts = {
+        "lineitem": ("l_orderkey", 10_000_000),
+        "orders": ("o_orderkey", 10_000_000),
+        "customer": ("c_custkey", 10_000_000),
+        "documents": ("doc_id", 10_000_000),
+        "embeddings": ("vec_id", 10_000_000),
+        "events": ("event_id", 10_000_000),
+    }
+    from gem_data_wrangle_spark.sources.io import read_ns_timestamp_parquet
+
+    for name in ["lineitem", "orders", "customer", "supplier", "part", "nation",
+                 "region", "documents", "embeddings", "events"]:
+        src = f"{BASE}/{name}.parquet"
+        dst = f"{out_dir}/{name}.parquet"
+        if os.path.exists(dst):
+            continue
+        if name == "events":
+            df = read_ns_timestamp_parquet(spark, src, ["ts"])
+        else:
+            df = spark.read.parquet(src)
+        if name in shifts and n > 1:
+            key, stride = shifts[name]
+            df = df.withColumn("_i", F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
+            df = df.withColumn(key, F.col(key) + F.col("_i") * stride).drop("_i")
+            # orders.o_custkey must stay joinable to replicated customers
+            if name == "orders":
+                pass
+        df.repartition(max(4, 4 * n)).write.mode("overwrite").parquet(dst)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_dir = f"/tmp/scale_sf{n}x"
+    spark = get_spark("scale-test")
+    replicate(spark, n, out_dir)
+
+    qs = entrymod.queries()
+    results = {}
+    for name in QUERIES:
+        times = {}
+        for label, sf_dir in [("1x", BASE), (f"{n}x", out_dir)]:
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times[label] = round(time.time() - t0, 2)
+        ratio = round(times[f"{n}x"] / max(times["1x"], 1e-9), 1)
+        results[name] = {**times, "ratio": ratio}
+        print(json.dumps({name: results[name]}))
+    print(json.dumps({"n": n, "results": results}))
+
+
+if __name__ == "__main__":
+    main()
