@@ -2070,6 +2070,17 @@ def _q_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# extension: IVF-style ANN (seeded KMeans coarse quantization; rows-only
+# check — the clustering is not SQL-replayable)
+# --------------------------------------------------------------------
+@_register("similarity_ivf")  # rows-only
+def _q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    return V.ivf_topk(emb, probes, "embedding", "vec_id", k=10, num_centroids=8)
+
+
+# --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:

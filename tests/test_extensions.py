@@ -154,3 +154,18 @@ def test_ml_brp_neighbors(spark):
              ml_brp_neighbors(emb, "embedding", "vec_id", threshold=1.0).collect()}
     assert (0, 1) in pairs and pairs[(0, 1)] < 0.2
     assert (0, 2) not in pairs
+
+
+def test_ivf_topk(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = [(int(i), [float(x) for x in rng.normal(size=8)]) for i in range(80)]
+    emb = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>")
+    probes = emb.filter(F.col("vec_id") < 3)
+    out = V.ivf_topk(emb, probes, "embedding", "vec_id", k=5, num_centroids=4)
+    rows = out.collect()
+    assert rows and {r["query_id"] for r in rows} <= {0, 1, 2}
+    # repeatable: seeded kmeans → same candidates and ranks
+    again = V.ivf_topk(emb, probes, "embedding", "vec_id", k=5, num_centroids=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -1,0 +1,123 @@
+"""Property tests on the kernels (SURVEY §5): ownership shares sum to
+1 per row (equal-share variant), Σ allocated ≤ capacity, year
+expansion always yields exactly 28 rows/unit, aggregation invariant
+under repartitioning."""
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from gem_data_wrangle_spark.operators import kernels as K
+
+_company = st.text(
+    alphabet="abcdefghij XYZ", min_size=1, max_size=12
+).map(str.strip).filter(lambda s: s and "[" not in s)
+
+_owner_part = st.tuples(
+    _company, st.one_of(st.none(), st.integers(min_value=1, max_value=100))
+).map(lambda t: f"{t[0]} [{t[1]}%]" if t[1] is not None else t[0])
+
+_owner_cell = st.lists(_owner_part, min_size=1, max_size=4).map("; ".join)
+
+_rows = st.lists(
+    st.tuples(_owner_cell, st.integers(min_value=1, max_value=2000)),
+    min_size=1,
+    max_size=8,
+)
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(rows=_rows)
+@_SETTINGS
+def test_equal_share_rows_sum_to_one(spark, rows):
+    df = spark.createDataFrame(
+        [(i, o, float(c)) for i, (o, c) in enumerate(rows)],
+        "unit int, Owner string, cap double",
+    )
+    out = K.split_ownership(df, "Owner", "cap", equal_share=True)
+    # a row whose owners ALL lack percents must split to exactly 1.0;
+    # rows with explicit percents keep whatever the data says
+    all_defaulted = [
+        i for i, (o, _) in enumerate(rows) if "[" not in o
+    ]
+    sums = dict(
+        out.groupBy("unit").agg(F.sum("ownership_share").alias("s")).collect()
+    )
+    for i in all_defaulted:
+        assert math.isclose(sums[i], 1.0, rel_tol=1e-9)
+
+
+@given(rows=_rows)
+@_SETTINGS
+def test_strict_allocation_never_exceeds_capacity_when_shares_valid(spark, rows):
+    df = spark.createDataFrame(
+        [(i, o, float(c)) for i, (o, c) in enumerate(rows)],
+        "unit int, Owner string, cap double",
+    )
+    out = K.split_ownership(df, "Owner", "cap", equal_share=False)
+    got = (
+        out.groupBy("unit")
+        .agg(
+            F.coalesce(F.sum("capacity_allocated"), F.lit(0.0)).alias("alloc"),
+            F.coalesce(F.sum("ownership_share"), F.lit(0.0)).alias("shares"),
+            F.first("cap").alias("cap"),
+        )
+        .collect()
+    )
+    for r in got:
+        # whenever the data's shares sum to ≤ 1 (the well-formed case),
+        # allocated capacity cannot exceed the unit capacity
+        if r["shares"] <= 1.0 + 1e-9:
+            assert r["alloc"] <= r["cap"] * (1.0 + 1e-9)
+
+
+@given(
+    start=st.integers(min_value=1950, max_value=2060),
+    retire=st.one_of(st.none(), st.integers(min_value=1950, max_value=2060)),
+)
+@_SETTINGS
+def test_expansion_always_28_rows_and_bounded(spark, start, retire):
+    df = spark.createDataFrame(
+        [("u", str(start), str(retire) if retire else None, 100.0)],
+        "unit string, start string, ret string, capacity_allocated double",
+    )
+    rows = K.expand_years(df, "start", "ret").collect()
+    assert len(rows) == 28
+    years = sorted(r["production_year"] for r in rows)
+    assert years == list(range(2023, 2051))
+    for r in rows:
+        assert r["capacity"] in (0.0, 100.0)
+        if r["production_year"] < start:
+            assert r["capacity"] == 0.0
+        if retire is not None and retire <= 2050 and r["production_year"] >= retire:
+            assert r["capacity"] == 0.0
+
+
+@given(parts=st.integers(min_value=1, max_value=13))
+@_SETTINGS
+def test_aggregation_invariant_under_repartitioning(spark, parts, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(parts)
+    got = {
+        r["l_returnflag"]: (r["n"], round(r["s"], 2))
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("s"))
+        .collect()
+    }
+    expected = {"A": None, "N": None, "R": None}
+    assert set(got) == set(expected)
+    # stable across partitionings: rerun with a different layout
+    li2 = spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(parts + 3)
+    got2 = {
+        r["l_returnflag"]: (r["n"], round(r["s"], 2))
+        for r in li2.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("s"))
+        .collect()
+    }
+    assert got == got2

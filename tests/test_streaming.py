@@ -140,3 +140,53 @@ def test_sessionize_with_state_stream(spark, tmp_path):
     # exactly gap seconds after 3:00 so it starts a new session too →
     # closed sessions {0:00,0:10}, {1:05}, {3:00}; {3:30} stays open
     assert [r["n_events"] for r in rows] == [2, 1, 1]
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode tumbling window with a 1h watermark across two
+    checkpointed availableNow runs: a row arriving behind the
+    watermark is excluded from its (already closing) window."""
+    src_dir = str(tmp_path / "wm_src")
+    ckpt = str(tmp_path / "wm_ckpt")
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    schema = "event_id bigint, ts timestamp, event_type string, value double"
+
+    batch1 = spark.createDataFrame(
+        [(1, base + dt.timedelta(minutes=5), "click", 1.0),
+         (2, base + dt.timedelta(minutes=10), "click", 1.0),
+         (3, base + dt.timedelta(hours=2), "click", 1.0)],  # advances watermark to 11:00
+        schema,
+    )
+    batch1.write.mode("overwrite").parquet(src_dir)
+
+    emitted: list = []
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        agg = tumbling_window_agg(
+            stream, "ts", "1 hour", ["event_type"],
+            {"n": F.count(F.lit(1))}, watermark="1 hour",
+        )
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda bdf, _bid: emitted.extend(bdf.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # second batch: one LATE row for the 10:00 window (watermark 11:00)
+    late = spark.createDataFrame(
+        [(4, base + dt.timedelta(minutes=20), "click", 1.0),
+         (5, base + dt.timedelta(hours=3), "click", 1.0)],
+        schema,
+    )
+    late.write.mode("append").parquet(src_dir)
+    run_once()
+
+    closed_10 = [r["n"] for r in emitted if r["window_start"].hour == 10]
+    # the 10:00 window closed with the 2 on-time rows; the late event
+    # (10:20, behind the 11:00 watermark) was dropped
+    assert closed_10 == [2]
