@@ -25,6 +25,14 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 ENGLISH_STOPWORDS = LANG_STOPWORDS["en"]
 
 
+def ngrams(text: Column | str, n: int = 2) -> Column:
+    """Distinct word n-gram shingles (zip_with over shifted slices —
+    O(tokens); see ``operators.dedup._shingles`` for why)."""
+    from gem_data_wrangle_spark.operators.dedup import _shingles  # noqa: PLC0415
+
+    return _shingles(F.col(text) if isinstance(text, str) else text, n)
+
+
 def tokens(text: Column | str, lowercase: bool = False) -> Column:
     """Whitespace tokenization → array<string>."""
     c = F.lower(text) if lowercase else (F.col(text) if isinstance(text, str) else text)

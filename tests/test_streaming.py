@@ -190,3 +190,39 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # the 10:00 window closed with the 2 on-time rows; the late event
     # (10:20, behind the 11:00 watermark) was dropped
     assert closed_10 == [2]
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark over a real stream: a duplicate
+    key arriving within the watermark horizon is suppressed."""
+    src_dir = str(tmp_path / "dd_src")
+    ckpt = str(tmp_path / "dd_ckpt")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "event_id bigint, ts timestamp, event_type string, value double"
+    spark.createDataFrame(
+        [(1, base, "click", 1.0),
+         (1, base + dt.timedelta(minutes=5), "click", 1.0),   # dup key
+         (2, base + dt.timedelta(minutes=10), "view", 2.0)],
+        schema,
+    ).write.mode("overwrite").parquet(src_dir)
+
+    from gem_data_wrangle_spark.streaming import stream_dedup
+
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    deduped = stream_dedup(stream, ["event_id"], ts_col="ts", watermark="1 hour")
+    emitted: list = []
+    q = (
+        deduped.writeStream.foreachBatch(lambda bdf, _b: emitted.extend(bdf.collect()))
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r["event_id"] for r in emitted) == [1, 2]
+
+
+def test_ngrams_public_api(spark):
+    from gem_data_wrangle_spark.operators.textops import ngrams
+
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    out = df.select(ngrams("text", 3).alias("g")).collect()[0]["g"]
+    assert out == ["a b c", "b c d"]
