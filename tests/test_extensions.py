@@ -117,8 +117,19 @@ def test_multimodal_plumbing(spark):
     assert feats[1]["n_bytes"] == len(DOCS[0][1].encode())
     assert feats[1]["feature"] == feats[2]["feature"]  # deterministic stub
     assert 0.0 <= feats[1]["feature"] <= 1.0
-    with pytest.raises(NotImplementedError):
-        M.resize_images(media, 64, 64)
+
+    resized = {r["id"]: r for r in M.resize_images(media, 4, 4).collect()}
+    assert all(len(r["media"]) == 16 for r in resized.values())
+    assert resized[1]["width"] == 4 and resized[1]["height"] == 4
+
+    frames = M.sample_frames(media, every_n=2, frame_size=8).collect()
+    assert frames and all(r["n_bytes"] <= 8 for r in frames)
+    # one input row expands to multiple frame rows
+    per_doc = {}
+    for r in frames:
+        per_doc.setdefault(r["id"], []).append(r["frame_idx"])
+    assert any(len(v) > 1 for v in per_doc.values())
+    assert all(idx % 2 == 0 for v in per_doc.values() for idx in v)
 
 
 def test_tf_idf_ranking(spark):

@@ -42,7 +42,7 @@ def test_sink_parquet_partitioned(spark, tmp_path):
     # partition pruning: only the 2025 directory is scanned
     assert [r["v"] for r in back.collect()] == ["c"]
     scanned = back._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [isnotnull(production_year" in scanned or True
+    assert "PartitionFilters" in scanned and "production_year" in scanned
 
 
 def test_xlsx_converter_gated(tmp_path):

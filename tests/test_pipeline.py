@@ -117,3 +117,34 @@ def test_consolidation_surrogate_ids_and_emission_factors(spark):
     by = {(r["company_name"], r["country_iso2"]): r["emission_factor"] for r in rows}
     assert by[("A Corp", "FR")] == 0.9        # country-specific factor
     assert by[("I Ltd", "IN")] == 1.1         # global fallback
+
+
+def test_all_fuel_configs_run(spark):
+    """Every per-fuel FuelConfig is runnable: the remaining fuels are
+    column-name/flag permutations of the four oracle-checked variants;
+    this instantiates each against a renamed copy of the shared
+    fixture and checks the canonical contract."""
+    from gem_data_wrangle_spark.plans import gem as G
+
+    base = _units(spark)
+    cases = {
+        "NUCLEAR": (G.NUCLEAR, {"GEM unit/phase ID": "GEM unit ID",
+                                "Planned retirement": "Retirement Year"}),
+        "SOLAR": (G.SOLAR, {"GEM unit/phase ID": "GEM phase ID",
+                            "Country/Area": "Country",
+                            "Planned retirement": "Retired year"}),
+        "WIND": (G.WIND, {"GEM unit/phase ID": "GEM phase ID",
+                          "Planned retirement": "Retired year"}),
+        "BIOENERGY": (G.BIOENERGY, {"GEM unit/phase ID": "GEM phase ID",
+                                    "Owner": "Owner(s)",
+                                    "Planned retirement": "Retired year"}),
+        "GEOTHERMAL": (G.GEOTHERMAL, {"GEM unit/phase ID": "GEM unit ID",
+                                      "Planned retirement": "Retired year"}),
+    }
+    for name, (cfg, renames) in cases.items():
+        df = base.withColumnsRenamed(renames)
+        out = run_fuel_pipeline(df, cfg, country_dim(spark))
+        assert out.columns == CANONICAL_COLUMNS, name
+        rows = out.limit(5).collect()
+        assert rows, name
+        assert all(r["technology"] == cfg.technology for r in rows), name
