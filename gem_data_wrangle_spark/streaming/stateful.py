@@ -9,7 +9,7 @@ the operator scales with the key space, not the stream length.
 
 from __future__ import annotations
 
-from collections.abc import Iterator, Sequence
+from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
