@@ -121,3 +121,28 @@ def test_aggregation_invariant_under_repartitioning(spark, parts, sf_dir):
         .collect()
     }
     assert got == got2
+
+
+@given(
+    name=_company,
+    pct=st.one_of(
+        st.integers(min_value=0, max_value=100),
+        st.decimals(min_value=0, max_value=100, places=1),
+    ),
+)
+@_SETTINGS
+def test_owner_pct_roundtrip(spark, name, pct):
+    """The owner-cell grammar round-trips: 'Name [P%]' parses back to
+    (Name, P/100) for integer and one-decimal percents."""
+    cell = f"{name} [{pct}%]"
+    df = spark.createDataFrame([(cell,)], "Owner string")
+    from gem_data_wrangle_spark.functions import strings as S
+
+    row = df.select(
+        S.owner_name(F.col("Owner")).alias("n"),
+        S.owner_pct(F.col("Owner")).alias("p"),
+        S.strip_pct_suffix(F.col("Owner")).alias("stripped"),
+    ).collect()[0]
+    assert row["n"] == name.strip()
+    assert abs(row["p"] - float(pct) / 100) < 1e-12
+    assert row["stripped"] == name
