@@ -2081,6 +2081,100 @@ def _q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# extension: table profiling (single-pass per-column stats)
+# --------------------------------------------------------------------
+@_register(
+    "table_profile",
+    """
+    SELECT 'c_custkey' AS column, count(*) AS n_rows,
+           count(*) - count(c_custkey) AS n_nulls,
+           count(DISTINCT c_custkey) AS n_distinct FROM customer
+    UNION ALL
+    SELECT 'c_name', count(*), count(*) - count(c_name),
+           count(DISTINCT c_name) FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment),
+           count(DISTINCT c_mktsegment) FROM customer
+    UNION ALL
+    SELECT 'c_acctbal', count(*), count(*) - count(c_acctbal),
+           count(DISTINCT c_acctbal) FROM customer
+    """,
+)
+def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.quality import profile_table
+
+    cust = _t(spark, sf_dir, "customer")
+    return profile_table(cust, ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"])
+
+
+# --------------------------------------------------------------------
+# extension: exact interpolated quantiles per group
+# --------------------------------------------------------------------
+@_register(
+    "group_quantiles",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 2) AS p75
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def _q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 2).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 2).alias("p75"),
+    )
+
+
+# --------------------------------------------------------------------
+# extension: pivot (wide counts per key)
+# --------------------------------------------------------------------
+@_register(
+    "pivot_counts",
+    """
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click')    AS click,
+           count(*) FILTER (event_type = 'view')     AS view,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup')   AS signup,
+           count(*) FILTER (event_type = 'error')    AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def _q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+    )
+    # pivot leaves NULL for absent combinations; the FILTER oracle emits 0
+    return out.na.fill(0, ["click", "view", "purchase", "signup", "error"])
+
+
+# --------------------------------------------------------------------
+# extension: rollup (hierarchical grouping sets)
+# --------------------------------------------------------------------
+@_register(
+    "rollup_sums",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def _q_rollup_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:

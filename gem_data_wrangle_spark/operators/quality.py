@@ -1,0 +1,61 @@
+"""Data-quality / profiling operators — pipeline guardrails a 100 TB
+ingest needs before training-data jobs consume a table.
+
+All single-pass, fully aggregation-based (one shuffle), no driver-side
+iteration; ``profile_table`` emits a long-form per-column stats table
+so downstream checks are data, not code.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Per-column profile: row count, null count, distinct count.
+
+    One aggregation computes every stat (single scan); the long-form
+    reshape is a literal-array explode, not a second pass.
+    """
+    cols = list(cols or df.columns)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"_nn_{c}"))
+        aggs.append(F.count_distinct(c).alias(f"_nd_{c}"))
+    wide = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                (F.col("_n") - F.col(f"_nn_{c}")).alias("n_nulls"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(per_col).alias("_s")).select(
+        "_s.column", "_s.n_rows", "_s.n_nulls", "_s.n_distinct"
+    )
+
+
+def expect_unique_key(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """Violations of a uniqueness contract: keys appearing more than
+    once, with their multiplicity. Empty result = contract holds."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def expect_nonnull_ratio(df: DataFrame, column: str, min_ratio: float) -> DataFrame:
+    """One-row verdict on a completeness contract."""
+    return df.agg(
+        F.lit(column).alias("column"),
+        F.round(F.count(column) / F.count(F.lit(1)), 6).alias("nonnull_ratio"),
+        (F.count(column) / F.count(F.lit(1)) >= min_ratio).alias("passes"),
+    )

@@ -180,3 +180,26 @@ def test_ivf_topk(spark):
     # repeatable: seeded kmeans → same candidates and ranks
     again = V.ivf_topk(emb, probes, "embedding", "vec_id", k=5, num_centroids=4).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_quality_operators(spark):
+    from gem_data_wrangle_spark.operators.quality import (
+        expect_nonnull_ratio,
+        expect_unique_key,
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b")], "k bigint, v string"
+    )
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert prof["k"]["n_rows"] == 3 and prof["k"]["n_nulls"] == 0
+    assert prof["k"]["n_distinct"] == 2
+    assert prof["v"]["n_nulls"] == 1 and prof["v"]["n_distinct"] == 2
+
+    dups = expect_unique_key(df, ["k"]).collect()
+    assert len(dups) == 1 and dups[0]["k"] == 2 and dups[0]["n"] == 2
+
+    verdict = expect_nonnull_ratio(df, "v", 0.5).collect()[0]
+    assert verdict["passes"] is True
+    assert expect_nonnull_ratio(df, "v", 0.9).collect()[0]["passes"] is False
