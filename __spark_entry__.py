@@ -2175,6 +2175,30 @@ def _q_rollup_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# extension: deterministic hash-based dataset split (train/val/test)
+# --------------------------------------------------------------------
+@_register(
+    "dataset_split",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             CASE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+               WHEN 'c' THEN 'val' WHEN 'd' THEN 'val'
+               WHEN 'e' THEN 'test' WHEN 'f' THEN 'test'
+               ELSE 'train' END AS split
+      FROM documents
+    )
+    SELECT doc_id, split FROM b
+    """,
+)
+def _q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id").select("doc_id", "split")
+
+
+# --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:

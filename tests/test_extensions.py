@@ -203,3 +203,17 @@ def test_quality_operators(spark):
     verdict = expect_nonnull_ratio(df, "v", 0.5).collect()[0]
     assert verdict["passes"] is True
     assert expect_nonnull_ratio(df, "v", 0.9).collect()[0]["passes"] is False
+
+
+def test_hash_split_stable_and_partitioned(spark):
+    from gem_data_wrangle_spark.operators.sampling import hash_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in
+         hash_split(df.repartition(13), "doc_id").collect()}
+    assert a == b                       # invariant under repartitioning
+    from collections import Counter
+    frac = Counter(a.values())
+    assert 0.6 < frac["train"] / 2000 < 0.9
+    assert set(frac) == {"train", "val", "test"}
