@@ -2199,6 +2199,58 @@ def _q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# extension: BPE-ish regex token counting (whitespace + subword-style)
+# --------------------------------------------------------------------
+@_register(
+    "token_counts",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_ws_tokens"),
+        T.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+# --------------------------------------------------------------------
+# extension: winnowing-style rolling-hash fingerprints
+# --------------------------------------------------------------------
+@_register(
+    "rolling_fingerprint",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_filter(
+               [md5(substr(text, i, 8))
+                FOR i IN range(1, greatest(length(text) - 7, 1) + 1)],
+               h -> h LIKE '0%'))) AS fps
+      FROM documents
+    )
+    SELECT doc_id, len(fps) AS n_fingerprints, fps[1] AS min_fingerprint
+    FROM fp
+    """,
+)
+def _q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    fps = T.rolling_fingerprints("text", k=8, sample_prefix="0")
+    return docs.select(
+        "doc_id",
+        F.size(fps).alias("n_fingerprints"),
+        # F.get is null-on-out-of-bounds (ANSI element_at would throw on
+        # a doc with zero sampled grams; DuckDB fps[1] yields NULL)
+        F.get(fps, 0).alias("min_fingerprint"),
+    )
+
+
+# --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:

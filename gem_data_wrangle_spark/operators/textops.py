@@ -129,3 +129,37 @@ def fingerprint(text: Column | str) -> Column:
     """Content fingerprint: md5 hex of the raw text. Used for exact
     dedup at scale (group on the 16-byte digest, not the document)."""
     return F.md5(F.col(text) if isinstance(text, str) else text)
+
+
+# BPE-ish pre-tokenization: letter runs, digit runs, single
+# non-alphanumeric marks — the GPT-2-style coarse split that makes
+# subword token counts roughly proportional to real BPE counts.
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """Regex pre-tokenization → array<string> (JVM regexp_extract_all,
+    portable to any RE2/Java regex engine)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    return F.size(bpe_ish_tokens(text))
+
+
+def rolling_fingerprints(text: Column | str, k: int = 8, sample_prefix: str = "0") -> Column:
+    """Winnowing-style rolling-hash fingerprint set: hash every char
+    k-gram, keep the 1/16 sample whose hex digest starts with
+    ``sample_prefix`` — position-robust (an edit only perturbs the
+    k-grams that overlap it), deterministic, engine-portable.
+
+    Built from ``sequence`` + ``transform`` over substrings — narrow,
+    JVM-side; output is a sorted distinct array usable as a containment
+    signature.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    positions = F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1)))
+    grams = F.transform(positions, lambda i: F.md5(F.substring(c, i, k)))
+    sampled = F.filter(grams, lambda h: h.startswith(sample_prefix))
+    return F.array_sort(F.array_distinct(sampled))
