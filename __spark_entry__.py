@@ -2251,6 +2251,53 @@ def _q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# capstone: composed training-data pipeline — quality gate → exact
+# dedup → language filter → deterministic split, one lazy plan
+# --------------------------------------------------------------------
+_STOP_SQL = "('the', 'a', 'of', 'and', 'to', 'in', 'is')"
+
+
+@_register(
+    "training_data_pipeline",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, text, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             round(len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL}))
+                   / len(string_split(text, ' ')), 4) AS stop_ratio
+      FROM documents
+    ), gated AS (
+      SELECT * FROM scored WHERE n_tokens >= 20 AND stop_ratio >= 0.01
+    ), kept AS (
+      SELECT * FROM gated
+      QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    )
+    SELECT doc_id, lang, n_tokens,
+           CASE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+             WHEN 'c' THEN 'val' WHEN 'd' THEN 'val'
+             WHEN 'e' THEN 'test' WHEN 'f' THEN 'test'
+             ELSE 'train' END AS split
+    FROM kept
+    """,
+)
+def _q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    q = T.quality_score(F.col("text"))
+    scored = docs.select(
+        "doc_id", "text", "lang",
+        q["n_tokens"].alias("n_tokens"),
+        (q["stopword_ratio"]).alias("stop_ratio"),
+    )
+    gated = scored.filter((F.col("n_tokens") >= 20) & (F.col("stop_ratio") >= 0.01))
+    kept = A.dedup_first_per_key(
+        gated.withColumn("_h", T.fingerprint("text")), ["_h"], ["doc_id"]
+    )
+    return hash_split(kept, "doc_id").select("doc_id", "lang", "n_tokens", "split")
+
+
+# --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
