@@ -98,8 +98,14 @@ def harmonize_coordinates(
     lat, lon = F.col(lat_col), F.col(lon_col)
     n_rows = F.count(F.lit(1))
     na_poisoning_mean = lambda c: F.when(F.count(c) < n_rows, F.lit(None).cast("double")).otherwise(F.avg(c))  # noqa: E731
+    # "more than one distinct (lat, lon)" as min(struct) != max(struct):
+    # a count_distinct here would force an Expand + two-phase aggregate;
+    # min/max stay in one partial-aggregation pass and detect exactly
+    # the same condition (structs are never null, so min/max see every
+    # row and differ iff two rows disagree).
+    pair = F.struct(lat.alias("a"), lon.alias("b"))
     summary = df.groupBy(location_col).agg(
-        F.count_distinct(F.struct(lat, lon)).alias("_n_coord"),
+        (F.min(pair) != F.max(pair)).alias("_coords_differ"),
         na_poisoning_mean(lat).alias("_lat_mean"),
         na_poisoning_mean(lon).alias("_lon_mean"),
         F.first(lat, ignorenulls=False).alias("_lat_first"),
@@ -107,8 +113,8 @@ def harmonize_coordinates(
     )
     summary = summary.select(
         location_col,
-        F.when(F.col("_n_coord") > 1, F.col("_lat_mean")).otherwise(F.col("_lat_first")).alias(lat_col),
-        F.when(F.col("_n_coord") > 1, F.col("_lon_mean")).otherwise(F.col("_lon_first")).alias(lon_col),
+        F.when(F.col("_coords_differ"), F.col("_lat_mean")).otherwise(F.col("_lat_first")).alias(lat_col),
+        F.when(F.col("_coords_differ"), F.col("_lon_mean")).otherwise(F.col("_lon_first")).alias(lon_col),
     )
     return df.drop(lat_col, lon_col).join(F.broadcast(summary), on=location_col, how="left")
 
