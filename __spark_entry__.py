@@ -64,6 +64,17 @@ def _utc(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition only if the source arrived under-partitioned (the
+    driver's testdata is one single-row-group parquet file → one task
+    for everything downstream). Real 100 TB inputs are multi-file and
+    skip this branch, so no shuffle is added at scale."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        return df.repartition(target)
+    return df
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events has a nanosecond-precision parquet timestamp, which Spark
     rejects by default — see ``read_ns_timestamp_parquet``."""
@@ -1388,7 +1399,7 @@ def _q_gem_coal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gem_data_wrangle_spark.plans.gem import COAL, run_fuel_pipeline
 
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    units = spark.sql(_GEM_SYNTH_SPARK)
+    units = _spread(spark, spark.sql(_GEM_SYNTH_SPARK))
     out = run_fuel_pipeline(units, COAL, country_dim(spark))
     return out.filter(F.col("production_year").isin([2024, 2035, 2050])).select(
         "asset_id", "asset_name", "company_name", "country_iso2", "country_name",
@@ -1619,7 +1630,7 @@ def _q_gem_hydro_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gem_data_wrangle_spark.plans.gem import HYDRO, run_fuel_pipeline
 
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    units = spark.sql(_HYDRO_SYNTH_SPARK)
+    units = _spread(spark, spark.sql(_HYDRO_SYNTH_SPARK))
     out = run_fuel_pipeline(units, HYDRO, country_dim(spark))
     return out.filter(F.col("production_year").isin([2024, 2031, 2050])).select(
         "asset_id", "asset_name", "company_name", "country_iso2", "country_name",
@@ -1856,7 +1867,7 @@ def _q_gem_gasoil_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gem_data_wrangle_spark.plans.gem import GASOIL, run_fuel_pipeline
 
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    units = spark.sql(_GASOIL_SYNTH_SPARK)
+    units = _spread(spark, spark.sql(_GASOIL_SYNTH_SPARK))
     units = units.withColumn(
         "classification",
         classify_first_mention(

@@ -49,20 +49,19 @@ def main() -> None:
     spark = get_spark("bench")
     queries = entrymod.queries()
 
-    # Warm-up pass at the smallest scale factor: whole-stage codegen
-    # compiles each query's generated classes once (a fixed cost that
-    # production amortizes over far more data); the timed pass below
-    # then measures steady-state execution at the target scale.
+    # Per-query warm-up at the smallest scale factor immediately before
+    # its timed run: whole-stage codegen compiles the generated classes
+    # once (a fixed cost production amortizes over far more data), and
+    # interleaving keeps them in the codegen cache for the measurement
+    # — a separate warm-up loop lets later queries evict earlier ones.
     warm_dir = "/root/testdata/sf0.001"
-    for name in HEADLINE:
-        try:
-            queries[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
-        except Exception:  # noqa: BLE001 — warm-up must never fail the bench
-            pass
-
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
+        try:
+            fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception:  # noqa: BLE001 — warm-up must never fail the bench
+            pass
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
