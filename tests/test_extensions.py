@@ -217,3 +217,32 @@ def test_hash_split_stable_and_partitioned(spark):
     frac = Counter(a.values())
     assert 0.6 < frac["train"] / 2000 < 0.9
     assert set(frac) == {"train", "val", "test"}
+
+
+def test_textops_edge_cases(spark):
+    from gem_data_wrangle_spark.operators.textops import (
+        bpe_ish_token_count,
+        rolling_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "x"), (3, "hi there, it's 42!")],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        T.token_count("text").alias("ws"),
+        bpe_ish_token_count("text").alias("bpe"),
+        F.size(rolling_fingerprints("text", k=8)).alias("n_fp"),
+    ).collect()}
+    # empty text: split('') → [''] → 1 ws token; zero bpe tokens; no crash
+    assert rows[1]["ws"] == 1 and rows[1]["bpe"] == 0 and rows[1]["n_fp"] >= 0
+    assert rows[2]["bpe"] == 1
+    # "hi there, it's 42!" → hi|there|,|it|'|s|42|! = 8 bpe-ish tokens
+    assert rows[3]["bpe"] == 8 and rows[3]["ws"] == 4
+
+
+def test_lang_id_no_stopwords(spark):
+    df = spark.createDataFrame([(1, "zzz qqq www")], "doc_id bigint, text string")
+    out = df.select(T.lang_id(F.col("text")).alias("l")).collect()[0]["l"]
+    assert out == "und"
