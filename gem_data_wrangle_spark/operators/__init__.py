@@ -3,8 +3,12 @@ from gem_data_wrangle_spark.operators import (
     dedup,
     joins,
     kernels,
+    ml_lsh,
     multimodal,
+    quality,
+    sampling,
     similarity,
+    skew,
     textops,
 )
 
@@ -13,7 +17,11 @@ __all__ = [
     "dedup",
     "joins",
     "kernels",
+    "ml_lsh",
     "multimodal",
+    "quality",
+    "sampling",
     "similarity",
+    "skew",
     "textops",
 ]
