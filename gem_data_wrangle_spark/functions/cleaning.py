@@ -60,13 +60,31 @@ def filter_not_and(df: DataFrame, cond_a: Column, cond_b: Column) -> DataFrame:
     return df.filter(~(cond_a & cond_b))
 
 
-def filter_capacity_known(df: DataFrame, column: str, sentinels: Sequence[str] = ("N/A", "unknown")) -> DataFrame:
-    """Drop sentinel / NULL / zero capacities
-    (``GEM/GasOilplants_GEM.R:88-92``; coal variant
-    ``GEM/Coalplants_GEM.R:54``). Applied while the column is still
-    string-typed."""
+def filter_capacity_known(
+    df: DataFrame,
+    column: str,
+    sentinels: Sequence[str] = ("N/A", "unknown"),
+    drop_null_zero: bool = True,
+) -> DataFrame:
+    """Drop unknown capacities, while the column is still string-typed.
+
+    Two reference variants:
+
+    * ``drop_null_zero=True`` — every non-coal script
+      (``GEM/GasOilplants_GEM.R:88-92``, ``Hydroplants_GEM.R:122-127``,
+      nuclear/solar/wind/bio/geo): sentinel strings OR NULL OR zero.
+    * ``drop_null_zero=False`` — the coal variant
+      (``GEM/Coalplants_GEM.R:54``): only the sentinel strings; NULL
+      and zero capacities survive (R ``%in%`` is NA-safe-false, so
+      ``!(cap %in% sentinels)`` keeps NA rows).
+    """
     c = F.col(column)
-    return df.filter(~(c.isin(list(sentinels)) | c.isNull() | (c.try_cast("double") == 0.0)))
+    cond = c.isin(list(sentinels))
+    if drop_null_zero:
+        cond = cond | c.isNull() | (c.try_cast("double") == 0.0)
+    # `cond IS NOT TRUE` so NULL capacity is kept in the coal variant
+    # (plain `~cond` would drop it under 3VL).
+    return df.filter(~F.coalesce(cond, F.lit(False)))
 
 
 def filter_notnull(df: DataFrame, cols: Sequence[str]) -> DataFrame:

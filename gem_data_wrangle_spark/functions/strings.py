@@ -14,7 +14,16 @@ from pyspark.sql import functions as F
 # "IG Power (Callide) Ltd [50%]; CS Energy Ltd [50%]").
 OWNER_SEP = ";\\s*"
 OWNER_NAME_RE = "^[^\\[]+"
+# The engine's documented grammar: bracketed percent, decimals allowed.
 OWNER_PCT_RE = "\\[([0-9]+(?:\\.[0-9]+)?)%\\]"
+# Reference-parity grammars (they differ per script — see owner_pct):
+#   coal/gasoil `str_extract(Owner, "\\d+(?=%)")` ≡ first match of
+#   digits immediately before '%', bracket-agnostic; on a decimal like
+#   "[12.5%]" it matches "5" (→0.05), and it accepts a bare "50%".
+OWNER_PCT_REF_COAL_RE = "([0-9]+)%"
+#   hydro-family `(?<=\\[)\\d+(?=%\\])` ≡ integer-only bracketed; a
+#   decimal "[12.5%]" does NOT match → NULL → equal-share fallback.
+OWNER_PCT_REF_HYDRO_RE = "\\[([0-9]+)%\\]"
 OWNER_PCT_STRIP_RE = " ?\\[[0-9]+(\\.[0-9]+)?%\\]"
 
 
@@ -30,12 +39,34 @@ def owner_name(col: Column | str) -> Column:
     return F.trim(F.regexp_extract(col, OWNER_NAME_RE, 0))
 
 
-def owner_pct(col: Column | str) -> Column:
-    """Ownership fraction from ``[NN%]`` (``GEM/Coalplants_GEM.R:111``,
-    lookbehind variant ``GEM/Hydroplants_GEM.R:169``). NULL when the
-    cell has no percent — the fallback policy is the kernel's decision
-    (SURVEY §2.10)."""
-    pct = F.regexp_extract(col, OWNER_PCT_RE, 1)
+_PCT_GRAMMARS = {
+    "bracketed": OWNER_PCT_RE,
+    "ref_coal": OWNER_PCT_REF_COAL_RE,
+    "ref_hydro": OWNER_PCT_REF_HYDRO_RE,
+}
+
+
+def owner_pct(col: Column | str, grammar: str = "bracketed") -> Column:
+    """Ownership fraction from the owner cell. NULL when the cell has
+    no percent — the fallback policy is the kernel's decision
+    (SURVEY §2.10).
+
+    Grammars (documented divergence — the reference scripts disagree
+    with each other on malformed cells):
+
+    * ``"bracketed"`` (engine default): ``[NN%]`` or ``[NN.N%]`` —
+      decimals allowed, bracket required. Sane superset for new data.
+    * ``"ref_coal"`` — exact ``GEM/Coalplants_GEM.R:111`` /
+      ``GasOilplants_GEM.R:139`` semantics (``str_extract(Owner,
+      "\\d+(?=%)")``): first run of digits immediately before ``%``,
+      brackets ignored; ``"[12.5%]"`` → 0.05, bare ``"50%"`` → 0.5.
+    * ``"ref_hydro"`` — exact ``GEM/Hydroplants_GEM.R:169``
+      (``(?<=\\[)\\d+(?=%\\])``): integer-only AND bracketed;
+      ``"[12.5%]"`` → NULL → equal-share fallback.
+
+    All three agree on well-formed integer cells like ``"[40%]"``.
+    """
+    pct = F.regexp_extract(col, _PCT_GRAMMARS[grammar], 1)
     return F.when(pct != "", pct.cast("double") / 100.0)
 
 

@@ -37,6 +37,7 @@ def split_ownership(
     out_share: str = "ownership_share",
     out_alloc: str = "capacity_allocated",
     row_id_col: str = "row_id",
+    pct_grammar: str = "bracketed",
 ) -> DataFrame:
     """The ownership-split kernel (SURVEY §2.10) — both reference
     variants behind one flag:
@@ -54,6 +55,10 @@ def split_ownership(
     Scale: the only shuffle is the window partition on ``row_id`` in
     the equal-share variant, and because ``row_id`` is unique-ish the
     key space is maximal → no skew. The explode itself is narrow.
+
+    ``pct_grammar`` selects the percent-extraction grammar (the
+    reference scripts use two different regexes — see
+    ``functions.strings.owner_pct``).
     """
     exploded = add_row_id(df, row_id_col).withColumn(
         "_owner_part", S.explode_split(F.col(owner_col))
@@ -61,7 +66,7 @@ def split_ownership(
     exploded = exploded.withColumns(
         {
             out_owner: S.owner_name(F.col("_owner_part")),
-            "_pct": S.owner_pct(F.col("_owner_part")),
+            "_pct": S.owner_pct(F.col("_owner_part"), grammar=pct_grammar),
         }
     )
     if equal_share:
@@ -92,8 +97,12 @@ def harmonize_coordinates(
     the ``when(count(col) < count(*), NULL)`` guard.
 
     Scale: one aggregation shuffle on the location key + one join. The
-    aggregated side is ~|locations| rows — orders of magnitude smaller
-    than units at 100 TB — so AQE broadcast-joins it; no sort-merge.
+    aggregated side is ~|locations| rows — smaller than units, but it
+    GROWS with the data, so no forced broadcast hint here: AQE's
+    runtime size check picks broadcast when the summary fits under
+    ``spark.sql.autoBroadcastJoinThreshold`` and falls back to a
+    shuffled join when it doesn't (a forced hint would OOM the driver
+    at 100× location cardinality).
     """
     lat, lon = F.col(lat_col), F.col(lon_col)
     n_rows = F.count(F.lit(1))
@@ -116,7 +125,7 @@ def harmonize_coordinates(
         F.when(F.col("_coords_differ"), F.col("_lat_mean")).otherwise(F.col("_lat_first")).alias(lat_col),
         F.when(F.col("_coords_differ"), F.col("_lon_mean")).otherwise(F.col("_lon_first")).alias(lon_col),
     )
-    return df.drop(lat_col, lon_col).join(F.broadcast(summary), on=location_col, how="left")
+    return df.drop(lat_col, lon_col).join(summary, on=location_col, how="left")
 
 
 def expand_years(

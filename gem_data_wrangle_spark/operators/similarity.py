@@ -95,6 +95,18 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def sign_grid_cell(vec: Column, dims: int = 3) -> Column:
+    """Deterministic coarse quantizer: one bit per leading dimension's
+    sign → ``2^dims`` cells. Engine-portable (replayable in any SQL
+    dialect), used where a differential oracle must reproduce the cell
+    assignment exactly."""
+    bits = [
+        F.when(F.element_at(vec, i + 1) > 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(dims)
+    ]
+    return F.concat(*bits)
+
+
 def ivf_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -104,31 +116,46 @@ def ivf_topk(
     num_centroids: int = 16,
     probe_id: str = "query_id",
     seed: int = 42,
+    cell_assigner=None,
 ) -> DataFrame:
-    """IVF-style ANN: coarse-quantize the corpus with seeded KMeans,
-    restrict candidates to the probe's cell (nprobe=1), rank by exact
-    cosine inside it. The inverted-file structure is just a cluster-id
-    column — candidate generation becomes an equi-join, which Spark
-    shuffles by cell (or broadcasts the probe side, as here).
+    """IVF-style ANN: coarse-quantize the corpus, restrict candidates
+    to the probe's cell (nprobe=1), rank by exact cosine inside it. The
+    inverted-file structure is just a cluster-id column — candidate
+    generation becomes an equi-join, which Spark shuffles by cell (or
+    broadcasts the probe side, as here).
+
+    The quantizer is pluggable: default is seeded ``pyspark.ml`` KMeans
+    (the production path — cluster assignments are deterministic for a
+    seed but not SQL-replayable, so differential checks are rows-only);
+    pass ``cell_assigner`` (Column→Column, e.g. ``sign_grid_cell``) for
+    an engine-portable assignment that a SQL oracle can mirror exactly.
 
     Scale: one KMeans fit over the corpus (sampled fit is fine at
     100 TB), then a narrow transform per side; no corpus² anything.
     """
-    try:
-        from pyspark.ml.clustering import KMeans  # noqa: PLC0415
-        from pyspark.ml.functions import array_to_vector  # noqa: PLC0415
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError("pyspark.ml required for IVF") from exc
-
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("_cv")
-    ).withColumn("_mlv", array_to_vector(F.col("_cv")))
-    model = KMeans(k=num_centroids, seed=seed, featuresCol="_mlv", predictionCol="_cell").fit(c)
-    c = model.transform(c).drop("_mlv")
+    )
     p = probes.select(
         F.col(id_col).alias(probe_id), as_double_array(vec_col).alias("_pv")
-    ).withColumn("_mlv", array_to_vector(F.col("_pv")))
-    p = model.transform(p).drop("_mlv")
+    )
+    if cell_assigner is not None:
+        c = c.withColumn("_cell", cell_assigner(F.col("_cv")))
+        p = p.withColumn("_cell", cell_assigner(F.col("_pv")))
+    else:
+        try:
+            from pyspark.ml.clustering import KMeans  # noqa: PLC0415
+            from pyspark.ml.functions import array_to_vector  # noqa: PLC0415
+        except ImportError as exc:  # pragma: no cover
+            raise NotImplementedError("pyspark.ml required for IVF") from exc
+
+        c = c.withColumn("_mlv", array_to_vector(F.col("_cv")))
+        model = KMeans(
+            k=num_centroids, seed=seed, featuresCol="_mlv", predictionCol="_cell"
+        ).fit(c)
+        c = model.transform(c).drop("_mlv")
+        p = p.withColumn("_mlv", array_to_vector(F.col("_pv")))
+        p = model.transform(p).drop("_mlv")
     scored = (
         c.join(F.broadcast(p), on="_cell")
         .filter(F.col("neighbor_id") != F.col(probe_id))
@@ -147,15 +174,15 @@ def lsh_topk(
     probes: DataFrame,
     vec_col: str,
     id_col: str,
+    dim: int,
     k: int = 10,
     num_planes: int = 8,
     probe_id: str = "query_id",
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the probe's LSH
-    bucket, ranked by exact cosine within it. Dimension is taken from
-    the data at plan time via a 1-row peek on the probe side (probes
-    are small by contract)."""
-    dim = len(probes.select(vec_col).first()[0])
+    bucket, ranked by exact cosine within it. ``dim`` is the embedding
+    width, supplied by the caller — building the plan executes no
+    action (no data peek)."""
     planes = hyperplanes(num_planes, dim)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("_cv")

@@ -12,8 +12,37 @@ read → select (:17-38) → status filter (:41) → unknown-start drop
 (:46-47) → ">0" sentinel replace (:50) → capacity filter (:54) → cast
 (:59-60) → coordinate harmonization (:63-76) → ownership explode +
 allocation (:104-119) → key/retirement filters (:122-128) → year
-expansion + per-year case (:134-152) → group-sum (:165-171) → ISO2 +
-literals (:177-210) → rename/reorder (:186-223).
+expansion + per-year case (:134-152) → drop unit-level cols +
+location-level group-sum (:158-171) → ISO2 + literals (:177-210) →
+rename/reorder (:186-223).
+
+Reference-parity notes (each encoded as a ``FuelConfig`` field):
+
+* Status whitelists differ per fuel: coal admits 5 statuses incl.
+  ``pre-permit``/``permitted`` but NOT ``pre-construction``
+  (``Coalplants_GEM.R:41``); every other fuel admits 4 incl.
+  ``pre-construction`` (``Hydroplants_GEM.R:95`` etc.).
+* The unknown-start drop differs: coal drops ``Start year ==
+  "unknown"`` only — NULL start years are untouched by the ``==``
+  under R's NA semantics (``Coalplants_GEM.R:46-47``; base-R ``[``
+  with an NA index would actually inject all-NA rows — a reference
+  bug we document, not replicate); gas/oil drops ``"not found"`` OR
+  NULL (``GasOilplants_GEM.R:79-80``). The hydro family *imputes*
+  instead of dropping (2030 future / 2024 operating,
+  ``Hydroplants_GEM.R:102-107``).
+* The global ``">0" → "unknown"`` replace runs AFTER the start-year
+  drop/impute (``Coalplants_GEM.R:46→50``), so a future-status row
+  with ``Start year == ">0"`` survives the drop.
+* The capacity filter differs: coal drops only the literal sentinels
+  ``'N/A'/'unknown'`` (``Coalplants_GEM.R:54``); every other fuel
+  also drops NULL and zero (``GasOilplants_GEM.R:88-92``).
+* Ownership-percent grammar differs: coal/gasoil extract bare
+  digits-before-``%``; the hydro family requires integer-bracketed
+  ``[NN%]`` (see ``functions.strings.owner_pct``).
+* The aggregation is at LOCATION level: the unit/phase ID is dropped
+  before the group-by (``Coalplants_GEM.R:158-171``), the output's
+  ``asset_id`` is the GEM location ID and ``asset_name`` the
+  Plant/Project name.
 """
 
 from __future__ import annotations
@@ -25,6 +54,7 @@ from pyspark.sql import functions as F
 
 from gem_data_wrangle_spark.functions import cleaning as C
 from gem_data_wrangle_spark.functions import strings as S
+from gem_data_wrangle_spark.functions.conditional import classify_first_mention
 from gem_data_wrangle_spark.operators import aggregates as A
 from gem_data_wrangle_spark.operators import kernels as K
 from gem_data_wrangle_spark.operators.joins import join_lookup_dim
@@ -39,6 +69,12 @@ CANONICAL_COLUMNS = [
     "capacity_factor", "emission_factor",
 ]
 
+# Per-fuel status whitelists (grep of the 8 scripts, see module docstring).
+COAL_STATUSES = ("construction", "operating", "announced", "pre-permit", "permitted")
+COAL_FUTURE_STATUSES = ("announced", "construction", "pre-permit", "permitted")
+NONCOAL_STATUSES = ("construction", "operating", "announced", "pre-construction")
+NONCOAL_FUTURE_STATUSES = ("announced", "construction", "pre-construction")
+
 
 @dataclass
 class FuelConfig:
@@ -50,18 +86,21 @@ class FuelConfig:
                                          # GEM/GasOilplants_GEM.R:225-229) —
                                          # add it to extra_group_cols
     unit_id_col: str                     # "GEM unit/phase ID" | "GEM unit ID" | "GEM phase ID"
+    plant_name_col: str = "Project Name"  # "Plant name" for coal/gasoil
     owner_col: str = "Owner"             # "Owner(s)" for gas/oil + bioenergy
     retirement_col: str | None = "Retired year"  # None → hydro (always-NA)
-    status_allowed: tuple[str, ...] = (
-        "operating", "construction", "announced", "pre-construction",
-        "pre-permit", "permitted",
-    )
+    # only coal/gasoil DROP rows retiring before 2024 (Coalplants:127-128,
+    # GasOilplants:154-155); the others use retirement only to zero the
+    # expanded series (solarplants:165 etc.)
+    retirement_row_filter: bool = False
+    status_allowed: tuple[str, ...] = NONCOAL_STATUSES
+    future_statuses: tuple[str, ...] = NONCOAL_FUTURE_STATUSES
     equal_share: bool = True             # False → coal/gasoil drop-capacity variant
     impute_missing_years: bool = True    # False → coal/gasoil drop such rows instead
-    future_statuses: tuple[str, ...] = (
-        "announced", "construction", "pre-construction", "pre-permit",
-        "permitted",
-    )
+    start_drop_sentinels: tuple[str, ...] = ("not found",)  # drop variant only
+    start_drop_null: bool = True         # gasoil drops NULL starts; coal keeps them
+    capacity_drop_null_zero: bool = True  # coal keeps NULL/zero capacities
+    pct_grammar: str = "ref_hydro"       # coal/gasoil use "ref_coal"
     location_col: str = "GEM location ID"
     country_col: str = "Country/Area"
     capacity_col: str = "Capacity (MW)"
@@ -72,26 +111,42 @@ class FuelConfig:
 
 COAL = FuelConfig(
     technology="CoalCap", unit_id_col="GEM unit/phase ID",
-    retirement_col="Planned retirement", equal_share=False,
-    impute_missing_years=False, plant_age_col="Plant age (years)",
+    plant_name_col="Plant name",
+    retirement_col="Planned retirement", retirement_row_filter=True,
+    equal_share=False,
+    impute_missing_years=False,
+    status_allowed=COAL_STATUSES, future_statuses=COAL_FUTURE_STATUSES,
+    start_drop_sentinels=("unknown",), start_drop_null=False,
+    capacity_drop_null_zero=False,
+    pct_grammar="ref_coal",
+    plant_age_col="Plant age (years)",
 )
 GASOIL = FuelConfig(
-    technology="GasCap", unit_id_col="GEM unit ID", owner_col="Owner(s)",
-    retirement_col="Planned retire", equal_share=False,
+    # technology=None: per-row GasCap/OilCap from the fuel classification
+    # (GEM/GasOilplants_GEM.R:225-229) — see run_gasoil_pipeline.
+    technology=None, unit_id_col="GEM unit ID", owner_col="Owner(s)",
+    plant_name_col="Plant name",
+    retirement_col="Planned retire", retirement_row_filter=True,
+    equal_share=False,
     impute_missing_years=False,
+    pct_grammar="ref_coal",
+    extra_group_cols=("technology",),
 )
 HYDRO = FuelConfig(
-    technology="RenewablesCap", unit_id_col="GEM unit ID",
+    technology="HydroCap", unit_id_col="GEM unit ID",
     retirement_col=None, country_col="Country 1",
     start_year_col="Start Year",
 )
 NUCLEAR = FuelConfig(
     technology="NuclearCap", unit_id_col="GEM unit ID",
-    retirement_col="Retirement Year",
+    retirement_col="Retirement Year", start_year_col="Start Year",
 )
 SOLAR = FuelConfig(technology="RenewablesCap", unit_id_col="GEM phase ID", country_col="Country")
 WIND = FuelConfig(technology="RenewablesCap", unit_id_col="GEM phase ID")
-BIOENERGY = FuelConfig(technology="RenewablesCap", unit_id_col="GEM phase ID", owner_col="Owner(s)")
+BIOENERGY = FuelConfig(
+    technology="RenewablesCap", unit_id_col="GEM phase ID", owner_col="Owner(s)",
+    retirement_col="Retired Year", start_year_col="Start Year",
+)
 GEOTHERMAL = FuelConfig(technology="RenewablesCap", unit_id_col="GEM unit ID")
 
 
@@ -104,21 +159,34 @@ def run_fuel_pipeline(df: DataFrame, cfg: FuelConfig, country_dim: DataFrame) ->
     the expansion happens on the minimal surviving set, exactly the
     manual optimization order the reference hand-codes (SURVEY §4).
     """
-    # --- clean (GEM/Coalplants_GEM.R:41-60) ---
+    # --- clean, in reference order (GEM/Coalplants_GEM.R:41-60) ---
     out = C.filter_isin(df, "Status", cfg.status_allowed)
-    out = C.replace_value_global(out, ">0", "unknown")
     if cfg.impute_missing_years:
+        # hydro family imputes (Hydroplants_GEM.R:102-107); exactly
+        # NULL | 'not found' qualifies — 'unknown' does not.
         out = C.impute_year(
-            out, cfg.start_year_col, "Status", future_statuses=cfg.future_statuses
+            out, cfg.start_year_col, "Status",
+            future_statuses=cfg.future_statuses,
+            missing_sentinels=("not found",),
         )
     else:
         start = F.col(cfg.start_year_col)
+        missing = start.isin(list(cfg.start_drop_sentinels))
+        if cfg.start_drop_null:
+            missing = missing | start.isNull()
+        else:
+            # coal (Coalplants_GEM.R:46-47): `start == 'unknown'` under R
+            # NA semantics never matches NULL; force the conjunct FALSE so
+            # NULL-start rows are kept.
+            missing = F.coalesce(missing, F.lit(False))
         out = C.filter_not_and(
-            out,
-            F.col("Status").isin(list(cfg.future_statuses)),
-            start.isNull() | start.isin(["unknown", "not found"]),
+            out, F.col("Status").isin(list(cfg.future_statuses)), missing
         )
-    out = C.filter_capacity_known(out, cfg.capacity_col)
+    # the ">0" sentinel replace runs AFTER the start-year step (:46→:50)
+    out = C.replace_value_global(out, ">0", "unknown")
+    out = C.filter_capacity_known(
+        out, cfg.capacity_col, drop_null_zero=cfg.capacity_drop_null_zero
+    )
     out = C.cast_numeric(out, [cfg.capacity_col, "Latitude", "Longitude"])
 
     # --- coordinate harmonization (:63-76) ---
@@ -126,10 +194,11 @@ def run_fuel_pipeline(df: DataFrame, cfg: FuelConfig, country_dim: DataFrame) ->
 
     # --- ownership split (:104-119 / Hydroplants:159-193) ---
     out = K.split_ownership(
-        out, cfg.owner_col, cfg.capacity_col, equal_share=cfg.equal_share
+        out, cfg.owner_col, cfg.capacity_col,
+        equal_share=cfg.equal_share, pct_grammar=cfg.pct_grammar,
     )
     out = C.filter_notnull(out, [cfg.unit_id_col])
-    if cfg.retirement_col is not None:
+    if cfg.retirement_col is not None and cfg.retirement_row_filter:
         out = C.filter_null_or_ge(out, cfg.retirement_col, 2024)
 
     # --- year expansion + per-year capacity (:134-152) ---
@@ -139,9 +208,11 @@ def run_fuel_pipeline(df: DataFrame, cfg: FuelConfig, country_dim: DataFrame) ->
         retirement_col=cfg.retirement_col,
     )
 
-    # --- group-sum to (location, owner, year) (:165-171) ---
+    # --- location-level group-sum (:158-171): the unit/phase ID is
+    # dropped BEFORE aggregating — the output row grain is
+    # (location, owner, year) plus the carried descriptive columns ---
     group_cols = [
-        cfg.location_col, cfg.unit_id_col, cfg.country_col, "Region",
+        cfg.location_col, cfg.country_col, cfg.plant_name_col, "Region",
         "company_name", "production_year", "Latitude", "Longitude",
         *cfg.extra_group_cols,
     ]
@@ -160,8 +231,8 @@ def run_fuel_pipeline(df: DataFrame, cfg: FuelConfig, country_dim: DataFrame) ->
         out.withColumn("coordinates", S.concat_coords(F.col("Latitude"), F.col("Longitude")))
         .withColumnsRenamed(
             {
-                cfg.unit_id_col: "asset_id",
-                cfg.location_col: "asset_name",
+                cfg.location_col: "asset_id",
+                cfg.plant_name_col: "asset_name",
                 "Region": "region",
                 "iso2": "country_iso2",
             }
@@ -188,15 +259,50 @@ def run_fuel_pipeline(df: DataFrame, cfg: FuelConfig, country_dim: DataFrame) ->
     return out.select(*CANONICAL_COLUMNS)
 
 
+def classify_gasoil_fuel(df: DataFrame, fuel_col: str = "Fuel") -> DataFrame:
+    """Gas/oil fuel classification (``GEM/GasOilplants_GEM.R:20-42``):
+    first-mention-wins between ``fossil gas`` and ``fossil liquids``,
+    then keep only classified rows (:73) and map the classification to
+    the per-row ``technology`` value (:225-229)."""
+    out = df.withColumn(
+        "classification",
+        classify_first_mention(
+            F.col(fuel_col),
+            [("fossil gas", "Gas Power Plant"), ("fossil liquids", "Oil Power Plant")],
+            default="Not Sure",
+        ),
+    )
+    out = C.filter_isin(out, "classification", ["Gas Power Plant", "Oil Power Plant"])
+    return out.withColumn(
+        "technology",
+        F.when(F.col("classification") == "Gas Power Plant", "GasCap").otherwise("OilCap"),
+    )
+
+
+def run_gasoil_pipeline(df: DataFrame, country_dim: DataFrame) -> DataFrame:
+    """``GasOilplants_GEM.R`` end-to-end: classification + the shared
+    fuel pipeline with the per-row technology column in the grain."""
+    return run_fuel_pipeline(classify_gasoil_fuel(df), GASOIL, country_dim)
+
+
 def consolidate_total(
     fuel_outputs: list[DataFrame],
+    steel: DataFrame | None = None,
     emission_factors: DataFrame | None = None,
     country_dim: DataFrame | None = None,
 ) -> DataFrame:
     """``TotalData_GEM.R`` consolidation: union the fuel outputs, mint
-    deterministic surrogate company IDs (:21-34), and (optionally)
-    attach emission factors with the 2-level country→global fallback
+    deterministic surrogate company IDs (:21-34), merge the
+    already-wrangled steel dataset (:44-59), and (optionally) attach
+    emission factors with the 2-level country→global fallback
     (:101-135) — handled by ``operators.joins.join_fallback_chain``.
+
+    Steel merge semantics (:44-59): dedup steel to one row per
+    ``company_name`` (R ``slice(1)`` keeps file order; here the
+    deterministic proxy is min ``asset_id``), then steel's
+    ``company_id`` WINS over the minted surrogate wherever the company
+    also appears in steel, and finally the steel rows themselves are
+    appended.
 
     ``emission_factors`` is the Climate-Trace-shaped table
     (source_type, iso3_country, emissions_factor) with "Global" rows
@@ -206,6 +312,21 @@ def consolidate_total(
     total = A.union_rows(fuel_outputs, allow_missing=True)
     total = total.drop("company_id")
     total = K.surrogate_ids(total, "company_name", id_col="company_id")
+    if steel is not None:
+        steel_ids = A.dedup_first_per_key(
+            steel.select("company_name", "company_id"),
+            ["company_name"],
+            [F.col("company_id").asc_nulls_last()],
+        ).withColumnRenamed("company_id", "_steel_company_id")
+        # bounded dim (distinct steel companies) → broadcast is safe
+        total = total.join(F.broadcast(steel_ids), on="company_name", how="left")
+        total = total.withColumn(
+            "company_id",
+            F.coalesce(F.col("_steel_company_id"), F.col("company_id")),
+        ).drop("_steel_company_id")
+        total = A.union_rows(
+            [total.select(*CANONICAL_COLUMNS), steel.select(*CANONICAL_COLUMNS)]
+        )
     if emission_factors is not None:
         from gem_data_wrangle_spark.operators.joins import join_fallback_chain
 
@@ -246,3 +367,12 @@ def consolidate_total(
             F.when(F.col("source_type").isNotNull(), F.col("emission_factor")).otherwise(F.lit(0.0)),
         )
     return total.select(*CANONICAL_COLUMNS)
+
+
+def unique_assets(total: DataFrame) -> DataFrame:
+    """The consolidation's second output (``GEM/TotalData_GEM.R:143-148``):
+    distinct (asset_id, coordinates). The reference computes
+    ``data_unique`` but then writes ``data`` — a documented
+    write-the-wrong-frame bug (SURVEY §3); this returns the deduped
+    frame the reference *intended* to write."""
+    return total.select("asset_id", "coordinates").distinct()

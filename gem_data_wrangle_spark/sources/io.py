@@ -127,7 +127,10 @@ def read_ns_timestamp_parquet(spark: SparkSession, path: str, ts_cols: list[str]
     df = spark.read.parquet(path)
     for c in ts_cols:
         if dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+            # Integer division: ns epochs exceed double's 53-bit mantissa,
+            # so `(col / 1000).cast("long")` (double math) reads ~1.6% of
+            # µs-aligned stamps 1µs low. `div` stays in long arithmetic.
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

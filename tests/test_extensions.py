@@ -101,7 +101,7 @@ def test_lsh_topk_bucket_recall(spark):
     vecs = [(int(i), [float(x) for x in rng.normal(size=8)]) for i in range(60)]
     emb = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>")
     probes = emb.filter(F.col("vec_id") < 3)
-    out = V.lsh_topk(emb, probes, "embedding", "vec_id", k=5, num_planes=2)
+    out = V.lsh_topk(emb, probes, "embedding", "vec_id", dim=8, k=5, num_planes=2)
     rows = out.collect()
     assert len(rows) > 0
     assert {r["query_id"] for r in rows} <= {0, 1, 2}
