@@ -35,7 +35,14 @@ def explode_split(col: Column | str, sep: str = OWNER_SEP) -> Column:
 
 def owner_name(col: Column | str) -> Column:
     """Company name = text before ``[`` (``GEM/Coalplants_GEM.R:110``);
-    trimmed as hydro does (``GEM/Hydroplants_GEM.R:167``)."""
+    trimmed as hydro does (``GEM/Hydroplants_GEM.R:167``).
+
+    Documented divergence: the coal/gasoil scripts do NOT trim, so in
+    the reference ``"A Corp [50%]"`` yields ``"A Corp "`` (trailing
+    space) while a bracket-less ``"A Corp"`` yields ``"A Corp"`` — the
+    same company then splits into two groups at aggregation. The
+    engine always trims (one group), which is the behavior the
+    reference's own hydro script chose."""
     return F.trim(F.regexp_extract(col, OWNER_NAME_RE, 0))
 
 

@@ -49,3 +49,61 @@ def test_harmonize_has_no_expand(spark, sf_dir):
     # Expand + double aggregate
     plan = _plan(spark, "harmonize_coordinates", sf_dir)
     assert "Expand" not in plan
+
+
+def test_harmonize_broadcast_is_aqe_gated(spark, sf_dir):
+    """harmonize_coordinates must NOT force a broadcast hint: the
+    summary side is one row per location, which grows with the data —
+    the hint must come from AQE's runtime size check (small summary →
+    broadcast) and disappear when the summary exceeds the threshold
+    (no driver OOM at 100× location cardinality)."""
+    from pyspark.sql import functions as F
+
+    from gem_data_wrangle_spark.operators.kernels import harmonize_coordinates
+
+    df = (
+        spark.range(2000)
+        .select(
+            F.concat(F.lit("L"), (F.col("id") % 500).cast("string")).alias("loc"),
+            (F.col("id") % 90).cast("double").alias("Latitude"),
+            (F.col("id") % 180).cast("double").alias("Longitude"),
+        )
+    )
+    out = harmonize_coordinates(df, "loc")
+    # logical plan carries no user hint — broadcast decisions are left
+    # to the planner/AQE
+    logical = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical and "hints=[broadcast" not in logical
+    # with the threshold off, the planner must fall back to a
+    # non-broadcast join for this summary
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big_plan = harmonize_coordinates(df, "loc")._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in big_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_lsh_topk_builds_plan_without_running_jobs(spark):
+    """lsh_topk takes the embedding width as a parameter; building the
+    plan must execute no Spark action (the old version peeked at the
+    data with .first() at plan time)."""
+    from pyspark.sql import functions as F
+
+    from gem_data_wrangle_spark.operators import similarity as V
+
+    emb = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") % 7 + i).cast("double") for i in range(4)]).alias("embedding"),
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("lsh-plan-build", "plan construction only")
+    try:
+        out = V.lsh_topk(emb, emb.limit(3), "embedding", "vec_id", dim=4, k=2)
+        out.explain()  # forces full plan resolution, still no action
+        tracker = sc.statusTracker()
+        assert tracker.getJobIdsForGroup("lsh-plan-build") == []
+    finally:
+        sc.setJobGroup("", "")
+    assert out.count() >= 0  # the plan is actually runnable
