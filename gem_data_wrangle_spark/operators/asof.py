@@ -1,0 +1,158 @@
+"""As-of (point-in-time) and range (interval) joins.
+
+Spark has no native ASOF JOIN (DuckDB/Pandas/kdb do) and no interval
+join; both are re-expressed here as compositions of built-in operators
+that scale:
+
+* ``asof_join`` — the union-and-carry-forward formulation: tag both
+  sides, union them, and for every left row take the most recent right
+  row's values via ``last(..., ignorenulls=True)`` over a window
+  partitioned by the join key and ordered by time. ONE shuffle (on the
+  key), windows evaluate within partitions, everything stays in
+  whole-stage codegen — no Python, no nested-loop join, no
+  per-key driver loop. This beats the naive
+  ``l JOIN r ON l.k = r.k AND r.ts <= l.ts`` + row_number formulation,
+  which materializes the full triangular product per key.
+* ``range_join_binned`` — points-in-intervals via bucketing: each
+  interval explodes to the fixed-width bins it covers (narrow), the
+  point side computes its bin (narrow), candidates come from a plain
+  equi-join on the bin, and an exact post-filter removes false
+  positives. Turns what Spark would plan as a BroadcastNestedLoopJoin
+  (or worse, a cartesian) into a shuffled hash join whose fan-out is
+  ``interval_width / bin_width`` per interval.
+
+Both appear in training-data pipelines: as-of joins align events to
+the latest feature snapshot; range joins map timestamps/offsets into
+session or document spans.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str],
+    value_cols: Sequence[str],
+    tolerance: Column | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward inclusive as-of join: for each left row, attach the
+    ``value_cols`` of the latest right row with ``right.on <= left.on``
+    within the same ``by`` group (pandas ``merge_asof`` /  DuckDB
+    ``ASOF JOIN`` semantics). Left rows with no prior right row get
+    NULLs.
+
+    ``tolerance``: optional max allowed ``left.on - right.on`` as a
+    Column interval/number matching the ``on`` column's type — matches
+    farther back than that are nulled (pandas ``tolerance=``).
+
+    The right side must be unique per ``(by, on)``; pre-aggregate
+    otherwise (ties would resolve arbitrarily in any engine).
+
+    Scale: one hash-partition shuffle on ``by`` for the union, then a
+    sorted window per partition — the same cost profile as a grouped
+    aggregation. Skewed keys are AQE's problem, as with any window.
+    """
+    by = list(by)
+    lcols = left.columns
+    # tag 0 = right, 1 = left; at equal timestamps the right row sorts
+    # first, so it is visible to the left row (backward INCLUSIVE)
+    r = right.select(
+        *by,
+        F.col(on).alias(on),
+        F.lit(0).alias("_side"),
+        F.col(on).alias("_r_ts"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+            for c in lcols
+            if c not in (*by, on)
+        ],
+    )
+    l = left.select(  # noqa: E741
+        *by,
+        F.col(on).alias(on),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_r_ts"].dataType).alias("_r_ts"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in value_cols],
+        *[F.col(c).alias(f"_l_{c}") for c in lcols if c not in (*by, on)],
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = r.unionByName(l).withColumns(
+        {
+            **{
+                f"{c}{suffix}": F.last(f"{c}{suffix}", ignorenulls=True).over(w)
+                for c in value_cols
+            },
+            "_matched_ts": F.last("_r_ts", ignorenulls=True).over(w),
+        }
+    )
+    out = carried.filter(F.col("_side") == 1)
+    if tolerance is not None:
+        stale = (F.col(on) - F.col("_matched_ts")) > tolerance
+        out = out.withColumns(
+            {
+                f"{c}{suffix}": F.when(~F.coalesce(stale, F.lit(True)), F.col(f"{c}{suffix}"))
+                for c in value_cols
+            }
+        )
+    return out.select(
+        *by,
+        on,
+        *[F.col(f"_l_{c}").alias(c) for c in lcols if c not in (*by, on)],
+        *[f"{c}{suffix}" for c in value_cols],
+    )
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Join points to half-open intervals ``[start, end)`` via
+    fixed-width binning: intervals fan out to every bin they overlap
+    (``explode(sequence(...))``, narrow), points compute one bin
+    (narrow), candidates equi-join on the bin, then the exact predicate
+    filters. Output = points columns + intervals columns, one row per
+    (point, containing interval).
+
+    Pick ``bin_width`` near the typical interval width: fan-out per
+    interval is ``ceil(width / bin_width) + 1`` while a too-small width
+    multiplies the interval side. The equi-join shuffles on the bin
+    key, so dense regions spread over many bins instead of one hot
+    nested-loop task — this is the standard interval-bucketing trick
+    Spark itself lacks.
+    """
+    b = float(bin_width)
+    pt, lo, hi = F.col(point_col), F.col(start_col), F.col(end_col)
+    binned_i = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(lo / b).cast("long"),
+                # end is exclusive: a zero-length or bin-aligned end
+                # does not reach the next bin
+                F.floor((hi - F.lit(1e-9)) / b).cast("long"),
+            )
+        ),
+    )
+    binned_p = points.withColumn("_bin", F.floor(pt / b).cast("long"))
+    joined = binned_p.join(binned_i, on="_bin", how=how).filter(
+        (pt >= lo) & (pt < hi)
+    )
+    return joined.drop("_bin")

@@ -1,0 +1,86 @@
+"""As-of and binned range join edge cases (operators/asof.py)."""
+
+from pyspark.sql import functions as F
+
+from gem_data_wrangle_spark.operators.asof import asof_join, range_join_binned
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, "a"),   # after right@5 and right@10 → tie: right@10 wins
+            (1, 7, "b"),    # between right@5 and right@10 → right@5
+            (1, 3, "c"),    # before any right row → NULL
+            (2, 100, "d"),  # key with no right rows at all → NULL
+        ],
+        "k int, t int, payload string",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 50.0), (1, 10, 100.0)], "k int, t int, v double"
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive_and_nulls(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, on="t", by=["k"], value_cols=["v"])
+    got = {r["payload"]: r["v_asof"] for r in out.collect()}
+    assert got == {"a": 100.0, "b": 50.0, "c": None, "d": None}
+    # left columns survive untouched
+    assert set(out.columns) == {"k", "t", "payload", "v_asof"}
+    assert out.count() == left.count()
+
+
+def test_asof_tolerance(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, on="t", by=["k"], value_cols=["v"], tolerance=F.lit(2)
+    )
+    got = {r["payload"]: r["v_asof"] for r in out.collect()}
+    # 'a' t=10 matches right@10 (gap 0 ≤ 2); 'b' t=7 matched right@5 but
+    # gap 2 ≤ 2 keeps it; shrink tolerance below and it nulls
+    assert got["a"] == 100.0 and got["b"] == 50.0
+    tight = asof_join(
+        left, right, on="t", by=["k"], value_cols=["v"], tolerance=F.lit(1)
+    )
+    got_t = {r["payload"]: r["v_asof"] for r in tight.collect()}
+    assert got_t["b"] is None and got_t["a"] == 100.0
+
+
+def test_asof_is_single_shuffle(spark):
+    left, right = _frames(spark)
+    plan = (
+        asof_join(left, right, on="t", by=["k"], value_cols=["v"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan  # union + window, not a join
+
+
+def test_range_join_binned_boundaries(spark):
+    points = spark.createDataFrame(
+        [(1, 0.0), (2, 999.9), (3, 1000.0), (4, 2499.9), (5, 2500.0), (6, -1.0)],
+        "pid int, x double",
+    )
+    intervals = spark.createDataFrame(
+        [(10, 0.0, 1000.0), (20, 500.0, 2500.0)], "iid int, lo double, hi double"
+    )
+    out = range_join_binned(points, intervals, "x", "lo", "hi", bin_width=1000.0)
+    pairs = {(r["pid"], r["iid"]) for r in out.collect()}
+    assert pairs == {
+        (1, 10),            # start inclusive
+        (2, 10), (2, 20),   # inside both
+        (3, 20),            # hi of 10 is exclusive; inside 20
+        (4, 20),            # just below exclusive end
+        # 5 @2500.0 == hi of 20 → excluded; 6 below everything
+    }
+
+
+def test_range_join_spans_multiple_bins(spark):
+    points = spark.createDataFrame([(1, 3.7)], "pid int, x double")
+    intervals = spark.createDataFrame([(9, 0.0, 100.0)], "iid int, lo double, hi double")
+    # tiny bins: the interval fans out to 100 bins, the match still lands
+    out = range_join_binned(points, intervals, "x", "lo", "hi", bin_width=1.0)
+    assert [(r["pid"], r["iid"]) for r in out.collect()] == [(1, 9)]
