@@ -2575,6 +2575,61 @@ def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("id", "frame_idx", "n_bytes")
 
 
+# near-dup clustering: LSH candidate pairs → connected components →
+# canonical representative (keep = min doc of the cluster). Iterative
+# min-label propagation on the Spark side; DuckDB replays it with a
+# WITH RECURSIVE reachability closure over the same candidate pairs.
+def _neardup_components_oracle(num_bands: int = 4, rows_per_band: int = 4) -> str:
+    band_selects = []
+    for b in range(num_bands):
+        mins = ", ".join(
+            f"list_aggregate(list_transform(s, x -> md5('{b * rows_per_band + r}|' || x)), 'min')"
+            for r in range(rows_per_band)
+        )
+        band_selects.append(f"SELECT doc_id, {b} AS band, concat({mins}) AS sig FROM sh")
+    return f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))]) AS s
+      FROM toks
+    ), sigs AS ({' UNION ALL '.join(band_selects)}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+                              AND a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT id_a AS s, id_b AS d FROM cand
+              UNION SELECT id_b, id_a FROM cand),
+    reach(node, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.d, r.root FROM reach r JOIN edges e ON e.s = r.node
+    )
+    SELECT node AS doc_id, CAST(min(root) AS BIGINT) AS component,
+           CAST(node = min(root) AS BOOLEAN) AS keep
+    FROM reach GROUP BY node
+    """
+
+
+@_register("neardup_components", _neardup_components_oracle())
+def _q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    cand = D.lsh_candidate_pairs(docs, "text", "doc_id", num_bands=4, rows_per_band=4, ngram=2)
+    comp = connected_components(
+        cand, "id_a", "id_b",
+        vertices=docs.select("doc_id"), id_col="doc_id",
+    )
+    return comp.select(
+        "doc_id", "component", (F.col("doc_id") == F.col("component")).alias("keep")
+    )
+
+
 # --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------

@@ -1,0 +1,85 @@
+"""Connected components for near-duplicate clustering.
+
+LSH/SimHash emit *pairs*; turning pairs into dedup decisions needs the
+transitive closure — documents A-B and B-C are one duplicate cluster
+even if A-C never collided. GraphFrames/GraphX are not available here,
+so components are computed with the standard iterative min-label
+propagation (the same fixed-point Pregel/GraphX run), expressed as
+DataFrame joins:
+
+    label(v) ← min(label(v), min over neighbors n of label(n))
+
+repeated until no label changes. Iteration count = cluster diameter —
+for near-dup graphs this is tiny (clusters are near-cliques), so the
+loop runs 2-4 rounds in practice; ``max_iter`` bounds pathological
+chains.
+
+Scale notes:
+  * Per iteration: one equi-join edges⋈labels (shuffle on vertex id)
+    + one groupBy min — the cost profile of two grouped aggregations.
+    No driver-side data; the only action is a 1-row convergence probe.
+  * ``localCheckpoint`` truncates lineage each round — without it the
+    plan doubles per iteration and Catalyst analysis time explodes.
+  * This is an inherently iterative algorithm (provably not a single
+    SQL query without recursion); the differential oracle uses
+    DuckDB's WITH RECURSIVE reachability instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    vertices: DataFrame | None = None,
+    id_col: str = "id",
+    component_col: str = "component",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(vertex, component) where component = min vertex id reachable
+    through ``edges`` (undirected). ``vertices`` adds isolated nodes
+    (they become singleton components); defaults to the edge endpoints.
+    """
+    sym = (
+        edges.select(F.col(src).alias("es"), F.col(dst).alias("ed"))
+        .union(edges.select(F.col(dst).alias("es"), F.col(src).alias("ed")))
+        .distinct()
+    )
+    if vertices is None:
+        vertices = sym.select(F.col("es").alias(id_col)).distinct()
+    labels = vertices.select(
+        F.col(id_col).alias("v"), F.col(id_col).alias("lbl")
+    ).localCheckpoint(eager=False)
+    sym = sym.localCheckpoint(eager=False)
+
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["ed"] == labels["v"])
+            .groupBy("es")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["v"] == nbr_min["es"], "left")
+            .select(
+                labels["v"].alias("v"),
+                F.least(labels["lbl"], F.coalesce("nbr_lbl", labels["lbl"])).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("v").alias(id_col), F.col("lbl").alias(component_col)
+    )
