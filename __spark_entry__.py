@@ -2630,6 +2630,82 @@ def _q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher/C4-style quality rule flags: word-count bounds, mean word
+# length, symbol ratio, duplicate-word fraction, top-bigram fraction —
+# all integer-derived ratios, engine-stable at 4 dp
+@_register(
+    "gopher_quality_flags",
+    """
+    WITH base AS (
+      SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+    ), bg AS (
+      SELECT *, [t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))] AS b FROM base
+    ), m AS (
+      SELECT doc_id,
+             len(t) AS n_words,
+             round(list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t), 4)
+               AS mean_word_len,
+             round((length(text)
+                    - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                   * 1.0 / length(text), 4) AS symbol_ratio,
+             round(1 - len(list_distinct(t)) * 1.0 / len(t), 4) AS dup_word_frac,
+             CASE WHEN len(b) > 0 THEN
+               round(list_max(list_transform(list_distinct(b),
+                       x -> len(list_filter(b, y -> y = x)))) * 1.0 / len(b), 4)
+             END AS top_bigram_frac
+      FROM bg
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, dup_word_frac,
+           top_bigram_frac,
+           n_words BETWEEN 50 AND 100000 AS pass_word_count,
+           mean_word_len BETWEEN 3.0 AND 10.0 AS pass_mean_word_len,
+           symbol_ratio <= 0.10 AS pass_symbol_ratio,
+           dup_word_frac <= 0.30 AS pass_dup_words,
+           coalesce(top_bigram_frac <= 0.18, TRUE) AS pass_top_bigram,
+           (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+             AND symbol_ratio <= 0.10 AND dup_word_frac <= 0.30
+             AND coalesce(top_bigram_frac <= 0.18, TRUE) AS quality_pass
+    FROM m
+    """,
+)
+def _q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    out = T.gopher_quality(docs, "text", "doc_id")
+    return out.select(
+        "doc_id", "n_words", "mean_word_len", "symbol_ratio", "dup_word_frac",
+        "top_bigram_frac", "pass_word_count", "pass_mean_word_len",
+        "pass_symbol_ratio", "pass_dup_words", "pass_top_bigram", "quality_pass",
+    )
+
+
+# int8 embedding quantization — integer outputs, exploded to
+# (vec_id, pos, q) so the differential hash sees scalars
+@_register(
+    "embedding_quantize_int8",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), m AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS ma
+      FROM e
+    )
+    SELECT vec_id,
+           CAST(unnest(range(0, len(v))) AS INT) AS pos,
+           CAST(unnest(CASE WHEN ma > 0
+                 THEN list_transform(v, x -> CAST(round(x * 127.0 / ma) AS INT))
+                 ELSE list_transform(v, x -> 0) END) AS INT) AS q
+    FROM m
+    """,
+)
+def _q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = V.quantize_embeddings(emb, "embedding", "vec_id")
+    return out.select("vec_id", F.posexplode("q").alias("pos", "q"))
+
+
 # --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------

@@ -54,6 +54,34 @@ def as_double_array(col: Column | str) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    out_col: str = "q",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: each component maps to
+    ``round(x * 127 / max(|x|))`` — the standard storage/ANN
+    compression step before bulk similarity search (4× smaller than
+    float32, 8× than float64). All-zero vectors quantize to zeros.
+
+    The ``max(|x|)`` scale is materialized as a column BEFORE the
+    per-component transform; referencing it as an outer expression
+    inside the lambda would recompute the array max per element
+    (O(dim²)). Integer output makes the operator engine-portable for
+    differential testing.
+
+    Scale: narrow per-row math, no shuffle.
+    """
+    a = as_double_array(vec_col)
+    out = df.withColumn("_ma", F.array_max(F.transform(a, lambda x: F.abs(x))))
+    q = F.when(
+        F.col("_ma") > 0,
+        F.transform(a, lambda x: F.round(x * F.lit(127.0) / F.col("_ma")).cast("int")),
+    ).otherwise(F.transform(a, lambda x: F.lit(0)))
+    return out.withColumn(out_col, q).drop("_ma")
+
+
 def cosine_topk(
     corpus: DataFrame,
     probes: DataFrame,

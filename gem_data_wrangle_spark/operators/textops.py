@@ -8,7 +8,7 @@ hot path, so they stay in whole-stage codegen and scale linearly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
@@ -163,3 +163,97 @@ def rolling_fingerprints(text: Column | str, k: int = 8, sample_prefix: str = "0
     grams = F.transform(positions, lambda i: F.md5(F.substring(c, i, k)))
     sampled = F.filter(grams, lambda h: h.startswith(sample_prefix))
     return F.array_sort(F.array_distinct(sampled))
+
+
+# --------------------------------------------------------------------
+# Gopher/C4-style quality rules
+# --------------------------------------------------------------------
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.10,
+    max_dup_word_frac: float = 0.30,
+    max_top_bigram_frac: float = 0.18,
+) -> DataFrame:
+    """Rule-based document quality filter in the style of the
+    published Gopher/C4 heuristics (word-count bounds, mean word
+    length bounds, symbol-to-char ratio, duplicate-word fraction,
+    top-bigram fraction). Emits the metrics, one boolean per rule, and
+    the conjunction ``quality_pass`` — callers filter or stratify on
+    whichever subset they trust.
+
+    All metrics are JVM column algebra (no UDF). The token and bigram
+    arrays are materialized as real columns BEFORE the nested
+    higher-order functions run — a lambda body that references a
+    non-trivial outer array expression re-evaluates it per element
+    (O(n²)); a column reference is free.
+
+    Scale: narrow, per-row only — no shuffle, no join; safe to fuse
+    into any scan.
+    """
+    t = F.col(text_col)
+    out = df.withColumn("_toks", F.split(t, " "))
+    # raw (non-distinct) bigram sequence via shifted slices — O(tokens)
+    m = F.greatest(F.size(F.col("_toks")) - 1, F.lit(0))
+    out = out.withColumn(
+        "_bg",
+        F.zip_with(
+            F.slice(F.col("_toks"), 1, m),
+            F.slice(F.col("_toks"), 2, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    )
+    toks, bg = F.col("_toks"), F.col("_bg")
+    n_words = F.size(toks)
+    n_chars = F.length(t)
+    mean_wl = F.round(
+        F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+        / n_words, 4,
+    )
+    symbol_ratio = F.round(
+        (n_chars - F.length(F.regexp_replace(t, "[^A-Za-z0-9 ]", ""))) / n_chars, 4
+    )
+    dup_word_frac = F.round(1 - F.size(F.array_distinct(toks)) / n_words, 4)
+    top_bigram_frac = F.when(
+        F.size(bg) > 0,
+        F.round(
+            F.array_max(
+                F.transform(
+                    F.array_distinct(bg),
+                    lambda x: F.size(F.filter(bg, lambda y: y == x)),
+                )
+            )
+            / F.size(bg), 4,
+        ),
+    )
+    out = out.withColumns(
+        {
+            "n_words": n_words,
+            "mean_word_len": mean_wl,
+            "symbol_ratio": symbol_ratio,
+            "dup_word_frac": dup_word_frac,
+            "top_bigram_frac": top_bigram_frac,
+        }
+    ).drop("_toks", "_bg")
+    flags = {
+        "pass_word_count": F.col("n_words").between(min_words, max_words),
+        "pass_mean_word_len": F.col("mean_word_len").between(
+            min_mean_word_len, max_mean_word_len
+        ),
+        "pass_symbol_ratio": F.col("symbol_ratio") <= max_symbol_ratio,
+        "pass_dup_words": F.col("dup_word_frac") <= max_dup_word_frac,
+        "pass_top_bigram": F.coalesce(
+            F.col("top_bigram_frac") <= max_top_bigram_frac, F.lit(True)
+        ),
+    }
+    out = out.withColumns(flags)
+    passed = F.lit(True)
+    for c in flags:
+        passed = passed & F.col(c)
+    return out.withColumn("quality_pass", passed)

@@ -246,3 +246,42 @@ def test_lang_id_no_stopwords(spark):
     df = spark.createDataFrame([(1, "zzz qqq www")], "doc_id bigint, text string")
     out = df.select(T.lang_id(F.col("text")).alias("l")).collect()[0]["l"]
     assert out == "und"
+
+
+def test_gopher_quality_rules(spark):
+    docs = spark.createDataFrame(
+        [
+            # 60 distinct-ish words, normal lengths → passes everything
+            (1, " ".join(f"word{i:02d}" for i in range(60))),
+            # too few words
+            (2, "short doc"),
+            # heavy duplication: one word 60 times → dup + top-bigram fail
+            (3, " ".join(["spam"] * 60)),
+            # symbol-heavy
+            (4, " ".join(["@@##!!"] * 60)),
+            # single word → empty bigram list must not divide by zero
+            (5, "lonely"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in T.gopher_quality(docs, "text", "doc_id").collect()}
+    assert out[1]["quality_pass"] is True
+    assert out[2]["pass_word_count"] is False
+    assert out[3]["pass_dup_words"] is False and out[3]["pass_top_bigram"] is False
+    assert out[4]["pass_symbol_ratio"] is False
+    assert out[5]["top_bigram_frac"] is None and out[5]["pass_top_bigram"] is True
+    assert out[3]["dup_word_frac"] > 0.9
+    assert out[1]["n_words"] == 60
+
+
+def test_quantize_embeddings(spark):
+    emb = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {r["vec_id"]: r["q"] for r in
+           V.quantize_embeddings(emb, "embedding", "vec_id").collect()}
+    # max |x| = 1.0 → components scale to round(x * 127)
+    assert out[1] == [64, -127, 32, 0]
+    # all-zero vector → zeros, not a division error
+    assert out[2] == [0, 0, 0, 0]
