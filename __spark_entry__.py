@@ -2706,6 +2706,71 @@ def _q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.posexplode("q").alias("pos", "q"))
 
 
+# batch sessionization: lag + running-sum session numbering (the batch
+# equivalent of session_window, SQL-expressible end to end)
+@_register(
+    "sessionize_events",
+    """
+    WITH s AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 600
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT event_id, user_id,
+           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+             AS session_idx
+    FROM s
+    """,
+)
+def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = A.sessionize(ev, "user_id", "ts", gap_seconds=600)
+    return out.select("event_id", "user_id", "session_idx")
+
+
+# deterministic Bernoulli sampling: md5-bucketed keep decision, stable
+# across engines/partitionings (DataFrame.sample is not)
+@_register(
+    "bernoulli_sample",
+    """
+    WITH h AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+    )
+    SELECT doc_id FROM h
+    WHERE (strpos('0123456789abcdef', hx[1]) - 1) * 4096
+          + (strpos('0123456789abcdef', hx[2]) - 1) * 256
+          + (strpos('0123456789abcdef', hx[3]) - 1) * 16
+          + (strpos('0123456789abcdef', hx[4]) - 1) < 16384
+    """,
+)
+def _q_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.sampling import bernoulli_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return bernoulli_sample(docs, "doc_id", rate=0.25).select("doc_id")
+
+
+# deterministic stratified sample: first-n per group in md5(key) order
+@_register(
+    "stratified_sample",
+    """
+    SELECT doc_id, lang FROM documents
+    QUALIFY row_number() OVER (
+      PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20
+    """,
+)
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", "doc_id", n_per_group=20).select(
+        "doc_id", "lang"
+    )
+
+
 # --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------

@@ -93,3 +93,30 @@ def top_k(df: DataFrame, order_cols: Sequence[Column | str], k: int) -> DataFram
     """Global top-k. Spark plans this as TakeOrderedAndProject — each
     partition keeps k rows, the driver merges; no full sort shuffle."""
     return df.orderBy(*order_cols).limit(k)
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    out_col: str = "session_idx",
+) -> DataFrame:
+    """Batch sessionization: number each row's session within its key,
+    where a new session starts when the gap to the previous event
+    exceeds ``gap_seconds`` (the batch equivalent of
+    ``session_window``; classic lag + running-sum formulation).
+    Sessions are 1-based in event-time order.
+
+    Scale: one window shuffle on the key; both window functions share
+    the same (key, ts) sort so Spark evaluates them in a single
+    Window operator.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    prev = F.lag(ts_col).over(w)
+    gap = F.col(ts_col).cast("double") - prev.cast("double")
+    is_new = F.when(prev.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    running = Window.partitionBy(key_col).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(out_col, F.sum(is_new).over(running).cast("int"))

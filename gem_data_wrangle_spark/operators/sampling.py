@@ -39,3 +39,53 @@ def hash_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         lo += width
     return df.withColumn(out_col, expr)
+
+
+def bernoulli_sample(
+    df: DataFrame,
+    key_col: str,
+    rate: float,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic Bernoulli sampling: keep a row iff the first four
+    md5 nibbles of its (salted) key fall under ``rate`` — stable across
+    runs, engines, partitionings, and cluster sizes, unlike
+    ``DataFrame.sample`` whose output depends on partition layout.
+    Granularity is 1/65536; vary ``salt`` for independent draws.
+
+    Scale: a narrow filter — pushes into the scan's data filters.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    threshold = int(rate * 65536)
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 4),
+        16, 10,
+    ).cast("int")
+    return df.filter(bucket < F.lit(threshold))
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    n_per_group: int,
+) -> DataFrame:
+    """Deterministic stratified sample: the ``n_per_group`` rows of
+    each group whose md5(key) sorts first — reproducible "random"
+    per-stratum quotas (class-balanced eval sets, per-language
+    calibration samples).
+
+    Scale: one window shuffle on the group key; md5 order is
+    data-independent so re-partitioning never changes the sample.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_group)
+        .drop("_rn")
+    )

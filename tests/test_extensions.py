@@ -285,3 +285,39 @@ def test_quantize_embeddings(spark):
     assert out[1] == [64, -127, 32, 0]
     # all-zero vector → zeros, not a division error
     assert out[2] == [0, 0, 0, 0]
+
+
+def test_bernoulli_and_stratified_sampling(spark):
+    from gem_data_wrangle_spark.operators.sampling import (
+        bernoulli_sample,
+        stratified_sample,
+    )
+
+    df = spark.range(2000).withColumn("grp", (F.col("id") % 4).cast("int"))
+    kept = bernoulli_sample(df, "id", rate=0.25)
+    n = kept.count()
+    assert 2000 * 0.25 * 0.7 < n < 2000 * 0.25 * 1.3   # ~rate, deterministic
+    assert kept.count() == n                            # rerun-stable
+    # salt changes the draw, rate 0/1 degenerate
+    assert bernoulli_sample(df, "id", 0.25, salt="x").count() != n
+    assert bernoulli_sample(df, "id", 0.0).count() == 0
+    assert bernoulli_sample(df, "id", 1.0).count() == 2000
+
+    strat = stratified_sample(df, "grp", "id", n_per_group=10)
+    per = {r["grp"]: r["n"] for r in strat.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert per == {0: 10, 1: 10, 2: 10, 3: 10}
+
+
+def test_sessionize_batch(spark):
+    from gem_data_wrangle_spark.operators.aggregates import sessionize
+
+    rows = [
+        (1, 10, 0.0), (2, 10, 100.0), (3, 10, 800.0),   # gap 700 > 600 → new
+        (4, 10, 900.0), (5, 20, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id int, user_id int, s double").select(
+        "event_id", "user_id", F.col("s").cast("timestamp").alias("ts")
+    )
+    out = {r["event_id"]: r["session_idx"] for r in
+           sessionize(df, "user_id", "ts", gap_seconds=600).collect()}
+    assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
