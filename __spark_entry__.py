@@ -2771,6 +2771,35 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# stream-stream interval join (batch-equivalence oracle; the same
+# builder attaches watermarks when its inputs are streaming)
+@_register(
+    "stream_interval_join",
+    """
+    SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id
+     AND v.ts >= c.ts - INTERVAL 5 MINUTE AND v.ts <= c.ts
+    """,
+)
+def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.streaming.windows import stream_interval_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view")
+    out = stream_interval_join(
+        clicks, views, key="user_id", left_ts="ts", right_ts="ts",
+        lookback="5 minutes",
+    )
+    return out.select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("view_id"),
+        F.col("l.user_id").alias("user_id"),
+    )
+
+
 # --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------

@@ -96,3 +96,39 @@ def stream_dedup(
     if watermark and ts_col and df.isStreaming:
         return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(key_cols))
     return df.dropDuplicates(list(key_cols))
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str,
+    lookahead: str = "0 seconds",
+    watermark: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Event-time interval join: match right rows whose timestamp falls
+    in ``[left_ts - lookback, left_ts + lookahead]`` for the same key —
+    the canonical watermarked stream-stream join (click↔impression
+    attribution, event↔feature alignment). The same plan runs in batch
+    for unit/differential testing.
+
+    Scale/state: in streaming mode BOTH sides carry watermarks and the
+    time-range condition bounds the state store — without the range
+    predicate Spark must buffer one side forever. The join itself
+    shuffles both sides by the key, same as any equi-join.
+    """
+    l, r = left.alias("l"), right.alias("r")  # noqa: E741
+    if watermark and left.isStreaming:
+        l = left.withWatermark(left_ts, watermark).alias("l")
+    if watermark and right.isStreaming:
+        r = right.withWatermark(right_ts, watermark).alias("r")
+    lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rts >= lts - F.expr(f"INTERVAL {lookback}"))
+        & (rts <= lts + F.expr(f"INTERVAL {lookahead}"))
+    )
+    return l.join(r, cond, how)

@@ -226,3 +226,47 @@ def test_ngrams_public_api(spark):
     df = spark.createDataFrame([("a b c d",)], "text string")
     out = df.select(ngrams("text", 3).alias("g")).collect()[0]["g"]
     assert out == ["a b c", "b c d"]
+
+
+def test_stream_interval_join_batch_and_stream(spark, tmp_path):
+    from gem_data_wrangle_spark.streaming.windows import stream_interval_join
+
+    clicks = spark.createDataFrame(
+        [(1, 10, 100.0), (2, 10, 500.0), (3, 20, 100.0)],
+        "event_id bigint, user_id bigint, s double",
+    ).select("event_id", "user_id", F.col("s").cast("timestamp").alias("ts"))
+    views = spark.createDataFrame(
+        [(101, 10, 80.0), (102, 10, 450.0), (103, 20, 300.0)],
+        "event_id bigint, user_id bigint, s double",
+    ).select("event_id", "user_id", F.col("s").cast("timestamp").alias("ts"))
+
+    # batch: view within [click-60s, click]
+    out = stream_interval_join(clicks, views, "user_id", "ts", "ts", "60 seconds")
+    rows = out.select(
+        F.col("l.event_id").alias("click_id"), F.col("r.event_id").alias("view_id")
+    ).collect()
+    assert {(r["click_id"], r["view_id"]) for r in rows} == {(1, 101), (2, 102)}
+
+    # streaming: same builder over two file streams with watermarks
+    cdir, vdir = str(tmp_path / "c"), str(tmp_path / "v")
+    clicks.write.mode("overwrite").parquet(cdir)
+    views.write.mode("overwrite").parquet(vdir)
+    schema = "event_id bigint, user_id bigint, ts timestamp"
+    cs = spark.readStream.schema(schema).parquet(cdir)
+    vs = spark.readStream.schema(schema).parquet(vdir)
+    joined = stream_interval_join(
+        cs, vs, "user_id", "ts", "ts", "60 seconds", watermark="10 minutes"
+    ).select(
+        F.col("l.event_id").alias("click_id"), F.col("r.event_id").alias("view_id")
+    )
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_interval_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    srows = spark.sql("SELECT * FROM t_interval_join").collect()
+    assert {(r["click_id"], r["view_id"]) for r in srows} == {(1, 101), (2, 102)}
