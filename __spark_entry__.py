@@ -2800,6 +2800,83 @@ def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII scrubbing over synthesized contact strings (documents carry no
+# PII, so the fixture manufactures deterministic emails/phones/urls);
+# patterns are lookaround-free → identical in Java regex and RE2
+@_register(
+    "scrub_pii",
+    r"""
+    WITH src AS (
+      SELECT c_custkey,
+             'Contact ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR)
+             || '@example.com or https://ex.com/u/' || CAST(c_custkey AS VARCHAR)
+             || ' or +1 (555) 123-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+             || ' ip 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.1' AS txt
+      FROM customer
+    )
+    SELECT c_custkey,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(txt,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 'https?://[^\s]+', '<URL>', 'g'),
+               '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g'),
+             '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')
+             AS scrubbed
+    FROM src
+    """,
+)
+def _q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _t(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        "concat('Contact ', c_name, ' at user', CAST(c_custkey AS STRING), "
+        "'@example.com or https://ex.com/u/', CAST(c_custkey AS STRING), "
+        "' or +1 (555) 123-', lpad(CAST(c_custkey % 10000 AS STRING), 4, '0'), "
+        "' ip 10.0.', CAST(c_custkey % 256 AS STRING), '.1') AS txt",
+    )
+    return src.select("c_custkey", T.scrub_pii("txt").alias("scrubbed"))
+
+
+# benchmark decontamination: trigram containment of a (synthetic) eval
+# set inside the training corpus — the published drop-if-contained rule
+@_register(
+    "decontaminate_docs",
+    """
+    WITH cg AS (
+      SELECT doc_id AS corpus_id,
+             unnest(list_distinct(
+               [t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+                FOR i IN range(1, len(t) - 1)])) AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ), pg AS (
+      SELECT doc_id AS probe_id,
+             unnest(list_distinct(
+               [t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+                FOR i IN range(1, len(t) - 1)])) AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            WHERE doc_id < 20)
+    ), ps AS (
+      SELECT probe_id, count(*) AS n FROM pg GROUP BY probe_id
+    ), m AS (
+      SELECT corpus_id, probe_id, count(*) AS n_shared
+      FROM cg JOIN pg USING (gram) GROUP BY corpus_id, probe_id
+    )
+    SELECT corpus_id, probe_id, n_shared,
+           round(n_shared * 1.0 / n, 4) AS containment
+    FROM m JOIN ps USING (probe_id)
+    """,
+)
+def _q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    probes = docs.filter(F.col("doc_id") < 20)
+    return T.contamination_scores(
+        docs, probes, "text", "doc_id", "text", "doc_id", n=3
+    )
+
+
 # --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------

@@ -257,3 +257,87 @@ def gopher_quality(
     for c in flags:
         passed = passed & F.col(c)
     return out.withColumn("quality_pass", passed)
+
+
+# --------------------------------------------------------------------
+# PII scrubbing / text normalization
+# --------------------------------------------------------------------
+
+# Conservative, engine-portable patterns (plain character classes —
+# valid in both Java regex and RE2, no lookaround):
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "ip": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def scrub_pii(text: Column | str, patterns: dict[str, str] | None = None) -> Column:
+    """Replace PII-looking spans with ``<TYPE>`` placeholder tokens —
+    the standard pre-training scrub pass. Patterns are applied in
+    insertion order; all are lookaround-free so the same regex runs in
+    Java (Spark), RE2 (DuckDB/Go) and Python.
+
+    Narrow per-row regexp_replace chain — fuses into the scan.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    for name, pat in (patterns or PII_PATTERNS).items():
+        c = F.regexp_replace(c, pat, f"<{name.upper()}>")
+    return c
+
+
+def normalize_ws(text: Column | str) -> Column:
+    """Whitespace normalization: trim + collapse runs of whitespace to
+    one space (tokenizer-stabilizing cleanup pass)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+# --------------------------------------------------------------------
+# benchmark decontamination
+# --------------------------------------------------------------------
+
+def contamination_scores(
+    corpus,
+    probes,
+    text_col: str,
+    id_col: str,
+    probe_text_col: str,
+    probe_id_col: str,
+    n: int = 3,
+):
+    """Benchmark decontamination: for each (corpus doc, probe doc)
+    pair sharing at least one word n-gram, the fraction of the PROBE's
+    distinct n-grams contained in the corpus doc (n-gram containment —
+    the published decontamination criterion; docs above a threshold get
+    dropped from training).
+
+    Formulation: explode both sides to distinct (id, gram) rows,
+    equi-join on the gram, count matches per pair, divide by the
+    probe's gram count. The join is a plain shuffled equi-join on the
+    gram value — no cross join; a gram shared by k corpus docs and m
+    probes fans out k·m, which is the true output size.
+
+    Scale: for a 100 TB corpus against a small eval set, the probe
+    side broadcast-joins; gram frequency skew (stopword n-grams) is
+    bounded because grams are n-word shingles, not unigrams.
+    """
+    c_grams = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.explode(ngrams(text_col, n)).alias("gram"),
+    ).distinct()
+    p_grams = probes.select(
+        F.col(probe_id_col).alias("probe_id"),
+        F.explode(ngrams(probe_text_col, n)).alias("gram"),
+    ).distinct()
+    p_sizes = p_grams.groupBy("probe_id").agg(F.count(F.lit(1)).alias("_n_probe_grams"))
+    matches = (
+        c_grams.join(p_grams, on="gram")
+        .groupBy("corpus_id", "probe_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return matches.join(F.broadcast(p_sizes), on="probe_id").select(
+        "corpus_id", "probe_id", "n_shared",
+        F.round(F.col("n_shared") / F.col("_n_probe_grams"), 4).alias("containment"),
+    )

@@ -321,3 +321,36 @@ def test_sessionize_batch(spark):
     out = {r["event_id"]: r["session_idx"] for r in
            sessionize(df, "user_id", "ts", gap_seconds=600).collect()}
     assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_scrub_pii_and_normalize(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@test.org  visit https://x.io/y?z=1 call +1 (555) 123-4567 from 192.168.0.1")],
+        "id int, text string",
+    )
+    out = df.select(T.scrub_pii("text").alias("s"),
+                    T.normalize_ws(F.lit("  a \t b\n c  ")).alias("w")).collect()[0]
+    assert "<EMAIL>" in out["s"] and "<URL>" in out["s"]
+    assert "<PHONE>" in out["s"] and "<IP>" in out["s"]
+    assert "test.org" not in out["s"] and "192.168" not in out["s"]
+    assert out["w"] == "a b c"
+
+
+def test_contamination_scores(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),     # contains probe fully
+            (2, "alpha beta gamma nothing else here now"),  # partial overlap
+            (3, "totally unrelated words in this doc"),     # no overlap
+        ],
+        "doc_id bigint, text string",
+    )
+    probes = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id bigint, text string"
+    )
+    out = {r["corpus_id"]: r for r in T.contamination_scores(
+        corpus, probes, "text", "doc_id", "text", "doc_id", n=3).collect()}
+    # probe has 2 trigrams: 'alpha beta gamma', 'beta gamma delta'
+    assert out[1]["containment"] == 1.0
+    assert out[2]["containment"] == 0.5
+    assert 3 not in out      # zero-overlap pairs don't appear
