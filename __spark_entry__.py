@@ -2877,6 +2877,42 @@ def _q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# sequence packing: greedy first-fit of documents into ≈budget-token
+# packs, bucketed so no global sort bottleneck; deterministic md5 order
+@_register(
+    "pack_documents",
+    """
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), b AS (
+      SELECT doc_id, n_tokens, h,
+             CAST((strpos('0123456789abcdef', h[1]) - 1) * 4096
+                  + (strpos('0123456789abcdef', h[2]) - 1) * 256
+                  + (strpos('0123456789abcdef', h[3]) - 1) * 16
+                  + (strpos('0123456789abcdef', h[4]) - 1) AS INT) % 16
+               AS pack_bucket
+      FROM d
+    )
+    SELECT doc_id, pack_bucket,
+           CAST(floor((sum(n_tokens) OVER (PARTITION BY pack_bucket
+                        ORDER BY h, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens) / 2048.0) AS INT) AS pack_id
+    FROM b
+    """,
+)
+def _q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.sampling import pack_documents
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count("text").alias("n_tokens")
+    )
+    out = pack_documents(docs, "doc_id", "n_tokens", budget=2048, num_buckets=16)
+    return out.select("doc_id", "pack_bucket", "pack_id")
+
+
 # --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------

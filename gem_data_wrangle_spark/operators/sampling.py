@@ -89,3 +89,44 @@ def stratified_sample(
         .filter(F.col("_rn") <= n_per_group)
         .drop("_rn")
     )
+
+
+def pack_documents(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    num_buckets: int = 256,
+    bucket_col: str = "pack_bucket",
+    pack_col: str = "pack_id",
+) -> DataFrame:
+    """Sequence packing: group documents into packs of ≈``budget``
+    tokens (the pre-training step that concatenates short documents
+    into fixed-length training sequences). Greedy first-fit in a
+    deterministic md5 order; a pack may overflow by at most one
+    document (the standard streaming approximation — exact bin packing
+    is NP-hard and order-dependent).
+
+    Scale: a GLOBAL greedy pack would funnel everything through one
+    sorted partition, so documents are first spread over
+    ``num_buckets`` deterministic hash buckets and packed within each
+    — the window shuffles on the bucket key and each bucket packs
+    independently. Pack identity is (bucket, local pack index).
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    out = df.withColumn(
+        bucket_col,
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+        ).cast("int") % num_buckets,
+    )
+    w = (
+        Window.partitionBy(bucket_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(tokens_col).over(w)
+    return out.withColumn(
+        pack_col, F.floor((cum - F.col(tokens_col)) / budget).cast("int")
+    )

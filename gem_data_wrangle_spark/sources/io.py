@@ -150,3 +150,20 @@ def load_testdata(spark: SparkSession, sf_dir: str, register_views: bool = True)
             if register_views:
                 df.createOrReplaceTempView(name)
     return out
+
+
+def scan_jsonl(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """Read JSON-lines (the de-facto interchange format for text
+    corpora). An explicit schema skips Spark's inference pass — at
+    100 TB, inference is a full extra scan; always pass one in
+    production."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def sink_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write JSON-lines, one object per row, partitioned like any
+    distributed sink."""
+    df.write.mode(mode).json(path)

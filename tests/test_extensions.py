@@ -354,3 +354,38 @@ def test_contamination_scores(spark):
     assert out[1]["containment"] == 1.0
     assert out[2]["containment"] == 0.5
     assert 3 not in out      # zero-overlap pairs don't appear
+
+
+def test_pack_documents_budget(spark):
+    from gem_data_wrangle_spark.operators.sampling import pack_documents
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 90 + 10).alias("n_tokens")
+    )
+    out = pack_documents(df, "doc_id", "n_tokens", budget=200, num_buckets=4)
+    rows = out.collect()
+    assert len(rows) == 300                      # every doc assigned
+    sums = {}
+    for r in rows:
+        sums.setdefault((r["pack_bucket"], r["pack_id"]), []).append(r["n_tokens"])
+    # each pack holds ≤ budget + one overflowing doc (max doc = 99 tokens)
+    assert all(sum(v) <= 200 + 99 for v in sums.values())
+    # packing is useful: average pack is reasonably full
+    fulls = [sum(v) for v in sums.values()]
+    assert sum(fulls) / len(fulls) > 100
+    # deterministic across reruns
+    again = pack_documents(df, "doc_id", "n_tokens", budget=200, num_buckets=4)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    from gem_data_wrangle_spark.sources.io import scan_jsonl, sink_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "hello world", 0.5), (2, "goodbye", 1.5)],
+        "doc_id bigint, text string, score double",
+    )
+    path = str(tmp_path / "docs_jsonl")
+    sink_jsonl(df, path)
+    back = scan_jsonl(spark, path, "doc_id bigint, text string, score double")
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
