@@ -167,3 +167,20 @@ def sink_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Write JSON-lines, one object per row, partitioned like any
     distributed sink."""
     df.write.mode(mode).json(path)
+
+
+def sink_parquet_replace_partitions(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Incremental load: overwrite ONLY the partitions present in
+    ``df`` (dynamic partition overwrite), leaving the rest of the table
+    untouched — the idempotent daily-reload pattern for a 100 TB
+    partitioned table; a plain ``overwrite`` would truncate everything.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -61,3 +61,19 @@ def test_load_testdata_registers_views(spark, sf_dir):
     tables = IO.load_testdata(spark, sf_dir)
     assert "lineitem" in tables and "region" in tables
     assert spark.sql("SELECT count(*) AS n FROM region").collect()[0]["n"] == 5
+
+
+def test_sink_parquet_replace_partitions(spark, tmp_path):
+    from gem_data_wrangle_spark.sources.io import sink_parquet_replace_partitions
+
+    path = str(tmp_path / "ptable")
+    base = spark.createDataFrame(
+        [(1, "2024"), (2, "2024"), (3, "2025")], "id bigint, year string"
+    )
+    sink_parquet_replace_partitions(base, path, ["year"])
+    # reload only 2025: 2024 rows must survive, 2025 replaced
+    patch = spark.createDataFrame([(99, "2025")], "id bigint, year string")
+    sink_parquet_replace_partitions(patch, path, ["year"])
+    # partition values come back type-inferred (string '2024' → int)
+    got = {(r["id"], str(r["year"])) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "2024"), (2, "2024"), (99, "2025")}
