@@ -91,25 +91,101 @@ def sink_csv(df: DataFrame, path: str, mode: str = "overwrite", single_file: boo
     out.write.mode(mode).option("header", "true").csv(path)
 
 
-def xlsx_to_parquet(xlsx_path: str, out_dir: str, sheets: list[str] | None = None) -> list[str]:
-    """Offline ingest converter for the reference's xlsx inputs
-    (``GEM/Coalplants_GEM.R:10``). One-time, driver-side, small-data by
-    definition (trackers are ~14k rows); downstream processing is all
-    Parquet. Gated: openpyxl may be absent in this container.
+_XLSX_MAIN_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_XLSX_REL_ATTR = (
+    "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+)
+
+
+def _xlsx_col_index(cell_ref: str) -> int:
+    """'BC12' → 0-based column 54 (the letters part of an A1 reference)."""
+    n = 0
+    for ch in cell_ref:
+        if ch.isalpha():
+            n = n * 26 + (ord(ch.upper()) - ord("A") + 1)
+        else:
+            break
+    return n - 1
+
+
+def read_xlsx_sheet(xlsx_path: str, sheet_name: str) -> list[list[str | None]]:
+    """Dependency-free xlsx sheet reader (stdlib zipfile + ElementTree —
+    an xlsx file is a zip of XML parts). Returns the raw cell grid as
+    strings, matching ``read_excel``'s all-text mode: shared strings
+    resolved, inline strings joined, numbers kept in their canonical
+    lexical form. Driver-side by design — ingest is a one-time offline
+    conversion (trackers are ~14k rows), not a distributed path.
     """
-    try:
-        import pandas as pd  # noqa: PLC0415
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError("pandas required for xlsx ingest") from exc
-    try:
-        book = pd.read_excel(xlsx_path, sheet_name=sheets, dtype=str)
-    except ImportError as exc:  # openpyxl missing
-        raise NotImplementedError(
-            "xlsx ingest needs openpyxl; convert offline and feed Parquet"
-        ) from exc
+    import xml.etree.ElementTree as ET  # noqa: PLC0415
+    import zipfile  # noqa: PLC0415
+
+    with zipfile.ZipFile(xlsx_path) as z:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        rid_to_target = {rel.get("Id"): rel.get("Target") for rel in rels}
+        target = None
+        for sh in wb.iter(f"{_XLSX_MAIN_NS}sheet"):
+            if sh.get("name") == sheet_name:
+                target = rid_to_target[sh.get(_XLSX_REL_ATTR)]
+                break
+        if target is None:
+            names = [s.get("name") for s in wb.iter(f"{_XLSX_MAIN_NS}sheet")]
+            raise ValueError(f"sheet {sheet_name!r} not in {names}")
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            ss = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in ss:
+                shared.append(
+                    "".join(t.text or "" for t in si.iter(f"{_XLSX_MAIN_NS}t"))
+                )
+        sheet_xml = z.read("xl/" + target.removeprefix("/xl/").lstrip("/"))
+    root = ET.fromstring(sheet_xml)
+    rows: list[list[str | None]] = []
+    max_cols = 0
+    for row in root.iter(f"{_XLSX_MAIN_NS}row"):
+        cells: dict[int, str | None] = {}
+        for c in row:
+            ref = c.get("r")
+            idx = _xlsx_col_index(ref) if ref else len(cells)
+            ctype = c.get("t")
+            if ctype == "inlineStr":
+                val: str | None = "".join(
+                    t.text or "" for t in c.iter(f"{_XLSX_MAIN_NS}t")
+                )
+            else:
+                v = c.find(f"{_XLSX_MAIN_NS}v")
+                if v is None or v.text is None:
+                    val = None
+                elif ctype == "s":
+                    val = shared[int(v.text)]
+                else:
+                    val = v.text
+            cells[idx] = val
+        if cells:
+            width = max(cells) + 1
+            max_cols = max(max_cols, width)
+            rows.append([cells.get(i) for i in range(width)])
+    return [r + [None] * (max_cols - len(r)) for r in rows]
+
+
+def xlsx_to_parquet(xlsx_path: str, out_dir: str, sheets: list[str]) -> list[str]:
+    """Offline ingest converter for the reference's xlsx inputs
+    (``GEM/Coalplants_GEM.R:10``): first row = header, every cell kept
+    as text (``scan_excel_typed`` semantics — the pipeline's
+    ``try_cast`` does the typing). One-time, driver-side, small-data by
+    definition; downstream processing is all Parquet.
+    """
+    import pandas as pd  # noqa: PLC0415
+
     os.makedirs(out_dir, exist_ok=True)
     written = []
-    for sheet, frame in (book if isinstance(book, dict) else {"Sheet1": book}).items():
+    for sheet in sheets:
+        grid = read_xlsx_sheet(xlsx_path, sheet)
+        header = [h if h is not None else f"col_{i}" for i, h in enumerate(grid[0])]
+        # astype("string"): an all-empty column would otherwise be
+        # written with an integer/null parquet type, breaking
+        # unionByName type alignment with sheets where it has values
+        frame = pd.DataFrame(grid[1:], columns=header, dtype=object).astype("string")
         path = os.path.join(out_dir, f"{sheet.replace(' ', '_')}.parquet")
         frame.to_parquet(path, index=False)
         written.append(path)

@@ -45,16 +45,64 @@ def test_sink_parquet_partitioned(spark, tmp_path):
     assert "PartitionFilters" in scanned and "production_year" in scanned
 
 
-def test_xlsx_converter_gated(tmp_path):
-    # openpyxl absent in this container → NotImplementedError, never a crash
-    try:
-        import openpyxl  # noqa: F401
+def _write_mini_xlsx(path):
+    """Hand-assemble a tiny xlsx (zip of XML parts) — exercises shared
+    strings, inline strings, skipped cells, and an all-empty column."""
+    import zipfile
 
-        pytest.skip("openpyxl present; gate not exercised")
-    except ImportError:
-        pass
-    with pytest.raises((NotImplementedError, FileNotFoundError, ValueError, ImportError)):
-        IO.xlsx_to_parquet(str(tmp_path / "missing.xlsx"), str(tmp_path / "out"))
+    ct = (
+        '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        "</Types>"
+    )
+    wb = (
+        '<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="Units" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        '<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/>'
+        "</Relationships>"
+    )
+    ss = (
+        '<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">'
+        "<si><t>id</t></si><si><t>name</t></si><si><t>empty</t></si></sst>"
+    )
+    sheet = (
+        '<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c></row>'
+        '<row r="2"><c r="A2"><v>1</v></c><c r="B2" t="inlineStr"><is><t>alpha</t></is></c></row>'
+        '<row r="3"><c r="A3"><v>2</v></c></row>'  # B3 skipped entirely
+        "</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", ct)
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/sharedStrings.xml", ss)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def test_xlsx_ingest_stdlib_reader(spark, tmp_path):
+    xlsx = str(tmp_path / "mini.xlsx")
+    _write_mini_xlsx(xlsx)
+    grid = IO.read_xlsx_sheet(xlsx, "Units")
+    assert grid[0] == ["id", "name", "empty"]
+    assert grid[1] == ["1", "alpha", None]
+    assert grid[2] == ["2", None, None]
+    with pytest.raises(ValueError, match="not in"):
+        IO.read_xlsx_sheet(xlsx, "NoSuchSheet")
+
+    written = IO.xlsx_to_parquet(xlsx, str(tmp_path / "out"), sheets=["Units"])
+    back = spark.read.parquet(written[0])
+    # every column string-typed, including the all-empty one
+    assert all(t == "string" for _, t in back.dtypes)
+    rows = {r["id"]: r for r in back.collect()}
+    assert rows["1"]["name"] == "alpha" and rows["2"]["name"] is None
 
 
 def test_load_testdata_registers_views(spark, sf_dir):
