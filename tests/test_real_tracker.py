@@ -143,3 +143,61 @@ def test_real_gasoil_tracker_with_classification(spark, tmp_path):
     }
     assert by_tech["GasCap"] > 3 * by_tech["OilCap"]
     assert 1_000_000 < by_tech["GasCap"] < 4_000_000, by_tech
+
+
+def test_real_nuclear_bio_geo_trackers_and_consolidation(spark, tmp_path):
+    """The remaining present trackers (solar/wind xlsx are absent from
+    the reference inputs) each run their FuelConfig unchanged on real
+    data, and the three outputs consolidate TotalData-style with
+    surrogate ids and the unique-assets second output."""
+    from gem_data_wrangle_spark.data.country_codes import country_dim
+    from gem_data_wrangle_spark.plans.gem import (
+        BIOENERGY,
+        CANONICAL_COLUMNS,
+        GEOTHERMAL,
+        NUCLEAR,
+        consolidate_total,
+        run_fuel_pipeline,
+        unique_assets,
+    )
+    from gem_data_wrangle_spark.sources.io import scan_parquet, xlsx_to_parquet
+
+    base = "/root/reference/GEM_Inputs"
+    cases = [
+        ("nuclear", NUCLEAR, f"{base}/Global-Nuclear-Power-Tracker-July-2024.xlsx",
+         ["Data"], 300_000, 700_000),
+        ("bio", BIOENERGY,
+         f"{base}/Global-Bioenergy-Power-Tracker-GBPT-September-2024.xlsx",
+         ["Data", "Below Threshold"], 30_000, 300_000),
+        ("geo", GEOTHERMAL, f"{base}/Geothermal-Power-Tracker-May-2024.xlsx",
+         ["Data", "Below Threshold"], 5_000, 40_000),
+    ]
+    outputs = []
+    for name, cfg, xlsx, sheets, lo, hi in cases:
+        paths = xlsx_to_parquet(xlsx, str(tmp_path / name), sheets=sheets)
+        raw = scan_parquet(spark, paths[0])
+        for p in paths[1:]:
+            raw = raw.unionByName(scan_parquet(spark, p), allowMissingColumns=True)
+        out = run_fuel_pipeline(raw, cfg, country_dim(spark))
+        assert out.columns == CANONICAL_COLUMNS, name
+        mw = (
+            out.filter(F.col("production_year") == 2024)
+            .agg(F.sum("capacity"))
+            .collect()[0][0]
+        )
+        # world 2024: nuclear ≈ 0.37-0.5 TW, bioenergy ≈ 0.05-0.15 TW,
+        # geothermal ≈ 0.015 TW — order-of-magnitude gates
+        assert lo < mw < hi, (name, mw)
+        outputs.append(out.filter(F.col("production_year").isin([2024, 2030])))
+
+    total = consolidate_total(outputs)
+    assert total.columns == CANONICAL_COLUMNS
+    ids = total.select("company_name", "company_id").distinct()
+    # surrogate ids are unique per company across all three fuels
+    assert ids.count() == ids.select("company_name").distinct().count()
+    assert total.filter(~F.col("company_id").startswith("TFL")).count() == 0
+
+    uniq = unique_assets(total)
+    assert uniq.count() == total.select("asset_id", "coordinates").distinct().count()
+    techs = {r["technology"] for r in total.select("technology").distinct().collect()}
+    assert techs == {"NuclearCap", "RenewablesCap"}
