@@ -2951,6 +2951,26 @@ _DEFER_TO_TAIL = [
     "text_fingerprint",     # r01 green; also inside training_data_pipeline
     "jaccard_neighbors",    # r01 green; paired with minhash_lsh_pairs
     "stream_sliding_window",  # r01 green; variant of stream_tumbling_window
+    # second wave: code and oracle byte-identical since their r01 green
+    # rows — their slots go to the operators added this round (as-of /
+    # range joins, near-dup components, quality rules, quantization,
+    # sessionization, sampling, interval join, scrub, decontamination,
+    # packing, multimodal resize/frames), which have no driver evidence
+    # yet
+    "cast_regex_extract",      # r01 green
+    "explode_split",           # r01 green
+    "split_ownership_strict",  # r01 green; also inside gem_coal_pipeline (graded)
+    "window_count_share",      # r01 green
+    "dedup_first_per_key",     # r01 green; also inside training_data_pipeline
+    "join_left_coalesce",      # r01 green; also inside gem_total_consolidation
+    "join_fallback_chain",     # r01 green; also inside gem_total_consolidation
+    "expand_years",            # r01 green; also inside every GEM pipeline
+    "agg_mean_groups",         # r01 green
+    "surrogate_ids",           # r01 green; also inside gem_total_consolidation
+    "case_when_classify",      # r01 green; also inside gem_gasoil_pipeline
+    "dedup_exact",             # r01 green; also inside training_data_pipeline
+    "text_quality",            # r01 green; also inside training_data_pipeline
+    "stream_tumbling_window",  # r01 green; session variant stays graded
 ]
 
 
