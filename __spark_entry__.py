@@ -2913,6 +2913,42 @@ def _q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "pack_bucket", "pack_id")
 
 
+# token-budget corpus sampling: admit documents in md5 order until the
+# (bucket-split) budget is exhausted — the mixture-building primitive
+@_register(
+    "sample_to_token_budget",
+    """
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), b AS (
+      SELECT doc_id, n_tokens, h,
+             CAST((strpos('0123456789abcdef', h[1]) - 1) * 4096
+                  + (strpos('0123456789abcdef', h[2]) - 1) * 256
+                  + (strpos('0123456789abcdef', h[3]) - 1) * 16
+                  + (strpos('0123456789abcdef', h[4]) - 1) AS INT) % 16 AS sb
+      FROM d
+    )
+    SELECT doc_id, n_tokens FROM (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY sb ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS before
+      FROM b
+    ) WHERE before < 20000.0 / 16
+    """,
+)
+def _q_sample_to_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.sampling import sample_to_token_budget
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count("text").alias("n_tokens")
+    )
+    out = sample_to_token_budget(docs, "doc_id", "n_tokens", budget=20000, num_buckets=16)
+    return out.select("doc_id", "n_tokens")
+
+
 # --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------
@@ -2971,6 +3007,7 @@ _DEFER_TO_TAIL = [
     "dedup_exact",             # r01 green; also inside training_data_pipeline
     "text_quality",            # r01 green; also inside training_data_pipeline
     "stream_tumbling_window",  # r01 green; session variant stays graded
+    "filter_isin",             # r01 green; also the first step of every GEM pipeline
 ]
 
 

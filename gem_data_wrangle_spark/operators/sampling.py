@@ -130,3 +130,42 @@ def pack_documents(
     return out.withColumn(
         pack_col, F.floor((cum - F.col(tokens_col)) / budget).cast("int")
     )
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    num_buckets: int = 256,
+) -> DataFrame:
+    """Downsample a corpus to ≈``budget`` total tokens: documents are
+    admitted in deterministic md5 order until the budget is reached —
+    the mixture-building primitive ("take N billion tokens of source
+    X"). Deterministic: the same call always keeps the same documents
+    regardless of partitioning.
+
+    Scale: the global budget is split evenly across ``num_buckets``
+    md5 buckets and each bucket fills its share independently — the
+    cumulative-sum window shuffles on the bucket key only, no global
+    sort. The kept total lands within ~num_buckets × max_doc_tokens of
+    the budget (each bucket may overshoot by at most one document).
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    per_bucket = budget / num_buckets
+    out = df.withColumn(
+        "_sb",
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+        ).cast("int") % num_buckets,
+    )
+    w = (
+        Window.partitionBy("_sb")
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # a document is kept if the budget was not exhausted BEFORE it
+    # (window expressions cannot sit in a WHERE — materialize first)
+    out = out.withColumn("_before", F.sum(tokens_col).over(w) - F.col(tokens_col))
+    return out.filter(F.col("_before") < per_bucket).drop("_sb", "_before")

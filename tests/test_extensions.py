@@ -389,3 +389,20 @@ def test_jsonl_roundtrip(spark, tmp_path):
     sink_jsonl(df, path)
     back = scan_jsonl(spark, path, "doc_id bigint, text string, score double")
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+
+def test_sample_to_token_budget(spark):
+    from gem_data_wrangle_spark.operators.sampling import sample_to_token_budget
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 50 + 50).alias("n_tokens")
+    )  # ~75 tokens/doc, 75k total
+    out = sample_to_token_budget(df, "doc_id", "n_tokens", budget=20_000, num_buckets=8)
+    kept = out.agg(F.sum("n_tokens")).collect()[0][0]
+    # within num_buckets × max_doc of the budget, and well below total
+    assert 20_000 <= kept <= 20_000 + 8 * 99
+    # deterministic
+    again = sample_to_token_budget(df, "doc_id", "n_tokens", budget=20_000, num_buckets=8)
+    assert {r["doc_id"] for r in out.collect()} == {r["doc_id"] for r in again.collect()}
+    # a budget larger than the corpus keeps everything
+    assert sample_to_token_budget(df, "doc_id", "n_tokens", budget=10**9).count() == 1000
