@@ -178,6 +178,12 @@ def binational_split(
     ``secondary_overrides`` maps target column → source ``... 2``
     column for the duplicated copy; ``primary_overrides`` (optional)
     for the original copy (e.g. ``Capacity`` ← ``Country 1 Capacity``).
+
+    R parity note: the reference splits with ``GEM[GEM$Binational=="No",]``
+    / ``=="Yes"`` — a row with an NA flag matches neither and (base-R
+    ``[`` with an NA index) would inject an all-NA row. This operator
+    keeps NA-flag rows on the national side instead (documented
+    divergence; the sane reading of the intent).
     """
     secondary_overrides = secondary_overrides or {}
     primary_overrides = primary_overrides or {}
