@@ -967,6 +967,7 @@ def _q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def _q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)  # window bucketing + formatting are session-TZ-dependent
     ev = _events(spark, sf_dir)
     out = tumbling_window_agg(
         ev,
@@ -1000,6 +1001,7 @@ def _q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def _q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)  # window bucketing + formatting are session-TZ-dependent
     ev = _events(spark, sf_dir)
     out = sliding_window_agg(
         ev, "ts", "12 hours", "6 hours", ["event_type"], {"n_events": F.count(F.lit(1))}
@@ -1035,6 +1037,7 @@ def _q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def _q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)  # window bucketing + formatting are session-TZ-dependent
     ev = _events(spark, sf_dir)
     out = session_window_agg(ev, "ts", "1 hour", ["user_id"], {"n_events": F.count(F.lit(1))})
     return out.select(
@@ -1999,6 +2002,7 @@ def _q_filter_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def _q_filter_eq_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)  # window bucketing + formatting are session-TZ-dependent
     ev = _events(spark, sf_dir)
     src = ev.select("event_id", F.date_format("ts", "dd.MM.yy").alias("end_time_s"))
     parsed = src.withColumn("_ts", F.to_timestamp("end_time_s", "dd.MM.yy"))
