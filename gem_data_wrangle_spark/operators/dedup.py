@@ -241,3 +241,85 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> 
     signatures — bucket on signature prefix for candidate generation."""
     base = df.select(F.col(id_col), _distinct_tokens(F.col(text_col)).alias("_toks"))
     return base.select(F.col(id_col), simhash(F.col("_toks"), bits).alias("simhash"))
+
+
+# --------------------------------------------------------------------
+# canonicalized (normalized-text) exact dedup
+# --------------------------------------------------------------------
+
+def canonicalize_text(text: Column) -> Column:
+    """Canonical form for fuzzy-exact dedup: lowercase, strip every
+    character outside ``[a-z0-9 ]``, collapse whitespace runs, trim.
+    Catches the trivial near-dup class (case/punctuation/whitespace
+    variants) that MinHash would waste candidate budget on. Pure
+    ``regexp_replace`` chain → codegen'd, no UDF, and replayable by any
+    regex-capable SQL engine."""
+    c = F.lower(text)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", "")
+    return F.trim(F.regexp_replace(c, " +", " "))
+
+
+def normalized_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup on the canonicalized text: one row per canonical
+    form, keeping the lowest id, with the duplicate-group size.
+
+    Same scale shape as ``exact_dedup``: the shuffle key is the 16-byte
+    ``md5`` of the canonical form, never the document bytes, so the
+    group-by moves digests only.
+    """
+    digest = F.md5(canonicalize_text(F.col(text_col)))
+    return (
+        df.select(F.col(id_col), digest.alias("canon_hash"))
+        .groupBy("canon_hash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_dups"))
+    )
+
+
+# --------------------------------------------------------------------
+# SemDeDup: semantic (embedding-space) dedup
+# --------------------------------------------------------------------
+
+def semdedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.45,
+    cell_assigner=None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then inside each cluster drop every document
+    whose cosine similarity to a *lower-id* document in the same
+    cluster is ≥ ``threshold``; the surviving rows are the semantic
+    representatives.
+
+    ``cell_assigner`` maps the embedding column to a cluster id —
+    defaults to ``similarity.sign_grid_cell`` (deterministic, so a SQL
+    oracle can replay it); production callers can pass a seeded-KMeans
+    assigner (see ``similarity.ivf_topk``).
+
+    Scale shape: the pairwise cosine runs ONLY within a cluster — an
+    equi-self-join on the cell id, never all-pairs. Cluster count grows
+    with the quantizer's resolution (``2^dims`` for the sign grid,
+    ``k`` for KMeans), so per-cell work stays bounded as the corpus
+    grows; the anti-join back to the corpus is a digest-sized shuffle.
+    """
+    from gem_data_wrangle_spark.operators.similarity import (  # noqa: PLC0415
+        as_double_array,
+        cosine,
+        sign_grid_cell,
+    )
+
+    assigner = cell_assigner or sign_grid_cell
+    cells = df.select(
+        F.col(id_col), as_double_array(vec_col).alias("_v")
+    ).withColumn("cell", assigner(F.col("_v")))
+    a = cells.select(F.col(id_col).alias("_ida"), F.col("_v").alias("_va"), "cell")
+    b = cells.select(F.col(id_col).alias("_idb"), F.col("_v").alias("_vb"), "cell")
+    dominated = (
+        a.join(b, on="cell")
+        .filter(F.col("_idb") < F.col("_ida"))
+        .filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .select(F.col("_ida").alias(id_col))
+        .distinct()
+    )
+    return cells.select(id_col, "cell").join(dominated, on=id_col, how="left_anti")

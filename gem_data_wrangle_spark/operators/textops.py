@@ -341,3 +341,44 @@ def contamination_scores(
         "corpus_id", "probe_id", "n_shared",
         F.round(F.col("n_shared") / F.col("_n_probe_grams"), 4).alias("containment"),
     )
+
+
+# --------------------------------------------------------------------
+# document chunking (context-window preparation)
+# --------------------------------------------------------------------
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    size: int = 50,
+    overlap: int = 10,
+) -> DataFrame:
+    """Split each document into overlapping fixed-width token chunks —
+    the standard context-window preparation step before tokenization /
+    embedding. Chunk *i* covers tokens ``[i·step, i·step + size)`` with
+    ``step = size − overlap``; the final chunk may be shorter.
+
+    Pure column algebra: ``sequence`` generates the chunk starts,
+    ``explode`` fans them out (narrow — no shuffle), ``slice`` +
+    ``array_join`` materialize the chunk text. One pass, codegen'd,
+    linear in total token count; at 100 TB this is a map-only stage.
+
+    Returns (id, chunk_id, chunk_text, chunk_tokens).
+    """
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    step = size - overlap
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), toks.alias("_t"), F.size(toks).alias("_n"))
+    starts = F.sequence(F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(step))
+    chunk = F.slice(F.col("_t"), F.col("_start") + 1, size)
+    return (
+        base.withColumn("_start", F.explode(starts))
+        .select(
+            F.col(id_col),
+            (F.col("_start") / step).cast("int").alias("chunk_id"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).alias("chunk_tokens"),
+        )
+    )

@@ -406,3 +406,49 @@ def test_sample_to_token_budget(spark):
     assert {r["doc_id"] for r in out.collect()} == {r["doc_id"] for r in again.collect()}
     # a budget larger than the corpus keeps everything
     assert sample_to_token_budget(df, "doc_id", "n_tokens", budget=10**9).count() == 1000
+
+
+def test_normalized_dedup_canonical_groups(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello   world"),
+            (3, "HELLO WORLD."),
+            (4, "goodbye world"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = D.normalized_dedup(df, "text", "doc_id").orderBy("keeper_id").collect()
+    assert [(r.keeper_id, r.n_dups) for r in out] == [(1, 3), (4, 1)]
+
+
+def test_semdedup_drops_dominated(spark):
+    # 1 and 2 are identical directions in the same sign cell -> 2 dropped;
+    # 3 is the same cell but orthogonal -> kept; 4 is another cell.
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 1.0, 1.0, 0.0]),
+            (2, [2.0, 2.0, 2.0, 0.0]),
+            (3, [1.0, 1.0, 1.0, 100.0]),
+            (4, [-1.0, 1.0, 1.0, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = D.semdedup(df, "embedding", "vec_id", threshold=0.9)
+    assert sorted(r.vec_id for r in out.collect()) == [1, 3, 4]
+
+
+def test_chunk_documents_windows(spark):
+    text = " ".join(f"w{i}" for i in range(7))
+    df = spark.createDataFrame([(1, text), (2, "solo")], ["doc_id", "text"])
+    out = T.chunk_documents(df, "text", "doc_id", size=4, overlap=2)
+    rows = {(r.doc_id, r.chunk_id): (r.chunk_text, r.chunk_tokens) for r in out.collect()}
+    # doc 1: starts 0,2,4,6 -> windows of step 2, size<=4
+    assert rows[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert rows[(1, 1)] == ("w2 w3 w4 w5", 4)
+    assert rows[(1, 2)] == ("w4 w5 w6", 3)
+    assert rows[(1, 3)] == ("w6", 1)
+    assert rows[(2, 0)] == ("solo", 1)
+    assert len(rows) == 5
+    with pytest.raises(ValueError):
+        T.chunk_documents(df, "text", "doc_id", size=4, overlap=4)
