@@ -3034,6 +3034,32 @@ def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# extension: semi-structured (JSON) property extraction
+# --------------------------------------------------------------------
+@_register(
+    "json_extract_props",
+    """
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS INT))
+                AS BIGINT) AS sum_k,
+           count(*) - count(TRY_CAST(json_extract_string(props, '$.k') AS INT))
+             AS n_missing
+    FROM events GROUP BY event_type
+    """,
+)
+def _q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.functions.jsonops import json_get
+
+    ev = _events(spark, sf_dir)
+    k = json_get("props", "$.k", cast="int")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        (F.count("*") - F.count(k)).alias("n_missing"),
+    )
+
+
+# --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -3098,6 +3124,7 @@ _DEFER_TO_TAIL = [
     "lang_id",                 # r01 green; textops lang path unchanged
     "minhash_lsh_pairs",       # r01 green; dedup.py LSH path unchanged
     "similarity_bruteforce",   # r01 green; cosine_topk unchanged
+    "embedding_neardup_pairs", # r01 green; query fn + lsh_bucket byte-identical
 ]
 
 

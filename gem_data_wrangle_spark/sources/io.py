@@ -260,3 +260,21 @@ def sink_parquet_replace_partitions(
         df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def scan_orc(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """Read ORC (Spark's other built-in columnar format; common when
+    interoperating with Hive warehouses). Same pushdown properties as
+    parquet: predicate pushdown + column pruning reach the ORC reader."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def sink_orc(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    """Write ORC, optionally hive-partitioned by column values."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

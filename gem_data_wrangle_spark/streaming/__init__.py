@@ -2,6 +2,8 @@ from gem_data_wrangle_spark.streaming.windows import (
     session_window_agg,
     sliding_window_agg,
     stream_dedup,
+    stream_interval_join,
+    stream_static_enrich,
     tumbling_window_agg,
 )
 
@@ -9,5 +11,7 @@ __all__ = [
     "session_window_agg",
     "sliding_window_agg",
     "stream_dedup",
+    "stream_interval_join",
+    "stream_static_enrich",
     "tumbling_window_agg",
 ]

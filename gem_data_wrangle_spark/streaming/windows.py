@@ -132,3 +132,19 @@ def stream_interval_join(
         & (rts <= lts + F.expr(f"INTERVAL {lookahead}"))
     )
     return l.join(r, cond, how)
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich a stream against a batch dimension
+    (the streaming twin of ``joins.left_enrich``). The static side is
+    re-read per micro-batch, so dimension updates are picked up without
+    restarting the query; Spark broadcasts it when it fits
+    (stateless — no watermark needed, unlike stream-stream joins).
+    Left/inner only: stream-static right/full joins are unsupported by
+    Structured Streaming."""
+    return stream.join(dim, on=on, how=how)

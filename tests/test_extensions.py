@@ -452,3 +452,23 @@ def test_chunk_documents_windows(spark):
     assert len(rows) == 5
     with pytest.raises(ValueError):
         T.chunk_documents(df, "text", "doc_id", size=4, overlap=4)
+
+
+def test_jsonops_extract_and_struct(spark):
+    from gem_data_wrangle_spark.functions.jsonops import json_get, parse_json_struct
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 7, "tag": "a"}'), (2, '{"k": "oops"}'), (3, None)],
+        ["id", "props"],
+    )
+    out = df.select(
+        "id",
+        json_get("props", "$.k", cast="int").alias("k"),
+        json_get("props", "$.tag").alias("tag"),
+    ).collect()
+    by_id = {r.id: (r.k, r.tag) for r in out}
+    assert by_id == {1: (7, "a"), 2: (None, None), 3: (None, None)}
+
+    parsed = parse_json_struct(df, "props", "k INT, tag STRING")
+    row = parsed.filter(parsed.id == 1).select("_json.k", "_json.tag").first()
+    assert (row["k"], row["tag"]) == (7, "a")

@@ -270,3 +270,31 @@ def test_stream_interval_join_batch_and_stream(spark, tmp_path):
     q.awaitTermination(60)
     srows = spark.sql("SELECT * FROM t_interval_join").collect()
     assert {(r["click_id"], r["view_id"]) for r in srows} == {(1, 101), (2, 102)}
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    """Stream-static left join: streaming events enriched against a
+    batch dimension, run through a real micro-batch."""
+    from gem_data_wrangle_spark.streaming import stream_static_enrich
+
+    src_dir = str(tmp_path / "enrich_src")
+    _events(spark).write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, event_type string, value double"
+    ).parquet(src_dir)
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "reach")], "event_type string, category string"
+    )
+    enriched = stream_static_enrich(stream, dim, on="event_type")
+    assert enriched.isStreaming
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("t_enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM t_enriched").collect()
+    assert len(rows) == 5
+    assert all(r["category"] in ("engagement", "reach") for r in rows)
