@@ -3060,6 +3060,37 @@ def _q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# extension: quality-weighted sampling (keep probability = n_tokens/100,
+# decided by integer cross-multiplication — no float boundary)
+# --------------------------------------------------------------------
+@_register(
+    "weighted_sample",
+    """
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens FROM d
+    WHERE ((strpos('0123456789abcdef', hx[1]) - 1) * 4096
+           + (strpos('0123456789abcdef', hx[2]) - 1) * 256
+           + (strpos('0123456789abcdef', hx[3]) - 1) * 16
+           + (strpos('0123456789abcdef', hx[4]) - 1)) * 100
+          < n_tokens * 65536
+    """,
+)
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", T.token_count("text").alias("n_tokens")
+    )
+    return weighted_sample(docs, "doc_id", "n_tokens", weight_denominator=100).select(
+        "doc_id", "n_tokens"
+    )
+
+
+# --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -3125,6 +3156,7 @@ _DEFER_TO_TAIL = [
     "minhash_lsh_pairs",       # r01 green; dedup.py LSH path unchanged
     "similarity_bruteforce",   # r01 green; cosine_topk unchanged
     "embedding_neardup_pairs", # r01 green; query fn + lsh_bucket byte-identical
+    "multimodal_bytes",        # r01 green; registration block + multimodal.py byte-identical
 ]
 
 

@@ -45,6 +45,11 @@ HEADLINE = [
     "gem_gasoil_pipeline",     # classification variant end-to-end
     "gem_total_consolidation", # union + surrogate ids + steel + EF chain
     "training_data_pipeline",  # quality gate → dedup → split capstone
+    # round 2 continuation — new operator families
+    "semdedup",                # cell-bucketed pairwise cosine + anti-join
+    "normalized_dedup",        # regex canonicalize + digest group-by
+    "chunk_documents",         # narrow explode token windows
+    "json_extract_props",      # JSON path probe inside an aggregate
 ]
 
 

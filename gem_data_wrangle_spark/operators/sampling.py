@@ -169,3 +169,35 @@ def sample_to_token_budget(
     # (window expressions cannot sit in a WHERE — materialize first)
     out = out.withColumn("_before", F.sum(tokens_col).over(w) - F.col(tokens_col))
     return out.filter(F.col("_before") < per_bucket).drop("_sb", "_before")
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    weight_denominator: int,
+    salt: str = "",
+) -> DataFrame:
+    """Per-row-probability sampling: keep a row with probability
+    ``weight_col / weight_denominator`` (≥1 → always kept) — the
+    quality-weighted / curriculum sampling primitive (keep long or
+    high-quality documents preferentially, downsample boilerplate).
+
+    Determinism contract as ``bernoulli_sample`` (md5 of the salted
+    key), plus *zero* float boundaries: the acceptance test is the
+    integer cross-multiplication ``bucket · den < weight · 65536``,
+    so any engine replays it exactly. ``weight_col`` must be integer-
+    valued and non-negative.
+
+    Scale: a narrow filter, pushed into the scan when ``weight_col``
+    is a stored column.
+    """
+    if weight_denominator <= 0:
+        raise ValueError("weight_denominator must be positive")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 4),
+        16, 10,
+    ).cast("long")
+    return df.filter(
+        bucket * weight_denominator < F.col(weight_col).cast("long") * 65536
+    )

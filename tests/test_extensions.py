@@ -472,3 +472,24 @@ def test_jsonops_extract_and_struct(spark):
     parsed = parse_json_struct(df, "props", "k INT, tag STRING")
     row = parsed.filter(parsed.id == 1).select("_json.k", "_json.tag").first()
     assert (row["k"], row["tag"]) == (7, "a")
+
+
+def test_weighted_sample_probability_monotone(spark):
+    from gem_data_wrangle_spark.operators.sampling import weighted_sample
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 100).cast("int").alias("w"),
+    )
+    kept = weighted_sample(df, "doc_id", "w", weight_denominator=100)
+    rows = kept.collect()
+    # weight 0 rows can never be kept; weight-99 rows almost always are
+    assert all(r.w > 0 for r in rows)
+    frac_hi = sum(1 for r in rows if r.w >= 90) / (2000 / 100 * 10)
+    frac_lo = sum(1 for r in rows if 0 < r.w <= 10) / (2000 / 100 * 10)
+    assert frac_hi > frac_lo
+    # full-weight rows are always kept
+    full = spark.range(50).select(F.col("id").alias("doc_id"), F.lit(100).alias("w"))
+    assert weighted_sample(full, "doc_id", "w", 100).count() == 50
+    with pytest.raises(ValueError):
+        weighted_sample(df, "doc_id", "w", 0)

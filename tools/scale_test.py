@@ -29,6 +29,10 @@ QUERIES = [
     "gem_coal_pipeline",
     "minhash_lsh_pairs",
     "stream_tumbling_window",
+    "chunk_documents",
+    "normalized_dedup",
+    "json_extract_props",
+    "semdedup",
 ]
 
 BASE = "/root/testdata/sf0.1"
