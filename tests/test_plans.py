@@ -107,3 +107,28 @@ def test_lsh_topk_builds_plan_without_running_jobs(spark):
     finally:
         sc.setJobGroup("", "")
     assert out.count() >= 0  # the plan is actually runnable
+
+
+def test_chunk_documents_is_map_only(spark, sf_dir):
+    plan = _plan(spark, "chunk_documents", sf_dir)
+    assert "Generate explode(sequence" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_semdedup_joins_within_cells_only(spark, sf_dir):
+    # pairwise cosine must run behind an equi-join on the cell id —
+    # never a cartesian/nested-loop pair enumeration
+    plan = _plan(spark, "semdedup", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_normalized_dedup_shuffles_digests_not_documents(spark, sf_dir):
+    # the exchange key must be the md5 digest; the text column must not
+    # survive past the partial aggregate
+    plan = _plan(spark, "normalized_dedup", sf_dir)
+    m = re.search(r"Exchange hashpartitioning\(canon_hash", plan)
+    assert m, plan
+    post = plan[: m.start()]  # printed above the exchange = after it
+    assert "text#" not in post

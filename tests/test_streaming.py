@@ -298,3 +298,21 @@ def test_stream_static_enrich(spark, tmp_path):
     rows = spark.sql("SELECT * FROM t_enriched").collect()
     assert len(rows) == 5
     assert all(r["category"] in ("engagement", "reach") for r in rows)
+
+
+def test_foreach_batch_parquet_sink(spark, tmp_path):
+    """foreachBatch landing: stream → partitioned parquet table."""
+    from gem_data_wrangle_spark.streaming.sinks import stream_sink_parquet_partitioned
+
+    src_dir = str(tmp_path / "fb_src")
+    out_dir = str(tmp_path / "fb_out")
+    ckpt = str(tmp_path / "fb_ckpt")
+    _events(spark).write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, event_type string, value double"
+    ).parquet(src_dir)
+    q = stream_sink_parquet_partitioned(stream, out_dir, ckpt, ["event_type"])
+    q.awaitTermination(60)
+    back = spark.read.parquet(out_dir)
+    assert back.count() == 5
+    assert sorted(r.event_type for r in back.select("event_type").distinct().collect()) == ["click", "view"]
