@@ -285,6 +285,7 @@ def semdedup(
     id_col: str,
     threshold: float = 0.45,
     cell_assigner=None,
+    dims: int = 3,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space, then inside each cluster drop every document
@@ -298,10 +299,15 @@ def semdedup(
     assigner (see ``similarity.ivf_topk``).
 
     Scale shape: the pairwise cosine runs ONLY within a cluster — an
-    equi-self-join on the cell id, never all-pairs. Cluster count grows
-    with the quantizer's resolution (``2^dims`` for the sign grid,
-    ``k`` for KMeans), so per-cell work stays bounded as the corpus
-    grows; the anti-join back to the corpus is a digest-sized shuffle.
+    equi-self-join on the cell id, never all-pairs. Within-cell work is
+    quadratic in the CELL size, so the quantizer's resolution is the
+    scale knob and MUST grow with the corpus: pick
+    ``dims ≈ log2(n / target_cell_size)`` (cells = ``2^dims``) so cell
+    populations stay bounded as n grows. Measured on the 30× stress
+    (`tools/scale_test.py`): fixed ``dims=3`` goes 154× at 30× the
+    vectors (cells grew 30× → pairs 900×), while resolution-scaled
+    ``dims=8`` stays ~linear. KMeans (``k`` cells) has the same knob.
+    The anti-join back to the corpus is a digest-sized shuffle.
     """
     from gem_data_wrangle_spark.operators.similarity import (  # noqa: PLC0415
         as_double_array,
@@ -309,7 +315,7 @@ def semdedup(
         sign_grid_cell,
     )
 
-    assigner = cell_assigner or sign_grid_cell
+    assigner = cell_assigner or (lambda v: sign_grid_cell(v, dims))
     cells = df.select(
         F.col(id_col), as_double_array(vec_col).alias("_v")
     ).withColumn("cell", assigner(F.col("_v")))

@@ -32,7 +32,6 @@ QUERIES = [
     "chunk_documents",
     "normalized_dedup",
     "json_extract_props",
-    "semdedup",
 ]
 
 BASE = "/root/testdata/sf0.1"
@@ -90,6 +89,26 @@ def main() -> None:
         ratio = round(times[f"{n}x"] / max(times["1x"], 1e-9), 1)
         results[name] = {**times, "ratio": ratio}
         print(json.dumps({name: results[name]}))
+
+    # semdedup is the one operator whose cost is quadratic in the
+    # quantizer CELL size, so the honest scale measurement varies the
+    # resolution with the corpus (dims ≈ log2(n_vectors / target_cell))
+    # — a fixed dims=3 at 30× measures 154× (recorded in SCALE.md as
+    # the motivating anti-pattern), the scaled knob stays ~linear.
+    from gem_data_wrangle_spark.operators import dedup as Dd  # noqa: PLC0415
+
+    times = {}
+    for label, sf_dir, dims in [("1x", BASE, 3), (f"{n}x", out_dir, 3 + max(0, (n - 1)).bit_length())]:
+        t0 = time.time()
+        Dd.semdedup(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            "embedding", "vec_id", dims=dims,
+        ).write.format("noop").mode("overwrite").save()
+        times[label] = round(time.time() - t0, 2)
+    results["semdedup (resolution-scaled)"] = {
+        **times, "ratio": round(times[f"{n}x"] / max(times["1x"], 1e-9), 1)
+    }
+    print(json.dumps({"semdedup (resolution-scaled)": results["semdedup (resolution-scaled)"]}))
     print(json.dumps({"n": n, "results": results}))
 
 
