@@ -59,3 +59,16 @@ def expect_nonnull_ratio(df: DataFrame, column: str, min_ratio: float) -> DataFr
         F.round(F.count(column) / F.count(F.lit(1)), 6).alias("nonnull_ratio"),
         (F.count(column) / F.count(F.lit(1)) >= min_ratio).alias("passes"),
     )
+
+
+def partition_stats(df: DataFrame) -> DataFrame:
+    """Physical-layout diagnostic: row count per Spark partition
+    (``spark_partition_id``) — the quick skew check before a big
+    shuffle ("is one partition holding half the data?"). Narrow: one
+    map + one small agg whose output is one row per partition."""
+    return (
+        df.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumnRenamed("_pid", "partition_id")
+    )

@@ -228,14 +228,29 @@ def load_testdata(spark: SparkSession, sf_dir: str, register_views: bool = True)
     return out
 
 
-def scan_jsonl(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+def scan_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    corrupt_col: str | None = None,
+) -> DataFrame:
     """Read JSON-lines (the de-facto interchange format for text
     corpora). An explicit schema skips Spark's inference pass — at
     100 TB, inference is a full extra scan; always pass one in
-    production."""
+    production.
+
+    ``corrupt_col``: web-scale corpora always contain malformed lines;
+    naming a column here keeps the scan in PERMISSIVE mode and lands
+    each unparseable line's raw text there (add ``<col> STRING`` to the
+    schema) instead of failing the job — quarantine with
+    ``df.filter(col(corrupt_col).isNotNull())``."""
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
+    if corrupt_col is not None:
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", corrupt_col
+        )
     return reader.json(path)
 
 

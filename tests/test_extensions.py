@@ -493,3 +493,12 @@ def test_weighted_sample_probability_monotone(spark):
     assert weighted_sample(full, "doc_id", "w", 100).count() == 50
     with pytest.raises(ValueError):
         weighted_sample(df, "doc_id", "w", 0)
+
+
+def test_partition_stats_counts_all_rows(spark):
+    from gem_data_wrangle_spark.operators.quality import partition_stats
+
+    df = spark.range(1000).repartition(8)
+    out = partition_stats(df).collect()
+    assert sum(r.n_rows for r in out) == 1000
+    assert len(out) <= 8

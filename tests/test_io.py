@@ -140,3 +140,20 @@ def test_orc_roundtrip_partitioned(spark, tmp_path):
     # partition pruning: filtering the partition column reads one dir
     pruned = back.filter(back.part == "y")
     assert pruned.count() == 1
+
+
+def test_jsonl_corrupt_record_quarantine(spark, tmp_path):
+    from gem_data_wrangle_spark.sources.io import scan_jsonl
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text('{"doc_id": 1, "text": "ok"}\nnot json at all\n{"doc_id": 2, "text": "fine"}\n')
+    df = scan_jsonl(
+        spark, str(p),
+        schema="doc_id BIGINT, text STRING, _bad STRING",
+        corrupt_col="_bad",
+    )
+    rows = df.collect()
+    good = [r for r in rows if r._bad is None]
+    bad = [r for r in rows if r._bad is not None]
+    assert sorted(r.doc_id for r in good) == [1, 2]
+    assert len(bad) == 1 and bad[0]._bad.startswith("not json")
