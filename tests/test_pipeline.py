@@ -243,3 +243,27 @@ def test_all_fuel_configs_run(spark):
         rows = out.limit(5).collect()
         assert rows, name
         assert all(r["technology"] == cfg.technology for r in rows), name
+
+
+def test_prepare_training_corpus_composition(spark, sf_dir):
+    from gem_data_wrangle_spark.plans.corpus import prepare_training_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    relaxed = {"min_words": 10, "max_dup_word_frac": 0.8}
+    out = prepare_training_corpus(docs, chunk_size=20, chunk_overlap=5, gopher_kwargs=relaxed)
+    n_total = docs.count()
+    n_docs = out["documents"].count()
+    n_rejects = out["rejects"].count()
+    assert 0 < n_docs <= n_total
+    # quality gate partitions the corpus (dedup/weighting only shrink further)
+    assert n_rejects < n_total
+    # chunks reference only surviving documents
+    chunk_ids = {r.doc_id for r in out["chunks"].select("doc_id").distinct().collect()}
+    doc_ids = {r.doc_id for r in out["documents"].select("doc_id").collect()}
+    assert chunk_ids == doc_ids
+    # every surviving doc carries a split and its dup-group size
+    row = out["documents"].first()
+    assert row["split"] in ("train", "val", "test") and row["n_dups"] >= 1
+    # deterministic end to end: a second build yields identical ids
+    again = prepare_training_corpus(docs, chunk_size=20, chunk_overlap=5, gopher_kwargs=relaxed)
+    assert {r.doc_id for r in again["documents"].select("doc_id").collect()} == doc_ids
