@@ -382,3 +382,45 @@ def chunk_documents(
             F.size(chunk).alias("chunk_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# C4-style boilerplate line removal
+# --------------------------------------------------------------------
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_docs: int = 3,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the C4 rule): drop every line
+    that occurs in ≥ ``min_docs`` DISTINCT documents (nav bars, cookie
+    banners, license footers), then reassemble each document from its
+    surviving lines in order.
+
+    Plan shape: posexplode lines (narrow) → distinct (line-hash, doc)
+    → count docs per line-hash (digest-keyed shuffle, never the line
+    text) → anti-join the frequent set → groupBy doc, sort the
+    (pos, line) structs, concat. Two digest shuffles + the reassembly
+    group-by; all JVM array algebra, no UDF.
+    """
+    lines = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_line")
+    ).withColumn("_h", F.md5("_line"))
+    frequent = (
+        lines.select("_h", id_col).distinct()
+        .groupBy("_h").agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_h")
+    )
+    kept = lines.join(frequent, on="_h", how="left_anti")
+    return (
+        kept.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("_pos", "_line"))).alias("_ls"))
+        .select(
+            F.col(id_col),
+            F.array_join(F.transform("_ls", lambda s: s["_line"]), sep).alias(text_col),
+        )
+    )

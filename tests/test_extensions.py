@@ -502,3 +502,20 @@ def test_partition_stats_counts_all_rows(spark):
     out = partition_stats(df).collect()
     assert sum(r.n_rows for r in out) == 1000
     assert len(out) <= 8
+
+
+def test_remove_boilerplate_lines(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "cookie banner\nunique alpha\nfooter text"),
+            (2, "cookie banner\nunique beta\nfooter text"),
+            (3, "cookie banner\nunique gamma\nfooter text"),
+            (4, "standalone doc\nno boilerplate here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.text for r in T.remove_boilerplate_lines(docs, "text", "doc_id", min_docs=3).collect()}
+    assert out[1] == "unique alpha"
+    assert out[2] == "unique beta"
+    assert out[3] == "unique gamma"
+    assert out[4] == "standalone doc\nno boilerplate here"
