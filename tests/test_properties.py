@@ -146,3 +146,59 @@ def test_owner_pct_roundtrip(spark, name, pct):
     assert row["n"] == name.strip()
     assert abs(row["p"] - float(pct) / 100) < 1e-12
     assert row["stripped"] == name
+
+
+_doc_text = st.lists(
+    st.text(alphabet="abcXYZ019,.!", min_size=1, max_size=6),
+    min_size=1, max_size=60,
+).map(" ".join)
+
+
+@given(
+    texts=st.lists(_doc_text, min_size=1, max_size=6),
+    size=st.integers(min_value=2, max_value=12),
+    overlap=st.integers(min_value=0, max_value=6),
+)
+@_SETTINGS
+def test_chunking_reconstructs_documents(spark, texts, size, overlap):
+    """Dropping each non-initial chunk's first `overlap` tokens and
+    concatenating in chunk order must reproduce the document exactly —
+    the lossless-coverage contract of overlapping windows."""
+    from gem_data_wrangle_spark.operators.textops import chunk_documents
+
+    if overlap >= size:
+        overlap = size - 1
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id int, text string")
+    chunks = chunk_documents(df, "text", "doc_id", size=size, overlap=overlap).collect()
+    by_doc = {}
+    for r in sorted(chunks, key=lambda r: (r.doc_id, r.chunk_id)):
+        toks = r.chunk_text.split(" ") if r.chunk_text else []
+        cur = by_doc.setdefault(r.doc_id, [])
+        cur.extend(toks if r.chunk_id == 0 else toks[overlap:])
+    for i, text in enumerate(texts):
+        assert by_doc[i] == text.split(" ")
+
+
+@given(texts=st.lists(st.text(alphabet="aB c,.!?9", max_size=30), min_size=1, max_size=8))
+@_SETTINGS
+def test_canonicalize_idempotent(spark, texts):
+    from gem_data_wrangle_spark.operators.dedup import canonicalize_text
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id int, t string")
+    out = df.select(
+        canonicalize_text(F.col("t")).alias("once"),
+        canonicalize_text(canonicalize_text(F.col("t"))).alias("twice"),
+    ).collect()
+    for r in out:
+        assert r.once == r.twice
+
+
+def test_weighted_sample_partition_layout_invariant(spark):
+    from gem_data_wrangle_spark.operators.sampling import weighted_sample
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97).cast("int").alias("w")
+    )
+    a = {r.doc_id for r in weighted_sample(df, "doc_id", "w", 97).collect()}
+    b = {r.doc_id for r in weighted_sample(df.repartition(13), "doc_id", "w", 97).collect()}
+    assert a == b and a
