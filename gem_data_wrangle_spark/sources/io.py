@@ -293,3 +293,35 @@ def sink_orc(df: DataFrame, path: str, mode: str = "overwrite", partition_by: li
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+
+def sink_parquet_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: str,
+    num_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet layout: ``repartitionByRange`` (sampled
+    range boundaries → one contiguous key range per output file) +
+    ``sortWithinPartitions`` (sorted row groups → tight per-row-group
+    min/max statistics). Downstream scans filtering on ``cluster_by``
+    then skip whole files and row groups via parquet min/max pruning —
+    the data-layout half of scan performance that a plain write
+    throws away."""
+    (
+        df.repartitionByRange(num_files, cluster_by)
+        .sortWithinPartitions(cluster_by)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def scan_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet table whose files were written under several
+    schema versions (``mergeSchema``): the unified schema is the union
+    of all file schemas, with NULLs where a file lacks a column — the
+    contract a long-lived 100 TB table accretes. Costs a footer scan
+    per file; store the merged schema in a catalog once the table is
+    large."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

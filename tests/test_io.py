@@ -157,3 +157,40 @@ def test_jsonl_corrupt_record_quarantine(spark, tmp_path):
     bad = [r for r in rows if r._bad is not None]
     assert sorted(r.doc_id for r in good) == [1, 2]
     assert len(bad) == 1 and bad[0]._bad.startswith("not json")
+
+
+def test_clustered_sink_disjoint_file_ranges(spark, tmp_path):
+    """Range clustering must put one contiguous key range per file so
+    min/max pruning can skip whole files."""
+    import glob as globmod
+
+    from gem_data_wrangle_spark.sources.io import sink_parquet_clustered
+
+    df = spark.range(10_000).selectExpr("id", "id % 977 AS payload")
+    path = str(tmp_path / "clustered")
+    sink_parquet_clustered(df, path, "id", num_files=4)
+    files = sorted(globmod.glob(f"{path}/part-*.parquet"))
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        part = spark.read.parquet(f).agg(
+            {"id": "min"}
+        ).collect()[0][0], spark.read.parquet(f).agg({"id": "max"}).collect()[0][0]
+        ranges.append(part)
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint, contiguous ranges
+
+
+def test_scan_parquet_evolving_merges_schemas(spark, tmp_path):
+    from gem_data_wrangle_spark.sources.io import scan_parquet_evolving
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id bigint, v string").write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, v string, score double"
+    ).write.mode("append").parquet(path)
+    df = scan_parquet_evolving(spark, path)
+    assert set(df.columns) == {"id", "v", "score"}
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows == {1: None, 2: 9.5}
