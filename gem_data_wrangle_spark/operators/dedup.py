@@ -329,3 +329,40 @@ def semdedup(
         .distinct()
     )
     return cells.select(id_col, "cell").join(dominated, on=id_col, how="left_anti")
+
+
+# --------------------------------------------------------------------
+# incremental dedup against a persistent digest index
+# --------------------------------------------------------------------
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    index: DataFrame | None,
+    text_col: str,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental corpus building: drop arriving documents whose text
+    digest is already in the historical index, then dedup the batch
+    internally; returns ``(fresh_docs, updated_index)``.
+
+    The index holds ONE 16-byte digest per historical document — never
+    text — so ten years of a 100 TB/day crawl stays a compact
+    digest-keyed anti-join (and the index parquet can itself be
+    range-clustered on the digest for pruning). ``updated_index`` is
+    lazy; persist it with the same sink as any table.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    digest = F.md5(F.col(text_col))
+    batch = new_docs.withColumn("_h", digest)
+    batch = batch.withColumn(
+        "_rn",
+        F.row_number().over(Window.partitionBy("_h").orderBy(id_col)),
+    ).filter(F.col("_rn") == 1).drop("_rn")
+    if index is not None:
+        fresh = batch.join(index.select(F.col("digest").alias("_h")), on="_h", how="left_anti")
+        updated = index.unionByName(fresh.select(F.col("_h").alias("digest")))
+    else:
+        fresh = batch
+        updated = fresh.select(F.col("_h").alias("digest"))
+    return fresh.drop("_h"), updated

@@ -132,3 +132,74 @@ def sample_frames(media: DataFrame, every_n: int, frame_size: int = 64) -> DataF
             )
 
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+# --------------------------------------------------------------------
+# REAL header metadata: PNG / JPEG / GIF dimensions from raw bytes —
+# container header parsing needs no codec library, so unlike the
+# decode stub above this path is fully functional.
+# --------------------------------------------------------------------
+
+def _parse_dimensions(payload: bytes) -> tuple[str | None, int | None, int | None]:
+    """(format, width, height) from the container header, or Nones.
+
+    PNG: IHDR is always the first chunk — width/height are big-endian
+    uint32 at bytes 16..24. GIF87a/89a: little-endian uint16 at 6..10.
+    JPEG: walk the marker stream to the first SOF0-SOF15 frame header
+    (height then width, big-endian uint16 at offsets 3/5 past the
+    marker length field).
+    """
+    try:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+            w = int.from_bytes(payload[16:20], "big")
+            h = int.from_bytes(payload[20:24], "big")
+            return "png", w, h
+        if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+            w = int.from_bytes(payload[6:8], "little")
+            h = int.from_bytes(payload[8:10], "little")
+            return "gif", w, h
+        if payload[:2] == b"\xff\xd8":  # JPEG SOI
+            i = 2
+            while i + 9 < len(payload):
+                if payload[i] != 0xFF:
+                    break
+                marker = payload[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                    w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                    return "jpeg", w, h
+                i += 2 + seg_len
+    except (IndexError, ValueError):
+        pass
+    return None, None, None
+
+
+IMAGE_META_SCHEMA = "id bigint, format string, width int, height int"
+
+
+def image_dimensions(media: DataFrame, id_col: str = "id", media_col: str = "media") -> DataFrame:
+    """Per-image container format + pixel dimensions, parsed from the
+    raw bytes with no codec dependency. Arrow-batched ``mapInPandas``
+    like every multimodal path — constant memory, header-only reads
+    (the payload tail is never touched)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = [
+                _parse_dimensions(bytes(b)) if b is not None else (None, None, None)
+                for b in pdf[media_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "format": [p[0] for p in parsed],
+                    "width": pd.array([p[1] for p in parsed], dtype="Int32"),
+                    "height": pd.array([p[2] for p in parsed], dtype="Int32"),
+                }
+            )
+
+    return media.mapInPandas(batches, IMAGE_META_SCHEMA)

@@ -519,3 +519,40 @@ def test_remove_boilerplate_lines(spark):
     assert out[2] == "unique beta"
     assert out[3] == "unique gamma"
     assert out[4] == "standalone doc\nno boilerplate here"
+
+
+def test_image_dimensions_real_header_parsing(spark):
+    png = (
+        b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+        + (640).to_bytes(4, "big") + (480).to_bytes(4, "big") + b"\x08\x02\x00\x00\x00"
+    )
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00" * 4
+    jpeg = (
+        b"\xff\xd8"                                   # SOI
+        + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9  # APP0
+        + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (1080).to_bytes(2, "big") + (1920).to_bytes(2, "big") + b"\x03" + b"\x00" * 9
+    )
+    rows = [(1, bytearray(png)), (2, bytearray(gif)), (3, bytearray(jpeg)), (4, bytearray(b"junk"))]
+    df = spark.createDataFrame(rows, "id bigint, media binary")
+    out = {r.id: (r.format, r.width, r.height) for r in M.image_dimensions(df).collect()}
+    assert out[1] == ("png", 640, 480)
+    assert out[2] == ("gif", 320, 200)
+    assert out[3] == ("jpeg", 1920, 1080)
+    assert out[4] == (None, None, None)
+
+
+def test_dedup_against_index_incremental(spark):
+    day1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], ["doc_id", "text"]
+    )
+    fresh1, idx1 = D.dedup_against_index(day1, None, "text", "doc_id")
+    assert sorted(r.doc_id for r in fresh1.collect()) == [1, 2]
+    idx1 = idx1.cache()
+    assert idx1.count() == 2
+    day2 = spark.createDataFrame(
+        [(10, "beta"), (11, "gamma"), (12, "gamma")], ["doc_id", "text"]
+    )
+    fresh2, idx2 = D.dedup_against_index(day2, idx1, "text", "doc_id")
+    assert sorted(r.doc_id for r in fresh2.collect()) == [11]
+    assert idx2.count() == 3
