@@ -203,3 +203,70 @@ def image_dimensions(media: DataFrame, id_col: str = "id", media_col: str = "med
             )
 
     return media.mapInPandas(batches, IMAGE_META_SCHEMA)
+
+
+def _parse_media_meta(payload: bytes) -> tuple[str | None, int | None, float | None]:
+    """(format, sample_rate_or_timescale, duration_seconds) for WAV
+    (RIFF fmt/data chunks) and MP4 (moov/mvhd box) containers — again
+    pure header arithmetic, no codec.
+    """
+    try:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            i, rate, byte_rate, data_len = 12, None, None, None
+            while i + 8 <= len(payload):
+                cid = payload[i : i + 4]
+                clen = int.from_bytes(payload[i + 4 : i + 8], "little")
+                if cid == b"fmt " and i + 16 + 8 <= len(payload):
+                    rate = int.from_bytes(payload[i + 12 : i + 16], "little")
+                    byte_rate = int.from_bytes(payload[i + 16 : i + 20], "little")
+                elif cid == b"data":
+                    data_len = clen
+                i += 8 + clen + (clen % 2)
+            if rate and byte_rate and data_len is not None:
+                return "wav", rate, round(data_len / byte_rate, 6)
+        if len(payload) >= 12 and payload[4:8] == b"ftyp":
+            i = 0
+            while i + 8 <= len(payload):
+                blen = int.from_bytes(payload[i : i + 4], "big")
+                btype = payload[i + 4 : i + 8]
+                if btype == b"moov":
+                    j = i + 8
+                    while j + 8 <= i + blen and j + 8 <= len(payload):
+                        slen = int.from_bytes(payload[j : j + 4], "big")
+                        if payload[j + 4 : j + 8] == b"mvhd" and j + 28 <= len(payload):
+                            timescale = int.from_bytes(payload[j + 20 : j + 24], "big")
+                            duration = int.from_bytes(payload[j + 24 : j + 28], "big")
+                            if timescale:
+                                return "mp4", timescale, round(duration / timescale, 6)
+                        j += max(slen, 8)
+                if blen < 8:
+                    break
+                i += blen
+    except (IndexError, ValueError, ZeroDivisionError):
+        pass
+    return None, None, None
+
+
+AV_META_SCHEMA = "id bigint, format string, rate int, duration double"
+
+
+def av_metadata(media: DataFrame, id_col: str = "id", media_col: str = "media") -> DataFrame:
+    """WAV sample rate + duration and MP4 timescale + duration from the
+    container headers — Arrow-batched, header-only, codec-free."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = [
+                _parse_media_meta(bytes(b)) if b is not None else (None, None, None)
+                for b in pdf[media_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "format": [p[0] for p in parsed],
+                    "rate": pd.array([p[1] for p in parsed], dtype="Int32"),
+                    "duration": pd.array([p[2] for p in parsed], dtype="Float64"),
+                }
+            )
+
+    return media.mapInPandas(batches, AV_META_SCHEMA)

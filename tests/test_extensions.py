@@ -556,3 +556,28 @@ def test_dedup_against_index_incremental(spark):
     fresh2, idx2 = D.dedup_against_index(day2, idx1, "text", "doc_id")
     assert sorted(r.doc_id for r in fresh2.collect()) == [11]
     assert idx2.count() == 3
+
+
+def test_av_metadata_header_parsing(spark):
+    # minimal valid WAV: RIFF/WAVE + fmt (16 bytes) + data chunk
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (2).to_bytes(2, "little")      # PCM, stereo
+        + (44100).to_bytes(4, "little") + (176400).to_bytes(4, "little")
+        + (4).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    data = b"data" + (352800).to_bytes(4, "little")  # 2.0 s of audio
+    wav = b"RIFF" + (4 + len(fmt) + len(data)).to_bytes(4, "little") + b"WAVE" + fmt + data
+    # minimal MP4: ftyp box + moov>mvhd with timescale 600, duration 1800 (3 s)
+    ftyp = (16).to_bytes(4, "big") + b"ftypisom" + b"\x00" * 4
+    mvhd = (32).to_bytes(4, "big") + b"mvhd" + b"\x00" * 12 + (600).to_bytes(4, "big") + (1800).to_bytes(4, "big")
+    moov = (8 + len(mvhd)).to_bytes(4, "big") + b"moov" + mvhd
+    mp4 = ftyp + moov
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(mp4)), (3, bytearray(b"xx"))],
+        "id bigint, media binary",
+    )
+    out = {r.id: (r.format, r.rate, r.duration) for r in M.av_metadata(df).collect()}
+    assert out[1] == ("wav", 44100, 2.0)
+    assert out[2] == ("mp4", 600, 3.0)
+    assert out[3] == (None, None, None)
