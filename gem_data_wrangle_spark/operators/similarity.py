@@ -229,3 +229,32 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select(probe_id, "neighbor_id", "rank")
     )
+
+
+def mean_pool_vectors(
+    df: DataFrame,
+    vec_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Element-wise mean of ``array<double>`` vectors per group — the
+    chunk-embeddings→document-embedding pooling step (and the reduce
+    half of a distributed KMeans centroid update).
+
+    Shape: ``posexplode`` the vectors (narrow), average per (group,
+    position) — ONE shuffle keyed by (group, pos), partial aggregation
+    map-side — then reassemble the array with ``array_sort`` over
+    (pos, value) structs. No UDF, no driver collection; vector width
+    only multiplies the narrow explode, not the shuffle count.
+    """
+    exploded = df.select(
+        F.col(group_col), F.posexplode(as_double_array(vec_col)).alias("_pos", "_x")
+    )
+    per_pos = exploded.groupBy(group_col, "_pos").agg(F.avg("_x").alias("_m"))
+    return (
+        per_pos.groupBy(group_col)
+        .agg(F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_pm"))
+        .select(
+            F.col(group_col),
+            F.transform("_pm", lambda s: s["_m"]).alias("mean_" + vec_col),
+        )
+    )

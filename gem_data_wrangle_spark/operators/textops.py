@@ -424,3 +424,45 @@ def remove_boilerplate_lines(
             F.array_join(F.transform("_ls", lambda s: s["_line"]), sep).alias(text_col),
         )
     )
+
+
+# --------------------------------------------------------------------
+# unigram LM scoring (CCNet-style poor-man's perplexity filter)
+# --------------------------------------------------------------------
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Mean per-token unigram log-probability under the corpus's own
+    empirical distribution — the cheap stand-in for CCNet's LM
+    perplexity filter: documents full of globally-rare tokens (mojibake,
+    boilerplate hashes, wrong-language text) score far below the corpus
+    mode and can be cut at a percentile.
+
+    Plan: one explode→count to build the (token, count) frequency table
+    (vocabulary-sized), a broadcast-friendly equi-join of tokens to
+    counts, then a per-doc mean of log(count+s) − log(N+s·|V|). Two
+    aggregation shuffles; the frequency table, not the corpus, is the
+    join's build side.
+    """
+    toks = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("_tok"))
+    freq = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cnt"))
+    totals = freq.agg(
+        F.sum("_cnt").alias("_n"), F.count(F.lit(1)).alias("_v")
+    )
+    scored = (
+        toks.join(freq, on="_tok")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            (F.log(F.col("_cnt") + F.lit(smoothing))
+             - F.log(F.col("_n") + F.lit(smoothing) * F.col("_v"))).alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("_lp"), 6).alias("mean_token_logprob"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )

@@ -581,3 +581,28 @@ def test_av_metadata_header_parsing(spark):
     assert out[1] == ("wav", 44100, 2.0)
     assert out[2] == ("mp4", 600, 3.0)
     assert out[3] == (None, None, None)
+
+
+def test_unigram_logprob_orders_rarity(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "common common rareword common"),
+            (3, "zxqj vvkp qqrr zzyy"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.mean_token_logprob for r in
+           T.unigram_logprob_scores(docs, "text", "doc_id").collect()}
+    # all-common doc scores highest; all-rare doc scores lowest
+    assert out[1] > out[2] > out[3]
+
+
+def test_mean_pool_vectors(spark):
+    df = spark.createDataFrame(
+        [("d1", [1.0, 2.0]), ("d1", [3.0, 6.0]), ("d2", [5.0, 5.0])],
+        ["doc", "embedding"],
+    )
+    out = {r.doc: r.mean_embedding for r in V.mean_pool_vectors(df, "embedding", "doc").collect()}
+    assert out["d1"] == [2.0, 4.0]
+    assert out["d2"] == [5.0, 5.0]
