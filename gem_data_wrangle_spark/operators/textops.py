@@ -466,3 +466,51 @@ def unigram_logprob_scores(
         F.round(F.avg("_lp"), 6).alias("mean_token_logprob"),
         F.count(F.lit(1)).alias("n_tokens"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 document scores for a term query — TF saturation
+    (``k1``) and length normalization (``b``) on top of the same
+    explode/aggregate plumbing as ``tf_idf``. Per-document score =
+    Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len/avglen)).
+
+    The query-term filter lands right after the explode, so only
+    matching postings ever reach a shuffle; corpus stats (N, avgdl)
+    ride along as a broadcast scalar row.
+    """
+    toks = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term"))
+    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(query_terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    contrib = (
+        tf.join(dfreq, on="term")
+        .join(doclen, on=id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(
+                (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0
+            ),
+        )
+        .withColumn(
+            "_score",
+            F.col("_idf")
+            * (F.col("_tf") * (k1 + 1))
+            / (F.col("_tf") + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl"))),
+        )
+    )
+    return contrib.groupBy(id_col).agg(F.sum("_score").alias("bm25"))

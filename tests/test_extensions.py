@@ -606,3 +606,20 @@ def test_mean_pool_vectors(spark):
     out = {r.doc: r.mean_embedding for r in V.mean_pool_vectors(df, "embedding", "doc").collect()}
     assert out["d1"] == [2.0, 4.0]
     assert out["d2"] == [5.0, 5.0]
+
+
+def test_bm25_ranks_relevance(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle join spark spark"),
+            (2, "spark appears once here only"),
+            (3, "nothing relevant in this document at all whatsoever truly"),
+            (4, "spark spark spark spark spark spark spark spark spark spark"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.bm25 for r in T.bm25_scores(docs, "text", "doc_id", ["spark"]).collect()}
+    assert 3 not in out                 # no posting -> no row
+    assert out[1] > out[2]              # higher tf wins
+    # saturation: 10x tf in a longer doc must NOT score 10x
+    assert out[4] < out[1] * 3
