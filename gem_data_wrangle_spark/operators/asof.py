@@ -156,3 +156,56 @@ def range_join_binned(
         (pt >= lo) & (pt < hi)
     )
     return joined.drop("_bin")
+
+
+def resample_timeseries(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_cols: list[str],
+    step: str = "1 hour",
+) -> DataFrame:
+    """Regularize an irregular time series: per key, generate the
+    uniform ``step`` grid spanning that key's observed range, then
+    carry each value forward from the latest observation at or before
+    the grid tick (gap filling; the batch twin of a ticking stream).
+
+    Plan: per-key min/max agg (one shuffle) → ``explode(sequence(...))``
+    grid (narrow) → the union+carry-forward-window as-of mechanic (one
+    more key shuffle, no self-join). Grid size is bounded per key by
+    its own time range — nothing global, nothing driver-side.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    span = df.groupBy(key_col).agg(
+        F.min(ts_col).alias("_t0"), F.max(ts_col).alias("_t1")
+    )
+    grid = span.select(
+        F.col(key_col),
+        F.explode(
+            F.sequence(F.col("_t0"), F.col("_t1"), F.expr(f"INTERVAL {step}"))
+        ).alias(ts_col),
+    )
+    obs = df.select(
+        F.col(key_col), F.col(ts_col),
+        F.lit(0).alias("_is_grid"),
+        *[F.col(c) for c in value_cols],
+    )
+    ticks = grid.select(
+        F.col(key_col), F.col(ts_col),
+        F.lit(1).alias("_is_grid"),
+        *[F.lit(None).cast(df.schema[c].dataType).alias(c) for c in value_cols],
+    )
+    merged = obs.unionByName(ticks)
+    # observations sort before a same-timestamp grid tick, so the tick
+    # picks up the value AT its own timestamp too
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, "_is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = merged.select(
+        F.col(key_col), F.col(ts_col), F.col("_is_grid"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+    )
+    return filled.filter(F.col("_is_grid") == 1).drop("_is_grid")

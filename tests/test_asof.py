@@ -84,3 +84,31 @@ def test_range_join_spans_multiple_bins(spark):
     # tiny bins: the interval fans out to 100 bins, the match still lands
     out = range_join_binned(points, intervals, "x", "lo", "hi", bin_width=1.0)
     assert [(r["pid"], r["iid"]) for r in out.collect()] == [(1, 9)]
+
+
+def test_resample_timeseries_carry_forward(spark):
+    import datetime as dt
+
+    from gem_data_wrangle_spark.operators.asof import resample_timeseries
+
+    t = dt.datetime(2024, 1, 1, 0, 0, 0)
+    df = spark.createDataFrame(
+        [
+            ("s1", t, 10.0),
+            ("s1", t + dt.timedelta(minutes=90), 20.0),
+            ("s1", t + dt.timedelta(hours=4), 30.0),
+            ("s2", t + dt.timedelta(hours=1), 5.0),
+        ],
+        "key string, ts timestamp, v double",
+    )
+    out = resample_timeseries(df, "key", "ts", ["v"], step="1 hour")
+    rows = {(r.key, r.ts.hour): r.v for r in out.collect()}
+    # s1 grid: 00..04 — 01 carries 10.0 (obs at 01:30 is later), 02..03 carry 20.0
+    assert rows[("s1", 0)] == 10.0
+    assert rows[("s1", 1)] == 10.0
+    assert rows[("s1", 2)] == 20.0
+    assert rows[("s1", 3)] == 20.0
+    assert rows[("s1", 4)] == 30.0
+    # s2: single point -> single tick with its own value
+    assert rows[("s2", 1)] == 5.0
+    assert len(rows) == 6

@@ -623,3 +623,44 @@ def test_bm25_ranks_relevance(spark):
     assert out[1] > out[2]              # higher tf wins
     # saturation: 10x tf in a longer doc must NOT score 10x
     assert out[4] < out[1] * 3
+
+
+def test_points_within_radius_grid_join(spark):
+    from gem_data_wrangle_spark.operators.geo import haversine_km, points_within_radius
+
+    plants = spark.createDataFrame(
+        [
+            (1, 48.8566, 2.3522),    # Paris
+            (2, 48.8606, 2.3376),    # Louvre (~1.2 km from Notre-Dame-ish)
+            (3, 51.5074, -0.1278),   # London
+            (4, 48.80, 2.35),        # ~6 km south of Paris center
+        ],
+        ["pid", "lat", "lon"],
+    )
+    a = plants.selectExpr("pid AS id_a", "lat", "lon")
+    b = plants.selectExpr("pid AS id_b", "lat", "lon")
+    pairs = points_within_radius(a, b, radius_km=10.0)
+    got = {(r.id_a, r.id_b) for r in pairs.collect() if r.id_a < r.id_b}
+    assert got == {(1, 2), (1, 4), (2, 4)}  # London out of range
+    # exact distance sanity: Paris-London ~343 km
+    d = plants.limit(0)
+    from pyspark.sql import functions as FF
+    dist = spark.createDataFrame([(48.8566, 2.3522, 51.5074, -0.1278)], "a double, b double, c double, d double") \
+        .select(haversine_km(FF.col("a"), FF.col("b"), FF.col("c"), FF.col("d")).alias("km")).first()["km"]
+    assert 335 < dist < 350
+
+
+def test_fuzzy_dim_match_typos(spark):
+    from gem_data_wrangle_spark.operators.joins import fuzzy_dim_match
+
+    facts = spark.createDataFrame(
+        [("Electricite de Franse",), ("RWE AG",), ("Unrelated Co",)], ["owner"]
+    )
+    dim = spark.createDataFrame(
+        [("Electricite de France",), ("RWE AG",), ("Enel SpA",)], ["company"]
+    )
+    out = {r.owner: (r.company_matched, r.edit_distance)
+           for r in fuzzy_dim_match(facts, dim, "owner", "company", max_distance=2).collect()}
+    assert out["electricite de franse"] == ("electricite de france", 1)
+    assert out["rwe ag"] == ("rwe ag", 0)
+    assert "unrelated co" not in out
