@@ -232,3 +232,54 @@ def surrogate_ids(
         .withColumn(id_col, F.format_string(prefix_format, F.row_number().over(w)))
     )
     return df.join(F.broadcast(dim), on=name_col, how="left")
+
+
+def upsert_snapshot(current: DataFrame, updates: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Plain-parquet UPSERT: rows from ``updates`` replace same-key rows
+    in ``current``; unmatched current rows survive. One anti-join +
+    union — pair with ``sink_parquet_replace_partitions`` to rewrite
+    only the touched partitions of a 100 TB table.
+    """
+    survivors = current.join(updates.select(*key_cols), on=key_cols, how="left_anti")
+    return survivors.unionByName(updates)
+
+
+def scd2_from_snapshots(
+    snapshots: DataFrame,
+    key_cols: list[str],
+    snapshot_col: str,
+    tracked_cols: list[str],
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history from periodic full
+    snapshots (the tracker-release pattern: GEM publishes a full xlsx
+    every release; owners/statuses drift between releases): collapse
+    consecutive snapshots with identical tracked values into one
+    validity interval per key — ``valid_from`` inclusive, ``valid_to``
+    exclusive (NULL = current).
+
+    Plan: one window per key ordered by snapshot (lag to detect
+    change), a running change-count to group rows into intervals, then
+    one aggregation — two passes over one key-partitioned shuffle, no
+    self-join.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy(*key_cols).orderBy(snapshot_col)
+    tracked = F.struct(*[F.col(c) for c in tracked_cols])
+    changed = (
+        F.lag(tracked).over(w).isNull() | (F.lag(tracked).over(w) != tracked)
+    ).cast("int")
+    grouped = snapshots.withColumn(
+        "_chg",
+        F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    intervals = grouped.groupBy(*key_cols, "_chg").agg(
+        *[F.first(c).alias(c) for c in tracked_cols],
+        F.min(snapshot_col).alias("valid_from"),
+        F.max(snapshot_col).alias("_last_seen"),
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy("valid_from")
+    return (
+        intervals.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .drop("_chg", "_last_seen")
+    )

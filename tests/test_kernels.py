@@ -176,3 +176,33 @@ def test_bucketed_join_elides_exchange(spark, tmp_path):
     assert "Exchange hashpartitioning" not in plan
     spark.sql("DROP TABLE IF EXISTS t_bucket_a")
     spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+
+
+def test_upsert_snapshot(spark):
+    from gem_data_wrangle_spark.operators.kernels import upsert_snapshot
+
+    cur = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    upd = spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"])
+    out = {r.k: r.v for r in upsert_snapshot(cur, upd, ["k"]).collect()}
+    assert out == {1: "a", 2: "B", 3: "c"}
+
+
+def test_scd2_from_snapshots(spark):
+    from gem_data_wrangle_spark.operators.kernels import scd2_from_snapshots
+
+    snaps = spark.createDataFrame(
+        [
+            ("plant1", "2022", "OwnerA"),
+            ("plant1", "2023", "OwnerA"),
+            ("plant1", "2024", "OwnerB"),
+            ("plant2", "2023", "OwnerX"),
+            ("plant2", "2024", "OwnerX"),
+        ],
+        ["asset", "release", "owner"],
+    )
+    hist = scd2_from_snapshots(snaps, ["asset"], "release", ["owner"])
+    rows = {(r.asset, r.owner): (r.valid_from, r.valid_to) for r in hist.collect()}
+    assert rows[("plant1", "OwnerA")] == ("2022", "2024")
+    assert rows[("plant1", "OwnerB")] == ("2024", None)
+    assert rows[("plant2", "OwnerX")] == ("2023", None)
+    assert len(rows) == 3
