@@ -325,3 +325,35 @@ def scan_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
     per file; store the merged schema in a catalog once the table is
     large."""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_files: int,
+    cluster_by: str | None = None,
+) -> None:
+    """Small-files compaction — the maintenance job every long-lived
+    table needs once streaming/incremental writers have fragmented it
+    (each tiny file costs a scan task + a footer read; 100k files of
+    1 MB is a planner stall). Rewrites to ``target_files`` outputs,
+    optionally re-clustering on a key while at it (free locality since
+    the data is being rewritten anyway)."""
+    df = spark.read.parquet(path)
+    if cluster_by is not None:
+        df.repartitionByRange(target_files, cluster_by).sortWithinPartitions(
+            cluster_by
+        ).write.mode("overwrite").parquet(out_path)
+    else:
+        df.repartition(target_files).write.mode("overwrite").parquet(out_path)
+
+
+def with_provenance(df: DataFrame, col_name: str = "_source_file") -> DataFrame:
+    """Row-level lineage: attach the source file path each row was read
+    from (``input_file_name``) — the quarantine/debug handle when a bad
+    upstream shard poisons a 100 TB table ("which file did this row
+    come from?"). Zero-cost: the value is already in the scan context."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    return df.withColumn(col_name, F.input_file_name())

@@ -194,3 +194,27 @@ def test_scan_parquet_evolving_merges_schemas(spark, tmp_path):
     assert set(df.columns) == {"id", "v", "score"}
     rows = {r.id: r.score for r in df.collect()}
     assert rows == {1: None, 2: 9.5}
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    import glob as globmod
+
+    from gem_data_wrangle_spark.sources.io import compact_parquet
+
+    frag = str(tmp_path / "fragmented")
+    compacted = str(tmp_path / "compacted")
+    spark.range(1000).repartition(20).write.parquet(frag)
+    assert len(globmod.glob(f"{frag}/part-*.parquet")) == 20
+    compact_parquet(spark, frag, compacted, target_files=2)
+    assert len(globmod.glob(f"{compacted}/part-*.parquet")) == 2
+    assert spark.read.parquet(compacted).count() == 1000
+
+
+def test_with_provenance_names_source_file(spark, tmp_path):
+    from gem_data_wrangle_spark.sources.io import with_provenance
+
+    p = str(tmp_path / "prov")
+    spark.range(10).write.parquet(p)
+    out = with_provenance(spark.read.parquet(p))
+    files = {r["_source_file"] for r in out.collect()}
+    assert files and all("prov" in f and f.endswith(".parquet") for f in files)
