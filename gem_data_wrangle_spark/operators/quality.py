@@ -72,3 +72,45 @@ def partition_stats(df: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .withColumnRenamed("_pid", "partition_id")
     )
+
+
+def iqr_outlier_flags(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] | None = None,
+    k: float = 1.5,
+) -> DataFrame:
+    """Tukey IQR outlier flags: value outside [q1 − k·IQR, q3 + k·IQR],
+    computed per group (or globally) — the standard numeric-sanity
+    gate before a measure feeds an aggregate. One aggregation for the
+    quartiles + a broadcast-friendly join back; exact ``percentile``
+    (not approx) so the flag is deterministic.
+    """
+    keys = list(group_cols or [])
+    q = F.expr(f"percentile({value_col}, array(0.25, 0.75))")
+    if keys:
+        bounds = df.groupBy(*keys).agg(q.alias("_q"))
+    else:
+        bounds = df.groupBy().agg(q.alias("_q"))
+    bounds = bounds.select(
+        *keys,
+        (F.col("_q")[0] - k * (F.col("_q")[1] - F.col("_q")[0])).alias("_lo"),
+        (F.col("_q")[1] + k * (F.col("_q")[1] - F.col("_q")[0])).alias("_hi"),
+    )
+    joined = df.join(F.broadcast(bounds), on=keys) if keys else df.crossJoin(F.broadcast(bounds))
+    return joined.withColumn(
+        "is_outlier",
+        (F.col(value_col) < F.col("_lo")) | (F.col(value_col) > F.col("_hi")),
+    ).drop("_lo", "_hi")
+
+
+def pseudonymize(df: DataFrame, cols: Sequence[str], salt: str = "") -> DataFrame:
+    """Deterministic pseudonymization of identifier columns (md5 of the
+    salted value): referential integrity survives — the same input maps
+    to the same token across tables and runs with the same salt — but
+    the raw identifier leaves the dataset. The join-safe complement to
+    ``textops.scrub_pii``'s free-text scrubbing."""
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.md5(F.concat(F.lit(salt), F.col(c).cast("string"))))
+    return out

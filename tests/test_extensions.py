@@ -664,3 +664,24 @@ def test_fuzzy_dim_match_typos(spark):
     assert out["electricite de franse"] == ("electricite de france", 1)
     assert out["rwe ag"] == ("rwe ag", 0)
     assert "unrelated co" not in out
+
+
+def test_iqr_outlier_flags(spark):
+    from gem_data_wrangle_spark.operators.quality import iqr_outlier_flags
+
+    vals = [(i, float(v)) for i, v in enumerate([10, 11, 12, 11, 10, 12, 11, 500])]
+    df = spark.createDataFrame(vals, ["id", "v"])
+    out = {r.id: r.is_outlier for r in iqr_outlier_flags(df, "v").collect()}
+    assert out[7] is True
+    assert sum(out.values()) == 1
+
+
+def test_pseudonymize_referential_integrity(spark):
+    from gem_data_wrangle_spark.operators.quality import pseudonymize
+
+    a = pseudonymize(spark.createDataFrame([(7, "x")], ["uid", "v"]), ["uid"], salt="s")
+    b = pseudonymize(spark.createDataFrame([(7, "y")], ["uid", "w"]), ["uid"], salt="s")
+    ta, tb = a.first()["uid"], b.first()["uid"]
+    assert ta == tb and len(ta) == 32 and ta != "7"
+    c = pseudonymize(spark.createDataFrame([(7, "x")], ["uid", "v"]), ["uid"], salt="other")
+    assert c.first()["uid"] != ta
