@@ -215,22 +215,51 @@ def surrogate_ids(
 
     The reference draws seeded random 8-digit numbers for the distinct
     names; the semantics that matter are *deterministic, unique, stable
-    within a run* — not the values. Implemented as a dense
-    ``row_number`` over the distinct names ordered by name.
+    within a run* — not the values. Implemented as a dense global
+    numbering of the distinct names ordered by name, computed in two
+    phases so no stage funnels through a single partition:
 
-    Scale note: the global window funnels the *distinct names* (not the
-    rows) through one partition. Company-name cardinality is bounded
-    (~10^4..10^6) so this is fine; for unbounded keys switch to
-    ``xxhash64(name)`` (collision-checked) — documented alternative,
-    same call site.
+    1. range-partition the distinct names by ``name_col`` (partition
+       order == name order), number each partition locally with a
+       ``row_number`` window keyed on ``spark_partition_id()``;
+    2. collect the per-partition counts (one bounded action over
+       ``|shuffle partitions|`` rows — the same contract as
+       ``RDD.zipWithIndex``), turn the exclusive prefix sums into a
+       literal map, and add ``offset + local row_number``.
+
+    Every shuffle is distributed (range exchange + one hash exchange on
+    the partition id); the old single global ``Window.orderBy`` — an
+    ``Exchange SinglePartition`` scale-killer on unbounded keys — is
+    gone (asserted in ``tests/test_plans.py``).
     """
-    w = Window.orderBy(name_col)
-    dim = (
-        df.select(name_col)
-        .where(F.col(name_col).isNotNull())
-        .distinct()
-        .withColumn(id_col, F.format_string(prefix_format, F.row_number().over(w)))
+    names = (
+        df.select(name_col).where(F.col(name_col).isNotNull()).distinct()
     )
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = names.repartitionByRange(n_parts, F.col(name_col).asc()).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "_rn", F.row_number().over(Window.partitionBy("_pid").orderBy(name_col))
+    )
+    counts = {
+        r["_pid"]: r["_cnt"]
+        for r in local.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect()
+    }
+    offsets, running = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = running
+        running += counts[pid]
+    off_map = F.create_map(
+        *[lit for pid, off in offsets.items() for lit in (F.lit(pid), F.lit(off))]
+    )
+    dim = local.withColumn(
+        id_col,
+        F.format_string(
+            prefix_format, F.element_at(off_map, F.col("_pid")) + F.col("_rn")
+        ),
+    ).drop("_pid", "_rn")
     return df.join(F.broadcast(dim), on=name_col, how="left")
 
 

@@ -109,6 +109,15 @@ def test_lsh_topk_builds_plan_without_running_jobs(spark):
     assert out.count() >= 0  # the plan is actually runnable
 
 
+def test_surrogate_ids_has_no_single_partition_exchange(spark, sf_dir):
+    """The two-phase numbering must never funnel the distinct names
+    through one partition (the r2 verdict's scale-killer): every
+    exchange in the plan is a distributed range/hash partitioning."""
+    plan = _plan(spark, "surrogate_ids", sf_dir)
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" not in plan or "PartitionBy: []" not in plan
+
+
 def test_chunk_documents_is_map_only(spark, sf_dir):
     plan = _plan(spark, "chunk_documents", sf_dir)
     assert "Generate explode(sequence" in plan
