@@ -1939,6 +1939,284 @@ def _q_gem_gasoil_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# flagship #4-#8: the remaining five per-fuel pipelines
+# (GEM/nuclearplants_GEM.R, solarplants_GEM.R, windplants_GEM.R,
+# bioenergyplants_GEM.R, geothermalplants_GEM.R). All five are
+# hydro-family variants (4-status whitelist incl. pre-construction,
+# start-year imputation, equal-share ownership, [NN%] grammar) but each
+# synth exercises that fuel's distinctive surface:
+#   nuclear    — "Retirement Year" column zeroes the expanded series
+#                (incl. a >2050 horizon-gated retirement), "Start Year"
+#   solar      — forced-text ingest (solarplants_GEM.R:12-23): decimal
+#                capacities arrive as text and re-cast in-pipeline;
+#                country column is "Country"
+#   wind       — ">0" capacity sentinel rows prove the global replace
+#                runs BEFORE the capacity filter (drop order parity)
+#   bioenergy  — "Owner(s)" column + bare-percent owner parts that the
+#                [NN%] grammar must NOT match (equal-share fallback)
+#   geothermal — "GEM unit ID" + vanilla defaults (config wiring proof)
+# Each is mirrored by a per-fuel DuckDB oracle generated from the same
+# template so the per-fuel config knobs are value-checked end-to-end.
+# --------------------------------------------------------------------
+_FUEL_CAP_STD = (
+    "CASE WHEN o_orderkey % 97 = 0 THEN 'N/A'"
+    " WHEN o_orderkey % 43 = 0 THEN '0'"
+    " ELSE CAST(o_orderkey % 500 AS {S}) END"
+)
+_FUEL_CAP_SOLAR = (
+    "CASE WHEN o_orderkey % 97 = 0 THEN 'N/A'"
+    " WHEN o_orderkey % 43 = 0 THEN '0.0'"
+    " ELSE {DECIMAL} END"
+)
+_FUEL_CAP_WIND = (
+    "CASE WHEN o_orderkey % 97 = 0 THEN 'N/A'"
+    " WHEN o_orderkey % 43 = 0 THEN '0'"
+    " WHEN o_orderkey % 29 = 0 THEN '>0'"
+    " ELSE CAST(o_orderkey % 500 AS {S}) END"
+)
+_FUEL_OWNER_STD = (
+    "CASE {M3}"
+    " WHEN 0 THEN {O40}"
+    " WHEN 1 THEN {O100}"
+    " ELSE {O_NOPCT} END"
+)
+# bioenergy: a 4th arm with BARE percents ('Owner5 40%; ...') — the
+# hydro-family [NN%] grammar must not match them, so both engines fall
+# back to the equal 1/n split and the name keeps its ' 40%' tail
+# (the documented trim-at-'[' semantics).
+_FUEL_OWNER_BIO = (
+    "CASE {M4}"
+    " WHEN 0 THEN {O40}"
+    " WHEN 1 THEN {O100}"
+    " WHEN 2 THEN {O_BARE}"
+    " ELSE {O_NOPCT} END"
+)
+
+
+def _fuel_synth_spark(unit_col, country_col, start_col, ret_col, owner_col, cap_tpl, owner_tpl):
+    k = "CAST(o_custkey % 50 AS STRING)"
+    cap = cap_tpl.format(
+        S="STRING",
+        DECIMAL="concat(CAST(o_orderkey % 500 AS STRING), '.5')",
+    )
+    owner = owner_tpl.format(
+        M3="CAST(o_orderkey % 3 AS INT)",
+        M4="CAST(o_orderkey % 4 AS INT)",
+        O40=f"concat('Owner', {k}, ' [40%]; Partner ', {k}, ' [60%]')",
+        O100=f"concat('Owner', {k}, ' [100%]')",
+        O_BARE=f"concat('Owner', {k}, ' 40%; Partner ', {k}, ' 60%')",
+        O_NOPCT=f"concat('Owner', {k}, '; Partner ', {k}, '; Third ', {k})",
+    )
+    return f"""
+    SELECT
+      concat('U', CAST(o_orderkey AS STRING)) AS `{unit_col}`,
+      concat('L', CAST(o_custkey AS STRING)) AS `GEM location ID`,
+      concat('Proj ', CAST(o_custkey AS STRING)) AS `Project Name`,
+      CASE CAST(o_custkey % 5 AS INT) WHEN 0 THEN 'France' WHEN 1 THEN 'Germany'
+           WHEN 2 THEN 'Kosovo' WHEN 3 THEN 'India' ELSE 'Narnia' END AS `{country_col}`,
+      CASE CAST(o_orderkey % 7 AS INT) WHEN 0 THEN 'operating' WHEN 1 THEN 'construction'
+           WHEN 2 THEN 'announced' WHEN 3 THEN 'pre-construction' WHEN 4 THEN 'retired'
+           WHEN 5 THEN 'cancelled' ELSE 'operating' END AS Status,
+      {owner} AS `{owner_col}`,
+      {cap} AS `Capacity (MW)`,
+      CASE WHEN o_orderkey % 13 = 0 THEN 'not found'
+           WHEN o_orderkey % 17 = 0 THEN NULL
+           ELSE CAST(1990 + o_orderkey % 45 AS STRING) END AS `{start_col}`,
+      CASE WHEN o_orderkey % 11 = 0 THEN CAST(2015 + o_orderkey % 45 AS STRING)
+           END AS `{ret_col}`,
+      CAST(CAST(o_custkey % 180 AS INT) - 90 AS STRING) AS Latitude,
+      CAST(CAST(o_custkey % 360 AS INT) - 180 AS STRING) AS Longitude,
+      CASE WHEN o_orderkey % 101 = 0 THEN '>0'
+           ELSE CASE CAST(o_custkey % 3 AS INT) WHEN 0 THEN 'Europe' WHEN 1 THEN 'Asia'
+                ELSE 'Americas' END END AS Region
+    FROM orders
+    """
+
+
+def _fuel_oracle_duck(technology, cap_tpl, owner_tpl):
+    k = "CAST(o_custkey % 50 AS VARCHAR)"
+    cap = cap_tpl.format(
+        S="VARCHAR",
+        DECIMAL="CAST(o_orderkey % 500 AS VARCHAR) || '.5'",
+    )
+    owner = owner_tpl.format(
+        M3="o_orderkey % 3",
+        M4="o_orderkey % 4",
+        O40=f"'Owner' || {k} || ' [40%]; Partner ' || {k} || ' [60%]'",
+        O100=f"'Owner' || {k} || ' [100%]'",
+        O_BARE=f"'Owner' || {k} || ' 40%; Partner ' || {k} || ' 60%'",
+        O_NOPCT=f"'Owner' || {k} || '; Partner ' || {k} || '; Third ' || {k}",
+    )
+    return rf"""
+    WITH src AS (
+      SELECT
+        'U' || CAST(o_orderkey AS VARCHAR) AS unit_id,
+        'L' || CAST(o_custkey AS VARCHAR) AS loc_id,
+        'Proj ' || CAST(o_custkey AS VARCHAR) AS proj_name,
+        CASE o_custkey % 5 WHEN 0 THEN 'France' WHEN 1 THEN 'Germany'
+             WHEN 2 THEN 'Kosovo' WHEN 3 THEN 'India' ELSE 'Narnia' END AS country,
+        CASE o_orderkey % 7 WHEN 0 THEN 'operating' WHEN 1 THEN 'construction'
+             WHEN 2 THEN 'announced' WHEN 3 THEN 'pre-construction' WHEN 4 THEN 'retired'
+             WHEN 5 THEN 'cancelled' ELSE 'operating' END AS status,
+        {owner} AS owner,
+        {cap} AS cap_s,
+        CASE WHEN o_orderkey % 13 = 0 THEN 'not found'
+             WHEN o_orderkey % 17 = 0 THEN NULL
+             ELSE CAST(1990 + o_orderkey % 45 AS VARCHAR) END AS start_raw,
+        CASE WHEN o_orderkey % 11 = 0 THEN CAST(2015 + o_orderkey % 45 AS VARCHAR)
+             END AS ret_s,
+        CAST(CAST(o_custkey % 180 AS INTEGER) - 90 AS VARCHAR) AS lat_s,
+        CAST(CAST(o_custkey % 360 AS INTEGER) - 180 AS VARCHAR) AS lon_s,
+        CASE WHEN o_orderkey % 101 = 0 THEN '>0'
+             ELSE CASE o_custkey % 3 WHEN 0 THEN 'Europe' WHEN 1 THEN 'Asia'
+                  ELSE 'Americas' END END AS region_raw
+      FROM orders
+    ), kept AS (
+      -- hydro-family order of operations: status whitelist, start-year
+      -- IMPUTE (exactly NULL | 'not found'), THEN the global '>0'
+      -- replace (hits capacity and region cells), THEN the capacity
+      -- drop incl. NULL/zero
+      SELECT *,
+        CASE WHEN status IN ('announced', 'construction', 'pre-construction')
+                  AND (start_raw IS NULL OR start_raw = 'not found')
+             THEN '2030'
+             WHEN status = 'operating'
+                  AND (start_raw IS NULL OR start_raw = 'not found')
+             THEN '2024'
+             ELSE start_raw END AS start_year,
+        CASE WHEN cap_s = '>0' THEN 'unknown' ELSE cap_s END AS cap_r,
+        CASE WHEN region_raw = '>0' THEN 'unknown' ELSE region_raw END AS region
+      FROM src
+      WHERE status IN ('construction', 'operating', 'announced', 'pre-construction')
+    ), clean AS (
+      SELECT unit_id, loc_id, proj_name, country, owner, start_year, ret_s, region,
+             TRY_CAST(cap_r AS DOUBLE) AS cap,
+             TRY_CAST(lat_s AS DOUBLE) AS lat, TRY_CAST(lon_s AS DOUBLE) AS lon
+      FROM kept
+      WHERE NOT (cap_r IN ('N/A', 'unknown') OR cap_r IS NULL
+                 OR TRY_CAST(cap_r AS DOUBLE) = 0.0)
+    ), coords AS (
+      SELECT loc_id,
+        CASE WHEN count(DISTINCT (lat, lon)) > 1 THEN avg(lat) ELSE min(lat) END AS hlat,
+        CASE WHEN count(DISTINCT (lat, lon)) > 1 THEN avg(lon) ELSE min(lon) END AS hlon
+      FROM clean GROUP BY loc_id
+    ), harm AS (
+      SELECT c.* EXCLUDE (lat, lon), s.hlat AS lat, s.hlon AS lon
+      FROM clean c LEFT JOIN coords s USING (loc_id)
+    ), owners AS (
+      SELECT *, unnest(string_split_regex(owner, ';\s*')) AS part FROM harm
+    ), parsed AS (
+      -- [NN%] grammar: integer-only AND bracketed; bare percents fall
+      -- through to the equal 1/n split
+      SELECT *, trim(regexp_extract(part, '^[^\[]+', 0)) AS company_name,
+             coalesce(
+               TRY_CAST(NULLIF(regexp_extract(part, '\[([0-9]+)%\]', 1), '')
+                        AS DOUBLE) / 100,
+               1.0 / count(*) OVER (PARTITION BY unit_id)) AS share
+      FROM owners
+    ), expanded AS (
+      -- per-year case incl. retirement zeroing gated on the 2050
+      -- horizon (case_when_capacity parity)
+      SELECT p.*, CAST(y.y AS INTEGER) AS production_year,
+        CASE WHEN y.y < TRY_CAST(start_year AS DOUBLE) THEN 0.0
+             WHEN TRY_CAST(ret_s AS DOUBLE) IS NOT NULL
+                  AND y.y >= TRY_CAST(ret_s AS DOUBLE)
+                  AND TRY_CAST(ret_s AS DOUBLE) <= 2050 THEN 0.0
+             ELSE cap * share END AS capacity
+      FROM parsed p CROSS JOIN (SELECT unnest(range(2023, 2051)) AS y) y
+    ), grouped AS (
+      SELECT loc_id, proj_name, country, region, company_name, production_year,
+             lat, lon, coalesce(sum(capacity), 0.0) AS capacity
+      FROM expanded
+      GROUP BY loc_id, proj_name, country, region, company_name, production_year, lat, lon
+    )
+    SELECT g.loc_id AS asset_id, g.proj_name AS asset_name, g.company_name,
+           CASE WHEN g.country = 'Kosovo' THEN 'XK' ELSE dim.iso2 END AS country_iso2,
+           g.country AS country_name, g.region,
+           CAST(g.lat AS VARCHAR) || ', ' || CAST(g.lon AS VARCHAR) AS coordinates,
+           '{technology}' AS technology, round(g.capacity, 2) AS capacity,
+           g.production_year
+    FROM grouped g
+    LEFT JOIN (VALUES ('France', 'FR'), ('Germany', 'DE'), ('Kosovo', 'XK'),
+                      ('India', 'IN')) AS dim(country_name, iso2)
+      ON g.country = dim.country_name
+    WHERE g.production_year IN (2024, 2035, 2050)
+"""
+
+
+def _run_fuel_query(spark: SparkSession, sf_dir: str, synth_sql: str, cfg) -> DataFrame:
+    from gem_data_wrangle_spark.data.country_codes import country_dim
+    from gem_data_wrangle_spark.plans.gem import run_fuel_pipeline
+
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    units = _spread(spark, spark.sql(synth_sql))
+    out = run_fuel_pipeline(units, cfg, country_dim(spark))
+    return out.filter(F.col("production_year").isin([2024, 2035, 2050])).select(
+        "asset_id", "asset_name", "company_name", "country_iso2", "country_name",
+        "region", "coordinates", "technology",
+        F.round("capacity", 2).alias("capacity"),
+        "production_year",
+    )
+
+
+_NUCLEAR_SYNTH = _fuel_synth_spark(
+    "GEM unit ID", "Country/Area", "Start Year", "Retirement Year", "Owner",
+    _FUEL_CAP_STD, _FUEL_OWNER_STD,
+)
+_SOLAR_SYNTH = _fuel_synth_spark(
+    "GEM phase ID", "Country", "Start year", "Retired year", "Owner",
+    _FUEL_CAP_SOLAR, _FUEL_OWNER_STD,
+)
+_WIND_SYNTH = _fuel_synth_spark(
+    "GEM phase ID", "Country/Area", "Start year", "Retired year", "Owner",
+    _FUEL_CAP_WIND, _FUEL_OWNER_STD,
+)
+_BIO_SYNTH = _fuel_synth_spark(
+    "GEM phase ID", "Country/Area", "Start Year", "Retired Year", "Owner(s)",
+    _FUEL_CAP_STD, _FUEL_OWNER_BIO,
+)
+_GEO_SYNTH = _fuel_synth_spark(
+    "GEM unit ID", "Country/Area", "Start year", "Retired year", "Owner",
+    _FUEL_CAP_STD, _FUEL_OWNER_STD,
+)
+
+
+@_register("gem_nuclear_pipeline", _fuel_oracle_duck("NuclearCap", _FUEL_CAP_STD, _FUEL_OWNER_STD))
+def _q_gem_nuclear_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.plans.gem import NUCLEAR
+
+    return _run_fuel_query(spark, sf_dir, _NUCLEAR_SYNTH, NUCLEAR)
+
+
+@_register("gem_solar_pipeline", _fuel_oracle_duck("RenewablesCap", _FUEL_CAP_SOLAR, _FUEL_OWNER_STD))
+def _q_gem_solar_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.plans.gem import SOLAR
+
+    return _run_fuel_query(spark, sf_dir, _SOLAR_SYNTH, SOLAR)
+
+
+@_register("gem_wind_pipeline", _fuel_oracle_duck("RenewablesCap", _FUEL_CAP_WIND, _FUEL_OWNER_STD))
+def _q_gem_wind_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.plans.gem import WIND
+
+    return _run_fuel_query(spark, sf_dir, _WIND_SYNTH, WIND)
+
+
+@_register("gem_bioenergy_pipeline", _fuel_oracle_duck("RenewablesCap", _FUEL_CAP_STD, _FUEL_OWNER_BIO))
+def _q_gem_bioenergy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.plans.gem import BIOENERGY
+
+    return _run_fuel_query(spark, sf_dir, _BIO_SYNTH, BIOENERGY)
+
+
+@_register("gem_geothermal_pipeline", _fuel_oracle_duck("RenewablesCap", _FUEL_CAP_STD, _FUEL_OWNER_STD))
+def _q_gem_geothermal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.plans.gem import GEOTHERMAL
+
+    return _run_fuel_query(spark, sf_dir, _GEO_SYNTH, GEOTHERMAL)
+
+
+# --------------------------------------------------------------------
 # §2.2 project_drop + rename_cols + reorder_cols + add_literals in one
 # canonical-projection pass (GEM/Coalplants_GEM.R:158-223)
 # --------------------------------------------------------------------
