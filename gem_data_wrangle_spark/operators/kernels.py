@@ -260,7 +260,12 @@ def surrogate_ids(
             prefix_format, F.element_at(off_map, F.col("_pid")) + F.col("_rn")
         ),
     ).drop("_pid", "_rn")
-    return df.join(F.broadcast(dim), on=name_col, how="left")
+    # No forced broadcast: the dim is |distinct names| rows and GROWS
+    # with the data — AQE broadcasts it at runtime while it fits under
+    # autoBroadcastJoinThreshold and falls back to a distributed hash
+    # join when it doesn't (a hint here would OOM the driver at 100×
+    # key cardinality, the same reasoning as harmonize_coordinates).
+    return df.join(dim, on=name_col, how="left")
 
 
 def upsert_snapshot(current: DataFrame, updates: DataFrame, key_cols: list[str]) -> DataFrame:
