@@ -1732,11 +1732,12 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHashLSH / BucketedRandomProjectionLSH draw their hash families from
 # Spark-internal seeded RNG state, so no external SQL engine can replay
 # the candidate sets; recall-lossy candidate generation also means an
-# exact-metric oracle would legitimately disagree. Their semantics are
-# value-checked indirectly: the engine-native equivalents
-# (minhash_lsh_pairs, similarity_lsh, embedding_neardup_pairs) are
-# hash-matched, and pytest pins the ml variants' outputs across fresh
-# processes (byte-identical for a fixed seed).
+# exact-metric oracle would legitimately disagree. Their semantics ARE
+# value-checked, just not via SQL: tests/test_ml_lsh_crosscheck.py
+# verifies every reported distance against the exact metric
+# (approxSimilarityJoin post-filters with the true distance), proves
+# containment of the portable md5-LSH verified pairs, and pins BRP
+# precision = 1.0 / recall >= 0.9 vs brute-force ground truth.
 # --------------------------------------------------------------------
 @_register("ml_minhash_join")  # rows-only (see block comment)
 def _q_ml_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
