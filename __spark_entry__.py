@@ -3266,7 +3266,9 @@ def _q_sample_to_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    return D.semdedup(emb, "embedding", "vec_id", threshold=0.45)
+    # dims pinned to match the oracle's 3-bit cell construction; the
+    # operator default auto-derives dims from the corpus count.
+    return D.semdedup(emb, "embedding", "vec_id", threshold=0.45, dims=3)
 
 
 # --------------------------------------------------------------------

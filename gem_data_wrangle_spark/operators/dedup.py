@@ -285,7 +285,8 @@ def semdedup(
     id_col: str,
     threshold: float = 0.45,
     cell_assigner=None,
-    dims: int = 3,
+    dims: int | None = None,
+    target_cell_size: int = 64,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space, then inside each cluster drop every document
@@ -301,20 +302,26 @@ def semdedup(
     Scale shape: the pairwise cosine runs ONLY within a cluster — an
     equi-self-join on the cell id, never all-pairs. Within-cell work is
     quadratic in the CELL size, so the quantizer's resolution is the
-    scale knob and MUST grow with the corpus: pick
-    ``dims ≈ log2(n / target_cell_size)`` (cells = ``2^dims``) so cell
-    populations stay bounded as n grows. Measured on the 30× stress
-    (`tools/scale_test.py`): fixed ``dims=3`` goes 154× at 30× the
-    vectors (cells grew 30× → pairs 900×), while resolution-scaled
-    ``dims=8`` stays ~linear. KMeans (``k`` cells) has the same knob.
-    The anti-join back to the corpus is a digest-sized shuffle.
+    scale knob and MUST grow with the corpus. When ``dims`` is None
+    (default) it is AUTO-DERIVED as ``ceil(log2(n / target_cell_size))``
+    from one cheap ``count()`` action (the only driver-side action in
+    this operator; documented trade-off — at 100 TB a metastore row
+    count or a caller-passed ``dims`` avoids even that). Measured on
+    the 30× stress (`tools/scale_test.py`): fixed ``dims=3`` goes 154×
+    at 30× the vectors (cells grew 30× → pairs 900×), while
+    resolution-scaled dims stays ~linear. KMeans (``k`` cells) has the
+    same knob. The anti-join back to the corpus is a digest-sized
+    shuffle.
     """
     from gem_data_wrangle_spark.operators.similarity import (  # noqa: PLC0415
         as_double_array,
+        auto_grid_dims,
         cosine,
         sign_grid_cell,
     )
 
+    if cell_assigner is None and dims is None:
+        dims = auto_grid_dims(df.count(), target_cell_size, floor=3)
     assigner = cell_assigner or (lambda v: sign_grid_cell(v, dims))
     cells = df.select(
         F.col(id_col), as_double_array(vec_col).alias("_v")

@@ -123,6 +123,20 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def auto_grid_dims(n_rows: int, target_cell_size: int = 64, floor: int = 1) -> int:
+    """Resolution for :func:`sign_grid_cell` that keeps expected cell
+    population bounded as the corpus grows: ``2^dims ≈ n / target`` →
+    ``dims = ceil(log2(n / target))``. This is the scale knob the 30×
+    stress test measures (fixed dims=3 went 154× at 30× the vectors;
+    resolution-scaled stayed ~linear — SCALE.md); deriving it from the
+    row count removes the manual knob (VERDICT r2 item 6)."""
+    import math  # noqa: PLC0415
+
+    if n_rows <= target_cell_size:
+        return floor
+    return max(floor, math.ceil(math.log2(n_rows / target_cell_size)))
+
+
 def sign_grid_cell(vec: Column, dims: int = 3) -> Column:
     """Deterministic coarse quantizer: one bit per leading dimension's
     sign → ``2^dims`` cells. Engine-portable (replayable in any SQL

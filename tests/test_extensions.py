@@ -555,6 +555,37 @@ def test_semdedup_drops_dominated(spark):
     assert sorted(r.vec_id for r in out.collect()) == [1, 3, 4]
 
 
+def test_semdedup_auto_resolution(spark):
+    """VERDICT r2 item 6: the quantizer resolution is derived from the
+    corpus count — no manual dims knob — and keeps expected cell
+    population bounded as the corpus grows."""
+    import numpy as np
+
+    from gem_data_wrangle_spark.operators.similarity import auto_grid_dims, sign_grid_cell
+
+    assert auto_grid_dims(50, target_cell_size=64) == 1       # tiny corpus
+    assert auto_grid_dims(500, target_cell_size=64) == 3
+    assert auto_grid_dims(500 * 30, target_cell_size=64) == 8  # 30x -> finer grid
+    assert auto_grid_dims(10_000_000, target_cell_size=64) == 18
+
+    rng = np.random.default_rng(11)
+    n = 2048
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in rng.normal(size=16)]) for i in range(n)],
+        "vec_id bigint, embedding array<double>",
+    )
+    dims = auto_grid_dims(n, target_cell_size=64)
+    cells = df.select(sign_grid_cell(F.col("embedding"), dims).alias("cell"))
+    sizes = [r["n"] for r in cells.groupBy("cell").agg(F.count("*").alias("n")).collect()]
+    # expected population n / 2^dims = 64; sign bits on gaussian dims
+    # are balanced, so no cell should blow past a small multiple
+    assert max(sizes) <= 4 * 64
+    # auto path == explicit path (the default just fills in dims)
+    auto = {r.vec_id for r in D.semdedup(df, "embedding", "vec_id", threshold=0.95).collect()}
+    expl = {r.vec_id for r in D.semdedup(df, "embedding", "vec_id", threshold=0.95, dims=dims).collect()}
+    assert auto == expl
+
+
 def test_chunk_documents_windows(spark):
     text = " ".join(f"w{i}" for i in range(7))
     df = spark.createDataFrame([(1, text), (2, "solo")], ["doc_id", "text"])

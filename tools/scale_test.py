@@ -91,18 +91,20 @@ def main() -> None:
         print(json.dumps({name: results[name]}))
 
     # semdedup is the one operator whose cost is quadratic in the
-    # quantizer CELL size, so the honest scale measurement varies the
-    # resolution with the corpus (dims ≈ log2(n_vectors / target_cell))
-    # — a fixed dims=3 at 30× measures 154× (recorded in SCALE.md as
-    # the motivating anti-pattern), the scaled knob stays ~linear.
+    # quantizer CELL size, so the honest scale measurement lets the
+    # operator pick its own resolution (dims auto-derived from the
+    # corpus count, similarity.auto_grid_dims) — a fixed dims=3 at 30×
+    # measures 154× (recorded in SCALE.md as the motivating
+    # anti-pattern), the auto-scaled knob stays ~linear with NO manual
+    # dims argument here.
     from gem_data_wrangle_spark.operators import dedup as Dd  # noqa: PLC0415
 
     times = {}
-    for label, sf_dir, dims in [("1x", BASE, 3), (f"{n}x", out_dir, 3 + max(0, (n - 1)).bit_length())]:
+    for label, sf_dir in [("1x", BASE), (f"{n}x", out_dir)]:
         t0 = time.time()
         Dd.semdedup(
             spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
-            "embedding", "vec_id", dims=dims,
+            "embedding", "vec_id",
         ).write.format("noop").mode("overwrite").save()
         times[label] = round(time.time() - t0, 2)
     results["semdedup (resolution-scaled)"] = {
