@@ -3300,7 +3300,7 @@ def _q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), s AS (
       SELECT doc_id, toks, n,
-             unnest(generate_series(0, greatest(n - 1, 0), 40)) AS start
+             unnest(generate_series(0, greatest(n - 10 - 1, 0), 40)) AS start
       FROM t
     )
     SELECT doc_id, CAST(start // 40 AS INT) AS chunk_id,
@@ -3416,15 +3416,11 @@ _DEFER_TO_TAIL = [
     # packing, multimodal resize/frames), which have no driver evidence
     # yet
     "cast_regex_extract",      # r01 green
-    "explode_split",           # r01 green
-    "split_ownership_strict",  # r01 green; also inside gem_coal_pipeline (graded)
-    "window_count_share",      # r01 green
     "dedup_first_per_key",     # r01 green; also inside training_data_pipeline
     "join_left_coalesce",      # r01 green; also inside gem_total_consolidation
     "join_fallback_chain",     # r01 green; also inside gem_total_consolidation
     "expand_years",            # r01 green; also inside every GEM pipeline
     "agg_mean_groups",         # r01 green
-    "surrogate_ids",           # r01 green; also inside gem_total_consolidation
     "case_when_classify",      # r01 green; also inside gem_gasoil_pipeline
     "dedup_exact",             # r01 green; also inside training_data_pipeline
     "text_quality",            # r01 green; also inside training_data_pipeline
@@ -3434,11 +3430,101 @@ _DEFER_TO_TAIL = [
     # modules only grew; these code paths untouched) — slots go to
     # semdedup / normalized_dedup / chunk_documents
     "lang_id",                 # r01 green; textops lang path unchanged
-    "minhash_lsh_pairs",       # r01 green; dedup.py LSH path unchanged
     "similarity_bruteforce",   # r01 green; cosine_topk unchanged
     "embedding_neardup_pairs", # r01 green; query fn + lsh_bucket byte-identical
     "multimodal_bytes",        # r01 green; registration block + multimodal.py byte-identical
+    # round-3 rotation (VERDICT r2 item 8): explode_split,
+    # split_ownership_strict, window_count_share, surrogate_ids and
+    # minhash_lsh_pairs RETURN to the graded head so no green row goes
+    # two rounds unverified; their slots come from r2-green queries
+    # whose code + oracle are byte-unchanged this round:
+    "canonical_projection",    # r02 green; cleaning.py projection path unchanged
+    "filter_capacity_known",   # r02 green; cleaning.py filter unchanged
+    "filter_notnull",          # r02 green; cleaning.py filter unchanged
+    "filter_eq_timestamp",     # r02 green; parse path unchanged
+    "binational_split",        # r02 green; kernels.py:165-205 unchanged
+    # and five r2-green profiling/sampling queries defer so the late-
+    # registered r2 operators (semdedup, normalized_dedup,
+    # chunk_documents — the latter re-graded after the trailing-chunk
+    # fix — json_extract_props, weighted_sample) stay inside the
+    # 50-query graded window:
+    "table_profile",           # r02 green; profiling path unchanged
+    "group_quantiles",         # r02 green; unchanged
+    "pivot_counts",            # r02 green; unchanged
+    "rollup_sums",             # r02 green; unchanged
+    "dataset_split",           # r02 green; sampling hash_split unchanged
 ]
+
+
+def _defer_fingerprint(name: str) -> str:
+    """sha256 (truncated) of a deferred query's registered function
+    source + oracle SQL. A deferred query's green CORRECTNESS row from
+    an earlier round is only valid while the query is byte-stable, so
+    every _DEFER_TO_TAIL entry records its fingerprint in
+    _DEFER_HASHES and tests/test_registry.py asserts the match —
+    silent drift out of the verified state fails CI and forces the
+    query back into the graded head (ADVICE r2). The hash covers the
+    query fn + oracle, not transitively-called operator modules; a
+    deliberate operator change must re-promote its queries (as round 3
+    did for surrogate_ids after the kernels.py two-phase rewrite)."""
+    import hashlib  # noqa: PLC0415
+    import inspect  # noqa: PLC0415
+
+    src = inspect.getsource(_QUERIES[name])
+    return hashlib.sha256(
+        (src + "\n---\n" + _ORACLES.get(name, "")).encode()
+    ).hexdigest()[:16]
+
+
+# Regenerate via tools/gen_defer_hashes.py after a DELIBERATE change.
+_DEFER_HASHES: dict[str, str] = {
+    "project": "e63d5078eaa99831",
+    "filter_not_and": "4a7cf2ba9409f9f2",
+    "filter_null_or_ge": "90ec3885d87582ea",
+    "replace_value_global": "0db49e1c90a3bb0c",
+    "join_lookup_dim": "2246a2f805501cff",
+    "split_ownership_equal": "76e8ae050bedbaa2",
+    "harmonize_na_poisoning": "f26cb6280a425311",
+    "expand_years_retirement": "f59af127c33491e7",
+    "agg_global_mean": "439642f02685e4bf",
+    "distinct_rows": "d6a3fb3ccb0f0551",
+    "union_rows": "f02c4badce8d2f6a",
+    "union_rows_byname": "0f2175ebc647033b",
+    "window_rank": "cdb7d6d1b4fc17a6",
+    "top_k": "4df73fb64966eda0",
+    "string_format": "6c8675dbb4ccef03",
+    "strip_pct_suffix": "4c185c442ea859d1",
+    "impute_year": "616eb7efca0c1b13",
+    "simhash": "1b747ecd35d5afd0",
+    "text_fingerprint": "20401cde9270e27b",
+    "jaccard_neighbors": "f5ef3b537b9359ad",
+    "stream_sliding_window": "d95ccf75fe6b6519",
+    "cast_regex_extract": "caf35822ececbacf",
+    "dedup_first_per_key": "6599421550ed8cba",
+    "join_left_coalesce": "b9994c429932914b",
+    "join_fallback_chain": "922fd078ac49f00d",
+    "expand_years": "3b56946da2023aaf",
+    "agg_mean_groups": "e7a1b0a894570f0b",
+    "case_when_classify": "0a9e17b051c21a23",
+    "dedup_exact": "f49df5544fb70089",
+    "text_quality": "4ef6e6d2b0182197",
+    "stream_tumbling_window": "44aa2eab107b3f2a",
+    "filter_isin": "511530f2dd36c7e8",
+    "lang_id": "20039c0194fdf4da",
+    "similarity_bruteforce": "7288f05c7eb567be",
+    "embedding_neardup_pairs": "217a10fa566a1873",
+    "multimodal_bytes": "25c4f08bb9df8ba8",
+    "canonical_projection": "0b33bf593746d7b2",
+    "filter_capacity_known": "aab9fdb471c09c7b",
+    "filter_notnull": "c08d353a575704ff",
+    "filter_eq_timestamp": "57840d0b3d871c10",
+    "binational_split": "0106b38cea0954aa",
+    "table_profile": "cf15317d3577ae7e",
+    "group_quantiles": "2bd4c8fd6a68b8ac",
+    "pivot_counts": "758d10e875c8c1a5",
+    "rollup_sums": "994df0003545be17",
+    "dataset_split": "1213d19a92e21ade",
+}
 
 
 def _rotated(d: dict) -> dict:

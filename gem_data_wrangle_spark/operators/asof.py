@@ -137,11 +137,22 @@ def range_join_binned(
     key, so dense regions spread over many bins instead of one hot
     nested-loop task — this is the standard interval-bucketing trick
     Spark itself lacks.
+
+    ``how``: ``inner`` or ``left`` (uncontained points survive with
+    NULL interval columns — each point maps to exactly one bin, so a
+    left join emits exactly one NULL row per orphan). The exact range
+    predicate is part of the JOIN CONDITION, not a post-filter: a
+    post-filter evaluates NULL on unmatched rows and would silently
+    turn ``left`` back into ``inner`` (ADVICE r2). Right/full are
+    rejected — an unmatched interval would surface once per bin
+    replica, which is not a meaningful row set.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join_binned supports inner/left, got {how!r}")
     b = float(bin_width)
     pt, lo, hi = F.col(point_col), F.col(start_col), F.col(end_col)
     binned_i = intervals.withColumn(
-        "_bin",
+        "_ibin",
         F.explode(
             F.sequence(
                 F.floor(lo / b).cast("long"),
@@ -151,11 +162,9 @@ def range_join_binned(
             )
         ),
     )
-    binned_p = points.withColumn("_bin", F.floor(pt / b).cast("long"))
-    joined = binned_p.join(binned_i, on="_bin", how=how).filter(
-        (pt >= lo) & (pt < hi)
-    )
-    return joined.drop("_bin")
+    binned_p = points.withColumn("_pbin", F.floor(pt / b).cast("long"))
+    cond = (F.col("_pbin") == F.col("_ibin")) & (pt >= lo) & (pt < hi)
+    return binned_p.join(binned_i, on=cond, how=how).drop("_pbin", "_ibin")
 
 
 def resample_timeseries(

@@ -39,10 +39,18 @@ def connected_components(
     id_col: str = "id",
     component_col: str = "component",
     max_iter: int = 20,
+    strict: bool = True,
 ) -> DataFrame:
     """(vertex, component) where component = min vertex id reachable
     through ``edges`` (undirected). ``vertices`` adds isolated nodes
     (they become singleton components); defaults to the edge endpoints.
+
+    Min-label propagation needs ~graph-diameter rounds; if the loop
+    exhausts ``max_iter`` before converging, the labels are WRONG
+    (ADVICE r2) — ``strict=True`` (default) raises, ``strict=False``
+    downgrades to a warning for callers that accept partial labels.
+    Near-dup graphs have tiny diameters, so the default bound is ample
+    there; raise ``max_iter`` for chain-like graphs.
     """
     sym = (
         edges.select(F.col(src).alias("es"), F.col(dst).alias("ed"))
@@ -80,6 +88,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        msg = (
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds (graph diameter exceeds the bound); labels would be wrong"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        import warnings  # noqa: PLC0415
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(
         F.col("v").alias(id_col), F.col("lbl").alias(component_col)
     )

@@ -359,7 +359,12 @@ def chunk_documents(
     """Split each document into overlapping fixed-width token chunks —
     the standard context-window preparation step before tokenization /
     embedding. Chunk *i* covers tokens ``[i·step, i·step + size)`` with
-    ``step = size − overlap``; the final chunk may be shorter.
+    ``step = size − overlap``; the final chunk may be shorter. Starts
+    are capped at ``n − overlap − 1`` (keeping start 0 for short docs)
+    so a trailing chunk is only emitted when it contributes tokens the
+    previous chunk didn't already cover — otherwise a doc whose tail
+    fits inside the prior window would duplicate training content
+    (ADVICE r2).
 
     Pure column algebra: ``sequence`` generates the chunk starts,
     ``explode`` fans them out (narrow — no shuffle), ``slice`` +
@@ -373,7 +378,11 @@ def chunk_documents(
     step = size - overlap
     toks = F.split(F.col(text_col), " ")
     base = df.select(F.col(id_col), toks.alias("_t"), F.size(toks).alias("_n"))
-    starts = F.sequence(F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(step))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("_n") - overlap - 1, F.lit(0)),
+        F.lit(step),
+    )
     chunk = F.slice(F.col("_t"), F.col("_start") + 1, size)
     return (
         base.withColumn("_start", F.explode(starts))

@@ -50,8 +50,13 @@ def prepare_training_corpus(
     """
     normalized = docs.withColumn(text_col, T.normalize_ws(F.col(text_col)))
     scored = gopher_quality(normalized, text_col, id_col, **(gopher_kwargs or {}))
-    passed = scored.filter(F.col("quality_pass"))
-    rejects = scored.filter(~F.col("quality_pass"))
+    # NULL-safe split: a doc whose text normalizes to empty can score
+    # NULL on ratio rules; filter(col) and filter(~col) would BOTH drop
+    # it, losing the row from the audit trail entirely (ADVICE r2) —
+    # an unscorable doc is a reject, not a disappearance.
+    passes = F.coalesce(F.col("quality_pass"), F.lit(False))
+    passed = scored.filter(passes)
+    rejects = scored.filter(~passes)
 
     keepers = normalized_dedup(passed, text_col, id_col).select(
         F.col("keeper_id").alias(id_col), "n_dups"

@@ -78,6 +78,27 @@ def test_range_join_binned_boundaries(spark):
     }
 
 
+def test_range_join_binned_left_keeps_orphans(spark):
+    """ADVICE r2: the exact predicate is part of the join condition, so
+    a left join keeps uncontained points (exactly one NULL row each)
+    instead of silently degenerating to inner."""
+    import pytest
+
+    points = spark.createDataFrame(
+        [(1, 500.0), (2, 5000.0)], "pid int, x double"
+    )
+    intervals = spark.createDataFrame(
+        [(10, 0.0, 1000.0)], "iid int, lo double, hi double"
+    )
+    out = range_join_binned(points, intervals, "x", "lo", "hi", 1000.0, how="left")
+    rows = {r["pid"]: r for r in out.collect()}
+    assert len(rows) == 2
+    assert rows[1]["iid"] == 10
+    assert rows[2]["iid"] is None and rows[2]["lo"] is None
+    with pytest.raises(ValueError):
+        range_join_binned(points, intervals, "x", "lo", "hi", 1000.0, how="full")
+
+
 def test_range_join_spans_multiple_bins(spark):
     points = spark.createDataFrame([(1, 3.7)], "pid int, x double")
     intervals = spark.createDataFrame([(9, 0.0, 100.0)], "iid int, lo double, hi double")

@@ -591,13 +591,25 @@ def test_chunk_documents_windows(spark):
     df = spark.createDataFrame([(1, text), (2, "solo")], ["doc_id", "text"])
     out = T.chunk_documents(df, "text", "doc_id", size=4, overlap=2)
     rows = {(r.doc_id, r.chunk_id): (r.chunk_text, r.chunk_tokens) for r in out.collect()}
-    # doc 1: starts 0,2,4,6 -> windows of step 2, size<=4
+    # doc 1 (7 tokens): starts capped at n-overlap-1=4 -> 0,2,4; the
+    # would-be start 6 chunk ("w6") is a strict subset of chunk 2 and
+    # is NOT emitted (no duplicated training content — ADVICE r2)
     assert rows[(1, 0)] == ("w0 w1 w2 w3", 4)
     assert rows[(1, 1)] == ("w2 w3 w4 w5", 4)
     assert rows[(1, 2)] == ("w4 w5 w6", 3)
-    assert rows[(1, 3)] == ("w6", 1)
     assert rows[(2, 0)] == ("solo", 1)
-    assert len(rows) == 5
+    assert len(rows) == 4
+    # every token is still covered exactly once by the non-overlap parts
+    covered = set()
+    for (_d, _c), (text_, _n) in rows.items():
+        if _d == 1:
+            covered |= set(text_.split())
+    assert covered == {f"w{i}" for i in range(7)}
+    # boundary: tail exactly fits the previous window -> no extra chunk
+    long = " ".join(f"t{i}" for i in range(45))
+    one = spark.createDataFrame([(9, long)], ["doc_id", "text"])
+    out2 = T.chunk_documents(one, "text", "doc_id", size=50, overlap=10).collect()
+    assert len(out2) == 1 and out2[0]["chunk_tokens"] == 45
     with pytest.raises(ValueError):
         T.chunk_documents(df, "text", "doc_id", size=4, overlap=4)
 

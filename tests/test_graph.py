@@ -23,10 +23,23 @@ def test_components_default_vertices_from_edges(spark):
 
 
 def test_components_max_iter_bounds_work(spark):
-    # a long chain with max_iter too small still returns a labeling
-    # (possibly unconverged) — the bound must not loop forever
+    """ADVICE r2: exhausting max_iter before convergence means the
+    labels are WRONG — the default must refuse to return them; the
+    escape hatch warns."""
+    import warnings
+
+    import pytest
+
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 12)], "a bigint, b bigint"
     )
-    out = connected_components(edges, "a", "b", max_iter=3)
-    assert out.count() == 12
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, "a", "b", max_iter=3)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = connected_components(edges, "a", "b", max_iter=3, strict=False)
+        assert out.count() == 12          # partial labels, opted in
+    assert any("did not converge" in str(w.message) for w in caught)
+    # ample bound on the same chain converges with no warning
+    ok = connected_components(edges, "a", "b", max_iter=15)
+    assert {r["component"] for r in ok.collect()} == {1}

@@ -267,3 +267,17 @@ def test_prepare_training_corpus_composition(spark, sf_dir):
     # deterministic end to end: a second build yields identical ids
     again = prepare_training_corpus(docs, chunk_size=20, chunk_overlap=5, gopher_kwargs=relaxed)
     assert {r.doc_id for r in again["documents"].select("doc_id").collect()} == doc_ids
+
+
+def test_prepare_training_corpus_complete_audit_trail(spark):
+    """ADVICE r2: a doc whose text normalizes to empty scores NULL on
+    ratio rules — it must land in ``rejects``, not vanish from both
+    outputs."""
+    from gem_data_wrangle_spark.plans.corpus import prepare_training_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "   "), (2, ""), (3, "word " * 40)], "doc_id bigint, text string"
+    )
+    out = prepare_training_corpus(docs, gopher_kwargs={"min_words": 10})
+    reject_ids = {r.doc_id for r in out["rejects"].select("doc_id").collect()}
+    assert {1, 2} <= reject_ids

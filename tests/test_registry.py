@@ -33,3 +33,19 @@ def test_graded_window_is_full():
     o = entrymod.oracle_sql()
     rows_only = [n for n in names[:50] if n not in o]
     assert set(rows_only) <= {"ml_minhash_join", "ml_brp_join"}
+
+
+def test_deferred_queries_have_not_drifted():
+    """ADVICE r2: a deferred query rides an earlier round's green
+    CORRECTNESS row — valid only while its code + oracle are
+    byte-stable. Every _DEFER_TO_TAIL entry must carry a recorded
+    fingerprint that still matches; on a deliberate change, run
+    tools/gen_defer_hashes.py AND move the query back into the graded
+    head."""
+    assert set(entrymod._DEFER_HASHES) == set(entrymod._DEFER_TO_TAIL)
+    drifted = [
+        n
+        for n in entrymod._DEFER_TO_TAIL
+        if entrymod._defer_fingerprint(n) != entrymod._DEFER_HASHES[n]
+    ]
+    assert drifted == []
