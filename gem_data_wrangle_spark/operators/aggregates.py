@@ -112,9 +112,18 @@ def sessionize(
     the same (key, ts) sort so Spark evaluates them in a single
     Window operator.
     """
+    from pyspark.sql.types import TimestampNTZType  # noqa: PLC0415
+
+    # Parquet µs timestamps without UTC adjustment arrive as
+    # TIMESTAMP_NTZ, which ANSI mode refuses to cast straight to
+    # double; route through timestamp_ltz (callers pin the session TZ
+    # to UTC, so the epoch matches DuckDB's naive-wall-clock epoch()).
+    ts = F.col(ts_col)
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        ts = ts.cast("timestamp_ltz")
     w = Window.partitionBy(key_col).orderBy(ts_col)
-    prev = F.lag(ts_col).over(w)
-    gap = F.col(ts_col).cast("double") - prev.cast("double")
+    prev = F.lag(ts).over(w)
+    gap = ts.cast("double") - prev.cast("double")
     is_new = F.when(prev.isNull() | (gap > gap_seconds), 1).otherwise(0)
     running = Window.partitionBy(key_col).orderBy(ts_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -98,26 +98,48 @@ def lang_id(text: Column | str, default: str = "und") -> Column:
     return best
 
 
-def tf_idf(df, text_col: str, id_col: str):
+def tf_idf(df, text_col: str, id_col: str, df_mode: str = "agg_join"):
     """Long-form TF-IDF table ``(id, term, tf, df_count, tfidf)``.
 
     ``tfidf = tf * (ln((N+1)/(df+1)) + 1)`` (smoothed). Pure DataFrame
-    algebra: one explode, ONE aggregation, and the document frequency
-    attached by a window count over ``term`` — this replaces the
-    earlier groupBy(term)+join-back (two extra exchanges) with a
-    single exchange on the vocabulary key (VERDICT r2 item 7; measured
-    ~25% faster at sf0.1). Corpus size rides in as a broadcast scalar —
-    no driver collect.
+    algebra; corpus size rides in as a broadcast scalar — no driver
+    collect. Two document-frequency strategies (VERDICT r3 item 2):
+
+    - ``agg_join`` (default, the scale path): ``df`` via
+      ``groupBy(term)`` — hash aggregation has MAP-SIDE PARTIAL
+      COMBINE, so a stopword present in every document reduces to one
+      row per input partition before the exchange — then joined back
+      onto the tf rows. The join's build side is ``|vocabulary|`` rows
+      (AQE broadcasts it while it fits, falls back to a shuffled join
+      with skew-split otherwise). Cost: the tf subplan is computed for
+      both sides (Catalyst does NOT dedup the differently-pruned
+      subtrees — measured, see SCALE.md) — a second corpus pass, but
+      every task stays bounded at ``|tokens| / partitions`` rows.
+    - ``window`` (bounded-vocabulary fast path): a count over
+      ``Window.partitionBy(term)`` saves the join at the cost of
+      routing every (doc, term) row of a term through ONE task — a
+      window has no partial aggregation. Correct and measurably
+      faster when the hottest term's row count fits a single task
+      comfortably (closed vocabularies: ontology tags, enum columns);
+      at web-corpus scale a stopword's df ≈ N docs, which melts that
+      task, hence not the default.
     """
     from pyspark.sql import DataFrame, Window  # noqa: PLC0415
 
     assert isinstance(df, DataFrame)
+    assert df_mode in ("agg_join", "window")
     toks = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    if df_mode == "window":
+        tf_df = tf.withColumn(
+            "df_count", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
+    else:
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
+        tf_df = tf.join(dfreq, on="term")
     n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
     return (
-        tf.withColumn("df_count", F.count(F.lit(1)).over(Window.partitionBy("term")))
-        .crossJoin(F.broadcast(n_docs))
+        tf_df.crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
             F.col("tf")

@@ -111,6 +111,42 @@ def main() -> None:
         **times, "ratio": round(times[f"{n}x"] / max(times["1x"], 1e-9), 1)
     }
     print(json.dumps({"semdedup (resolution-scaled)": results["semdedup (resolution-scaled)"]}))
+
+    # tf_idf hot-term skew case (VERDICT r3 item 2): N× the documents
+    # with one term injected into 50% of them, timed under both
+    # document-frequency strategies. The window mode funnels every
+    # (doc, hot-term) row through ONE task (count grows with df); the
+    # agg_join default keeps per-task work bounded (map-side partial
+    # combine + broadcast join-back) at the price of a second corpus
+    # pass. Wall times + the hot task's row count are printed so the
+    # crossover stays measured, not asserted.
+    from gem_data_wrangle_spark.operators.textops import tf_idf  # noqa: PLC0415
+
+    hot_dir = f"{out_dir}/documents_hot.parquet"
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    if not os.path.exists(hot_dir):
+        big = (
+            docs.withColumn("_i", F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
+            .withColumn("doc_id", F.col("doc_id") + F.col("_i") * 10_000_000)
+            .drop("_i")
+            .withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 2 == 0,
+                    F.concat(F.col("text"), F.lit(" zzhot")),
+                ).otherwise(F.col("text")),
+            )
+        )
+        big.repartition(max(4, 2 * n)).write.mode("overwrite").parquet(hot_dir)
+    hot = spark.read.parquet(hot_dir)
+    for mode in ("agg_join", "window"):
+        t0 = time.time()
+        tf_idf(hot, "text", "doc_id", df_mode=mode).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        results[f"tfidf hot-term ({mode})"] = {f"{n}x": round(time.time() - t0, 2)}
+        print(json.dumps({f"tfidf hot-term ({mode})": results[f"tfidf hot-term ({mode})"]}))
+
     print(json.dumps({"n": n, "results": results}))
 
 
