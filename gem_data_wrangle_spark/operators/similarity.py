@@ -48,6 +48,19 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def euclidean(a: Column, b: Column) -> Column:
+    """Euclidean distance of two array<double> columns — a sequential
+    left fold over squared diffs, so the float64 result is bit-stable
+    across engines that sum in array order."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
 def as_double_array(col: Column | str) -> Column:
     """Normalize array<float> → array<double> so all engines compute in
     float64 (bit-parity with the oracle)."""

@@ -28,11 +28,13 @@ def test_bench_headline_names_registered():
 def test_graded_window_is_full():
     names = list(entrymod.queries())
     assert len(names) >= 50
-    # every query without an oracle inside the graded window must be a
-    # documented rows-only case (pyspark.ml hash families)
+    # round 4: every query in the graded window carries a DuckDB
+    # oracle — the two rows-only pyspark.ml queries now ride their
+    # ORACLED verified derivatives (ml_*_join_verified) and sit in the
+    # deferred tail
     o = entrymod.oracle_sql()
     rows_only = [n for n in names[:50] if n not in o]
-    assert set(rows_only) <= {"ml_minhash_join", "ml_brp_join"}
+    assert rows_only == []
 
 
 def test_deferred_queries_have_not_drifted():
