@@ -107,38 +107,54 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 PIXEL_FEATURE_SCHEMA = (
     "id bigint, width int, height int, channels int, "
-    "mean_intensity double, n_pixels bigint"
+    "mean_intensity double, n_pixels bigint, decode_status string"
 )
+
+
+def _sniff_format(payload: bytes) -> str:
+    """Container format from the header bytes, 'unknown' if none of
+    the known signatures match — used to label quarantined rows."""
+    fmt = _parse_dimensions(payload)[0]
+    if fmt is None:
+        fmt = _parse_media_meta(payload)[0]
+    return fmt or "unknown"
 
 
 def extract_pixel_features(media: DataFrame, media_col: str = "media") -> DataFrame:
     """REAL feature extraction: decode each image (PIL or the pure-
     Python PNG codec) and compute pixel statistics.
 
-    Undecodable rows survive with NULL features (format column stays
-    queryable) — at corpus scale a crashed task over one corrupt blob
-    is the failure mode to design out. Arrow-batched ``mapInPandas``
+    Undecodable rows survive with NULL features and an explicit
+    ``decode_status`` of ``undecodable:<sniffed format>`` (VERDICT r3
+    item 7) — at corpus scale a crashed task over one corrupt blob is
+    the failure mode to design out, and a silently-NULL row hides a
+    capability gap (no-PIL environments cannot decode JPEG, the
+    dominant web format; the status column makes that measurable, see
+    :func:`decode_capability_audit`). Arrow-batched ``mapInPandas``
     like every multimodal path; decode cost is per-row CPU with
     constant memory.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            widths, heights, chans, means, npx = [], [], [], [], []
+            widths, heights, chans, means, npx, status = [], [], [], [], [], []
             for b in pdf[media_col]:
+                payload = bytes(b) if b is not None else b""
                 try:
-                    w, h, c, pix = decode_image(bytes(b))
+                    w, h, c, pix = decode_image(payload)
                     widths.append(w)
                     heights.append(h)
                     chans.append(c)
                     means.append(sum(pix) / len(pix) if pix else 0.0)
                     npx.append(w * h)
+                    status.append("ok")
                 except (ValueError, TypeError):
                     widths.append(None)
                     heights.append(None)
                     chans.append(None)
                     means.append(None)
                     npx.append(None)
+                    status.append(f"undecodable:{_sniff_format(payload)}")
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
@@ -147,10 +163,44 @@ def extract_pixel_features(media: DataFrame, media_col: str = "media") -> DataFr
                     "channels": pd.array(chans, dtype="Int32"),
                     "mean_intensity": pd.array(means, dtype="Float64"),
                     "n_pixels": pd.array(npx, dtype="Int64"),
+                    "decode_status": status,
                 }
             )
 
     return media.mapInPandas(batches, schema=PIXEL_FEATURE_SCHEMA)
+
+
+DECODE_AUDIT_SCHEMA = "format string, decode_status string, n bigint"
+
+
+def decode_capability_audit(media: DataFrame, media_col: str = "media") -> DataFrame:
+    """Corpus-level decode-capability audit: per container format, how
+    many payloads the CURRENT decoder stack (PIL if installed, else the
+    PNG codec) actually decodes vs how many land in quarantine.
+
+    This is the honest answer to "can this environment process this
+    corpus": a no-PIL worker reports ``('jpeg', 'undecodable', N)``
+    instead of silently emitting N NULL rows. One Arrow-batched
+    sniff-and-probe pass, then a plain groupBy — partial aggregation
+    collapses each task's rows to ≤ |formats|×2 before the exchange, so
+    the audit costs one scan at any corpus size.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            fmts, stats = [], []
+            for b in pdf[media_col]:
+                payload = bytes(b) if b is not None else b""
+                fmts.append(_sniff_format(payload))
+                try:
+                    decode_image(payload)
+                    stats.append("ok")
+                except (ValueError, TypeError):
+                    stats.append("undecodable")
+            yield pd.DataFrame({"format": fmts, "decode_status": stats})
+
+    probed = media.mapInPandas(batches, "format string, decode_status string")
+    return probed.groupBy("format", "decode_status").agg(F.count(F.lit(1)).alias("n"))
 
 
 RESIZED_SCHEMA = "id bigint, media binary, media_type string, width int, height int"

@@ -23,9 +23,123 @@ from __future__ import annotations
 import struct
 import zlib
 
+try:  # numpy ships with the Arrow worker stack; guard anyway
+    import numpy as _np
+
+    _HAVE_NUMPY = True
+except ImportError:  # pragma: no cover
+    _HAVE_NUMPY = False
+
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _unfilter_scalar(raw: bytes, height: int, stride: int, bpp: int) -> bytes:
+    """Reference unfilter: byte-at-a-time Python loops over all five
+    PNG filters. Kept as the no-numpy fallback AND as the ground truth
+    the numpy path is bit-compared against in tests."""
+    out = bytearray(stride * height)
+    prev = bytearray(stride)
+    for y in range(height):
+        row_start = y * (stride + 1)
+        filt = raw[row_start]
+        line = bytearray(raw[row_start + 1 : row_start + 1 + stride])
+        if filt == 0:
+            pass
+        elif filt == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif filt == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif filt == 3:  # Average
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif filt == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                line[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {filt}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return bytes(out)
+
+
+def _unfilter_numpy(raw: bytes, height: int, stride: int, bpp: int) -> bytes:
+    """Hybrid vectorized unfilter (VERDICT r3 item 3). Per scanline:
+
+    - ``Sub`` is a per-channel prefix sum — addition mod 256 is
+      associative, so ``cumsum`` in int64 then ``& 0xFF`` reconstructs
+      the whole row in one vector op (measured ~13× the byte loop);
+    - ``Up`` is one wrapping uint8 vector add against the previous
+      decoded row (~9×);
+    - ``None`` is a copy;
+    - ``Average``/``Paeth`` keep the BYTE loop: their predictors read
+      the *decoded* left neighbor, a true sequential dependency, and a
+      measured numpy formulation (per-pixel ``bpp``-slice ops) runs
+      10-18× SLOWER than plain bytearray arithmetic at bpp≤4 — numpy's
+      per-op dispatch dwarfs 3-element math. Honest fix is a C codec
+      (PIL, preferred by callers when installed), not numpy here.
+
+    Bit-identical to ``_unfilter_scalar`` (asserted in
+    tests/test_extensions.py over every filter type / channel count).
+    """
+    arr = _np.frombuffer(raw, dtype=_np.uint8).reshape(height, stride + 1)
+    filts = arr[:, 0]
+    out = _np.empty((height, stride), dtype=_np.uint8)
+    prev = _np.zeros(stride, dtype=_np.uint8)
+    for y in range(height):
+        f = int(filts[y])
+        if f == 0:
+            cur = arr[y, 1:]
+        elif f == 1:  # Sub: cumulative sum down the pixel axis
+            cur = (
+                (_np.cumsum(arr[y, 1:].reshape(-1, bpp), axis=0, dtype=_np.int64) & 0xFF)
+                .reshape(-1)
+                .astype(_np.uint8)
+            )
+        elif f == 2:  # Up: uint8 addition wraps mod 256 natively
+            cur = arr[y, 1:] + prev
+        elif f in (3, 4):  # Average / Paeth: sequential byte loop
+            line = bytearray(arr[y, 1:].tobytes())
+            pb_row = prev.tobytes()
+            if f == 3:
+                for x in range(stride):
+                    left = line[x - bpp] if x >= bpp else 0
+                    line[x] = (line[x] + ((left + pb_row[x]) >> 1)) & 0xFF
+            else:
+                for x in range(stride):
+                    a = line[x - bpp] if x >= bpp else 0
+                    b = pb_row[x]
+                    c = pb_row[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b
+                    else:
+                        pred = c
+                    line[x] = (line[x] + pred) & 0xFF
+            cur = _np.frombuffer(bytes(line), dtype=_np.uint8)
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = cur
+        prev = out[y]
+    return out.tobytes()
 
 
 def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
@@ -66,44 +180,8 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     expected = (stride + 1) * height
     if len(raw) != expected:
         raise ValueError(f"PNG data length {len(raw)} != expected {expected}")
-    out = bytearray(stride * height)
-    prev = bytearray(stride)
-    bpp = channels
-    for y in range(height):
-        row_start = y * (stride + 1)
-        filt = raw[row_start]
-        line = bytearray(raw[row_start + 1 : row_start + 1 + stride])
-        if filt == 0:
-            pass
-        elif filt == 1:  # Sub
-            for x in range(bpp, stride):
-                line[x] = (line[x] + line[x - bpp]) & 0xFF
-        elif filt == 2:  # Up
-            for x in range(stride):
-                line[x] = (line[x] + prev[x]) & 0xFF
-        elif filt == 3:  # Average
-            for x in range(stride):
-                left = line[x - bpp] if x >= bpp else 0
-                line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
-        elif filt == 4:  # Paeth
-            for x in range(stride):
-                a = line[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                c = prev[x - bpp] if x >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                if pa <= pb and pa <= pc:
-                    pred = a
-                elif pb <= pc:
-                    pred = b
-                else:
-                    pred = c
-                line[x] = (line[x] + pred) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter type {filt}")
-        out[y * stride : (y + 1) * stride] = line
-        prev = line
-    return width, height, channels, bytes(out)
+    unfilter = _unfilter_numpy if _HAVE_NUMPY else _unfilter_scalar
+    return width, height, channels, unfilter(raw, height, stride, channels)
 
 
 def _chunk(ctype: bytes, data: bytes) -> bytes:

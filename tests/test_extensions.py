@@ -206,6 +206,58 @@ def test_png_codec_roundtrip_and_all_filters():
         P.png_decode(b"not a png at all")
 
 
+def _forward_filter(raw_rows, stride, bpp, filt_of_row):
+    """Forward-apply PNG scanline filters (the encoder side the spec
+    defines) so tests can exercise every decode branch."""
+    enc = bytearray()
+    prev = bytes(stride)
+    for y, row in enumerate(raw_rows):
+        filt = filt_of_row(y)
+        enc.append(filt)
+        for x in range(stride):
+            a = row[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            cc = prev[x - bpp] if x >= bpp else 0
+            if filt == 0:
+                v = row[x]
+            elif filt == 1:
+                v = row[x] - a
+            elif filt == 2:
+                v = row[x] - b
+            elif filt == 3:
+                v = row[x] - ((a + b) >> 1)
+            else:  # paeth
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                v = row[x] - pred
+            enc.append(v & 0xFF)
+        prev = row
+    return bytes(enc)
+
+
+def test_png_unfilter_numpy_bit_identical_to_scalar():
+    """VERDICT r3 item 3: the vectorized unfilter must reproduce the
+    scalar reference byte-for-byte on every filter type, on every
+    channel count, including noisy data that exercises the mod-256
+    wraparound in the Sub cumsum."""
+    from gem_data_wrangle_spark.operators import png_codec as P
+
+    assert P._HAVE_NUMPY
+    for bpp in (1, 2, 3, 4):
+        w, h = 61, 23  # odd sizes catch off-by-one slicing
+        stride = w * bpp
+        raw_rows = [
+            bytes((x * 37 + y * 101 + (x * y) // 3) % 256 for x in range(stride))
+            for y in range(h)
+        ]
+        for policy in (lambda y: y % 5, lambda y: 4, lambda y: 3, lambda y: 1):
+            raw = _forward_filter(raw_rows, stride, bpp, policy)
+            got_np = P._unfilter_numpy(raw, h, stride, bpp)
+            got_sc = P._unfilter_scalar(raw, h, stride, bpp)
+            assert got_np == got_sc == b"".join(raw_rows)
+
+
 def test_multimodal_real_decode(spark):
     """VERDICT r2 item 3: real image bytes flow through the engine —
     a genuine PNG is decoded (pure-Python codec, no PIL needed),
@@ -229,7 +281,9 @@ def test_multimodal_real_decode(spark):
     assert (feats[1]["width"], feats[1]["height"], feats[1]["channels"]) == (5, 4, 3)
     assert feats[1]["n_pixels"] == 20
     assert feats[1]["mean_intensity"] == pytest.approx(sum(pix) / len(pix))
+    assert feats[1]["decode_status"] == "ok"
     assert feats[3]["width"] is None and feats[3]["mean_intensity"] is None
+    assert feats[3]["decode_status"] == "undecodable:unknown"
 
     resized = {r["id"]: r for r in M.resize_images(media, 4, 4, mode="decode").collect()}
     w, h, c, out = P.png_decode(bytes(resized[2]["media"]))
@@ -700,6 +754,42 @@ def test_image_dimensions_real_header_parsing(spark):
     assert out[2] == ("gif", 320, 200)
     assert out[3] == ("jpeg", 1920, 1080)
     assert out[4] == (None, None, None)
+
+
+def test_decode_capability_audit_quarantines_jpeg(spark):
+    """VERDICT r3 item 7: a JPEG in a no-PIL environment must land in
+    an EXPLICIT quarantine count (format sniffed from the marker
+    stream), not vanish into silent NULLs — corpus audits see the
+    capability gap. PNGs decode; junk quarantines as 'unknown'."""
+    _, png = _gradient_png()
+    jpeg = (
+        b"\xff\xd8"                                   # SOI
+        + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9  # APP0
+        + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (8).to_bytes(2, "big") + (8).to_bytes(2, "big") + b"\x03" + b"\x00" * 9
+        + b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01\x01\x00\x00\x3f\x00"  # SOS
+        + b"\x12\x34\x56" + b"\xff\xd9"               # entropy data + EOI
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(png), "image/png", None, None),
+         (2, bytearray(jpeg), "image/jpeg", None, None),
+         (3, bytearray(b"who knows"), "application/octet-stream", None, None)],
+        M.MEDIA_SCHEMA,
+    )
+    audit = {(r["format"], r["decode_status"]): r["n"]
+             for r in M.decode_capability_audit(media).collect()}
+    from gem_data_wrangle_spark.operators.multimodal import _PILImage
+
+    if _PILImage is None:  # the shipped environment
+        assert audit[("png", "ok")] == 1
+        assert audit[("jpeg", "undecodable")] == 1
+    else:  # pragma: no cover - PIL widens coverage when installed
+        assert audit[("png", "ok")] == 1
+    assert audit[("unknown", "undecodable")] == 1
+
+    feats = {r["id"]: r for r in M.extract_pixel_features(media).collect()}
+    if _PILImage is None:
+        assert feats[2]["decode_status"] == "undecodable:jpeg"
 
 
 def test_dedup_against_index_incremental(spark):
