@@ -3679,7 +3679,7 @@ _DEFER_TO_TAIL = [
     # byte-unchanged this round:
     "explode_split",           # r03 green; strings.py split path unchanged
     "split_ownership_strict",  # r03 green; kernels.py:31 unchanged
-    "window_count_share",      # r03 green; aggregates.py:67 unchanged
+    "token_counts",            # r03 green; textops token path unchanged
     "harmonize_coordinates",   # r03 green; kernels.py:84 unchanged
     "join_left_enrich",        # r03 green; joins.py:17 unchanged
     "surrogate_ids",           # r03 green post-rewrite; kernels.py:208 unchanged
@@ -3758,7 +3758,7 @@ _DEFER_HASHES: dict[str, str] = {
     "multimodal_bytes": "25c4f08bb9df8ba8",
     "explode_split": "68ee199b5c3da537",
     "split_ownership_strict": "88aca9a672b4b1b9",
-    "window_count_share": "2b80f335c6badb80",
+    "token_counts": "f224865fb01a4cee",
     "harmonize_coordinates": "102448ca2061e9c3",
     "join_left_enrich": "19d45dbe8ae4a9fc",
     "surrogate_ids": "83fe3102e7d61599",

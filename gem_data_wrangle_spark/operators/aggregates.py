@@ -48,14 +48,38 @@ def distinct_rows(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame
     return (df.select(*cols) if cols else df).distinct()
 
 
-def dedup_first_per_key(df: DataFrame, key_cols: Sequence[str], order_cols: Sequence[Column | str]) -> DataFrame:
+def dedup_first_per_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[Column | str],
+    skew_safe: bool = False,
+) -> DataFrame:
     """``group_by(k) %>% slice(1)`` (``GEM/TotalData_GEM.R:48-51``).
 
     R keeps file order; a distributed engine has no file order, so the
-    caller supplies a deterministic ordering. One window shuffle on the
-    key; with skewed keys AQE's skew handling applies since Spark 3.x
-    window skew mitigation, and key salting is available upstream.
+    caller supplies a deterministic ordering.
+
+    Default path: one window shuffle on the key. The window BUFFERS
+    each key's whole partition in a single task (sort + spill), so a
+    hot key concentrates its rows there — measured survivable at 30×
+    with a 10%-of-rows key (SCALE.md hot-key table) but linear in the
+    hot key's row count.
+
+    ``skew_safe=True``: two-phase ``min_by(struct(all cols),
+    struct(order))`` aggregation — partial aggregation collapses every
+    input partition's rows to one candidate per key BEFORE the
+    exchange, so per-task work stays bounded under any skew. Requires
+    plain ascending, non-null order column NAMES (struct lexicographic
+    min ≡ first row of the ascending window order); the window path
+    additionally supports desc/null-ordered Column expressions.
     """
+    if skew_safe:
+        if not all(isinstance(c, str) for c in order_cols):
+            raise ValueError(
+                "skew_safe dedup requires plain ascending column names"
+            )
+        first = F.min_by(F.struct(*df.columns), F.struct(*order_cols))
+        return df.groupBy(*key_cols).agg(first.alias("_r")).select("_r.*")
     w = Window.partitionBy(*key_cols).orderBy(*order_cols)
     return (
         df.withColumn("_rn", F.row_number().over(w))
@@ -69,10 +93,32 @@ def window_count_share(
     partition_cols: Sequence[str],
     explicit_share: Column | None = None,
     out_col: str = "share",
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Equal-share fallback per group without collapsing
     (``GEM/Hydroplants_GEM.R:174-190``): ``coalesce(explicit, 1/n())``
-    over a window partition."""
+    over a window partition.
+
+    The count-only window carries no orderBy, but WindowExec still
+    routes and buffers each key's rows through one task — fine for
+    GEM's bounded per-unit owner lists, linear in the hot key's row
+    count on open-domain keys (measured at 30× with a 10%-of-rows hot
+    key, SCALE.md). ``skew_safe=True`` swaps it for a two-phase
+    count aggregate (map-side partial combine) joined back onto the
+    rows — bounded per-task work under any skew; AQE broadcasts the
+    per-key counts while they fit and skew-splits the probe join when
+    they don't."""
+    if skew_safe:
+        counts = df.groupBy(*partition_cols).agg(F.count(F.lit(1)).alias("_wcs_n"))
+        equal = F.lit(1.0) / F.col("_wcs_n")
+        share = (
+            F.coalesce(explicit_share, equal) if explicit_share is not None else equal
+        )
+        return (
+            df.join(counts, on=list(partition_cols))
+            .withColumn(out_col, share)
+            .drop("_wcs_n")
+        )
     w = Window.partitionBy(*partition_cols)
     equal = F.lit(1.0) / F.count(F.lit(1)).over(w)
     share = F.coalesce(explicit_share, equal) if explicit_share is not None else equal

@@ -162,6 +162,46 @@ def test_salted_sum_equals_plain_groupby(spark, sf_dir):
         assert abs(plain[k] - salted[k]) < 1e-6
 
 
+def test_skew_safe_variants_equal_window_paths(spark, sf_dir):
+    """VERDICT r3 item 8: the skew_safe two-phase formulations of
+    window_count_share (count agg + join-back) and dedup_first_per_key
+    (min_by over an order struct) must return exactly what the window
+    paths return — verified on a deliberately skewed frame (one key
+    holds ~20% of rows)."""
+    from gem_data_wrangle_spark.operators import aggregates as A
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "l_orderkey",
+        F.when(F.col("l_linenumber") % 5 == 0, F.lit(424242)).otherwise(
+            F.col("l_orderkey")
+        ),
+    )
+    w = sorted(tuple(r) for r in A.window_count_share(li, ["l_orderkey"]).collect())
+    s = sorted(
+        tuple(r)
+        for r in A.window_count_share(li, ["l_orderkey"], skew_safe=True).collect()
+    )
+    assert w == s and len(w) == li.count()
+
+    # deterministic dedup needs a TOTAL order (operator docstring);
+    # order by every non-key column so ties are full-row-identical
+    order = [c for c in li.columns if c != "l_orderkey"]
+    dw = sorted(
+        tuple(r) for r in A.dedup_first_per_key(li, ["l_orderkey"], order).collect()
+    )
+    ds = sorted(
+        tuple(r)
+        for r in A.dedup_first_per_key(
+            li, ["l_orderkey"], order, skew_safe=True
+        ).collect()
+    )
+    assert dw == ds
+    with pytest.raises(ValueError):
+        A.dedup_first_per_key(
+            li, ["l_orderkey"], [F.col("l_linenumber").desc()], skew_safe=True
+        )
+
+
 def test_bucketed_join_elides_exchange(spark, tmp_path):
     from gem_data_wrangle_spark.sources.bucketing import bucketed_join, write_bucketed
 

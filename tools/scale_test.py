@@ -32,6 +32,16 @@ QUERIES = [
     "chunk_documents",
     "normalized_dedup",
     "json_extract_props",
+    # round 4 (VERDICT r3 item 6): the five remaining per-fuel
+    # pipelines + the all-8-fuel consolidation capstone — they share
+    # run_fuel_pipeline, so a non-flat ratio here indicts a fuel's
+    # config knobs, not the kernel
+    "gem_nuclear_pipeline",
+    "gem_solar_pipeline",
+    "gem_wind_pipeline",
+    "gem_bioenergy_pipeline",
+    "gem_geothermal_pipeline",
+    "gem_total_consolidation_all8",
 ]
 
 BASE = "/root/testdata/sf0.1"
@@ -146,6 +156,42 @@ def main() -> None:
         ).save()
         results[f"tfidf hot-term ({mode})"] = {f"{n}x": round(time.time() - t0, 2)}
         print(json.dumps({f"tfidf hot-term ({mode})": results[f"tfidf hot-term ({mode})"]}))
+
+    # hot-KEY window stress (VERDICT r3 item 8): N× lineitem with one
+    # key forced onto 10% of rows, window_count_share and
+    # dedup_first_per_key timed in both formulations. The window paths
+    # buffer the whole hot partition in one task (linear in hot-key row
+    # count); the skew_safe paths keep per-task work bounded.
+    from gem_data_wrangle_spark.operators import aggregates as Agg  # noqa: PLC0415
+
+    hotkey_dir = f"{out_dir}/lineitem_hotkey.parquet"
+    if not os.path.exists(hotkey_dir):
+        li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+        big = (
+            li.withColumn("_i", F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
+            .withColumn("l_orderkey", F.col("l_orderkey") + F.col("_i") * 10_000_000)
+            .drop("_i")
+            .withColumn(
+                "l_orderkey",
+                F.when(F.rand(7) < 0.10, F.lit(424242)).otherwise(F.col("l_orderkey")),
+            )
+        )
+        big.repartition(max(4, 2 * n)).write.mode("overwrite").parquet(hotkey_dir)
+    hk = spark.read.parquet(hotkey_dir)
+    order = [c for c in hk.columns if c != "l_orderkey"]
+    cases = {
+        "wcs window": Agg.window_count_share(hk, ["l_orderkey"]),
+        "wcs skew_safe": Agg.window_count_share(hk, ["l_orderkey"], skew_safe=True),
+        "dedup window": Agg.dedup_first_per_key(hk, ["l_orderkey"], order),
+        "dedup skew_safe": Agg.dedup_first_per_key(
+            hk, ["l_orderkey"], order, skew_safe=True
+        ),
+    }
+    for label, df in cases.items():
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        results[f"hotkey {label}"] = {f"{n}x": round(time.time() - t0, 2)}
+        print(json.dumps({f"hotkey {label}": results[f"hotkey {label}"]}))
 
     print(json.dumps({"n": n, "results": results}))
 
