@@ -114,10 +114,25 @@ def window_count_share(
         share = (
             F.coalesce(explicit_share, equal) if explicit_share is not None else equal
         )
+        # Null-safe equi-join: groupBy keeps NULL keys as a group, and
+        # the window path keeps NULL-key rows too, so the join-back must
+        # match them (a plain equi-join would silently drop them). The
+        # counts side's keys are renamed to break self-join lineage
+        # ambiguity, then df's original column order is re-selected —
+        # `on=list` would move the join keys first and diverge from the
+        # window path's schema.
+        keymap = {c: f"_wcs_k_{i}" for i, c in enumerate(partition_cols)}
+        counts = counts.select(
+            *[F.col(c).alias(a) for c, a in keymap.items()], "_wcs_n"
+        )
+        cond = None
+        for c, a in keymap.items():
+            clause = F.col(c).eqNullSafe(F.col(a))
+            cond = clause if cond is None else (cond & clause)
         return (
-            df.join(counts, on=list(partition_cols))
+            df.join(counts, on=cond)
             .withColumn(out_col, share)
-            .drop("_wcs_n")
+            .select(*df.columns, out_col)
         )
     w = Window.partitionBy(*partition_cols)
     equal = F.lit(1.0) / F.count(F.lit(1)).over(w)
@@ -162,14 +177,23 @@ def sessionize(
 
     # Parquet µs timestamps without UTC adjustment arrive as
     # TIMESTAMP_NTZ, which ANSI mode refuses to cast straight to
-    # double; route through timestamp_ltz (callers pin the session TZ
-    # to UTC, so the epoch matches DuckDB's naive-wall-clock epoch()).
+    # double. Derive the naive wall-clock epoch timezone-independently
+    # (date-days + time-of-day parts) — a timestamp_ltz round-trip
+    # would silently shift gaps in any non-UTC session, especially
+    # across DST transitions.
     ts = F.col(ts_col)
     if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
-        ts = ts.cast("timestamp_ltz")
+        epoch = (
+            F.unix_date(ts.cast("date")).cast("double") * 86400.0
+            + F.date_part(F.lit("HOUR"), ts).cast("double") * 3600.0
+            + F.date_part(F.lit("MINUTE"), ts).cast("double") * 60.0
+            + F.date_part(F.lit("SECOND"), ts).cast("double")
+        )
+    else:
+        epoch = ts.cast("double")
     w = Window.partitionBy(key_col).orderBy(ts_col)
-    prev = F.lag(ts).over(w)
-    gap = ts.cast("double") - prev.cast("double")
+    prev = F.lag(epoch).over(w)
+    gap = epoch - prev
     is_new = F.when(prev.isNull() | (gap > gap_seconds), 1).otherwise(0)
     running = Window.partitionBy(key_col).orderBy(ts_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -241,9 +241,12 @@ def test_png_unfilter_numpy_bit_identical_to_scalar():
     scalar reference byte-for-byte on every filter type, on every
     channel count, including noisy data that exercises the mod-256
     wraparound in the Sub cumsum."""
+    import pytest
+
     from gem_data_wrangle_spark.operators import png_codec as P
 
-    assert P._HAVE_NUMPY
+    if not P._HAVE_NUMPY:
+        pytest.skip("numpy not installed; scalar fallback is the only path")
     for bpp in (1, 2, 3, 4):
         w, h = 61, 23  # odd sizes catch off-by-one slicing
         stride = w * bpp

@@ -202,6 +202,35 @@ def test_skew_safe_variants_equal_window_paths(spark, sf_dir):
         )
 
 
+def test_skew_safe_count_share_keeps_null_keys_and_schema(spark):
+    """ADVICE r4: skew_safe window_count_share must (a) keep rows whose
+    partition key is NULL — the window path treats NULL as a group, so
+    the join-back must be null-safe — and (b) return the window path's
+    exact column order, not join-keys-first."""
+    from gem_data_wrangle_spark.operators import aggregates as A
+
+    df = spark.createDataFrame(
+        [("x", "k1", 1.0), ("y", None, None), ("z", None, None)],
+        "payload string, grp string, explicit double",
+    )
+    w = A.window_count_share(
+        df, ["grp"], explicit_share=F.col("explicit"), out_col="share"
+    )
+    s = A.window_count_share(
+        df, ["grp"], explicit_share=F.col("explicit"), out_col="share",
+        skew_safe=True,
+    )
+    assert s.columns == w.columns == ["payload", "grp", "explicit", "share"]
+    rows_w = sorted(tuple(r) for r in w.collect())
+    rows_s = sorted(tuple(r) for r in s.collect())
+    assert rows_s == rows_w
+    # the two NULL-key rows form one group of 2 → equal share 0.5
+    assert [r for r in rows_s if r[1] is None] == [
+        ("y", None, None, 0.5),
+        ("z", None, None, 0.5),
+    ]
+
+
 def test_bucketed_join_elides_exchange(spark, tmp_path):
     from gem_data_wrangle_spark.sources.bucketing import bucketed_join, write_bucketed
 

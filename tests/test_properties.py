@@ -123,6 +123,46 @@ def test_aggregation_invariant_under_repartitioning(spark, parts, sf_dir):
     assert got == got2
 
 
+def test_skew_safe_equals_window_across_partitionings(spark, sf_dir):
+    """VERDICT r4 item 7: the skew_safe two-phase formulations must be
+    layout-independent — window-vs-skew_safe equality holds under
+    repartition(1|7|32), locking the partial-agg path against
+    partition-layout sensitivity."""
+    from gem_data_wrangle_spark.operators import aggregates as A
+
+    base = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    order = [c for c in base.columns if c != "l_orderkey"]
+    expect_w = None
+    expect_d = None
+    for parts in (1, 7, 32):
+        li = base.repartition(parts)
+        w = sorted(
+            tuple(r) for r in A.window_count_share(li, ["l_orderkey"]).collect()
+        )
+        s = sorted(
+            tuple(r)
+            for r in A.window_count_share(
+                li, ["l_orderkey"], skew_safe=True
+            ).collect()
+        )
+        assert w == s
+        dw = sorted(
+            tuple(r)
+            for r in A.dedup_first_per_key(li, ["l_orderkey"], order).collect()
+        )
+        ds = sorted(
+            tuple(r)
+            for r in A.dedup_first_per_key(
+                li, ["l_orderkey"], order, skew_safe=True
+            ).collect()
+        )
+        assert dw == ds
+        if expect_w is None:
+            expect_w, expect_d = w, dw
+        else:
+            assert w == expect_w and dw == expect_d
+
+
 @given(
     name=_company,
     pct=st.one_of(
