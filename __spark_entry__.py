@@ -3626,23 +3626,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # splits, ...). Every demoted query remains registered and runnable;
 # its round-1 green row is the standing evidence.
 _DEFER_TO_TAIL = [
-    "project",              # r01 green; trivial select
-    "filter_not_and",       # r01 green; exercised inside every GEM pipeline
-    "filter_null_or_ge",    # r01 green; exercised inside coal/gasoil pipelines
-    "replace_value_global", # r01 green; exercised inside every GEM pipeline
-    "join_lookup_dim",      # r01 green; exercised inside every GEM pipeline
-    "split_ownership_equal",   # r01 green; variant of split_ownership_strict
-    "harmonize_na_poisoning",  # r01 green; variant of harmonize_coordinates
-    "expand_years_retirement", # r01 green; variant of expand_years
-    "agg_global_mean",      # r01 green; variant of agg_mean_groups
-    "distinct_rows",        # r01 green
-    "union_rows",           # r01 green
-    "union_rows_byname",    # r01 green; also inside gem_total_consolidation
-    "window_rank",          # r01 green
-    "top_k",                # r01 green
-    "string_format",        # r01 green
-    "strip_pct_suffix",     # r01 green
-    "impute_year",          # r01 green; exercised inside hydro pipeline
+    # round-5 rotation (VERDICT r4 item 2): the first 17 of the 34
+    # r1-tail queries (project … impute_year) RETURN to the graded
+    # head — their newest green rows were 3 rounds old and fingerprints
+    # can't see environment drift (the r4 sessionize NTZ break proved
+    # that). Their slots come from r4-green queries whose query fn +
+    # oracle + operator modules are byte-unchanged this round. The
+    # remaining 17 r1 entries (simhash … multimodal_bytes) and the r3
+    # block rotate in round 6.
     "simhash",              # r01 green
     "text_fingerprint",     # r01 green; also inside training_data_pipeline
     "jaccard_neighbors",    # r01 green; paired with minhash_lsh_pairs
@@ -3697,6 +3688,28 @@ _DEFER_TO_TAIL = [
     # the rows-only driver record added nothing beyond a row count.
     "ml_minhash_join",
     "ml_brp_join",
+    # round-5 demotions: r04 green, and this round touched neither
+    # their query fns, oracles, nor the operator modules they call
+    # (round 5's code changes live in aggregates.py
+    # window_count_share/dedup_first_per_key/sessionize and
+    # plans/gem.py consolidation — all of whose queries STAY graded)
+    "agg_mean_groups",         # r04 green; aggregates.agg_mean_groups unchanged
+    "multimodal_features",     # r04 green; multimodal.py unchanged
+    "filter_capacity_known",   # r04 green; cleaning.py unchanged
+    "binational_split",        # r04 green; kernels.py:165 unchanged
+    "canonical_projection",    # r04 green; cleaning.py unchanged
+    "filter_notnull",          # r04 green; cleaning.py unchanged
+    "filter_eq_timestamp",     # r04 green; cleaning.py unchanged
+    "table_profile",           # r04 green; quality.py unchanged
+    "group_quantiles",         # r04 green; quality.py unchanged
+    "pivot_counts",            # r04 green; aggregates pivot path unchanged
+    "rollup_sums",             # r04 green
+    "dataset_split",           # r04 green; sampling.py unchanged
+    "rolling_fingerprint",     # r04 green; textops fingerprint unchanged
+    "asof_join_events",        # r04 green; asof.py unchanged
+    "range_join_prices",       # r04 green; asof.py unchanged
+    "multimodal_resize",       # r04 green; multimodal.py unchanged
+    "multimodal_frames",       # r04 green; multimodal.py unchanged
 ]
 
 
@@ -3722,23 +3735,6 @@ def _defer_fingerprint(name: str) -> str:
 
 # Regenerate via tools/gen_defer_hashes.py after a DELIBERATE change.
 _DEFER_HASHES: dict[str, str] = {
-    "project": "e63d5078eaa99831",
-    "filter_not_and": "4a7cf2ba9409f9f2",
-    "filter_null_or_ge": "90ec3885d87582ea",
-    "replace_value_global": "0db49e1c90a3bb0c",
-    "join_lookup_dim": "2246a2f805501cff",
-    "split_ownership_equal": "76e8ae050bedbaa2",
-    "harmonize_na_poisoning": "f26cb6280a425311",
-    "expand_years_retirement": "f59af127c33491e7",
-    "agg_global_mean": "439642f02685e4bf",
-    "distinct_rows": "d6a3fb3ccb0f0551",
-    "union_rows": "f02c4badce8d2f6a",
-    "union_rows_byname": "0f2175ebc647033b",
-    "window_rank": "cdb7d6d1b4fc17a6",
-    "top_k": "4df73fb64966eda0",
-    "string_format": "6c8675dbb4ccef03",
-    "strip_pct_suffix": "4c185c442ea859d1",
-    "impute_year": "616eb7efca0c1b13",
     "simhash": "1b747ecd35d5afd0",
     "text_fingerprint": "20401cde9270e27b",
     "jaccard_neighbors": "f5ef3b537b9359ad",
@@ -3771,6 +3767,23 @@ _DEFER_HASHES: dict[str, str] = {
     "embedding_quantize_int8": "c4a3a9970f58767f",
     "ml_minhash_join": "f61fcefa7d25956a",
     "ml_brp_join": "eaccdaa547c73aba",
+    "agg_mean_groups": "e7a1b0a894570f0b",
+    "multimodal_features": "2dd56cda8d3e7dfd",
+    "filter_capacity_known": "aab9fdb471c09c7b",
+    "binational_split": "0106b38cea0954aa",
+    "canonical_projection": "0b33bf593746d7b2",
+    "filter_notnull": "c08d353a575704ff",
+    "filter_eq_timestamp": "57840d0b3d871c10",
+    "table_profile": "cf15317d3577ae7e",
+    "group_quantiles": "2bd4c8fd6a68b8ac",
+    "pivot_counts": "758d10e875c8c1a5",
+    "rollup_sums": "994df0003545be17",
+    "dataset_split": "1213d19a92e21ade",
+    "rolling_fingerprint": "ed5570e08c1351f7",
+    "asof_join_events": "12fc884cde6b1f3d",
+    "range_join_prices": "6f0b3a63a9d79b4f",
+    "multimodal_resize": "358cbd1a4f7b59af",
+    "multimodal_frames": "616d729fcef1f567",
 }
 
 
