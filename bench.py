@@ -50,6 +50,10 @@ HEADLINE = [
     "normalized_dedup",        # regex canonicalize + digest group-by
     "chunk_documents",         # narrow explode token windows
     "json_extract_props",      # JSON path probe inside an aggregate
+    # round 5 (VERDICT r4 item 6): the largest graded query — eight
+    # per-fuel pipelines → union → surrogate ids → steel merge → EF
+    # fallback (44 shuffles) — benched so its cost is on the record
+    "gem_total_consolidation_all8",
 ]
 
 

@@ -62,8 +62,9 @@ def dedup_first_per_key(
     Default path: one window shuffle on the key. The window BUFFERS
     each key's whole partition in a single task (sort + spill), so a
     hot key concentrates its rows there — measured survivable at 30×
-    with a 10%-of-rows key (SCALE.md hot-key table) but linear in the
-    hot key's row count.
+    with a 10%-of-rows key (1.8M hot rows: 3.23 s window vs 3.53 s
+    skew_safe, SCALE.md hot-key table) but linear in the hot key's
+    row count.
 
     ``skew_safe=True``: two-phase ``min_by(struct(all cols),
     struct(order))`` aggregation — partial aggregation collapses every
@@ -103,7 +104,9 @@ def window_count_share(
     routes and buffers each key's rows through one task — fine for
     GEM's bounded per-unit owner lists, linear in the hot key's row
     count on open-domain keys (measured at 30× with a 10%-of-rows hot
-    key, SCALE.md). ``skew_safe=True`` swaps it for a two-phase
+    key: 3.91 s window vs 5.93 s skew_safe — the window wins while
+    the hot key fits one task; SCALE.md hot-key table).
+    ``skew_safe=True`` swaps it for a two-phase
     count aggregate (map-side partial combine) joined back onto the
     rows — bounded per-task work under any skew; AQE broadcasts the
     per-key counts while they fit and skew-splits the probe join when

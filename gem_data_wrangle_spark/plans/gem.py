@@ -313,10 +313,20 @@ def consolidate_total(
     total = total.drop("company_id")
     total = K.surrogate_ids(total, "company_name", id_col="company_id")
     if steel is not None:
+        # company_name is open-domain user data — the one reference
+        # path where a hot key is plausible at 100× — so take the
+        # skew-safe two-phase min_by dedup (VERDICT r4 item 4). It
+        # needs a plain ascending non-null order column; dropping
+        # NULL-id steel rows FIRST is semantics-preserving versus the
+        # old asc_nulls_last window (a borrowed NULL id coalesces back
+        # to the minted surrogate anyway).
         steel_ids = A.dedup_first_per_key(
-            steel.select("company_name", "company_id"),
+            steel.select("company_name", "company_id").filter(
+                F.col("company_id").isNotNull()
+            ),
             ["company_name"],
-            [F.col("company_id").asc_nulls_last()],
+            ["company_id"],
+            skew_safe=True,
         ).withColumnRenamed("company_id", "_steel_company_id")
         # bounded dim (distinct steel companies) → broadcast is safe
         total = total.join(F.broadcast(steel_ids), on="company_name", how="left")
