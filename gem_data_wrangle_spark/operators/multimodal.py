@@ -35,8 +35,9 @@ MEDIA_SCHEMA = "id bigint, media binary, media_type string, width int, height in
 
 FEATURE_SCHEMA = "id bigint, n_bytes bigint, feature double"
 
-# PNG decode is always available (stdlib zlib codec); PIL widens
-# coverage to JPEG/WebP/... when importable.
+# PNG decode is always available (stdlib zlib codec) and baseline
+# JPEG decodes via the numpy-backed T.81 codec (jpeg_codec.py); PIL
+# widens coverage (progressive JPEG / WebP / ...) when importable.
 REAL_DECODERS_AVAILABLE = True
 
 
@@ -55,6 +56,10 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
         if img.mode not in ("L", "LA", "RGB", "RGBA"):
             img = img.convert("RGBA")
         return img.width, img.height, len(img.getbands()), img.tobytes()
+    if payload[:2] == b"\xff\xd8":
+        from gem_data_wrangle_spark.operators import jpeg_codec  # noqa: PLC0415
+
+        return jpeg_codec.jpeg_decode(payload)
     return png_codec.png_decode(payload)
 
 
@@ -128,8 +133,9 @@ def extract_pixel_features(media: DataFrame, media_col: str = "media") -> DataFr
     ``decode_status`` of ``undecodable:<sniffed format>`` (VERDICT r3
     item 7) — at corpus scale a crashed task over one corrupt blob is
     the failure mode to design out, and a silently-NULL row hides a
-    capability gap (no-PIL environments cannot decode JPEG, the
-    dominant web format; the status column makes that measurable, see
+    capability gap (without PIL, progressive JPEG / WebP / ... are
+    undecodable; baseline JPEG decodes via ``jpeg_codec`` since round
+    5; the status column makes the residual gap measurable, see
     :func:`decode_capability_audit`). Arrow-batched ``mapInPandas``
     like every multimodal path; decode cost is per-row CPU with
     constant memory.
@@ -175,11 +181,13 @@ DECODE_AUDIT_SCHEMA = "format string, decode_status string, n bigint"
 
 def decode_capability_audit(media: DataFrame, media_col: str = "media") -> DataFrame:
     """Corpus-level decode-capability audit: per container format, how
-    many payloads the CURRENT decoder stack (PIL if installed, else the
-    PNG codec) actually decodes vs how many land in quarantine.
+    many payloads the CURRENT decoder stack (PIL if installed, else
+    the PNG + baseline-JPEG codecs) actually decodes vs how many land
+    in quarantine.
 
     This is the honest answer to "can this environment process this
     corpus": a no-PIL worker reports ``('jpeg', 'undecodable', N)``
+    for progressive/arithmetic streams its baseline codec rejects,
     instead of silently emitting N NULL rows. One Arrow-batched
     sniff-and-probe pass, then a plain groupBy — partial aggregation
     collapses each task's rows to ≤ |formats|×2 before the exchange, so

@@ -1,0 +1,326 @@
+"""Baseline-JPEG decoder tests (VERDICT r4 item 5).
+
+A minimal spec-correct ENCODER lives here (forward DCT + canonical
+Huffman, T.81 Annex B/C/F) so the tests exercise the decoder on real
+JPEG byte streams without PIL in the container: flat images decode
+EXACTLY (all AC energy is zero, DC survives quantization exactly when
+divisible), smooth images decode within a small tolerance, and the
+marker grammar paths (DRI/RSTn, 4:2:0 sampling, progressive
+rejection) are each covered. If PIL is present the decoder is also
+cross-checked against it.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+np = pytest.importorskip("numpy")
+
+from gem_data_wrangle_spark.operators import jpeg_codec as J  # noqa: E402
+
+_FLAT_Q = [16] * 64  # quant table: flat 16s keep the math checkable
+
+
+def _dct2(block: "np.ndarray") -> "np.ndarray":
+    c = J._dct_matrix()
+    return c @ block @ c.T
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> None:
+        while self.nbits:  # pad with 1-bits per spec
+            self.write(1, 1)
+
+
+def _category(v: int) -> int:
+    return 0 if v == 0 else int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _amplitude(v: int, t: int) -> int:
+    return v if v >= 0 else v + (1 << t) - 1
+
+
+def _block_symbols(coefs: list[int], pred: int) -> tuple[list[tuple], int]:
+    """(kind, symbol, extra_value, extra_len) stream for one block."""
+    syms: list[tuple] = []
+    diff = coefs[0] - pred
+    t = _category(diff)
+    syms.append(("dc", t, _amplitude(diff, t), t))
+    run = 0
+    last_nz = 0
+    for k in range(1, 64):
+        if coefs[k]:
+            last_nz = k
+    for k in range(1, last_nz + 1):
+        v = coefs[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            syms.append(("ac", 0xF0, 0, 0))  # ZRL
+            run -= 16
+        s = _category(v)
+        syms.append(("ac", (run << 4) | s, _amplitude(v, s), s))
+        run = 0
+    if last_nz < 63:
+        syms.append(("ac", 0x00, 0, 0))  # EOB
+    return syms, coefs[0]
+
+
+def _canonical_codes(symbols: set[int]) -> tuple[list[int], bytes, dict[int, tuple[int, int]]]:
+    """All symbols at code length 8 — valid canonical table for ≤ 254
+    symbols (no all-ones code)."""
+    ordered = sorted(symbols)
+    assert len(ordered) <= 254
+    counts = [0] * 16
+    counts[7] = len(ordered)
+    base = 0  # first length-8 code in a table with no shorter codes
+    codes = {sym: (8, base + i) for i, sym in enumerate(ordered)}
+    return counts, bytes(ordered), codes
+
+
+def _plane_blocks(plane: "np.ndarray", q: list[int]) -> "np.ndarray":
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(plane.astype(np.float64), ((0, ph - h), (0, pw - w)), mode="edge")
+    qnat = np.zeros(64)
+    qnat[np.array(J._ZIGZAG)] = q
+    qnat = qnat.reshape(8, 8)
+    rows = []
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = np.round(_dct2(block) / qnat).astype(int)
+            rows.append(coef.flatten()[np.array(J._ZIGZAG)].tolist())
+    return rows, ph // 8, pw // 8
+
+
+def encode_baseline_jpeg(
+    img: "np.ndarray",
+    q: list[int] = _FLAT_Q,
+    restart_interval: int = 0,
+    subsample_420: bool = False,
+) -> bytes:
+    """Minimal valid baseline JPEG: greyscale (h,w) or RGB (h,w,3)."""
+    color = img.ndim == 3
+    h, w = img.shape[:2]
+    if color:
+        r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample_420:
+            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+            cbp = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+            crp = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+            cb = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        planes = [y, cb, cr]
+        sampling = [(2, 2), (1, 1), (1, 1)] if subsample_420 else [(1, 1)] * 3
+    else:
+        planes = [img.astype(np.float64)]
+        sampling = [(1, 1)]
+
+    # luma blocks must tile the MCU grid for 4:2:0: pad to 16
+    per_comp = []
+    for plane, (sh, sv) in zip(planes, sampling):
+        if subsample_420 and (sh, sv) == (2, 2):
+            hh, ww = plane.shape
+            p16h, p16w = -(-hh // 16) * 16, -(-ww // 16) * 16
+            plane = np.pad(plane, ((0, p16h - hh), (0, p16w - ww)), mode="edge")
+        blocks, bh, bw = _plane_blocks(plane, q)
+        per_comp.append((blocks, bh, bw))
+
+    # interleave blocks in MCU order and collect symbol streams
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    dc_syms: list[set] = [set(), set()]
+    ac_syms: list[set] = [set(), set()]
+    stream: list[tuple] = []  # (table_idx, syms)
+    preds = [0] * len(planes)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                stream.append(("rst", mcu_count // restart_interval - 1))
+                preds = [0] * len(planes)
+            for ci, ((blocks, bh, bw), (sh, sv)) in enumerate(zip(per_comp, sampling)):
+                tid = 0 if ci == 0 else 1
+                for by in range(sv):
+                    for bx in range(sh):
+                        bidx = (my * sv + by) * bw + (mx * sh + bx)
+                        syms, pred = _block_symbols(blocks[bidx], preds[ci])
+                        preds[ci] = pred
+                        for kind, sym, _v, _n in syms:
+                            (dc_syms if kind == "dc" else ac_syms)[tid].add(sym)
+                        stream.append((tid, syms))
+            mcu_count += 1
+
+    dc_tabs = [_canonical_codes(s) if s else None for s in dc_syms]
+    ac_tabs = [_canonical_codes(s) if s else None for s in ac_syms]
+
+    out = bytearray(b"\xff\xd8")
+
+    def segment(marker: int, body: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]) + struct.pack(">H", len(body) + 2) + body)
+
+    segment(0xDB, bytes([0x00]) + bytes(q))  # DQT table 0, 8-bit
+    ncomp = len(planes)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci, (sh, sv) in enumerate(sampling):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0])
+    segment(0xC0, sof)
+    for tc, tabs in ((0, dc_tabs), (1, ac_tabs)):
+        for th, tab in enumerate(tabs):
+            if tab is None:
+                continue
+            counts, symbols, _codes = tab
+            segment(0xC4, bytes([(tc << 4) | th]) + bytes(counts) + symbols)
+    if restart_interval:
+        segment(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        tid = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    segment(0xDA, sos)
+
+    bw_ = _BitWriter()
+    for item in stream:
+        if item[0] == "rst":
+            bw_.flush()
+            out.extend(bw_.out)
+            bw_.out = bytearray()
+            out.extend(b"\xff" + bytes([0xD0 + item[1] % 8]))
+            continue
+        tid, syms = item
+        for kind, sym, val, nbits in syms:
+            _c, _s, codes = (dc_tabs if kind == "dc" else ac_tabs)[tid]
+            length, code = codes[sym]
+            bw_.write(code, length)
+            if nbits:
+                bw_.write(val, nbits)
+    bw_.flush()
+    out.extend(bw_.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def test_flat_grey_decodes_exactly():
+    for value in (128, 200, 32):
+        img = np.full((64, 48), value, dtype=np.uint8)
+        payload = encode_baseline_jpeg(img)
+        w, h, c, pix = J.jpeg_decode(payload)
+        assert (w, h, c) == (48, 64, 1)
+        got = np.frombuffer(pix, dtype=np.uint8).reshape(64, 48)
+        assert int(got.max()) == int(got.min()) == value
+
+
+def test_gradient_grey_roundtrips_within_tolerance_odd_size():
+    yy, xx = np.mgrid[0:61, 0:45]
+    img = ((xx * 2 + yy) % 200 + 20).astype(np.uint8)
+    payload = encode_baseline_jpeg(img)
+    w, h, c, pix = J.jpeg_decode(payload)
+    assert (w, h, c) == (45, 61, 1)
+    got = np.frombuffer(pix, dtype=np.uint8).reshape(61, 45).astype(int)
+    err = np.abs(got - img.astype(int))
+    # flat-16 quant on a smooth ramp: small bounded reconstruction error
+    assert err.max() <= 24 and err.mean() < 4.0
+
+
+def test_flat_color_444_decodes_to_original_rgb():
+    img = np.zeros((32, 32, 3), dtype=np.uint8)
+    img[..., 0], img[..., 1], img[..., 2] = 180, 90, 40
+    payload = encode_baseline_jpeg(img)
+    w, h, c, pix = J.jpeg_decode(payload)
+    assert (w, h, c) == (32, 32, 3)
+    got = np.frombuffer(pix, dtype=np.uint8).reshape(32, 32, 3).astype(int)
+    assert np.abs(got - img.astype(int)).max() <= 3  # YCbCr roundtrip rounding
+
+
+def test_flat_color_420_subsampled_decodes():
+    img = np.zeros((40, 24, 3), dtype=np.uint8)
+    img[..., 0], img[..., 1], img[..., 2] = 60, 120, 200
+    payload = encode_baseline_jpeg(img, subsample_420=True)
+    w, h, c, pix = J.jpeg_decode(payload)
+    assert (w, h, c) == (24, 40, 3)
+    got = np.frombuffer(pix, dtype=np.uint8).reshape(40, 24, 3).astype(int)
+    assert np.abs(got - img.astype(int)).max() <= 3
+
+
+def test_restart_markers_reset_predictors():
+    yy, xx = np.mgrid[0:32, 0:80]
+    img = ((xx * 3 + yy * 5) % 256).astype(np.uint8)
+    plain = encode_baseline_jpeg(img)
+    rst = encode_baseline_jpeg(img, restart_interval=2)
+    assert b"\xff\xdd" in rst and b"\xff\xd0" in rst
+    w1, h1, c1, p1 = J.jpeg_decode(plain)
+    w2, h2, c2, p2 = J.jpeg_decode(rst)
+    assert (w1, h1, c1) == (w2, h2, c2) == (80, 32, 1)
+    assert p1 == p2  # restart path bit-identical to the plain scan
+
+
+def test_progressive_and_garbage_rejected():
+    img = np.full((16, 16), 77, dtype=np.uint8)
+    payload = bytearray(encode_baseline_jpeg(img))
+    i = payload.index(b"\xff\xc0")
+    payload[i + 1] = 0xC2  # flip SOF0 → SOF2 (progressive)
+    with pytest.raises(ValueError, match="progressive"):
+        J.jpeg_decode(bytes(payload))
+    with pytest.raises(ValueError):
+        J.jpeg_decode(b"\xff\xd8\x00\x00")
+    with pytest.raises(ValueError):
+        J.jpeg_decode(b"not a jpeg")
+
+
+def test_decode_image_routes_jpeg_and_audit_reports_ok(spark):
+    from gem_data_wrangle_spark.operators import multimodal as M
+
+    img = np.full((24, 24), 96, dtype=np.uint8)
+    payload = encode_baseline_jpeg(img)
+    w, h, c, pix = M.decode_image(payload)
+    assert (w, h, c) == (24, 24, 1) and set(pix) == {96}
+
+    prog = bytearray(payload)
+    i = prog.index(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    rows = [(1, payload), (2, bytes(prog))]
+    df = spark.createDataFrame(rows, "id int, media binary")
+    audit = {
+        (r["format"], r["decode_status"]): r["n"]
+        for r in M.decode_capability_audit(df).collect()
+    }
+    assert audit[("jpeg", "ok")] == 1
+    assert audit[("jpeg", "undecodable")] == 1
+
+
+def test_crosscheck_against_pil_if_present():
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    yy, xx = np.mgrid[0:40, 0:40]
+    img = ((xx * 5 + yy * 3) % 230).astype(np.uint8)
+    payload = encode_baseline_jpeg(img)
+    ours = np.frombuffer(J.jpeg_decode(payload)[3], dtype=np.uint8).reshape(40, 40)
+    theirs = np.array(PIL.open(io.BytesIO(payload)).convert("L"))
+    assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 1
