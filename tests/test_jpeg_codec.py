@@ -118,6 +118,7 @@ def encode_baseline_jpeg(
     q: list[int] = _FLAT_Q,
     restart_interval: int = 0,
     subsample_420: bool = False,
+    subsample_422: bool = False,
 ) -> bytes:
     """Minimal valid baseline JPEG: greyscale (h,w) or RGB (h,w,3)."""
     color = img.ndim == 3
@@ -133,19 +134,31 @@ def encode_baseline_jpeg(
             crp = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
             cb = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
             cr = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            sampling = [(2, 2), (1, 1), (1, 1)]
+        elif subsample_422:
+            pw = -(-w // 2) * 2
+            cbp = np.pad(cb, ((0, 0), (0, pw - w)), mode="edge")
+            crp = np.pad(cr, ((0, 0), (0, pw - w)), mode="edge")
+            cb = cbp.reshape(h, pw // 2, 2).mean(axis=2)
+            cr = crp.reshape(h, pw // 2, 2).mean(axis=2)
+            sampling = [(2, 1), (1, 1), (1, 1)]
+        else:
+            sampling = [(1, 1)] * 3
         planes = [y, cb, cr]
-        sampling = [(2, 2), (1, 1), (1, 1)] if subsample_420 else [(1, 1)] * 3
     else:
         planes = [img.astype(np.float64)]
         sampling = [(1, 1)]
 
-    # luma blocks must tile the MCU grid for 4:2:0: pad to 16
+    # luma blocks must tile the MCU grid when subsampled
+    hmax0 = max(s[0] for s in sampling)
+    vmax0 = max(s[1] for s in sampling)
     per_comp = []
     for plane, (sh, sv) in zip(planes, sampling):
-        if subsample_420 and (sh, sv) == (2, 2):
+        if (sh, sv) == (hmax0, vmax0) and (hmax0, vmax0) != (1, 1):
             hh, ww = plane.shape
-            p16h, p16w = -(-hh // 16) * 16, -(-ww // 16) * 16
-            plane = np.pad(plane, ((0, p16h - hh), (0, p16w - ww)), mode="edge")
+            mh, mw = 8 * vmax0, 8 * hmax0
+            pmh, pmw = -(-hh // mh) * mh, -(-ww // mw) * mw
+            plane = np.pad(plane, ((0, pmh - hh), (0, pmw - ww)), mode="edge")
         blocks, bh, bw = _plane_blocks(plane, q)
         per_comp.append((blocks, bh, bw))
 
@@ -265,6 +278,16 @@ def test_flat_color_420_subsampled_decodes():
     w, h, c, pix = J.jpeg_decode(payload)
     assert (w, h, c) == (24, 40, 3)
     got = np.frombuffer(pix, dtype=np.uint8).reshape(40, 24, 3).astype(int)
+    assert np.abs(got - img.astype(int)).max() <= 3
+
+
+def test_flat_color_422_subsampled_decodes():
+    img = np.zeros((24, 36, 3), dtype=np.uint8)
+    img[..., 0], img[..., 1], img[..., 2] = 210, 64, 150
+    payload = encode_baseline_jpeg(img, subsample_422=True)
+    w, h, c, pix = J.jpeg_decode(payload)
+    assert (w, h, c) == (36, 24, 3)
+    got = np.frombuffer(pix, dtype=np.uint8).reshape(24, 36, 3).astype(int)
     assert np.abs(got - img.astype(int)).max() <= 3
 
 
