@@ -3210,6 +3210,58 @@ def _q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher §A1.1 repetition signals the per-row gopher rules don't
+# cover: duplicate-line fractions + top-bigram character share, via
+# the scalable explode→groupBy formulation (textops.repetition_signals)
+# — all integer-derived ratios at 4 dp
+@_register(
+    "repetition_signals",
+    """
+    WITH lines AS (
+      SELECT doc_id, line
+      FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+            FROM documents)
+      WHERE trim(line) <> ''
+    ), lc AS (
+      SELECT doc_id, line, count(*) AS c FROM lines GROUP BY doc_id, line
+    ), pl AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_lines,
+             count(*) AS nd,
+             sum(c * length(line)) AS lc_chars,
+             sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS dc_chars
+      FROM lc GROUP BY doc_id
+    ), ngs AS (
+      SELECT doc_id, length(text) AS chars,
+             unnest([t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))]) AS ng
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+    ), nc AS (
+      SELECT doc_id, chars, ng, count(*) AS c
+      FROM ngs GROUP BY doc_id, chars, ng
+    ), topn AS (
+      SELECT doc_id, ng AS top_ngram,
+             round(c * length(ng) * 1.0 / chars, 4) AS top_ngram_char_frac
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY c DESC, ng DESC) AS rn
+            FROM nc)
+      WHERE rn = 1
+    )
+    SELECT d.doc_id, pl.n_lines,
+           round(1 - pl.nd * 1.0 / pl.n_lines, 4) AS dup_line_frac,
+           round(pl.dc_chars * 1.0 / pl.lc_chars, 4) AS dup_line_char_frac,
+           topn.top_ngram, topn.top_ngram_char_frac
+    FROM documents d
+    LEFT JOIN pl USING (doc_id)
+    LEFT JOIN topn USING (doc_id)
+    """,
+)
+def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return T.repetition_signals(docs, "text", "doc_id")
+
+
 # int8 embedding quantization — integer outputs, exploded to
 # (vec_id, pos, q) so the differential hash sees scalars
 @_register(
@@ -3708,8 +3760,10 @@ _DEFER_TO_TAIL = [
     "rolling_fingerprint",     # r04 green; textops fingerprint unchanged
     "asof_join_events",        # r04 green; asof.py unchanged
     "range_join_prices",       # r04 green; asof.py unchanged
-    "multimodal_resize",       # r04 green; multimodal.py unchanged
-    "multimodal_frames",       # r04 green; multimodal.py unchanged
+    "multimodal_resize",       # r04 green; multimodal resize path unchanged
+    "multimodal_frames",       # r04 green; multimodal frames path unchanged
+    "scrub_pii",               # r04 green; textops scrub path unchanged — slot
+                               # gifted to the new repetition_signals query
 ]
 
 
@@ -3784,6 +3838,7 @@ _DEFER_HASHES: dict[str, str] = {
     "range_join_prices": "6f0b3a63a9d79b4f",
     "multimodal_resize": "358cbd1a4f7b59af",
     "multimodal_frames": "616d729fcef1f567",
+    "scrub_pii": "3fe7bd49f695b9b0",
 }
 
 

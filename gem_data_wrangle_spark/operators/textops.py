@@ -283,6 +283,94 @@ def gopher_quality(
     return out.withColumn("quality_pass", passed)
 
 
+def repetition_signals(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ngram_n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition signals (arXiv:2112.11446 §A1.1) the
+    per-row :func:`gopher_quality` rules don't cover: duplicate-LINE
+    fractions and the top n-gram's character share, per document.
+
+    Output per document: ``n_lines``, ``dup_line_frac`` (1 −
+    distinct/total over non-blank lines), ``dup_line_char_frac``
+    (characters inside repeated lines / all line characters),
+    ``top_ngram`` and ``top_ngram_char_frac`` (characters covered by
+    the single most frequent word n-gram / document characters; ties
+    break to the lexicographically greatest n-gram). Documents with
+    fewer than ``ngram_n`` tokens keep NULL n-gram columns; documents
+    with only blank lines keep NULL line columns.
+
+    Scale: the complement of ``gopher_quality``'s narrow per-row
+    ``top_bigram_frac`` (O(distinct·n) inside one row — fine for
+    bounded documents, quadratic on degenerate ones). Here each unit
+    stream is explode → ``groupBy(doc, unit)`` → per-doc re-agg: both
+    aggregations partial-combine map-side, per-task work stays bounded
+    for ANY document shape, and the two signal frames join back
+    AQE-sized. No window over open-domain keys, no UDF.
+    """
+    t = F.col(text_col)
+    doc_chars = F.length(t).alias("_chars")
+    base = df.select(F.col(id_col), doc_chars, t.alias("_t"))
+
+    lines = base.select(
+        id_col,
+        F.explode(
+            F.filter(F.split(F.col("_t"), "\n"), lambda l: F.length(F.trim(l)) > 0)
+        ).alias("_line"),
+    )
+    line_counts = lines.groupBy(id_col, "_line").agg(F.count(F.lit(1)).alias("_c"))
+    per_doc_lines = (
+        line_counts.groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_lines"),
+            F.count(F.lit(1)).alias("_nd"),
+            F.sum(F.col("_c") * F.length("_line")).alias("_lc"),
+            F.sum(
+                F.when(F.col("_c") > 1, F.col("_c") * F.length("_line")).otherwise(0)
+            ).alias("_dc"),
+        )
+        .select(
+            id_col,
+            F.col("n_lines"),
+            F.round(F.lit(1.0) - F.col("_nd") / F.col("n_lines"), 4).alias(
+                "dup_line_frac"
+            ),
+            F.round(F.col("_dc") / F.col("_lc"), 4).alias("dup_line_char_frac"),
+        )
+    )
+
+    # raw (non-distinct) n-gram stream via shifted slices — O(tokens)
+    toks = F.split(F.col("_t"), " ")
+    m = F.greatest(F.size(toks) - (ngram_n - 1), F.lit(0))
+    ng = F.slice(toks, 1, m)
+    for k in range(1, ngram_n):
+        ng = F.zip_with(
+            ng, F.slice(toks, 1 + k, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    ngrams_ = base.select(id_col, "_chars", F.explode(ng).alias("_ng"))
+    ng_counts = ngrams_.groupBy(id_col, "_chars", "_ng").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    per_doc_ng = (
+        ng_counts.groupBy(id_col, "_chars")
+        .agg(F.max(F.struct(F.col("_c"), F.col("_ng"))).alias("_top"))
+        .select(
+            id_col,
+            F.col("_top._ng").alias("top_ngram"),
+            F.round(
+                F.col("_top._c") * F.length("_top._ng") / F.col("_chars"), 4
+            ).alias("top_ngram_char_frac"),
+        )
+    )
+    return (
+        base.select(id_col)
+        .join(per_doc_lines, on=id_col, how="left")
+        .join(per_doc_ng, on=id_col, how="left")
+    )
+
+
 # --------------------------------------------------------------------
 # PII scrubbing / text normalization
 # --------------------------------------------------------------------

@@ -448,6 +448,38 @@ def test_gopher_quality_rules(spark):
     assert out[1]["n_words"] == 60
 
 
+def test_repetition_signals_values(spark):
+    """Hand-computed micro-case for the Gopher §A1.1 repetition
+    signals: line 'dup' (3 chars) appears twice of 3 non-blank lines
+    (blank line ignored), bigram 'a a' dominates doc 2, and degenerate
+    docs (single token / no text) keep NULL signal columns."""
+    docs = spark.createDataFrame(
+        [
+            (1, "dup\ndup\n\nuniq"),
+            (2, "a a a a b"),
+            (3, "lonely"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in T.repetition_signals(docs, "text", "doc_id").collect()
+    }
+    r1 = out[1]
+    assert r1["n_lines"] == 3
+    assert abs(r1["dup_line_frac"] - round(1 - 2 / 3, 4)) < 1e-9
+    # 'dup' twice = 6 chars repeated of 10 total line chars
+    assert abs(r1["dup_line_char_frac"] - 0.6) < 1e-9
+    r2 = out[2]
+    assert r2["n_lines"] == 1 and r2["dup_line_frac"] == 0.0
+    # bigram stream: 'a a' ×3, 'a b' ×1 → top 'a a' (3 chars), 3×3/9
+    assert r2["top_ngram"] == "a a"
+    assert abs(r2["top_ngram_char_frac"] - 1.0) < 1e-9
+    r3 = out[3]
+    assert r3["top_ngram"] is None and r3["top_ngram_char_frac"] is None
+    assert r3["n_lines"] == 1 and r3["dup_line_frac"] == 0.0
+
+
 def test_quantize_embeddings(spark):
     emb = spark.createDataFrame(
         [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
