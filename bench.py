@@ -54,6 +54,7 @@ HEADLINE = [
     # per-fuel pipelines → union → surrogate ids → steel merge → EF
     # fallback (44 shuffles) — benched so its cost is on the record
     "gem_total_consolidation_all8",
+    "repetition_signals",      # explode → two-level partial-combined aggs
 ]
 
 

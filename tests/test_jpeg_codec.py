@@ -337,6 +337,26 @@ def test_decode_image_routes_jpeg_and_audit_reports_ok(spark):
     assert audit[("jpeg", "undecodable")] == 1
 
 
+def test_extract_pixel_features_decodes_jpeg_corpus(spark):
+    """The full Spark path: JPEG payloads through the Arrow-batched
+    mapInPandas feature extractor — real pixel stats, not quarantine."""
+    from gem_data_wrangle_spark.operators import multimodal as M
+
+    rows = []
+    for i, val in enumerate((32, 96, 160)):
+        img = np.full((16, 16), val, dtype=np.uint8)
+        rows.append((i, bytearray(encode_baseline_jpeg(img)), "image/jpeg", None, None))
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = {
+        r["id"]: r for r in M.extract_pixel_features(media).collect()
+    }
+    for i, val in enumerate((32, 96, 160)):
+        r = got[i]
+        assert r["decode_status"] == "ok"
+        assert (r["width"], r["height"], r["channels"]) == (16, 16, 1)
+        assert abs(r["mean_intensity"] - val) < 1e-9  # flat → exact DC
+
+
 def test_crosscheck_against_pil_if_present():
     PIL = pytest.importorskip("PIL.Image")
     import io
