@@ -219,7 +219,11 @@ def gopher_quality(
     (O(n²)); a column reference is free.
 
     Scale: narrow, per-row only — no shuffle, no join; safe to fuse
-    into any scan.
+    into any scan. The ``top_bigram_frac`` scan is O(distinct·n)
+    INSIDE one row — fine for bounded documents, quadratic on
+    degenerate ones; :func:`repetition_signals` computes the same
+    family of signals via explode→groupBy with bounded per-task work
+    for any document shape (plus the duplicate-line fractions).
     """
     t = F.col(text_col)
     out = df.withColumn("_toks", F.split(t, " "))
