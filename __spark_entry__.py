@@ -2951,6 +2951,40 @@ def _q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Lee-et-al-style exact-substring dedup candidates: docs sharing >=2
+# winnowed char-16-gram windows, hot fingerprints (corpus boilerplate)
+# gated out before the self-join (dedup.shared_substring_pairs)
+@_register(
+    "shared_substring_pairs",
+    """
+    WITH fps AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               [md5(substr(text, i, 16))
+                FOR i IN range(1, greatest(length(text) - 15, 1) + 1)],
+               h -> h LIKE '0%')) AS f
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, unnest(f) AS fp FROM fps
+    ), gate AS (
+      SELECT fp FROM ex GROUP BY fp HAVING count(*) BETWEEN 2 AND 20
+    ), kept AS (
+      SELECT ex.doc_id, ex.fp FROM ex JOIN gate USING (fp)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS shared
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def _q_shared_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return D.shared_substring_pairs(docs, "text", "doc_id")
+
+
 # --------------------------------------------------------------------
 # capstone: composed training-data pipeline — quality gate → exact
 # dedup → language filter → deterministic split, one lazy plan
@@ -3764,6 +3798,8 @@ _DEFER_TO_TAIL = [
     "multimodal_frames",       # r04 green; multimodal frames path unchanged
     "scrub_pii",               # r04 green; textops scrub path unchanged — slot
                                # gifted to the new repetition_signals query
+    "pack_documents",          # r04 green; sampling.py unchanged — slot gifted
+                               # to the new shared_substring_pairs query
 ]
 
 
@@ -3839,6 +3875,7 @@ _DEFER_HASHES: dict[str, str] = {
     "multimodal_resize": "358cbd1a4f7b59af",
     "multimodal_frames": "616d729fcef1f567",
     "scrub_pii": "3fe7bd49f695b9b0",
+    "pack_documents": "98a0cb4c3d6e16e6",
 }
 
 

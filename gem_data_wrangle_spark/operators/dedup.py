@@ -338,6 +338,63 @@ def semdedup(
     return cells.select(id_col, "cell").join(dominated, on=id_col, how="left_anti")
 
 
+def shared_substring_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 16,
+    sample_prefix: str = "0",
+    min_shared: int = 2,
+    max_df: int = 20,
+) -> DataFrame:
+    """Document pairs sharing exact character k-gram windows — the
+    candidate stage of exact-substring dedup (Lee et al. 2022,
+    arXiv:2107.06499: duplicated training SPANS matter even when the
+    surrounding documents differ, which whole-document MinHash misses).
+
+    Winnowing-sampled rolling fingerprints
+    (:func:`textops.rolling_fingerprints`: hash every char k-gram,
+    keep the deterministic 1/16 hex-prefix sample) → explode →
+    fingerprint document-frequency gate → equi-self-join → pairs with
+    ``shared >= min_shared`` windows.
+
+    Scale: the hot-fingerprint guard is the load-bearing part —
+    fingerprints appearing in more than ``max_df`` documents are
+    corpus boilerplate (navigation chrome, license headers; the same
+    rationale as ``remove_boilerplate_lines``) and would fan out
+    C(df, 2) pairs each, so they are dropped BEFORE the self-join,
+    capping any fingerprint's pair contribution at C(max_df, 2).
+    Everything aggregates with map-side partial combine; the join is a
+    bucket equi-join on the 32-char digest, never all-pairs.
+    """
+    from gem_data_wrangle_spark.operators.textops import (  # noqa: PLC0415
+        rolling_fingerprints,
+    )
+
+    fps = df.select(
+        F.col(id_col),
+        F.explode(
+            rolling_fingerprints(F.col(text_col), k=k, sample_prefix=sample_prefix)
+        ).alias("_fp"),
+    )
+    gate = (
+        fps.groupBy("_fp")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .filter(F.col("_d").between(2, max_df))
+        .select("_fp")
+    )
+    kept = fps.join(gate, on="_fp")
+    a = kept.select(F.col("_fp"), F.col(id_col).alias("id_a"))
+    b = kept.select(F.col("_fp"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, on="_fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
 # --------------------------------------------------------------------
 # incremental dedup against a persistent digest index
 # --------------------------------------------------------------------

@@ -448,6 +448,38 @@ def test_gopher_quality_rules(spark):
     assert out[1]["n_words"] == 60
 
 
+def test_shared_substring_pairs_finds_spans_and_gates_boilerplate(spark):
+    """Two documents sharing one long copy-pasted span (otherwise
+    unrelated) must pair; a boilerplate footer present in EVERY doc
+    must be gated out by the fingerprint document-frequency cap and
+    produce no pairs on its own."""
+    import random
+
+    from gem_data_wrangle_spark.operators import dedup as D
+
+    rng = random.Random(7)
+
+    def prose(n):
+        return " ".join(
+            "".join(rng.choice("abcdefghij") for _ in range(6)) for _ in range(n)
+        )
+
+    span = "the exact duplicated training span that matters " * 4
+    footer = " all rights reserved contact us terms of service"
+    docs = [(1, prose(60) + " " + span + prose(60) + footer),
+            (2, prose(60) + " " + span + prose(60) + footer)]
+    docs += [(i, prose(120) + footer) for i in range(3, 11)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["shared"]
+        for r in D.shared_substring_pairs(df, "text", "doc_id", max_df=5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    # the footer is in all 10 docs > max_df → no pair exists without
+    # the span (docs 3..10 share only the footer)
+    assert all(p == (1, 2) for p in pairs)
+
+
 def test_repetition_signals_values(spark):
     """Hand-computed micro-case for the Gopher §A1.1 repetition
     signals: line 'dup' (3 chars) appears twice of 3 non-blank lines
