@@ -55,6 +55,7 @@ HEADLINE = [
     # fallback (44 shuffles) — benched so its cost is on the record
     "gem_total_consolidation_all8",
     "repetition_signals",      # explode → two-level partial-combined aggs
+    "shared_substring_pairs",  # winnowed k-grams → df-gated self-join
 ]
 
 
