@@ -59,20 +59,25 @@ def dedup_first_per_key(
     R keeps file order; a distributed engine has no file order, so the
     caller supplies a deterministic ordering.
 
-    Default path: one window shuffle on the key. The window BUFFERS
-    each key's whole partition in a single task (sort + spill), so a
-    hot key concentrates its rows there — measured survivable at 30×
-    with a 10%-of-rows key (1.8M hot rows: 3.23 s window vs 3.53 s
-    skew_safe, SCALE.md hot-key table) but linear in the hot key's
-    row count.
+    Default path: one window shuffle on the key — and, plan-verified
+    (round 5), ALREADY skew-bounded: Spark plans the
+    ``row_number() == 1`` filter as ``WindowGroupLimit`` with a
+    PARTIAL map-side stage, so each input partition ships at most one
+    row per key into the exchange; a hot key contributes ≤ #partitions
+    rows to its reducer, not its full row count. Measured at 30× with
+    a 10%-of-rows key: 3.23 s window vs 3.53 s skew_safe (SCALE.md
+    hot-key table) — the two formulations are equivalently bounded,
+    which the stress numbers confirm.
 
     ``skew_safe=True``: two-phase ``min_by(struct(all cols),
-    struct(order))`` aggregation — partial aggregation collapses every
-    input partition's rows to one candidate per key BEFORE the
-    exchange, so per-task work stays bounded under any skew. Requires
-    plain ascending, non-null order column NAMES (struct lexicographic
-    min ≡ first row of the ascending window order); the window path
-    additionally supports desc/null-ordered Column expressions.
+    struct(order))`` aggregation — the same bound expressed as an
+    aggregate (partial agg collapses each partition to one candidate
+    per key before the exchange). Useful where an aggregate composes
+    better than a window (inside other groupBys) or on Spark versions
+    without the WindowGroupLimit rule. Requires plain ascending,
+    non-null order column NAMES (struct lexicographic min ≡ first row
+    of the ascending window order); the window path additionally
+    supports desc/null-ordered Column expressions.
     """
     if skew_safe:
         if not all(isinstance(c, str) for c in order_cols):
@@ -100,13 +105,16 @@ def window_count_share(
     (``GEM/Hydroplants_GEM.R:174-190``): ``coalesce(explicit, 1/n())``
     over a window partition.
 
-    The count-only window carries no orderBy, but WindowExec still
-    routes and buffers each key's rows through one task — fine for
-    GEM's bounded per-unit owner lists, linear in the hot key's row
-    count on open-domain keys (measured at 30× with a 10%-of-rows hot
-    key: 3.91 s window vs 5.93 s skew_safe — the window wins while
-    the hot key fits one task; SCALE.md hot-key table).
-    ``skew_safe=True`` swaps it for a two-phase
+    The count-only window carries no orderBy and — unlike the
+    rank-filtered windows (``dedup_first_per_key``, top-n), which
+    Spark rewrites into a map-side-partial ``WindowGroupLimit`` — has
+    NO partial stage: WindowExec routes and buffers each key's rows
+    through one task. Fine for GEM's bounded per-unit owner lists,
+    linear in the hot key's row count on open-domain keys (measured
+    at 30× with a 10%-of-rows hot key: 3.91 s window vs 5.93 s
+    skew_safe — the window wins while the hot key fits one task;
+    SCALE.md hot-key table). ``skew_safe=True`` swaps it for a
+    two-phase
     count aggregate (map-side partial combine) joined back onto the
     rows — bounded per-task work under any skew; AQE broadcasts the
     per-key counts while they fit and skew-splits the probe join when

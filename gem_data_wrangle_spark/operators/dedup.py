@@ -414,6 +414,12 @@ def dedup_against_index(
     digest-keyed anti-join (and the index parquet can itself be
     range-clustered on the digest for pruning). ``updated_index`` is
     lazy; persist it with the same sink as any table.
+
+    Skew: the batch-internal ``row_number() == 1`` dedup plans as
+    ``WindowGroupLimit`` with a Partial map-side stage (plan-verified,
+    SCALE.md round 5) — a pathologically duplicated document (empty
+    string, boilerplate page) ships ≤ 1 row per input partition into
+    the digest exchange, not its full duplicate count.
     """
     from pyspark.sql import Window  # noqa: PLC0415
 

@@ -313,9 +313,11 @@ def consolidate_total(
     total = total.drop("company_id")
     total = K.surrogate_ids(total, "company_name", id_col="company_id")
     if steel is not None:
-        # company_name is open-domain user data — the one reference
-        # path where a hot key is plausible at 100× — so take the
-        # skew-safe two-phase min_by dedup (VERDICT r4 item 4). It
+        # company_name is open-domain user data, so take the two-phase
+        # min_by dedup (VERDICT r4 item 4). Either form is skew-bounded
+        # — the window path's rank filter plans as a map-side-partial
+        # WindowGroupLimit (SCALE.md r5) — but the aggregate shape
+        # needs no sort and composes with the surrounding joins. It
         # needs a plain ascending non-null order column; dropping
         # NULL-id steel rows FIRST is semantics-preserving versus the
         # old asc_nulls_last window (a borrowed NULL id coalesces back
