@@ -76,8 +76,12 @@ def stratified_sample(
     per-stratum quotas (class-balanced eval sets, per-language
     calibration samples).
 
-    Scale: one window shuffle on the group key; md5 order is
-    data-independent so re-partitioning never changes the sample.
+    Scale: one window shuffle on the group key, and skew-bounded —
+    the ``row_number() <= n`` filter plans as ``WindowGroupLimit``
+    with a Partial map-side stage (see SCALE.md round 5), so a giant
+    stratum ships ≤ n rows per input partition, not its full
+    population. md5 order is data-independent so re-partitioning
+    never changes the sample.
     """
     from pyspark.sql import Window  # noqa: PLC0415
 
