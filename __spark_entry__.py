@@ -3790,7 +3790,7 @@ _DEFER_TO_TAIL = [
     "group_quantiles",         # r04 green; quality.py unchanged
     "pivot_counts",            # r04 green; aggregates pivot path unchanged
     "rollup_sums",             # r04 green
-    "dataset_split",           # r04 green; sampling.py unchanged
+    "dataset_split",           # r04 green; sampling split path unchanged
     "rolling_fingerprint",     # r04 green; textops fingerprint unchanged
     "asof_join_events",        # r04 green; asof.py unchanged
     "range_join_prices",       # r04 green; asof.py unchanged
@@ -3798,7 +3798,7 @@ _DEFER_TO_TAIL = [
     "multimodal_frames",       # r04 green; multimodal frames path unchanged
     "scrub_pii",               # r04 green; textops scrub path unchanged — slot
                                # gifted to the new repetition_signals query
-    "pack_documents",          # r04 green; sampling.py unchanged — slot gifted
+    "pack_documents",          # r04 green; sampling pack path unchanged — slot gifted
                                # to the new shared_substring_pairs query
 ]
 
