@@ -1,0 +1,86 @@
+"""Differential fuzz: Spark query vs DuckDB oracle on GENERATED
+corpora (round 5).
+
+The driver's correctness gate runs each oracle pair on one fixed
+dataset — a rounding tie or dialect edge that the fixed data happens
+to miss stays latent until an environment shift surfaces it as an
+opaque hash mismatch. These tests replay the same fingerprint compare
+(`tools/check_parity.py`) over seeded adversarial corpora for the
+round-5 queries: newline-heavy texts with duplicated lines, cross-doc
+copy-pasted spans, single-token/empty/unicode documents, and small
+integer ratios that stress the 4-dp rounding agreement.
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+from check_parity import frame_fingerprint  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+
+def _corpus(seed: int) -> list[tuple[int, str]]:
+    rng = random.Random(seed)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff", "gg"]
+    span = " ".join(rng.choice(vocab) for _ in range(30))
+    docs = []
+    for i in range(40):
+        n_lines = rng.randint(1, 6)
+        lines = []
+        for _ in range(n_lines):
+            words = [rng.choice(vocab) for _ in range(rng.randint(1, 12))]
+            lines.append(" ".join(words))
+        # force duplicate lines and cross-doc shared spans on a subset
+        if i % 3 == 0 and lines:
+            lines.append(lines[0])
+        text = "\n".join(lines)
+        if i % 5 == 0:
+            text = text + " " + span
+        docs.append((i, text))
+    docs.append((100, ""))            # empty text
+    docs.append((101, "solo"))        # single token, no bigram
+    docs.append((102, "é 日本語 é\né 日本語 é"))  # unicode, duplicated line
+    return docs
+
+
+def _compare(spark, tmp_path, docs, qname):
+    p = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(docs, "doc_id bigint, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(p)
+    con = duckdb.connect()
+    # Spark writes a parquet DIRECTORY; DuckDB needs the part glob
+    con.sql(f"CREATE VIEW documents AS FROM '{p}/*.parquet'")
+    sdf = entrymod.queries()[qname](spark, str(tmp_path))
+    sfp = frame_fingerprint(sdf.columns, [tuple(r) for r in sdf.collect()])
+    res = con.sql(entrymod.oracle_sql()[qname])
+    dfp = frame_fingerprint([d[0] for d in res.description], res.fetchall())
+    assert sfp[0] == dfp[0], f"{qname}: row count {sfp[0]} vs {dfp[0]}"
+    assert sfp[1] == dfp[1], f"{qname}: columns {sfp[1]} vs {dfp[1]}"
+    mism = [i for i, (a, b) in enumerate(zip(sfp[2], dfp[2])) if a != b]
+    assert not mism, (
+        f"{qname}: {len(mism)} value rows differ; first: "
+        f"spark={sfp[2][mism[0]]!r} duckdb={dfp[2][mism[0]]!r}"
+    )
+
+
+@pytest.mark.parametrize("seed", [7, 19, 23])
+def test_repetition_signals_matches_oracle_on_fuzzed_corpora(
+    spark, tmp_path, seed
+):
+    _compare(spark, tmp_path, _corpus(seed), "repetition_signals")
+
+
+@pytest.mark.parametrize("seed", [7, 19, 23])
+def test_shared_substring_pairs_matches_oracle_on_fuzzed_corpora(
+    spark, tmp_path, seed
+):
+    _compare(spark, tmp_path, _corpus(seed), "shared_substring_pairs")
