@@ -244,8 +244,16 @@ def gopher_quality(
         F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
         / n_words, 4,
     )
-    symbol_ratio = F.round(
-        (n_chars - F.length(F.regexp_replace(t, "[^A-Za-z0-9 ]", ""))) / n_chars, 4
+    # guard the zero-length document: ANSI Spark raises on x/0 where
+    # DuckDB yields NULL — an empty doc must NOT crash a corpus job
+    # (found by tests/test_differential_fuzz.py, round 5). NULL ratio →
+    # NULL pass_symbol_ratio → quality_pass still FALSE via word count.
+    symbol_ratio = F.when(
+        n_chars > 0,
+        F.round(
+            (n_chars - F.length(F.regexp_replace(t, "[^A-Za-z0-9 ]", ""))) / n_chars,
+            4,
+        ),
     )
     dup_word_frac = F.round(1 - F.size(F.array_distinct(toks)) / n_words, 4)
     top_bigram_frac = F.when(

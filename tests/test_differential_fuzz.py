@@ -84,3 +84,15 @@ def test_shared_substring_pairs_matches_oracle_on_fuzzed_corpora(
     spark, tmp_path, seed
 ):
     _compare(spark, tmp_path, _corpus(seed), "shared_substring_pairs")
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["gopher_quality_flags", "tfidf_top_terms", "token_counts", "text_quality"],
+)
+def test_text_queries_match_oracles_on_fuzzed_corpus(spark, tmp_path, qname):
+    """One adversarial corpus across the other documents-table text
+    queries. This run found the round-5 gopher empty-document ANSI
+    division crash (x/0 raises in Spark, NULLs in DuckDB) — the empty
+    doc stays in the corpus as the regression guard."""
+    _compare(spark, tmp_path, _corpus(7), qname)

@@ -435,10 +435,15 @@ def test_gopher_quality_rules(spark):
             (4, " ".join(["@@##!!"] * 60)),
             # single word → empty bigram list must not divide by zero
             (5, "lonely"),
+            # EMPTY document → ANSI x/0 must not crash the corpus job
+            # (symbol_ratio undefined → NULL; overall still fails on
+            # word count) — found by differential fuzz, round 5
+            (6, ""),
         ],
         "doc_id bigint, text string",
     )
     out = {r["doc_id"]: r for r in T.gopher_quality(docs, "text", "doc_id").collect()}
+    assert out[6]["symbol_ratio"] is None and out[6]["quality_pass"] is False
     assert out[1]["quality_pass"] is True
     assert out[2]["pass_word_count"] is False
     assert out[3]["pass_dup_words"] is False and out[3]["pass_top_bigram"] is False
