@@ -3743,8 +3743,6 @@ _DEFER_TO_TAIL = [
     # modules only grew; these code paths untouched) — slots go to
     # semdedup / normalized_dedup / chunk_documents
     "lang_id",                 # r01 green; textops lang path unchanged
-    "similarity_bruteforce",   # r01 green; cosine_topk unchanged
-    "embedding_neardup_pairs", # r01 green; query fn + lsh_bucket byte-identical
     "multimodal_bytes",        # r01 green; registration block + multimodal.py byte-identical
     # round-4 rotation (VERDICT r3 items 1/4/5): the ten queries
     # deferred in round 3 (canonical_projection … dataset_split) plus
@@ -3761,11 +3759,9 @@ _DEFER_TO_TAIL = [
     "join_left_enrich",        # r03 green; joins.py:17 unchanged
     "surrogate_ids",           # r03 green post-rewrite; kernels.py:208 unchanged
     "minhash_lsh_pairs",       # r03 green; also inside head's ml_minhash_join_verified
-    "similarity_lsh",          # r03 green; lsh_topk unchanged
     "stream_session_window",   # r03 green; windows.py unchanged
     "unique_assets",           # r03 green; consolidation re-graded via head's all8 capstone
     "salted_aggregation",      # r03 green; skew.py unchanged
-    "similarity_ivf",          # r03 green; ivf_topk unchanged
     "embedding_quantize_int8", # r03 green; quantize path unchanged
     # the two documented rows-only ml queries leave the graded window:
     # their value evidence is now the ORACLED head derivatives
@@ -3800,6 +3796,16 @@ _DEFER_TO_TAIL = [
                                # gifted to the new repetition_signals query
     "pack_documents",          # r04 green; sampling pack path unchanged — slot gifted
                                # to the new shared_substring_pairs query
+    # round-5 mid-round re-promotion: similarity.cosine gained the
+    # zero-norm NULL guard, so every cosine-dependent query RETURNS to
+    # the graded head (similarity_bruteforce / similarity_lsh /
+    # similarity_ivf / embedding_neardup_pairs; semdedup was already
+    # there). Their slots come from four more r4-green queries whose
+    # paths are untouched this round:
+    "bernoulli_sample",        # r04 green; sampling bernoulli path unchanged
+    "stream_interval_join",    # r04 green; streaming joins unchanged
+    "decontaminate_docs",      # r04 green; dedup decontamination path unchanged
+    "json_extract_props",      # r04 green; JSON path probe unchanged
 ]
 
 
@@ -3839,8 +3845,6 @@ _DEFER_HASHES: dict[str, str] = {
     "stream_tumbling_window": "44aa2eab107b3f2a",
     "filter_isin": "511530f2dd36c7e8",
     "lang_id": "20039c0194fdf4da",
-    "similarity_bruteforce": "7288f05c7eb567be",
-    "embedding_neardup_pairs": "217a10fa566a1873",
     "multimodal_bytes": "25c4f08bb9df8ba8",
     "explode_split": "68ee199b5c3da537",
     "split_ownership_strict": "88aca9a672b4b1b9",
@@ -3849,11 +3853,9 @@ _DEFER_HASHES: dict[str, str] = {
     "join_left_enrich": "19d45dbe8ae4a9fc",
     "surrogate_ids": "83fe3102e7d61599",
     "minhash_lsh_pairs": "c11e3339c8cf7966",
-    "similarity_lsh": "c25557e83327f938",
     "stream_session_window": "f2a0c3f7ab54ad5b",
     "unique_assets": "a6f59622cf835b2a",
     "salted_aggregation": "3e00c50f3238f813",
-    "similarity_ivf": "8f352ffcb3ba18de",
     "embedding_quantize_int8": "c4a3a9970f58767f",
     "ml_minhash_join": "f61fcefa7d25956a",
     "ml_brp_join": "eaccdaa547c73aba",
@@ -3876,6 +3878,10 @@ _DEFER_HASHES: dict[str, str] = {
     "multimodal_frames": "616d729fcef1f567",
     "scrub_pii": "3fe7bd49f695b9b0",
     "pack_documents": "98a0cb4c3d6e16e6",
+    "bernoulli_sample": "0353fe6e554dc1f6",
+    "stream_interval_join": "f1194af4ca44c50a",
+    "decontaminate_docs": "095d8d644c0a6ec0",
+    "json_extract_props": "6579bda1ad45617c",
 }
 
 

@@ -53,11 +53,18 @@ def expect_unique_key(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
 
 
 def expect_nonnull_ratio(df: DataFrame, column: str, min_ratio: float) -> DataFrame:
-    """One-row verdict on a completeness contract."""
+    """One-row verdict on a completeness contract.
+
+    An EMPTY table reports a NULL ratio and ``passes = False`` — the
+    ratio is undefined, and a vanished upstream partition should fail
+    a completeness contract loudly, not crash it (ANSI x/0 raises;
+    found by the round-5 degenerate-input sweep)."""
+    n = F.count(F.lit(1))
+    ratio = F.when(n > 0, F.round(F.count(column) / n, 6))
     return df.agg(
         F.lit(column).alias("column"),
-        F.round(F.count(column) / F.count(F.lit(1)), 6).alias("nonnull_ratio"),
-        (F.count(column) / F.count(F.lit(1)) >= min_ratio).alias("passes"),
+        ratio.alias("nonnull_ratio"),
+        F.coalesce(ratio >= min_ratio, F.lit(False)).alias("passes"),
     )
 
 

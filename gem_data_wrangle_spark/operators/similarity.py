@@ -45,7 +45,17 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; NULL when either vector has zero norm —
+    cosine is undefined there, ANSI Spark would raise DIVIDE_BY_ZERO
+    (found by the round-5 degenerate-input sweep: one all-zero
+    embedding — a padding row, a failed embedding job — crashed every
+    cosine-based operator), and DuckDB's x/0.0 yields NULL, so NULL is
+    also the oracle-parity answer. Downstream: the top-k operators
+    filter NULL scores out explicitly (undefined similarity is no
+    result, not a trailing rank), threshold filters drop NULL (a zero
+    vector is never anyone's near-duplicate)."""
+    denom = norm(a) * norm(b)
+    return F.when(denom > 0, dot(a, b) / denom)
 
 
 def euclidean(a: Column, b: Column) -> Column:
@@ -118,6 +128,9 @@ def cosine_topk(
         c.crossJoin(F.broadcast(p))
         .filter(F.col("neighbor_id") != F.col(probe_id))
         .withColumn("_cos", cosine(F.col("_pv"), F.col("_cv")))
+        # undefined similarity (zero-norm side) is no result, not a
+        # trailing rank — see cosine()
+        .filter(F.col("_cos").isNotNull())
     )
     w = Window.partitionBy(probe_id).orderBy(F.desc("_cos"), F.asc("neighbor_id"))
     return (
@@ -215,6 +228,9 @@ def ivf_topk(
         c.join(F.broadcast(p), on="_cell")
         .filter(F.col("neighbor_id") != F.col(probe_id))
         .withColumn("_cos", cosine(F.col("_pv"), F.col("_cv")))
+        # undefined similarity (zero-norm side) is no result, not a
+        # trailing rank — see cosine()
+        .filter(F.col("_cos").isNotNull())
     )
     w = Window.partitionBy(probe_id).orderBy(F.desc("_cos"), F.asc("neighbor_id"))
     return (
@@ -249,6 +265,9 @@ def lsh_topk(
         c.join(F.broadcast(p), on="bucket")
         .filter(F.col("neighbor_id") != F.col(probe_id))
         .withColumn("_cos", cosine(F.col("_pv"), F.col("_cv")))
+        # undefined similarity (zero-norm side) is no result, not a
+        # trailing rank — see cosine()
+        .filter(F.col("_cos").isNotNull())
     )
     w = Window.partitionBy(probe_id).orderBy(F.desc("_cos"), F.asc("neighbor_id"))
     return (

@@ -94,6 +94,23 @@ def test_cosine_topk_selfsimilar(spark):
     assert ranked[0] == 1 and ranked[-1] == 3
 
 
+def test_cosine_zero_vector_is_null_not_crash(spark):
+    """Round-5 degenerate-input sweep: an all-zero embedding (padding
+    row, failed embedding job) must yield NULL cosine — ANSI Spark
+    raised DIVIDE_BY_ZERO before — and must never rank in top-k."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.5, 0.5]), (2, [0.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    vals = emb.select(
+        V.cosine(F.col("embedding"), F.col("embedding")).alias("c")
+    ).collect()
+    assert vals[2]["c"] is None and abs(vals[0]["c"] - 1.0) < 1e-9
+    probes = emb.filter(F.col("vec_id") == 0)
+    out = V.cosine_topk(emb, probes, "embedding", "vec_id", k=3).collect()
+    assert all(r["neighbor_id"] != 2 for r in out)
+
+
 def test_lsh_topk_bucket_recall(spark):
     import numpy as np
 
@@ -377,6 +394,12 @@ def test_quality_operators(spark):
     verdict = expect_nonnull_ratio(df, "v", 0.5).collect()[0]
     assert verdict["passes"] is True
     assert expect_nonnull_ratio(df, "v", 0.9).collect()[0]["passes"] is False
+
+    # empty table: ratio undefined → NULL, contract fails loudly
+    # instead of crashing on ANSI x/0 (round-5 sweep)
+    empty = df.filter(F.lit(False))
+    v0 = expect_nonnull_ratio(empty, "v", 0.5).collect()[0]
+    assert v0["nonnull_ratio"] is None and v0["passes"] is False
 
 
 def test_hash_split_stable_and_partitioned(spark):
