@@ -189,10 +189,24 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode a baseline JPEG → ``(width, height, channels, samples)``
     with samples row-major, interleaved for 3-channel RGB.
 
-    Raises ``ValueError`` on anything outside the documented scope.
+    Raises ``ValueError`` on anything outside the documented scope —
+    including truncated or bit-corrupted streams: low-level parse
+    failures (struct/index errors) are re-raised as ``ValueError`` so
+    the Arrow-batched callers' quarantine catches them instead of a
+    corrupt blob crashing the task (fuzzed with truncation at every
+    offset and random byte flips, tests/test_jpeg_codec.py).
     """
     if not _HAVE_NUMPY:
         raise ValueError("JPEG decode requires numpy (or install PIL)")
+    try:
+        return _jpeg_decode_inner(payload)
+    except ValueError:
+        raise
+    except (struct.error, IndexError, KeyError, ZeroDivisionError) as exc:
+        raise ValueError(f"corrupt JPEG stream: {type(exc).__name__}") from exc
+
+
+def _jpeg_decode_inner(payload: bytes) -> tuple[int, int, int, bytes]:
     if len(payload) < 4 or payload[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
 
@@ -215,6 +229,8 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM/RSTn: no length
             continue
         (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        if seglen < 2:  # a crafted 0/1 length would stall the marker walk
+            raise ValueError(f"invalid segment length {seglen}")
         seg = payload[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
             i = 0

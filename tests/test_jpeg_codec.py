@@ -337,6 +337,29 @@ def test_decode_image_routes_jpeg_and_audit_reports_ok(spark):
     assert audit[("jpeg", "undecodable")] == 1
 
 
+def test_truncated_and_corrupted_streams_raise_valueerror_only():
+    """Quarantine contract: a corrupt blob must raise ValueError (the
+    exception the Arrow-batched callers catch), never struct.error /
+    IndexError that would crash a Spark task — fuzzed with truncation
+    at every offset and seeded random byte flips."""
+    yy, xx = np.mgrid[0:32, 0:32]
+    img = ((yy * 7 + xx) % 256).astype(np.uint8)
+    payload = encode_baseline_jpeg(img)
+    for cut in range(2, len(payload), 11):
+        try:
+            J.jpeg_decode(payload[:cut])
+        except ValueError:
+            pass  # the only acceptable failure mode
+    rng = np.random.default_rng(3)
+    for _ in range(300):
+        b = bytearray(payload)
+        b[int(rng.integers(2, len(payload)))] = int(rng.integers(0, 256))
+        try:
+            J.jpeg_decode(bytes(b))
+        except ValueError:
+            pass
+
+
 def test_extract_pixel_features_decodes_jpeg_corpus(spark):
     """The full Spark path: JPEG payloads through the Arrow-batched
     mapInPandas feature extractor — real pixel stats, not quarantine."""
