@@ -147,7 +147,24 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
 
     ``pixels`` is the raw interleaved 8-bit sample stream, row-major,
     ``width * height * channels`` bytes.
+
+    Raises ``ValueError`` for ANY undecodable payload — low-level
+    failures (zlib/struct/index errors on truncated or bit-corrupted
+    streams) are re-raised as ``ValueError`` so the Arrow-batched
+    callers' quarantine catches them instead of a corrupt blob
+    crashing its Spark task (round-5 corruption fuzz).
     """
+    import zlib as _zlib  # noqa: PLC0415
+
+    try:
+        return _png_decode_inner(payload)
+    except ValueError:
+        raise
+    except (_zlib.error, struct.error, IndexError, KeyError) as exc:
+        raise ValueError(f"corrupt PNG stream: {type(exc).__name__}") from exc
+
+
+def _png_decode_inner(payload: bytes) -> tuple[int, int, int, bytes]:
     if payload[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG byte stream")
     i = 8

@@ -360,6 +360,28 @@ def test_truncated_and_corrupted_streams_raise_valueerror_only():
             pass
 
 
+def test_png_corrupted_streams_raise_valueerror_only():
+    """Same quarantine contract for the PNG codec: zlib/struct errors
+    on corrupt payloads must surface as ValueError."""
+    from gem_data_wrangle_spark.operators import png_codec as P
+
+    pix = bytes((i * 7) % 256 for i in range(32 * 32 * 3))
+    png = P.png_encode(32, 32, 3, pix)
+    rng = np.random.default_rng(5)
+    for cut in range(2, len(png), 13):
+        try:
+            P.png_decode(png[:cut])
+        except ValueError:
+            pass
+    for _ in range(300):
+        b = bytearray(png)
+        b[int(rng.integers(2, len(png)))] = int(rng.integers(0, 256))
+        try:
+            P.png_decode(bytes(b))
+        except ValueError:
+            pass
+
+
 def test_extract_pixel_features_decodes_jpeg_corpus(spark):
     """The full Spark path: JPEG payloads through the Arrow-batched
     mapInPandas feature extractor — real pixel stats, not quarantine."""
