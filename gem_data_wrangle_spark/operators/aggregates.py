@@ -140,10 +140,14 @@ def window_count_share(
         for c, a in keymap.items():
             clause = F.col(c).eqNullSafe(F.col(a))
             cond = clause if cond is None else (cond & clause)
+        # exclude out_col from the passthrough list: if df already has
+        # a column of that name, withColumn replaced it and listing it
+        # twice would produce a duplicate/ambiguous column — the window
+        # path replaces in place, and the two paths must agree.
         return (
             df.join(counts, on=cond)
             .withColumn(out_col, share)
-            .select(*df.columns, out_col)
+            .select(*[c for c in df.columns if c != out_col], out_col)
         )
     w = Window.partitionBy(*partition_cols)
     equal = F.lit(1.0) / F.count(F.lit(1)).over(w)

@@ -113,7 +113,14 @@ def _split_entropy(data: bytes, pos: int) -> tuple[list[bytes], int]:
 
 class _BitReader:
     """MSB-first bit reader over one pre-unstuffed entropy segment;
-    exhausted input pads with 1-bits (spec fill bits)."""
+    exhausted input pads with 1-bits (spec fill bits).
+
+    The accumulator is truncated to the unconsumed bits after every
+    read, so it stays a small (<48-bit) int: fills add ≤32 bits and
+    reads mask the consumed prefix off. Without the mask the acc only
+    ever grows, turning every shift into an O(stream-length) bigint op
+    and the whole decode quadratic (measured 21 s for a 512×512 noisy
+    grey image; bounded, the same image decodes in milliseconds)."""
 
     __slots__ = ("data", "pos", "acc", "nbits")
 
@@ -139,7 +146,9 @@ class _BitReader:
         while self.nbits < n:
             self._fill()
         self.nbits -= n
-        return (self.acc >> self.nbits) & ((1 << n) - 1)
+        out = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return out
 
     def decode_huffman(self, lut_sym: list[int], lut_len: list[int]) -> int:
         if self.nbits < 16:
@@ -151,6 +160,7 @@ class _BitReader:
         if length == 0:
             raise ValueError("invalid Huffman code in scan")
         self.nbits -= length
+        self.acc &= (1 << self.nbits) - 1
         return lut_sym[idx]
 
 
@@ -280,6 +290,15 @@ def _jpeg_decode_inner(payload: bytes) -> tuple[int, int, int, bytes]:
             (restart_interval,) = struct.unpack(">H", seg[0:2])
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = seg[0]
+            # T.81 allows baseline non-interleaved scans (ns=1 per
+            # component over several scans); decoding them as if
+            # interleaved would produce garbage pixels, so keep the
+            # decode-or-quarantine contract honest and refuse.
+            if ns != len(comps):
+                raise ValueError(
+                    "non-interleaved baseline scan not supported "
+                    f"(scan has {ns} of {len(comps)} components)"
+                )
             for si in range(ns):
                 cs, tdta = seg[1 + 2 * si : 3 + 2 * si]
                 for c in comps:

@@ -371,8 +371,16 @@ def repetition_signals(
         .select(
             id_col,
             F.col("_top._ng").alias("top_ngram"),
-            F.round(
-                F.col("_top._c") * F.length("_top._ng") / F.col("_chars"), 4
+            # zero-char guard: with ngram_n=1 an empty string still
+            # yields one n-gram row (split('', ' ') -> ['']) with
+            # _chars=0 — ANSI Spark would raise DIVIDE_BY_ZERO where
+            # DuckDB yields NULL (same crash class as the r5
+            # gopher_quality symbol_ratio fix).
+            F.when(
+                F.col("_chars") > 0,
+                F.round(
+                    F.col("_top._c") * F.length("_top._ng") / F.col("_chars"), 4
+                ),
             ).alias("top_ngram_char_frac"),
         )
     )

@@ -540,6 +540,23 @@ def test_repetition_signals_values(spark):
     assert r3["n_lines"] == 1 and r3["dup_line_frac"] == 0.0
 
 
+def test_repetition_signals_unigram_empty_doc_no_div0(spark):
+    """ADVICE r5: with ngram_n=1 an empty document still yields one
+    n-gram row (split('', ' ') -> ['']) with zero chars — the char
+    fraction must be NULL, not an ANSI DIVIDE_BY_ZERO crash."""
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "a a b")], "doc_id bigint, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in T.repetition_signals(docs, "text", "doc_id", ngram_n=1).collect()
+    }
+    assert out[1]["top_ngram_char_frac"] is None
+    # unigram stream of doc 2: 'a'×2, 'b'×1 → top 'a', 2×1/5 chars
+    assert out[2]["top_ngram"] == "a"
+    assert abs(out[2]["top_ngram_char_frac"] - 0.4) < 1e-9
+
+
 def test_quantize_embeddings(spark):
     emb = spark.createDataFrame(
         [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],

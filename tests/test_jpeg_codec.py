@@ -316,6 +316,46 @@ def test_progressive_and_garbage_rejected():
         J.jpeg_decode(b"not a jpeg")
 
 
+def test_noisy_image_decode_is_linear_not_quadratic():
+    """ADVICE r5: the bit reader's accumulator must stay bounded — the
+    unmasked version grew into a bigint holding the whole entropy
+    stream, making decode quadratic (21 s for this 512×512 noisy grey
+    image; bounded it is well under a second). Assert a wall bound
+    loose enough for slow CI yet far below the quadratic regime, plus
+    near-linear scaling 128→512 (16× pixels; quadratic was ~200×)."""
+    import time
+
+    rng = np.random.default_rng(11)
+    timings = {}
+    payloads = {}
+    for size in (128, 512):
+        img = rng.integers(0, 256, size=(size, size), dtype=np.uint8)
+        payloads[size] = encode_baseline_jpeg(img)
+    for size, payload in payloads.items():
+        t0 = time.perf_counter()
+        w, h, c, _ = J.jpeg_decode(payload)
+        timings[size] = time.perf_counter() - t0
+        assert (w, h, c) == (size, size, 1)
+    assert timings[512] < 8.0, f"512x512 noisy decode took {timings[512]:.2f}s"
+    assert timings[512] < 50 * max(timings[128], 1e-3)
+
+
+def test_non_interleaved_scan_rejected_cleanly():
+    """ADVICE r5: a baseline scan with ns != frame component count
+    (T.81-legal non-interleaved multi-scan) must hit the quarantine
+    contract, not decode to garbage pixels."""
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[..., 0], img[..., 1], img[..., 2] = 120, 60, 200
+    payload = encode_baseline_jpeg(img)
+    i = payload.index(b"\xff\xda")
+    # original SOS for 3 components is 2+2+1+6+3 = 14 bytes incl marker;
+    # swap in a single-component scan header (ns=1, comp 1, tables 0/0)
+    new_sos = b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    patched = payload[:i] + new_sos + payload[i + 14 :]
+    with pytest.raises(ValueError, match="non-interleaved"):
+        J.jpeg_decode(patched)
+
+
 def test_decode_image_routes_jpeg_and_audit_reports_ok(spark):
     from gem_data_wrangle_spark.operators import multimodal as M
 

@@ -231,6 +231,24 @@ def test_skew_safe_count_share_keeps_null_keys_and_schema(spark):
     ]
 
 
+def test_skew_safe_count_share_replaces_existing_out_col(spark):
+    """ADVICE r5: when df already has a column named out_col, the
+    window path replaces it in place — the skew_safe path must do the
+    same, not emit a duplicate/ambiguous column."""
+    from gem_data_wrangle_spark.operators import aggregates as A
+
+    df = spark.createDataFrame(
+        [("x", "k1", 9.9), ("y", "k1", 9.9), ("z", "k2", 9.9)],
+        "payload string, grp string, share double",
+    )
+    w = A.window_count_share(df, ["grp"], out_col="share")
+    s = A.window_count_share(df, ["grp"], out_col="share", skew_safe=True)
+    assert s.columns == w.columns == ["payload", "grp", "share"]
+    assert sorted(map(tuple, s.collect())) == sorted(map(tuple, w.collect())) == [
+        ("x", "k1", 0.5), ("y", "k1", 0.5), ("z", "k2", 1.0),
+    ]
+
+
 def test_bucketed_join_elides_exchange(spark, tmp_path):
     from gem_data_wrangle_spark.sources.bucketing import bucketed_join, write_bucketed
 
