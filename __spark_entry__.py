@@ -2985,6 +2985,90 @@ def _q_shared_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.shared_substring_pairs(docs, "text", "doc_id")
 
 
+# The Lee-et-al PAYOFF stage (VERDICT r5 item 2): winnowed fingerprint
+# positions → df-gate → merge contiguous windows into maximal
+# duplicated spans per document (dedup.duplicate_spans). 1-based
+# inclusive char offsets; docs shorter than k carry no fingerprints.
+_SPAN_SQL = """
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(range(1, length(text) - 15 + 1)) AS p
+      FROM documents WHERE length(text) >= 16
+    ), fp0 AS (
+      SELECT doc_id, p, md5(substr(text, CAST(p AS INTEGER), 16)) AS fp
+      FROM pos
+    ), fp AS (
+      SELECT * FROM fp0 WHERE fp LIKE '0%'
+    ), gate AS (
+      SELECT fp FROM fp GROUP BY fp
+      HAVING count(DISTINCT doc_id) BETWEEN 2 AND 20
+    ), dup AS (
+      SELECT f.doc_id, f.p FROM fp f JOIN gate USING (fp)
+    ), flag AS (
+      SELECT doc_id, p,
+             CASE WHEN lag(p) OVER w IS NULL
+                    OR p > lag(p) OVER w + 16 THEN 1 ELSE 0 END AS n
+      FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+    ), grp AS (
+      SELECT doc_id, p,
+             sum(n) OVER (PARTITION BY doc_id ORDER BY p) AS g
+      FROM flag
+    ), spans AS (
+      SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+             CAST(max(p) + 15 AS BIGINT) AS span_end
+      FROM grp GROUP BY doc_id, g
+    )
+"""
+
+
+@_register("duplicate_spans", _SPAN_SQL + "SELECT * FROM spans")
+def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return D.duplicate_spans(docs, "text", "doc_id")
+
+
+# ...and the cut: remove every duplicated span's characters, keeping
+# the inter-span segments in offset order (dedup.cut_duplicate_spans);
+# docs without spans pass through, fully-duplicated docs cut to ''.
+@_register(
+    "cut_duplicate_spans",
+    _SPAN_SQL
+    + """
+    , gaps AS (
+      SELECT doc_id,
+             coalesce(lag(span_end) OVER (PARTITION BY doc_id
+                                          ORDER BY span_start), 0) + 1 AS s,
+             span_start - 1 AS e
+      FROM spans
+      UNION ALL
+      SELECT doc_id, max(span_end) + 1 AS s, NULL AS e
+      FROM spans GROUP BY doc_id
+    ), segs AS (
+      SELECT g.doc_id, g.s,
+             substr(d.text, CAST(g.s AS INTEGER),
+                    CAST(greatest(coalesce(g.e, length(d.text)) - g.s + 1,
+                                  0) AS INTEGER)) AS seg
+      FROM gaps g JOIN documents d USING (doc_id)
+    ), cleaned AS (
+      SELECT doc_id, string_agg(seg, '' ORDER BY s) AS t
+      FROM segs GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(c.t, d.text) AS text_clean
+    FROM documents d LEFT JOIN cleaned c USING (doc_id)
+    """,
+)
+def _q_cut_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    spans = D.duplicate_spans(docs, "text", "doc_id")
+    return D.cut_duplicate_spans(docs, spans, "text", "doc_id").select(
+        "doc_id", "text_clean"
+    )
+
+
 # --------------------------------------------------------------------
 # capstone: composed training-data pipeline — quality gate → exact
 # dedup → language filter → deterministic split, one lazy plan

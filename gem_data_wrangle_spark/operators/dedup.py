@@ -395,6 +395,154 @@ def shared_substring_pairs(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 16,
+    sample_prefix: str = "0",
+    max_df: int = 20,
+) -> DataFrame:
+    """Maximal duplicated character spans per document — the actual
+    payoff stage of exact-substring dedup (Lee et al. 2022,
+    arXiv:2107.06499 §4: cut the duplicated SPANS, don't drop whole
+    documents). Returns ``(id, span_start, span_end)`` with 1-based
+    inclusive character positions, spans disjoint and sorted per doc.
+
+    Pipeline: positioned winnowed fingerprints (every char k-gram
+    hashed, the deterministic 1/16 hex-prefix sample kept WITH its
+    offset) → fingerprint document-frequency gate (shared by ≥2 docs;
+    ``max_df`` drops corpus boilerplate exactly like
+    :func:`shared_substring_pairs`) → each surviving position covers
+    ``[pos, pos+k-1]`` → overlapping/contiguous windows merge into
+    maximal spans (window ``lag``: a new span starts when the gap to
+    the previous window exceeds the k-gram width).
+
+    The sampling makes spans fingerprint-resolution approximations of
+    the true duplicated regions (a span is only detected where a
+    sampled k-gram lands in it) — the standard suffix-automaton
+    construction is exact but inherently sequential; this shape is the
+    distributable trade-off.
+
+    Scale: position fan-out is ~len/16 rows per doc (linear, narrow);
+    the gate and join are digest-keyed with map-side partial combine;
+    the merge window partitions by doc — per-task work bounded by the
+    longest single document, the same bound as every per-doc operator
+    here. No all-pairs stage anywhere.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    c = F.col(text_col)
+    # a document shorter than k has NO k-grams (matching Lee et al.'s
+    # minimum match length) — the NULL propagates through transform/
+    # filter and explode() drops it. The greatest(..., 1) shape used by
+    # rolling_fingerprints would hash a PARTIAL gram at position 1,
+    # making every sub-k document (e.g. the empty string) collide and
+    # claim a span past its own end — breaking cut idempotence.
+    positions = F.when(
+        F.length(c) >= k, F.sequence(F.lit(1), F.length(c) - (k - 1))
+    )
+    grams = F.transform(
+        positions,
+        lambda i: F.struct(
+            i.cast("long").alias("pos"), F.md5(F.substring(c, i, k)).alias("fp")
+        ),
+    )
+    sampled = F.filter(grams, lambda s: s["fp"].startswith(sample_prefix))
+    fps = df.select(F.col(id_col), F.explode(sampled).alias("_s")).select(
+        id_col, F.col("_s.pos").alias("_pos"), F.col("_s.fp").alias("_fp")
+    )
+    gate = (
+        fps.groupBy("_fp")
+        .agg(F.countDistinct(id_col).alias("_d"))
+        .filter(F.col("_d").between(2, max_df))
+        .select("_fp")
+    )
+    dup = fps.join(gate, on="_fp").select(id_col, "_pos")
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    prev = F.lag("_pos").over(w)
+    flagged = dup.withColumn(
+        "_new", F.when(prev.isNull() | (F.col("_pos") > prev + k), 1).otherwise(0)
+    )
+    grouped = flagged.withColumn("_g", F.sum("_new").over(w))
+    return (
+        grouped.groupBy(id_col, "_g")
+        .agg(
+            F.min("_pos").alias("span_start"),
+            (F.max("_pos") + (k - 1)).alias("span_end"),
+        )
+        .drop("_g")
+    )
+
+
+def cut_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str,
+    id_col: str,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Remove the characters inside ``spans`` from each document —
+    the deduplicated corpus a pretraining pipeline actually trains on
+    (Lee et al. 2022). ``spans`` is ``(id, span_start, span_end)`` with
+    disjoint 1-based inclusive spans (:func:`duplicate_spans` output);
+    documents without spans pass through unchanged.
+
+    Shape: each span row becomes the KEPT segment before it
+    (``[prev_end+1, span_start-1]``, lag window) plus one tail segment
+    per doc (``[max_end+1, len]``); segments substring against the text
+    and concatenate back in offset order (``array_sort`` over collected
+    ``(start, seg)`` structs — starts are unique per doc, so the order
+    is total). Empty segments contribute '' via a length-clamped
+    substring instead of being filtered, so a fully-duplicated document
+    correctly yields an empty string, not its original text.
+
+    Scale: one window over spans (tiny next to the corpus), one
+    equi-join onto the documents, one per-doc groupBy whose collected
+    payload is bounded by the document's own size — the same per-doc
+    bound as ``chunk_documents``. No UDF anywhere.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy(id_col).orderBy("span_start")
+    gaps = spans.select(
+        F.col(id_col),
+        (F.coalesce(F.lag("span_end").over(w), F.lit(0)) + 1).alias("_ss"),
+        (F.col("span_start") - 1).alias("_se"),
+    )
+    tails = spans.groupBy(id_col).agg(
+        (F.max("span_end") + 1).alias("_ss"), F.lit(None).cast("long").alias("_se")
+    )
+    segs = gaps.unionByName(tails).join(
+        df.select(id_col, text_col), on=id_col
+    )
+    seg_txt = F.substring(
+        F.col(text_col),
+        F.col("_ss").cast("int"),
+        F.greatest(
+            (F.coalesce(F.col("_se"), F.length(text_col)) - F.col("_ss") + 1), F.lit(0)
+        ).cast("int"),
+    )
+    cleaned = (
+        segs.select(F.col(id_col), F.col("_ss"), seg_txt.alias("_seg"))
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_ss", "_seg"))),
+                    lambda s: s["_seg"],
+                ),
+                "",
+            ).alias("_clean")
+        )
+    )
+    return (
+        df.join(cleaned, on=id_col, how="left")
+        .withColumn(out_col, F.coalesce(F.col("_clean"), F.col(text_col)))
+        .drop("_clean")
+    )
+
+
 # --------------------------------------------------------------------
 # incremental dedup against a persistent digest index
 # --------------------------------------------------------------------

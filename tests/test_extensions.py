@@ -508,6 +508,91 @@ def test_shared_substring_pairs_finds_spans_and_gates_boilerplate(spark):
     assert all(p == (1, 2) for p in pairs)
 
 
+def test_duplicate_spans_and_cut(spark):
+    """Lee-et-al span dedup, hand-checkable with sample_prefix='' (all
+    k-grams fingerprinted): the maximal duplicated span of two docs
+    sharing an embedded substring is exactly that substring (k-grams
+    straddling its edges differ), a fully-duplicated doc pair cuts to
+    empty strings, and a unique doc passes through untouched."""
+    k = 16
+    # boundary chars around S differ between the two docs, so the
+    # maximal shared substring is EXACTLY S (shared prefix/suffix chars
+    # would legitimately extend the span)
+    A = "alpha bravo charlie delta echoQ"
+    B = "Zfoxtrot golf hotel india"
+    C = "kilo lima mike november oscar papaX"
+    D_ = "Yquebec romeo sierra tango"
+    S = "THE EXACT DUPLICATED TRAINING SPAN THAT MATTERS 0123456789"
+    dup_full = "identical boilerplate page served twice verbatim"
+    docs = spark.createDataFrame(
+        [
+            (1, A + S + B),
+            (2, C + S + D_),
+            (3, dup_full),
+            (4, dup_full),
+            (5, "totally unique little document with no twin anywhere"),
+        ],
+        "doc_id bigint, text string",
+    )
+    spans = D.duplicate_spans(docs, "text", "doc_id", k=k, sample_prefix="")
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in spans.collect()
+    }
+    assert got[1] == (len(A) + 1, len(A) + len(S))
+    assert got[2] == (len(C) + 1, len(C) + len(S))
+    assert got[3] == got[4] == (1, len(dup_full))
+    assert 5 not in got
+
+    cut = D.cut_duplicate_spans(docs, spans, "text", "doc_id")
+    clean = {r["doc_id"]: r["text_clean"] for r in cut.collect()}
+    assert clean[1] == A + B
+    assert clean[2] == C + D_
+    assert clean[3] == clean[4] == ""
+    assert clean[5] == "totally unique little document with no twin anywhere"
+
+    # idempotence: the cut corpus has no duplicated spans left, so a
+    # second pass is a no-op (the property the operator must hold for
+    # a pipeline to converge in one pass)
+    cleaned_docs = cut.select("doc_id", F.col("text_clean").alias("text"))
+    spans2 = D.duplicate_spans(cleaned_docs, "text", "doc_id", k=k, sample_prefix="")
+    assert spans2.count() == 0
+    cut2 = D.cut_duplicate_spans(cleaned_docs, spans2, "text", "doc_id")
+    assert {r["doc_id"]: r["text_clean"] for r in cut2.collect()} == clean
+
+
+def test_duplicate_spans_merges_overlapping_windows(spark):
+    """Two shared substrings closer than k merge into one span; far
+    apart they stay separate spans of the same document."""
+    k = 16
+    s1 = "SHARED-SEGMENT-ONE-IS-RIGHT-HERE"
+    s2 = "SHARED-SEGMENT-TWO-FAR-DOWNSTREAM"
+    filler = "_w x y z p q r s t u v a b c d e f g h i j k l m n o;"
+    docs = spark.createDataFrame(
+        [
+            (1, s1 + filler + s2),
+            (2, "pad one." + s1 + "|unique middle padding text here|" + s2),
+        ],
+        "doc_id bigint, text string",
+    )
+    spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in D.duplicate_spans(
+            docs, "text", "doc_id", k=k, sample_prefix=""
+        ).collect()
+    )
+    per_doc = {}
+    for d, s, e in spans:
+        per_doc.setdefault(d, []).append((s, e))
+    # both docs carry exactly two disjoint spans (filler > k apart)
+    assert len(per_doc[1]) == 2 and len(per_doc[2]) == 2
+    assert per_doc[1][0] == (1, len(s1))
+    assert per_doc[1][1] == (
+        len(s1) + len(filler) + 1,
+        len(s1) + len(filler) + len(s2),
+    )
+
+
 def test_repetition_signals_values(spark):
     """Hand-computed micro-case for the Gopher §A1.1 repetition
     signals: line 'dup' (3 chars) appears twice of 3 non-blank lines
