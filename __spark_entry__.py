@@ -3280,14 +3280,17 @@ def _q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Gopher/C4-style quality rule flags: word-count bounds, mean word
 # length, symbol ratio, duplicate-word fraction, top-bigram fraction —
-# all integer-derived ratios, engine-stable at 4 dp
+# all integer-derived ratios, engine-stable at 4 dp. The top-bigram
+# scan covers the first 5000 tokens only (the operator's
+# max_scan_tokens quadratic bound); linear metrics see the whole doc.
 @_register(
     "gopher_quality_flags",
     """
     WITH base AS (
       SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
     ), bg AS (
-      SELECT *, [t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))] AS b FROM base
+      SELECT *, [u[i] || ' ' || u[i + 1] FOR i IN range(1, len(u))] AS b
+      FROM (SELECT *, t[1:5000] AS u FROM base)
     ), m AS (
       SELECT doc_id,
              len(t) AS n_words,

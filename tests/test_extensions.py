@@ -476,6 +476,49 @@ def test_gopher_quality_rules(spark):
     assert out[1]["n_words"] == 60
 
 
+def test_gopher_top_bigram_scan_is_capped(spark):
+    """VERDICT r5 item 4: the top-bigram scan covers only the first
+    max_scan_tokens tokens. (a) Hand-checkable cap semantics: with
+    cap=6, a dominant bigram run BEYOND the cap is invisible; (b) a
+    ~2.5 MB random-token document (distinct·n ≈ 9×10^10 uncapped —
+    minutes in one task) completes in seconds with the default cap,
+    and its linear whole-document metrics stay exact."""
+    import time
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f " + "x " * 40 + "x")], "doc_id bigint, text string"
+    )
+    out = T.gopher_quality(docs, "text", "doc_id", max_scan_tokens=6).collect()[0]
+    # capped bigrams: 'a b'..'e f', all distinct -> top fraction 1/5;
+    # the 41-token 'x x' run past the cap contributes nothing
+    assert abs(out["top_bigram_frac"] - 0.2) < 1e-9
+    # n_words is uncapped: 6 + 41 tokens
+    assert out["n_words"] == 47
+
+    n_tok = 300_000
+    degen = spark.range(1).select(
+        F.lit(0).cast("long").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(n_tok)),
+                lambda i: F.concat(
+                    F.lit("w"), ((i * 2654435761) % 9999991).cast("string")
+                ),
+            ),
+        ).alias("text"),
+    )
+    t0 = time.perf_counter()
+    row = T.gopher_quality(degen, "text", "doc_id").select(
+        "n_words", "top_bigram_frac"
+    ).collect()[0]
+    took = time.perf_counter() - t0
+    assert row["n_words"] == n_tok
+    # every capped bigram is distinct -> top fraction = 1/4999
+    assert abs(row["top_bigram_frac"] - round(1 / 4999, 4)) < 1e-9
+    assert took < 60, f"degenerate doc took {took:.1f}s — cap not effective"
+
+
 def test_shared_substring_pairs_finds_spans_and_gates_boilerplate(spark):
     """Two documents sharing one long copy-pasted span (otherwise
     unrelated) must pair; a boilerplate footer present in EVERY doc

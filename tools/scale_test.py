@@ -193,6 +193,34 @@ def main() -> None:
         results[f"hotkey {label}"] = {f"{n}x": round(time.time() - t0, 2)}
         print(json.dumps({f"hotkey {label}": results[f"hotkey {label}"]}))
 
+    # degenerate-document stress (VERDICT r5 item 4): ONE multi-MB
+    # random-token document through gopher_quality. The top-bigram scan
+    # is O(distinct·n) inside a row — uncapped, ~1.5M distinct bigrams
+    # × 1.5M elements spins one task for minutes; the max_scan_tokens
+    # cap (first 5000 tokens) bounds the row at ~25M compares, so the
+    # whole job must finish in seconds.
+    from gem_data_wrangle_spark.operators import textops as Tx  # noqa: PLC0415
+
+    degen = spark.range(1).select(
+        F.lit(0).cast("long").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(1_500_000)),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    ((i * 2654435761) % 9999991).cast("string"),
+                ),
+            ),
+        ).alias("text"),
+    )
+    t0 = time.time()
+    Tx.gopher_quality(degen, "text", "doc_id").select(
+        "doc_id", "n_words", "top_bigram_frac", "quality_pass"
+    ).write.format("noop").mode("overwrite").save()
+    results["gopher degenerate 13MB doc"] = {"sec": round(time.time() - t0, 2)}
+    print(json.dumps({"gopher degenerate 13MB doc": results["gopher degenerate 13MB doc"]}))
+
     print(json.dumps({"n": n, "results": results}))
 
 
