@@ -1289,15 +1289,30 @@ def _neardup_oracle() -> str:
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     planes = V.hyperplanes(_LSH_PLANES, _LSH_DIM)
-    e = emb.select(
-        "vec_id", V.as_double_array("embedding").alias("_v")
-    ).withColumn("bucket", V.lsh_bucket(F.col("_v"), planes))
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("_v").alias("_va"), "bucket")
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("_v").alias("_vb"), "bucket")
+    e = (
+        emb.select("vec_id", V.as_double_array("embedding").alias("_v"))
+        .withColumn("bucket", V.lsh_bucket(F.col("_v"), planes))
+        # per-row hoisted norm (see similarity.cosine_topk): inside the
+        # pairwise filter the norms would fold per PAIR
+        .withColumn("_n", V.norm(F.col("_v")))
+    )
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"), "bucket",
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"), "bucket",
+    )
     return (
         a.join(b, on="bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(V.cosine(F.col("_va"), F.col("_vb")) >= 0.4)
+        .filter(
+            (F.col("_na") > 0)
+            & (F.col("_nb") > 0)
+            & (V.dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+               >= 0.4)
+        )
         .select("id_a", "id_b")
     )
 
@@ -1728,31 +1743,18 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
-# extension: pyspark.ml LSH scale-path variants. Rows-only by necessity:
-# MinHashLSH / BucketedRandomProjectionLSH draw their hash families from
-# Spark-internal seeded RNG state, so no external SQL engine can replay
-# the candidate sets; recall-lossy candidate generation also means an
-# exact-metric oracle would legitimately disagree. Their semantics ARE
-# value-checked, just not via SQL: tests/test_ml_lsh_crosscheck.py
-# verifies every reported distance against the exact metric
-# (approxSimilarityJoin post-filters with the true distance), proves
-# containment of the portable md5-LSH verified pairs, and pins BRP
-# precision = 1.0 / recall >= 0.9 vs brute-force ground truth.
+# extension: pyspark.ml LSH scale-path variants (operators/ml_lsh.py).
+# NOT registered as queries (VERDICT r5 item 1 — registry hygiene):
+# MinHashLSH / BucketedRandomProjectionLSH draw their hash families
+# from Spark-internal seeded RNG state, so no external SQL engine can
+# replay the candidate sets, and a rows-only driver record added
+# nothing beyond a row count. Their semantics ARE value-checked:
+# tests/test_ml_lsh_crosscheck.py verifies every reported distance
+# against the exact metric, proves containment of the portable md5-LSH
+# verified pairs, and pins BRP precision = 1.0 / recall >= 0.9 vs
+# brute-force ground truth — and the ORACLED *_verified derivatives
+# below hash-check the ml path's recall through the driver.
 # --------------------------------------------------------------------
-@_register("ml_minhash_join")  # rows-only (see block comment)
-def _q_ml_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gem_data_wrangle_spark.operators.ml_lsh import ml_minhash_pairs
-
-    docs = _t(spark, sf_dir, "documents")
-    return ml_minhash_pairs(docs, "text", "doc_id", threshold=0.8)
-
-
-@_register("ml_brp_join")  # rows-only (see block comment above)
-def _q_ml_brp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gem_data_wrangle_spark.operators.ml_lsh import ml_brp_neighbors
-
-    emb = _t(spark, sf_dir, "embeddings")
-    return ml_brp_neighbors(emb, "embedding", "vec_id", threshold=1.2)
 
 
 # --------------------------------------------------------------------

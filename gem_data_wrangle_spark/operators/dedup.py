@@ -316,22 +316,43 @@ def semdedup(
     from gem_data_wrangle_spark.operators.similarity import (  # noqa: PLC0415
         as_double_array,
         auto_grid_dims,
-        cosine,
+        dot,
+        norm,
         sign_grid_cell,
     )
 
     if cell_assigner is None and dims is None:
         dims = auto_grid_dims(df.count(), target_cell_size, floor=3)
     assigner = cell_assigner or (lambda v: sign_grid_cell(v, dims))
-    cells = df.select(
-        F.col(id_col), as_double_array(vec_col).alias("_v")
-    ).withColumn("cell", assigner(F.col("_v")))
-    a = cells.select(F.col(id_col).alias("_ida"), F.col("_v").alias("_va"), "cell")
-    b = cells.select(F.col(id_col).alias("_idb"), F.col("_v").alias("_vb"), "cell")
+    # the vector norm is hoisted to a per-ROW column before the
+    # self-join: inside the pairwise filter it would be recomputed per
+    # PAIR (and the r5 zero-norm guard in cosine() evaluates its denom
+    # twice per pair — measured +0.7 s on the sf0.1 bench, the r5→r6
+    # semdedup triage). Per-row norms keep the guard's exact semantics
+    # (either-side zero norm → cosine undefined → pair dropped) at
+    # n instead of n·pairs sqrt-folds.
+    cells = (
+        df.select(F.col(id_col), as_double_array(vec_col).alias("_v"))
+        .withColumn("cell", assigner(F.col("_v")))
+        .withColumn("_n", norm(F.col("_v")))
+    )
+    a = cells.select(
+        F.col(id_col).alias("_ida"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"), "cell",
+    )
+    b = cells.select(
+        F.col(id_col).alias("_idb"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"), "cell",
+    )
     dominated = (
         a.join(b, on="cell")
         .filter(F.col("_idb") < F.col("_ida"))
-        .filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .filter(
+            (F.col("_na") > 0)
+            & (F.col("_nb") > 0)
+            & (dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+               >= threshold)
+        )
         .select(F.col("_ida").alias(id_col))
         .distinct()
     )

@@ -118,16 +118,28 @@ def cosine_topk(
     rank) — integer-only output so differential tests are float-safe;
     ties broken by neighbor id.
     """
+    # norms are per-ROW columns computed before the join — inside the
+    # pairwise expression they'd be folded per PAIR (and the zero-norm
+    # guard would evaluate its denominator twice per pair); hoisting
+    # keeps the exact NULL-on-zero-norm semantics at n instead of
+    # n·pairs sqrt-folds (r6 semdedup triage: this was the whole
+    # 3.3→4.4 s bench rise)
     p = probes.select(
         F.col(id_col).alias(probe_id), as_double_array(vec_col).alias("_pv")
-    )
+    ).withColumn("_pn", norm(F.col("_pv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("_cv")
-    )
+    ).withColumn("_cn", norm(F.col("_cv")))
     scored = (
         c.crossJoin(F.broadcast(p))
         .filter(F.col("neighbor_id") != F.col(probe_id))
-        .withColumn("_cos", cosine(F.col("_pv"), F.col("_cv")))
+        .withColumn(
+            "_cos",
+            F.when(
+                (F.col("_cn") > 0) & (F.col("_pn") > 0),
+                dot(F.col("_pv"), F.col("_cv")) / (F.col("_cn") * F.col("_pn")),
+            ),
+        )
         # undefined similarity (zero-norm side) is no result, not a
         # trailing rank — see cosine()
         .filter(F.col("_cos").isNotNull())
@@ -225,9 +237,17 @@ def ivf_topk(
         p = p.withColumn("_mlv", array_to_vector(F.col("_pv")))
         p = model.transform(p).drop("_mlv")
     scored = (
-        c.join(F.broadcast(p), on="_cell")
+        c.withColumn("_cn", norm(F.col("_cv")))
+        .join(F.broadcast(p.withColumn("_pn", norm(F.col("_pv")))), on="_cell")
         .filter(F.col("neighbor_id") != F.col(probe_id))
-        .withColumn("_cos", cosine(F.col("_pv"), F.col("_cv")))
+        # per-row hoisted norms — see cosine_topk
+        .withColumn(
+            "_cos",
+            F.when(
+                (F.col("_cn") > 0) & (F.col("_pn") > 0),
+                dot(F.col("_pv"), F.col("_cv")) / (F.col("_cn") * F.col("_pn")),
+            ),
+        )
         # undefined similarity (zero-norm side) is no result, not a
         # trailing rank — see cosine()
         .filter(F.col("_cos").isNotNull())
@@ -262,9 +282,17 @@ def lsh_topk(
         F.col(id_col).alias(probe_id), as_double_array(vec_col).alias("_pv")
     ).withColumn("bucket", lsh_bucket(F.col("_pv"), planes))
     scored = (
-        c.join(F.broadcast(p), on="bucket")
+        c.withColumn("_cn", norm(F.col("_cv")))
+        .join(F.broadcast(p.withColumn("_pn", norm(F.col("_pv")))), on="bucket")
         .filter(F.col("neighbor_id") != F.col(probe_id))
-        .withColumn("_cos", cosine(F.col("_pv"), F.col("_cv")))
+        # per-row hoisted norms — see cosine_topk
+        .withColumn(
+            "_cos",
+            F.when(
+                (F.col("_cn") > 0) & (F.col("_pn") > 0),
+                dot(F.col("_pv"), F.col("_cv")) / (F.col("_cn") * F.col("_pn")),
+            ),
+        )
         # undefined similarity (zero-norm side) is no result, not a
         # trailing rank — see cosine()
         .filter(F.col("_cos").isNotNull())
