@@ -3801,69 +3801,39 @@ def entry(spark: SparkSession) -> DataFrame:
 # splits, ...). Every demoted query remains registered and runnable;
 # its round-1 green row is the standing evidence.
 _DEFER_TO_TAIL = [
-    # round-5 rotation (VERDICT r4 item 2): the first 17 of the 34
-    # r1-tail queries (project … impute_year) RETURN to the graded
-    # head — their newest green rows were 3 rounds old and fingerprints
-    # can't see environment drift (the r4 sessionize NTZ break proved
-    # that). Their slots come from r4-green queries whose query fn +
-    # oracle + operator modules are byte-unchanged this round. The
-    # remaining 17 r1 entries (simhash … multimodal_bytes) and the r3
-    # block rotate in round 6.
-    "simhash",              # r01 green
-    "text_fingerprint",     # r01 green; also inside training_data_pipeline
-    "jaccard_neighbors",    # r01 green; paired with minhash_lsh_pairs
-    "stream_sliding_window",  # r01 green; variant of stream_tumbling_window
-    # second wave: code and oracle byte-identical since their r01 green
-    # rows — their slots go to the operators added this round (as-of /
-    # range joins, near-dup components, quality rules, quantization,
-    # sessionization, sampling, interval join, scrub, decontamination,
-    # packing, multimodal resize/frames), which have no driver evidence
-    # yet
-    "cast_regex_extract",      # r01 green
-    "join_left_coalesce",      # r01 green; also inside gem_total_consolidation
-    "join_fallback_chain",     # r01 green; also inside gem_total_consolidation
-    "expand_years",            # r01 green; also inside every GEM pipeline
-    "case_when_classify",      # r01 green; also inside gem_gasoil_pipeline
-    "dedup_exact",             # r01 green; also inside training_data_pipeline
-    "text_quality",            # r01 green; also inside training_data_pipeline
-    "stream_tumbling_window",  # r01 green; session variant stays graded
-    "filter_isin",             # r01 green; also the first step of every GEM pipeline
-    # third wave: byte-unchanged since their r01 green rows (operator
-    # modules only grew; these code paths untouched) — slots go to
-    # semdedup / normalized_dedup / chunk_documents
-    "lang_id",                 # r01 green; textops lang path unchanged
-    "multimodal_bytes",        # r01 green; registration block + multimodal.py byte-identical
-    # round-4 rotation (VERDICT r3 items 1/4/5): the ten queries
-    # deferred in round 3 (canonical_projection … dataset_split) plus
-    # the r1 stragglers dedup_first_per_key / agg_mean_groups /
-    # filter_eq_timestamp RETURN to the graded head, and the three new
-    # round-4 queries (gem_total_consolidation_all8 capstone,
-    # ml_minhash_join_verified, ml_brp_join_verified) join it. Their
-    # slots come from r3-green queries whose code + oracle are
-    # byte-unchanged this round:
-    "explode_split",           # r03 green; strings.py split path unchanged
-    "split_ownership_strict",  # r03 green; kernels.py:31 unchanged
-    "token_counts",            # r03 green; textops token path unchanged
-    "harmonize_coordinates",   # r03 green; kernels.py:84 unchanged
-    "join_left_enrich",        # r03 green; joins.py:17 unchanged
-    "surrogate_ids",           # r03 green post-rewrite; kernels.py:208 unchanged
-    "minhash_lsh_pairs",       # r03 green; also inside head's ml_minhash_join_verified
-    "stream_session_window",   # r03 green; windows.py unchanged
-    "unique_assets",           # r03 green; consolidation re-graded via head's all8 capstone
-    "salted_aggregation",      # r03 green; skew.py unchanged
-    "embedding_quantize_int8", # r03 green; quantize path unchanged
-    # the two documented rows-only ml queries leave the graded window:
-    # their value evidence is now the ORACLED head derivatives
-    # (ml_minhash_join_verified / ml_brp_join_verified — portable-pair
-    # intersection, hash-compared) plus tests/test_ml_lsh_crosscheck.py;
-    # the rows-only driver record added nothing beyond a row count.
-    "ml_minhash_join",
-    "ml_brp_join",
-    # round-5 demotions: r04 green, and this round touched neither
-    # their query fns, oracles, nor the operator modules they call
-    # (round 5's code changes live in aggregates.py
-    # window_count_share/dedup_first_per_key/sessionize and
-    # plans/gem.py consolidation — all of whose queries STAY graded)
+    # ------------------------------------------------------------------
+    # round-6 rotation (VERDICT r5 item 1): the ENTIRE remaining stale
+    # block RETURNS to the graded head — the 15 r1-green queries
+    # (simhash, text_fingerprint, jaccard_neighbors,
+    # stream_sliding_window, cast_regex_extract, join_left_coalesce,
+    # join_fallback_chain, expand_years, case_when_classify,
+    # dedup_exact, text_quality, stream_tumbling_window, filter_isin,
+    # lang_id, multimodal_bytes) and the 11 r3-green queries
+    # (explode_split, split_ownership_strict, token_counts,
+    # harmonize_coordinates, join_left_enrich, surrogate_ids,
+    # minhash_lsh_pairs, stream_session_window, unique_assets,
+    # salted_aggregation, embedding_quantize_int8). After this round no
+    # query's newest green is older than round 4. The two rows-only ml
+    # queries (ml_minhash_join / ml_brp_join) are RETIRED from the
+    # registry outright (r5 What's-wrong item 1): their value evidence
+    # is the oracled *_verified derivatives (graded r5) plus
+    # tests/test_ml_lsh_crosscheck.py; every registered query is now
+    # driver-value-checkable.
+    #
+    # Queries that STAY in the graded head because round 6 changed
+    # their operators (ledger discipline: a deliberate operator change
+    # must re-promote/keep its queries): window_count_share +
+    # dedup_first_per_key (aggregates.py skew_safe select fix),
+    # repetition_signals (div0 guard) + gopher_quality_flags
+    # (max_scan_tokens cap) in textops.py, semdedup + shared_substring
+    # _pairs + normalized_dedup (dedup.py norm hoist / span additions),
+    # similarity_bruteforce/_lsh/_ivf + embedding_neardup_pairs
+    # (similarity.py norm hoist), the two new span queries
+    # (duplicate_spans / cut_duplicate_spans), agg_sum_groups (the
+    # flagship entry()), and the 8 GEM pipelines + both consolidations
+    # (end-to-end coverage).
+    #
+    # tail block 1 — r4-green, every path byte-unchanged since:
     "agg_mean_groups",         # r04 green; aggregates.agg_mean_groups unchanged
     "multimodal_features",     # r04 green; multimodal.py unchanged
     "filter_capacity_known",   # r04 green; cleaning.py unchanged
@@ -3881,20 +3851,44 @@ _DEFER_TO_TAIL = [
     "range_join_prices",       # r04 green; asof.py unchanged
     "multimodal_resize",       # r04 green; multimodal resize path unchanged
     "multimodal_frames",       # r04 green; multimodal frames path unchanged
-    "scrub_pii",               # r04 green; textops scrub path unchanged — slot
-                               # gifted to the new repetition_signals query
-    "pack_documents",          # r04 green; sampling pack path unchanged — slot gifted
-                               # to the new shared_substring_pairs query
-    # round-5 mid-round re-promotion: similarity.cosine gained the
-    # zero-norm NULL guard, so every cosine-dependent query RETURNS to
-    # the graded head (similarity_bruteforce / similarity_lsh /
-    # similarity_ivf / embedding_neardup_pairs; semdedup was already
-    # there). Their slots come from four more r4-green queries whose
-    # paths are untouched this round:
+    "scrub_pii",               # r04 green; textops scrub path unchanged
+    "pack_documents",          # r04 green; sampling pack path unchanged
     "bernoulli_sample",        # r04 green; sampling bernoulli path unchanged
     "stream_interval_join",    # r04 green; streaming joins unchanged
     "decontaminate_docs",      # r04 green; dedup decontamination path unchanged
     "json_extract_props",      # r04 green; JSON path probe unchanged
+    # tail block 2 — r5-green demotions; round 6's code changes (see
+    # head list above) touch none of these query fns, oracles, or the
+    # operator paths they call:
+    "project",                 # r05 green; cleaning.py unchanged
+    "filter_not_and",          # r05 green; cleaning.py unchanged
+    "filter_null_or_ge",       # r05 green; cleaning.py unchanged
+    "replace_value_global",    # r05 green; cleaning.py unchanged
+    "split_ownership_equal",   # r05 green; kernels.py:31 unchanged
+    "join_lookup_dim",         # r05 green; joins.py unchanged
+    "union_rows",              # r05 green; aggregates union path unchanged
+    "union_rows_byname",       # r05 green; aggregates union path unchanged
+    "distinct_rows",           # r05 green; aggregates distinct path unchanged
+    "string_format",           # r05 green; strings.py unchanged
+    "window_rank",             # r05 green; query-local window, unchanged
+    "top_k",                   # r05 green; aggregates top_k unchanged
+    "impute_year",             # r05 green; cleaning.py unchanged
+    "strip_pct_suffix",        # r05 green; strings.py unchanged
+    "expand_years_retirement", # r05 green; kernels expand path unchanged
+    "agg_global_mean",         # r05 green; aggregates global-mean unchanged
+    "harmonize_na_poisoning",  # r05 green; kernels.py:84 unchanged
+    "ml_minhash_join_verified",  # r05 green; ml_lsh.py + jaccard_pairs unchanged
+    "ml_brp_join_verified",    # r05 green; ml_lsh.py + lsh_bucket unchanged
+    "stream_running_totals",   # r05 green; streaming stateful unchanged
+    "stratified_sample",       # r05 green; sampling strata path unchanged
+    "sample_to_token_budget",  # r05 green; sampling budget path unchanged
+    "weighted_sample",         # r05 green; sampling weighted path unchanged
+    "neardup_components",      # r05 green; graph.py + lsh_candidate_pairs unchanged
+    "tfidf_top_terms",         # r05 green; textops tf_idf path unchanged
+    "chunk_documents",         # r05 green; textops chunk path unchanged
+    "sessionize_events",       # r05 green; aggregates sessionize unchanged
+    "training_data_pipeline",  # r05 green; quality_score/fingerprint/hash_split
+                               # + dedup_first_per_key window path unchanged
 ]
 
 
@@ -3920,34 +3914,6 @@ def _defer_fingerprint(name: str) -> str:
 
 # Regenerate via tools/gen_defer_hashes.py after a DELIBERATE change.
 _DEFER_HASHES: dict[str, str] = {
-    "simhash": "1b747ecd35d5afd0",
-    "text_fingerprint": "20401cde9270e27b",
-    "jaccard_neighbors": "f5ef3b537b9359ad",
-    "stream_sliding_window": "d95ccf75fe6b6519",
-    "cast_regex_extract": "caf35822ececbacf",
-    "join_left_coalesce": "b9994c429932914b",
-    "join_fallback_chain": "922fd078ac49f00d",
-    "expand_years": "3b56946da2023aaf",
-    "case_when_classify": "0a9e17b051c21a23",
-    "dedup_exact": "f49df5544fb70089",
-    "text_quality": "4ef6e6d2b0182197",
-    "stream_tumbling_window": "44aa2eab107b3f2a",
-    "filter_isin": "511530f2dd36c7e8",
-    "lang_id": "20039c0194fdf4da",
-    "multimodal_bytes": "25c4f08bb9df8ba8",
-    "explode_split": "68ee199b5c3da537",
-    "split_ownership_strict": "88aca9a672b4b1b9",
-    "token_counts": "f224865fb01a4cee",
-    "harmonize_coordinates": "102448ca2061e9c3",
-    "join_left_enrich": "19d45dbe8ae4a9fc",
-    "surrogate_ids": "83fe3102e7d61599",
-    "minhash_lsh_pairs": "c11e3339c8cf7966",
-    "stream_session_window": "f2a0c3f7ab54ad5b",
-    "unique_assets": "a6f59622cf835b2a",
-    "salted_aggregation": "3e00c50f3238f813",
-    "embedding_quantize_int8": "c4a3a9970f58767f",
-    "ml_minhash_join": "f61fcefa7d25956a",
-    "ml_brp_join": "eaccdaa547c73aba",
     "agg_mean_groups": "e7a1b0a894570f0b",
     "multimodal_features": "2dd56cda8d3e7dfd",
     "filter_capacity_known": "aab9fdb471c09c7b",
@@ -3971,6 +3937,34 @@ _DEFER_HASHES: dict[str, str] = {
     "stream_interval_join": "f1194af4ca44c50a",
     "decontaminate_docs": "095d8d644c0a6ec0",
     "json_extract_props": "6579bda1ad45617c",
+    "project": "e63d5078eaa99831",
+    "filter_not_and": "4a7cf2ba9409f9f2",
+    "filter_null_or_ge": "90ec3885d87582ea",
+    "replace_value_global": "0db49e1c90a3bb0c",
+    "split_ownership_equal": "76e8ae050bedbaa2",
+    "join_lookup_dim": "2246a2f805501cff",
+    "union_rows": "f02c4badce8d2f6a",
+    "union_rows_byname": "0f2175ebc647033b",
+    "distinct_rows": "d6a3fb3ccb0f0551",
+    "string_format": "6c8675dbb4ccef03",
+    "window_rank": "cdb7d6d1b4fc17a6",
+    "top_k": "4df73fb64966eda0",
+    "impute_year": "616eb7efca0c1b13",
+    "strip_pct_suffix": "4c185c442ea859d1",
+    "expand_years_retirement": "f59af127c33491e7",
+    "agg_global_mean": "439642f02685e4bf",
+    "harmonize_na_poisoning": "f26cb6280a425311",
+    "ml_minhash_join_verified": "a916910067fb093c",
+    "ml_brp_join_verified": "f2cb8d58723dab33",
+    "stream_running_totals": "807a5c69f29d2cb4",
+    "stratified_sample": "44bfd4171f2d4e82",
+    "sample_to_token_budget": "5639bb17630b5513",
+    "weighted_sample": "033b26812c354655",
+    "neardup_components": "de12f0c4d5f64199",
+    "tfidf_top_terms": "bb616e4cb5b2c6da",
+    "chunk_documents": "c721a1b87a97166d",
+    "sessionize_events": "69f3c131133093cb",
+    "training_data_pipeline": "db585891fb511fca",
 }
 
 
