@@ -1,4 +1,4 @@
-"""Baseline JPEG (ITU-T T.81 / ISO-IEC 10918-1) decoder — stdlib + numpy.
+"""JPEG (ITU-T T.81 / ISO-IEC 10918-1) decoder — stdlib + numpy.
 
 Public-spec implementation: marker grammar (T.81 Annex B), canonical
 Huffman entropy decoding (Annex F.2), dequantization + 8×8 inverse DCT
@@ -7,11 +7,15 @@ documented subset:
 
 - baseline sequential DCT (SOF0; SOF1 accepted — same entropy coding),
   8-bit precision;
+- progressive DCT (SOF2, Huffman): spectral selection + successive
+  approximation — interleaved/non-interleaved DC first+refine scans,
+  per-component AC first scans with EOB-run coding, and the AC
+  refinement correction-bit procedure (T.81 G.1.2.3/G.2);
 - 1-component greyscale and 3-component YCbCr at any sampling factors
   (4:4:4, 4:2:2, 4:2:0 covered by tests); restart intervals (DRI/RSTn);
-- progressive (SOF2), hierarchical, arithmetic-coded, and 12-bit
-  streams raise ``ValueError`` — `multimodal.decode_capability_audit`
-  then reports them as quarantined instead of silently NULLing.
+- hierarchical, arithmetic-coded, lossless, and 12-bit streams raise
+  ``ValueError`` — `multimodal.decode_capability_audit` then reports
+  them as quarantined instead of silently NULLing.
 
 Split of labor, same policy as ``png_codec``: the bit-serial Huffman
 loop is pure Python (a true sequential dependency — each coefficient's
@@ -185,7 +189,10 @@ def _dct_matrix():
 
 
 class _Component:
-    __slots__ = ("cid", "h", "v", "tq", "td", "ta", "pred", "blocks", "bw", "bh")
+    __slots__ = (
+        "cid", "h", "v", "tq", "td", "ta", "pred", "blocks", "bw", "bh",
+        "coefs", "cw8", "ch8",
+    )
 
     def __init__(self, cid: int, h: int, v: int, tq: int):
         self.cid, self.h, self.v, self.tq = cid, h, v, tq
@@ -193,6 +200,12 @@ class _Component:
         self.pred = 0
         self.blocks: list = []  # zigzag coefficient rows, MCU order
         self.bw = self.bh = 0
+        # progressive state: raster-order coefficient grid (natural
+        # zigzag-index rows, bw*bh blocks) accumulated across scans,
+        # and the component's own non-interleaved block dims (ceil of
+        # its sample dims — smaller than the MCU-padded bw/bh)
+        self.coefs: list | None = None
+        self.cw8 = self.ch8 = 0
 
 
 def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
@@ -226,6 +239,7 @@ def _jpeg_decode_inner(payload: bytes) -> tuple[int, int, int, bytes]:
     comps: list[_Component] = []
     width = height = 0
     restart_interval = 0
+    progressive = False
     pos = 2
     n = len(payload)
 
@@ -266,7 +280,8 @@ def _jpeg_decode_inner(payload: bytes) -> tuple[int, int, int, bytes]:
                     bytes(counts), bytes(symbols)
                 )
                 i += 17 + nsym
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline huffman
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             precision = seg[0]
             if precision != 8:
                 raise ValueError(f"unsupported precision {precision}")
@@ -282,14 +297,28 @@ def _jpeg_decode_inner(payload: bytes) -> tuple[int, int, int, bytes]:
                 comps.append(_Component(cid, h_i, v_i, tq_id))
             if width == 0 or height == 0:
                 raise ValueError("zero frame dimensions")
-        elif marker == 0xC2:
-            raise ValueError("progressive JPEG (SOF2) not supported without PIL")
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported SOF marker 0xFF{marker:02X}")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[0:2])
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = seg[0]
+            if progressive:
+                scan_comps = []
+                for si in range(ns):
+                    cs, tdta = seg[1 + 2 * si : 3 + 2 * si]
+                    for c in comps:
+                        if c.cid == cs:
+                            c.td, c.ta = tdta >> 4, tdta & 0x0F
+                            scan_comps.append(c)
+                ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+                ah, al_ = ahal >> 4, ahal & 0x0F
+                pos += seglen
+                pos = _decode_progressive_scan(
+                    payload, pos, comps, scan_comps, dc_tables, ac_tables,
+                    ss, se, ah, al_, width, height, restart_interval,
+                )
+                continue
             # T.81 allows baseline non-interleaved scans (ns=1 per
             # component over several scans); decoding them as if
             # interleaved would produce garbage pixels, so keep the
@@ -314,6 +343,20 @@ def _jpeg_decode_inner(payload: bytes) -> tuple[int, int, int, bytes]:
 
     if not comps or not width:
         raise ValueError("truncated JPEG (no frame decoded)")
+    if progressive:
+        # reorder each component's raster coefficient grid into the MCU
+        # scan order _reconstruct expects: (my, mx, by, bx)
+        for c in comps:
+            if c.coefs is None:
+                raise ValueError("truncated progressive JPEG (no scan decoded)")
+            mcus_x = c.bw // c.h
+            c.blocks = [
+                c.coefs[(my * c.v + by) * c.bw + (mx * c.h + bx)]
+                for my in range(c.bh // c.v)
+                for mx in range(mcus_x)
+                for by in range(c.v)
+                for bx in range(c.h)
+            ]
     return _reconstruct(comps, qt, width, height)
 
 
@@ -361,6 +404,223 @@ def _decode_scan(
                     c.blocks.append(_decode_block(reader, c, dct, act))
             mcu_count += 1
     return end_pos
+
+
+def _init_progressive_grids(
+    comps: list[_Component], width: int, height: int
+) -> None:
+    """Allocate each component's raster coefficient grid on the first
+    scan: MCU-padded block dims (interleaved DC scans touch every MCU
+    block) plus the component's own ceil-sample dims that bound
+    non-interleaved scans (T.81 A.2.2 — padding blocks are NOT coded
+    in a non-interleaved scan and stay zero)."""
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    for c in comps:
+        if c.coefs is not None:
+            continue
+        c.bw = mcus_x * c.h
+        c.bh = mcus_y * c.v
+        cw = -(-(width * c.h) // hmax)   # component sample dims (A.1.1)
+        ch = -(-(height * c.v) // vmax)
+        c.cw8 = -(-cw // 8)
+        c.ch8 = -(-ch // 8)
+        c.coefs = [[0] * 64 for _ in range(c.bw * c.bh)]
+
+
+def _decode_progressive_scan(
+    data: bytes,
+    pos: int,
+    comps: list[_Component],
+    scan_comps: list[_Component],
+    dc_tables: dict,
+    ac_tables: dict,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    width: int,
+    height: int,
+    restart_interval: int,
+) -> int:
+    """One progressive scan (T.81 G.2): DC scans (Ss=0) may interleave
+    several components per MCU; AC scans (Ss>0) are single-component
+    and traverse that component's own block grid in raster order.
+    First scans (Ah=0) establish coefficient values at Al-shifted
+    precision; refinement scans (Ah=Al+1) add one magnitude bit via
+    the correction-bit procedure. EOB-run codes span blocks within a
+    restart segment."""
+    if not comps or not width:
+        raise ValueError("progressive scan before SOF2")
+    if not scan_comps:
+        raise ValueError("scan selects no frame component")
+    _init_progressive_grids(comps, width, height)
+    segs, end_pos = _split_entropy(data, pos)
+    reader = _BitReader(segs[0])
+    seg_idx = 0
+    state = {"eobrun": 0}
+    for c in scan_comps:
+        c.pred = 0
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("DC progressive scan must have Se=0")
+        hmax = max(c.h for c in comps)
+        vmax = max(c.v for c in comps)
+        if len(scan_comps) > 1:
+            mcus_x = -(-width // (8 * hmax))
+            mcus_y = -(-height // (8 * vmax))
+            n_units = mcus_x * mcus_y
+        else:
+            c0 = scan_comps[0]
+            n_units = c0.cw8 * c0.ch8
+    else:  # AC scan: exactly one component (T.81 G.1.1.1.1)
+        if len(scan_comps) != 1:
+            raise ValueError("AC progressive scan must be single-component")
+        if not (1 <= ss <= se <= 63):
+            raise ValueError(f"invalid spectral band {ss}..{se}")
+        c0 = scan_comps[0]
+        n_units = c0.cw8 * c0.ch8
+
+    unit = 0
+    while unit < n_units:
+        if restart_interval and unit and unit % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise ValueError("missing restart segment in scan")
+            reader = _BitReader(segs[seg_idx])
+            state["eobrun"] = 0
+            for c in scan_comps:
+                c.pred = 0
+        if ss == 0 and len(scan_comps) > 1:
+            my, mx = divmod(unit, mcus_x)
+            for c in scan_comps:
+                dct = dc_tables.get(c.td)
+                if ah == 0 and dct is None:
+                    raise ValueError("missing DC Huffman table for scan")
+                for by in range(c.v):
+                    for bx in range(c.h):
+                        block = c.coefs[(my * c.v + by) * c.bw + (mx * c.h + bx)]
+                        _dc_prog(reader, c, block, dct, ah, al)
+        elif ss == 0:
+            c = scan_comps[0]
+            dct = dc_tables.get(c.td)
+            if ah == 0 and dct is None:
+                raise ValueError("missing DC Huffman table for scan")
+            by, bx = divmod(unit, c.cw8)
+            block = c.coefs[by * c.bw + bx]
+            _dc_prog(reader, c, block, dct, ah, al)
+        else:
+            c = scan_comps[0]
+            act = ac_tables.get(c.ta)
+            if act is None:
+                raise ValueError("missing AC Huffman table for scan")
+            by, bx = divmod(unit, c.cw8)
+            block = c.coefs[by * c.bw + bx]
+            if ah == 0:
+                _ac_prog_first(reader, block, act, ss, se, al, state)
+            else:
+                _ac_prog_refine(reader, block, act, ss, se, al, state)
+        unit += 1
+    return end_pos
+
+
+def _dc_prog(
+    reader: _BitReader, c: _Component, block: list, dct: tuple | None, ah: int, al: int
+) -> None:
+    """DC coefficient, progressive: first scan decodes the Al-shifted
+    prediction difference (G.2 / F.2.2.1); a refinement scan is one
+    correction bit for bit position Al."""
+    if ah == 0:
+        dc_sym, dc_len = dct
+        t = reader.decode_huffman(dc_sym, dc_len)
+        if t:
+            v = reader.read_bits(t)
+            c.pred += _extend(v, t)
+        block[0] = c.pred << al
+    elif reader.read_bits(1):
+        block[0] |= 1 << al
+
+
+def _ac_prog_first(
+    reader: _BitReader, block: list, act: tuple, ss: int, se: int, al: int, state: dict
+) -> None:
+    """AC band, first progressive scan (G.1.2.2): baseline run-length
+    coding extended with EOBn codes — symbol (r, 0) with r<15 declares
+    an End-Of-Band run of 2^r (+ r extension bits) blocks whose band
+    is entirely zero from here on."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    ac_sym, ac_len = act
+    k = ss
+    while k <= se:
+        rs = reader.decode_huffman(ac_sym, ac_len)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: 16 zeros inside the band
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC index overflow in progressive band")
+        v = reader.read_bits(s)
+        block[k] = _extend(v, s) << al
+        k += 1
+
+
+def _ac_prog_refine(
+    reader: _BitReader, block: list, act: tuple, ss: int, se: int, al: int, state: dict
+) -> None:
+    """AC band refinement (G.1.2.3): each already-nonzero coefficient
+    in the band receives one correction bit as the scan passes over
+    it; symbols insert newly-significant ±2^Al coefficients after a
+    run of zero-history positions; EOBn covers whole blocks whose
+    remaining nonzero coefficients still receive correction bits."""
+    p1 = 1 << al
+    m1 = -p1
+    ac_sym, ac_len = act
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = reader.decode_huffman(ac_sym, ac_len)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += reader.read_bits(r)
+                    break
+                # r == 15: pass over 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("invalid refinement magnitude category")
+                newval = p1 if reader.read_bits(1) else m1
+            while k <= se:
+                if block[k] != 0:
+                    if reader.read_bits(1) and (block[k] & p1) == 0:
+                        block[k] += p1 if block[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                block[k] = newval
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            if block[k] != 0 and reader.read_bits(1) and (block[k] & p1) == 0:
+                block[k] += p1 if block[k] > 0 else m1
+            k += 1
+        state["eobrun"] -= 1
 
 
 def _decode_block(reader: _BitReader, c: _Component, dct: tuple, act: tuple) -> list[int]:

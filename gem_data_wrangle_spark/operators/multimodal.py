@@ -35,9 +35,9 @@ MEDIA_SCHEMA = "id bigint, media binary, media_type string, width int, height in
 
 FEATURE_SCHEMA = "id bigint, n_bytes bigint, feature double"
 
-# PNG decode is always available (stdlib zlib codec) and baseline
-# JPEG decodes via the numpy-backed T.81 codec (jpeg_codec.py); PIL
-# widens coverage (progressive JPEG / WebP / ...) when importable.
+# PNG decode is always available (stdlib zlib codec); baseline AND
+# progressive JPEG decode via the numpy-backed T.81 codec
+# (jpeg_codec.py); PIL widens coverage (WebP / ...) when importable.
 REAL_DECODERS_AVAILABLE = True
 
 
@@ -133,9 +133,10 @@ def extract_pixel_features(media: DataFrame, media_col: str = "media") -> DataFr
     ``decode_status`` of ``undecodable:<sniffed format>`` (VERDICT r3
     item 7) — at corpus scale a crashed task over one corrupt blob is
     the failure mode to design out, and a silently-NULL row hides a
-    capability gap (without PIL, progressive JPEG / WebP / ... are
-    undecodable; baseline JPEG decodes via ``jpeg_codec`` since round
-    5; the status column makes the residual gap measurable, see
+    capability gap (without PIL, WebP / AVIF / ... are undecodable;
+    baseline JPEG decodes via ``jpeg_codec`` since round 5 and
+    progressive since round 6; the status column makes the residual
+    gap measurable, see
     :func:`decode_capability_audit`). Arrow-batched ``mapInPandas``
     like every multimodal path; decode cost is per-row CPU with
     constant memory.
@@ -187,7 +188,7 @@ def decode_capability_audit(media: DataFrame, media_col: str = "media") -> DataF
 
     This is the honest answer to "can this environment process this
     corpus": a no-PIL worker reports ``('jpeg', 'undecodable', N)``
-    for progressive/arithmetic streams its baseline codec rejects,
+    for arithmetic-coded/hierarchical streams its codec rejects,
     instead of silently emitting N NULL rows. One Arrow-batched
     sniff-and-probe pass, then a plain groupBy — partial aggregation
     collapses each task's rows to ≤ |formats|×2 before the exchange, so

