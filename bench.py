@@ -56,6 +56,9 @@ HEADLINE = [
     "gem_total_consolidation_all8",
     "repetition_signals",      # explode → two-level partial-combined aggs
     "shared_substring_pairs",  # winnowed k-grams → df-gated self-join
+    # round 6: the Lee-et-al payoff stage — positioned fingerprints →
+    # span merge → cut; benched end-to-end (spans recomputed inside)
+    "cut_duplicate_spans",
 ]
 
 
