@@ -86,6 +86,19 @@ def test_shared_substring_pairs_matches_oracle_on_fuzzed_corpora(
     _compare(spark, tmp_path, _corpus(seed), "shared_substring_pairs")
 
 
+@pytest.mark.parametrize("seed", [7, 19, 23])
+@pytest.mark.parametrize("qname", ["duplicate_spans", "cut_duplicate_spans"])
+def test_span_dedup_matches_oracle_on_fuzzed_corpora(
+    spark, tmp_path, qname, seed
+):
+    """Round 6: the span-merge window algebra and the gap/segment cut
+    reassembly replayed against DuckDB on corpora with cross-doc
+    copy-pasted spans, duplicated lines, empty/unicode docs — the
+    adversarial shapes for offset arithmetic (multi-byte chars stress
+    the char-vs-byte substring agreement between engines)."""
+    _compare(spark, tmp_path, _corpus(seed), qname)
+
+
 @pytest.mark.parametrize(
     "qname",
     ["gopher_quality_flags", "tfidf_top_terms", "token_counts", "text_quality"],
