@@ -398,8 +398,24 @@ def _parse_media_meta(payload: bytes) -> tuple[str | None, int | None, float | N
                     while j + 8 <= i + blen and j + 8 <= len(payload):
                         slen = int.from_bytes(payload[j : j + 4], "big")
                         if payload[j + 4 : j + 8] == b"mvhd" and j + 28 <= len(payload):
-                            timescale = int.from_bytes(payload[j + 20 : j + 24], "big")
-                            duration = int.from_bytes(payload[j + 24 : j + 28], "big")
+                            version = payload[j + 8]
+                            # v1 layout: 8B created + 8B modified +
+                            # 4B timescale + 8B duration → ends at j+40
+                            if version == 1 and j + 40 <= len(payload):
+                                # 64-bit mvhd: 8B create + 8B modify
+                                timescale = int.from_bytes(
+                                    payload[j + 28 : j + 32], "big"
+                                )
+                                duration = int.from_bytes(
+                                    payload[j + 32 : j + 40], "big"
+                                )
+                            else:
+                                timescale = int.from_bytes(
+                                    payload[j + 20 : j + 24], "big"
+                                )
+                                duration = int.from_bytes(
+                                    payload[j + 24 : j + 28], "big"
+                                )
                             if timescale:
                                 return "mp4", timescale, round(duration / timescale, 6)
                         j += max(slen, 8)
@@ -409,6 +425,139 @@ def _parse_media_meta(payload: bytes) -> tuple[str | None, int | None, float | N
     except (IndexError, ValueError, ZeroDivisionError):
         pass
     return None, None, None
+
+
+def decode_audio(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """REAL audio decode for RIFF/WAVE PCM containers — the format a
+    speech/audio corpus actually lands in before feature extraction.
+    Returns ``(sample_rate, channels, samples)`` with samples float64
+    in [-1, 1], shape (n_frames, channels).
+
+    Scope, honestly: PCM integer 8/16/24/32-bit (format tag 1) and
+    IEEE float32/64 (tag 3), via numpy frombuffer — no codec
+    dependency. Compressed audio (MP3/AAC/Opus, tag 0x55/0xFF…) raises
+    ``ValueError`` so the Arrow-batched callers quarantine it exactly
+    like non-baseline images; WAV is to audio what baseline JPEG is to
+    images: the dominant uncompressed interchange container.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    i = 12
+    fmt_tag = channels = rate = bits = None
+    data = None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        clen = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = payload[i + 8 : i + 8 + clen]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt_tag = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            data = body
+        i += 8 + clen + (clen % 2)
+    if fmt_tag is None or data is None:
+        raise ValueError("truncated WAV (missing fmt or data chunk)")
+    if not channels or not rate or not bits:
+        raise ValueError("corrupt WAV fmt chunk")
+    if fmt_tag == 1:  # integer PCM
+        if bits == 8:  # 8-bit WAV PCM is unsigned, midpoint 128
+            x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 24:
+            raw = np.frombuffer(data[: len(data) - len(data) % 3], dtype=np.uint8)
+            raw = raw.reshape(-1, 3)
+            v = (
+                raw[:, 0].astype(np.int32)
+                | (raw[:, 1].astype(np.int32) << 8)
+                | (raw[:, 2].astype(np.int32) << 16)
+            )
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            x = v.astype(np.float64) / float(1 << 23)
+        elif bits == 32:
+            x = np.frombuffer(data, dtype="<i4").astype(np.float64) / float(1 << 31)
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+    elif fmt_tag == 3:  # IEEE float
+        if bits == 32:
+            x = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            x = np.frombuffer(data, dtype="<f8").astype(np.float64)
+        else:
+            raise ValueError(f"unsupported float bit depth {bits}")
+    else:
+        raise ValueError(f"compressed WAV format tag 0x{fmt_tag:02X} not supported")
+    n_frames = len(x) // channels
+    return rate, channels, x[: n_frames * channels].reshape(n_frames, channels)
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "id bigint, decode_status string, rate int, channels int, "
+    "n_frames bigint, duration double, rms double, peak double, "
+    "zero_cross_rate double"
+)
+
+
+def extract_audio_features(
+    media: DataFrame, id_col: str = "id", media_col: str = "media"
+) -> DataFrame:
+    """Waveform features from real PCM decode — the audio mirror of
+    :func:`extract_pixel_features`: per-row ``decode_status`` (ok /
+    undecodable:…), sample rate, channels, frame count, duration,
+    RMS, peak amplitude, and mean zero-crossing rate (the classic
+    cheap voice-activity / silence signal). Undecodable rows survive
+    with NULL features — a corrupt or compressed blob must never crash
+    the task. Arrow-batched ``mapInPandas``; per-row cost is numpy
+    vector math over that row's samples, constant memory per batch.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rid, b in zip(pdf[id_col], pdf[media_col]):
+                if b is None:
+                    rows.append((rid, "undecodable:null", *([None] * 7)))
+                    continue
+                try:
+                    rate, ch, x = decode_audio(bytes(b))
+                    mono = x.mean(axis=1)
+                    n = len(mono)
+                    zcr = (
+                        float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                        if n > 1
+                        else 0.0
+                    )
+                    rows.append(
+                        (
+                            rid, "ok", rate, ch, n,
+                            round(n / rate, 6),
+                            round(float(np.sqrt(np.mean(mono**2))), 6) if n else 0.0,
+                            round(float(np.max(np.abs(x))), 6) if n else 0.0,
+                            round(zcr, 6),
+                        )
+                    )
+                except ValueError as exc:
+                    rows.append((rid, f"undecodable:{exc}"[:80], *([None] * 7)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "decode_status", "rate", "channels", "n_frames",
+                    "duration", "rms", "peak", "zero_cross_rate",
+                ],
+            ).astype(
+                {
+                    "rate": "Int32", "channels": "Int32", "n_frames": "Int64",
+                    "duration": "Float64", "rms": "Float64", "peak": "Float64",
+                    "zero_cross_rate": "Float64",
+                }
+            )
+
+    return media.mapInPandas(batches, AUDIO_FEATURE_SCHEMA)
 
 
 AV_META_SCHEMA = "id bigint, format string, rate int, duration double"

@@ -1076,6 +1076,103 @@ def test_av_metadata_header_parsing(spark):
     assert out[3] == (None, None, None)
 
 
+def _make_wav(samples, rate=8000, channels=1, bits=16, fmt_tag=1) -> bytes:
+    """Serialize raw sample bytes into a minimal RIFF/WAVE container."""
+    import numpy as np
+
+    x = np.asarray(samples)
+    if fmt_tag == 1 and bits == 16:
+        raw = (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+    elif fmt_tag == 1 and bits == 8:
+        raw = (np.clip(x, -1, 1) * 127 + 128).astype(np.uint8).tobytes()
+    elif fmt_tag == 1 and bits == 24:
+        v = (np.clip(x, -1, 1) * ((1 << 23) - 1)).astype(np.int32)
+        v = np.where(v < 0, v + (1 << 24), v).astype(np.uint32)
+        raw = b"".join(int(s).to_bytes(3, "little") for s in v)
+    elif fmt_tag == 3 and bits == 32:
+        raw = x.astype("<f4").tobytes()
+    else:
+        raise AssertionError("unsupported test wav config")
+    block = channels * bits // 8
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + fmt_tag.to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + (rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little") + bits.to_bytes(2, "little")
+    )
+    data = b"data" + len(raw).to_bytes(4, "little") + raw
+    if len(raw) % 2:
+        data += b"\x00"
+    return (
+        b"RIFF" + (4 + len(fmt) + len(data)).to_bytes(4, "little") + b"WAVE"
+        + fmt + data
+    )
+
+
+def test_decode_audio_pcm_depths_and_float():
+    """Real WAV PCM decode across bit depths: a known sine round-trips
+    with depth-appropriate quantization error; stereo interleaving is
+    preserved."""
+    import numpy as np
+
+    t = np.arange(800) / 8000.0
+    sine = np.sin(2 * np.pi * 440 * t)
+    # 8-bit tolerance: the unsigned container scales +1.0 → 255 on
+    # encode (×127) but 255 → 127/128 on decode — ±2/128 worst case
+    for bits, fmt_tag, tol in ((16, 1, 1e-4), (8, 1, 2e-2), (24, 1, 1e-6), (32, 3, 1e-7)):
+        wav = _make_wav(sine, bits=bits, fmt_tag=fmt_tag)
+        rate, ch, x = M.decode_audio(wav)
+        assert (rate, ch) == (8000, 1) and x.shape == (800, 1)
+        assert float(np.abs(x[:, 0] - sine).max()) < tol, f"{bits}-bit"
+    # stereo: L = sine, R = -sine, interleaved
+    inter = np.empty(1600)
+    inter[0::2], inter[1::2] = sine, -sine
+    rate, ch, x = M.decode_audio(_make_wav(inter, channels=2))
+    assert ch == 2 and x.shape == (800, 2)
+    assert float(np.abs(x[:, 0] + x[:, 1]).max()) < 1e-3
+
+
+def test_extract_audio_features_and_quarantine(spark):
+    """The Spark path: WAV PCM through Arrow-batched mapInPandas —
+    real waveform stats; compressed (MP3 format tag) and corrupt blobs
+    quarantine with NULL features instead of crashing the task."""
+    import numpy as np
+
+    t = np.arange(4000) / 8000.0
+    sine = 0.5 * np.sin(2 * np.pi * 100 * t)
+    wav = _make_wav(sine)
+    mp3ish = _make_wav(sine)  # flip the fmt tag to 0x55 (MP3)
+    mp3ish = mp3ish[:20] + (0x55).to_bytes(2, "little") + mp3ish[22:]
+    rows = [(1, bytearray(wav)), (2, bytearray(mp3ish)), (3, bytearray(b"RIFFxxxx"))]
+    df = spark.createDataFrame(rows, "id bigint, media binary")
+    out = {r["id"]: r for r in M.extract_audio_features(df).collect()}
+    ok = out[1]
+    assert ok["decode_status"] == "ok"
+    assert (ok["rate"], ok["channels"], ok["n_frames"]) == (8000, 1, 4000)
+    assert abs(ok["duration"] - 0.5) < 1e-9
+    # RMS of a 0.5-amplitude sine = 0.5/sqrt(2); 100 Hz → 200 sign flips/s
+    assert abs(ok["rms"] - 0.5 / np.sqrt(2)) < 1e-3
+    assert abs(ok["peak"] - 0.5) < 1e-3
+    assert abs(ok["zero_cross_rate"] - 200.0 / 8000.0) < 1e-3
+    assert out[2]["decode_status"].startswith("undecodable:") and out[2]["rms"] is None
+    assert out[3]["decode_status"].startswith("undecodable:")
+
+
+def test_av_metadata_mvhd_version1():
+    """64-bit (version 1) mvhd boxes carry the timescale/duration at
+    different offsets — a modern muxer default."""
+    ftyp = (16).to_bytes(4, "big") + b"ftypisom" + b"\x00" * 4
+    mvhd = (
+        (40).to_bytes(4, "big") + b"mvhd" + b"\x01" + b"\x00" * 3
+        + b"\x00" * 16                      # 8B created + 8B modified
+        + (1000).to_bytes(4, "big")          # timescale
+        + (2500).to_bytes(8, "big")          # duration (64-bit)
+    )
+    moov = (8 + len(mvhd)).to_bytes(4, "big") + b"moov" + mvhd
+    fmt, rate, dur = M._parse_media_meta(ftyp + moov)
+    assert (fmt, rate, dur) == ("mp4", 1000, 2.5)
+
+
 def test_unigram_logprob_orders_rarity(spark):
     docs = spark.createDataFrame(
         [
