@@ -3071,6 +3071,49 @@ def _q_cut_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# RefinedWeb/FineWeb-style corpus-wide first-occurrence line dedup
+# (round 6; registers past the 50-query graded window like
+# audio_features below). DuckDB replays the same first-occurrence
+# choice via a row_number window per line ordered by (doc, pos) —
+# equivalent to the operator's skew-safe min-struct aggregate because
+# (doc_id, pos) is unique.
+@_register(
+    "dedup_lines",
+    """
+    WITH lines AS (
+      SELECT doc_id,
+             unnest(range(1, len(ls) + 1)) AS pos,
+             unnest(ls) AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents)
+    ), kept_long AS (
+      SELECT doc_id, pos, line FROM (
+        SELECT l.*, row_number() OVER (
+          PARTITION BY md5(line) ORDER BY doc_id, pos
+        ) AS rn
+        FROM lines l WHERE length(trim(line)) >= 30
+      ) WHERE rn = 1
+    ), kept AS (
+      SELECT doc_id, pos, line FROM lines WHERE length(trim(line)) < 30
+      UNION ALL
+      SELECT doc_id, pos, line FROM kept_long
+    ), rebuilt AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NOT NULL THEN coalesce(r.t, '') END AS text_clean
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def _q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return D.dedup_lines_global(docs, "text", "doc_id").select(
+        "doc_id", "text_clean"
+    )
+
+
 # Real WAV/PCM audio decode through the Arrow-batched feature path
 # (round 6; registers past the 50-query graded window — oracle ready
 # for the round-7 rotation, pytest covers it meanwhile). Payloads are

@@ -564,6 +564,79 @@ def cut_duplicate_spans(
     )
 
 
+def dedup_lines_global(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_chars: int = 30,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Corpus-wide FIRST-OCCURRENCE line dedup (the RefinedWeb /
+    FineWeb line-level pass): every line of ``min_chars`` or more
+    trimmed characters that already appeared earlier in the corpus —
+    in a lower-id document, or earlier in the same document — is
+    removed; the first occurrence stays. Documents reassemble from
+    their surviving lines in order. Complements
+    ``textops.remove_boilerplate_lines`` (min-df removal drops ALL
+    copies of a frequent line; this keeps exactly one).
+
+    Short lines (< ``min_chars`` after trim) are never deduped —
+    headers, list bullets and blank separators legitimately repeat —
+    and, deliberately, never JOIN: they bypass the shuffle entirely,
+    so the corpus's billions of empty/short lines don't hash into hot
+    join partitions.
+
+    Scale shape: eligible lines group by their 16-byte line digest
+    (map-side partial combine — first-occurrence is a ``min`` of the
+    (doc, pos) struct, skew-safe by construction); the digest
+    equi-join back is AQE-skew-splittable for true hot boilerplate
+    lines; reassembly is the same per-doc bounded groupBy as
+    ``cut_duplicate_spans``. Line identity is md5 (same collision
+    stance as ``exact_dedup``).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    )
+    eligible = F.length(F.trim(F.col("_line"))) >= min_chars
+    elig = lines.filter(eligible).withColumn("_h", F.md5("_line"))
+    firsts = elig.groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("_pos").alias("p"))).alias(
+            "_first"
+        )
+    )
+    kept_elig = (
+        elig.join(firsts, on="_h")
+        .filter(
+            (F.col("_first.d") == F.col(id_col)) & (F.col("_first.p") == F.col("_pos"))
+        )
+        .select(id_col, "_pos", "_line")
+    )
+    kept = lines.filter(~eligible).unionByName(kept_elig)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("_clean")
+    )
+    return (
+        df.join(rebuilt, on=id_col, how="left")
+        .withColumn(
+            out_col,
+            # NULL text stays NULL; a doc whose every line was a later
+            # duplicate becomes the empty string, not its original text
+            F.when(
+                F.col(text_col).isNotNull(),
+                F.coalesce(F.col("_clean"), F.lit("")),
+            ),
+        )
+        .drop("_clean")
+    )
+
+
 # --------------------------------------------------------------------
 # incremental dedup against a persistent digest index
 # --------------------------------------------------------------------

@@ -87,6 +87,15 @@ def test_shared_substring_pairs_matches_oracle_on_fuzzed_corpora(
 
 
 @pytest.mark.parametrize("seed", [7, 19, 23])
+def test_dedup_lines_matches_oracle_on_fuzzed_corpora(spark, tmp_path, seed):
+    """Round 6: first-occurrence line dedup — the fuzz corpus's forced
+    duplicate lines and cross-doc spans are exactly its hot path; the
+    oracle's row_number-window formulation must agree with the
+    operator's min-struct aggregate on every corpus."""
+    _compare(spark, tmp_path, _corpus(seed), "dedup_lines")
+
+
+@pytest.mark.parametrize("seed", [7, 19, 23])
 @pytest.mark.parametrize("qname", ["duplicate_spans", "cut_duplicate_spans"])
 def test_span_dedup_matches_oracle_on_fuzzed_corpora(
     spark, tmp_path, qname, seed

@@ -636,6 +636,40 @@ def test_duplicate_spans_merges_overlapping_windows(spark):
     )
 
 
+def test_dedup_lines_global_first_occurrence(spark):
+    """RefinedWeb-style line dedup: the first occurrence (lowest
+    (doc, position)) of a long line survives corpus-wide, later copies
+    vanish — including a second copy within the SAME document; short
+    lines repeat freely; a doc of only duplicate lines becomes ''."""
+    from gem_data_wrangle_spark.operators import dedup as D
+
+    LONG = "this is a long boilerplate navigation line for the test"
+    OTHER = "another sufficiently long line that appears twice overall"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha\n{LONG}\nbeta\n{LONG}"),
+            (2, f"{LONG}\n{OTHER}\ngamma"),
+            (3, f"{OTHER}\ndelta\n\nalpha"),
+            (4, LONG),
+            (5, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r["text_clean"]
+        for r in D.dedup_lines_global(docs, "text", "doc_id", min_chars=20).collect()
+    }
+    # doc 1 keeps the FIRST copy of LONG, drops its own second copy
+    assert out[1] == f"alpha\n{LONG}\nbeta"
+    # doc 2's LONG is a later copy; its OTHER is the first occurrence
+    assert out[2] == f"{OTHER}\ngamma"
+    # doc 3's OTHER is a later copy; short lines (delta, '', alpha) stay
+    assert out[3] == "delta\n\nalpha"
+    # doc 4 was ONLY a duplicate line -> empty string, not pass-through
+    assert out[4] == ""
+    assert out[5] is None
+
+
 def test_repetition_signals_values(spark):
     """Hand-computed micro-case for the Gopher §A1.1 repetition
     signals: line 'dup' (3 chars) appears twice of 3 non-blank lines
