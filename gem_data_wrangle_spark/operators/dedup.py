@@ -518,6 +518,16 @@ def cut_duplicate_spans(
     substring instead of being filtered, so a fully-duplicated document
     correctly yields an empty string, not its original text.
 
+    Convergence, honestly: one pass removes every DETECTED span, but
+    gluing a cut's two edges can mint new k-grams at the seam, and two
+    documents cut at analogous places can mint the SAME seam k-gram —
+    so a second detection pass may find residual spans (hypothesis
+    found such a corpus; the same caveat applies to Lee et al.'s
+    pipeline, which also runs a single pass in practice). Iterating
+    cut→detect strictly shrinks total corpus text, so it reaches a
+    span-free fixpoint in finitely many passes —
+    ``tests/test_properties.py::test_iterated_span_cut_converges``.
+
     Scale: one window over spans (tiny next to the corpus), one
     equi-join onto the documents, one per-doc groupBy whose collected
     payload is bounded by the document's own size — the same per-doc

@@ -233,6 +233,79 @@ def test_canonicalize_idempotent(spark, texts):
         assert r.once == r.twice
 
 
+_doc_words = st.lists(
+    st.sampled_from(["lorem", "ipsum", "dolor", "sit", "amet", "x1", "x2", "x3"]),
+    min_size=0,
+    max_size=40,
+).map(" ".join)
+
+
+@given(
+    texts=st.lists(_doc_words, min_size=2, max_size=6),
+    k=st.sampled_from([8, 12, 16]),
+)
+@_SETTINGS
+def test_duplicate_spans_are_disjoint_sorted_in_bounds(spark, texts, k):
+    """Structural invariants for ANY corpus: spans are 1-based,
+    disjoint with at least one uncovered character between them
+    (contiguous window coverage merges, so consecutive spans obey
+    s2 > e1 + 1), at least k long, and end within the document."""
+    from gem_data_wrangle_spark.operators.dedup import duplicate_spans
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    spans = duplicate_spans(
+        df, "text", "doc_id", k=k, sample_prefix=""
+    ).collect()
+    lens = dict(enumerate(len(t) for t in texts))
+    per_doc: dict = {}
+    for r in spans:
+        per_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    for did, sp in per_doc.items():
+        sp.sort()
+        for s, e in sp:
+            assert 1 <= s <= e <= lens[did]
+            assert e - s + 1 >= k
+        for (s1, e1), (s2, e2) in zip(sp, sp[1:]):
+            assert s2 > e1 + 1  # disjoint, with a real gap between
+
+
+@given(texts=st.lists(_doc_words, min_size=2, max_size=6))
+@_SETTINGS
+def test_iterated_span_cut_converges(spark, texts):
+    """The honest convergence contract: a single pass is NOT always
+    idempotent — cut seams can mint new shared k-grams (hypothesis
+    found such corpora; documented in cut_duplicate_spans) — but each
+    pass strictly shrinks total corpus text, so iterating detect→cut
+    reaches a span-free fixpoint in finitely many passes.
+    (sample_prefix='' = every k-gram fingerprinted, the strictest
+    setting.)"""
+    from gem_data_wrangle_spark.operators.dedup import (
+        cut_duplicate_spans,
+        duplicate_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    prev_total = sum(len(t) for t in texts)
+    for _ in range(8):  # generous bound; total length strictly decreases
+        spans = duplicate_spans(df, "text", "doc_id", k=8, sample_prefix="")
+        if spans.count() == 0:
+            break
+        df = cut_duplicate_spans(df, spans, "text", "doc_id").select(
+            "doc_id", F.col("text_clean").alias("text")
+        )
+        total = sum(len(r["text"]) for r in df.collect())
+        assert total < prev_total  # every pass removes >= k chars
+        prev_total = total
+    else:
+        raise AssertionError("span cutting did not converge in 8 passes")
+
+
 def test_weighted_sample_partition_layout_invariant(spark):
     from gem_data_wrangle_spark.operators.sampling import weighted_sample
 

@@ -42,6 +42,13 @@ QUERIES = [
     "gem_bioenergy_pipeline",
     "gem_geothermal_pipeline",
     "gem_total_consolidation_all8",
+    # round 6: the span/line dedup family — position fan-out is the
+    # scale risk (≈ len/16 rows per doc for spans, one row per line
+    # for line dedup); a super-linear ratio here indicts the df-gate
+    # or the join-back, not the per-doc merge windows
+    "duplicate_spans",
+    "cut_duplicate_spans",
+    "dedup_lines",
 ]
 
 BASE = "/root/testdata/sf0.1"
