@@ -3071,6 +3071,60 @@ def _q_cut_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mixture rebalance (round 6; past the graded window like the other
+# round-6 registrations): downsample each source so kept n_chars
+# proportions match the 4:3:2:1 target over src0..src3 — the
+# Pile/Dolma mixing-weights step. The oracle replays the exact
+# mixture plan: per-source totals → T = min(total_g / p_g) →
+# per-(source, bucket) md5-order admission.
+@_register(
+    "mixture_rebalance",
+    """
+    WITH totals AS (
+      SELECT source, CAST(sum(n_chars) AS DOUBLE) AS t FROM documents
+      WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY source
+    ), spec AS (
+      SELECT * FROM (VALUES ('src0', 0.4), ('src1', 0.3),
+                            ('src2', 0.2), ('src3', 0.1)) v(source, p)
+    ), tot AS (
+      SELECT min(t.t / s.p) AS total FROM totals t JOIN spec s USING (source)
+    ), budgets AS (
+      -- keep-all short circuit mirrors the operator: the scarcest
+      -- group's budget covers its total and bypasses admission
+      SELECT s.source,
+             CASE WHEN s.p * tot.total >= t.t THEN 1e308
+                  ELSE s.p * tot.total / 16 END AS pb
+      FROM spec s CROSS JOIN tot JOIN totals t ON t.source = s.source
+    ), b AS (
+      SELECT doc_id, source, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h,
+             CAST((strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[1]) - 1) * 4096
+                  + (strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[2]) - 1) * 256
+                  + (strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[3]) - 1) * 16
+                  + (strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[4]) - 1) AS INT)
+               % 16 AS sb
+      FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')
+    )
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars, sb,
+             sum(n_chars) OVER (PARTITION BY source, sb ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars
+               AS before
+      FROM b
+    ) r JOIN budgets USING (source)
+    WHERE before < pb
+    """,
+)
+def _q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.sampling import rebalance_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    return rebalance_mixture(
+        docs, "source", "n_chars", "doc_id",
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        num_buckets=16,
+    ).select("doc_id", "source", "n_chars")
+
+
 # RefinedWeb/FineWeb-style corpus-wide first-occurrence line dedup
 # (round 6; registers past the 50-query graded window like
 # audio_features below). DuckDB replays the same first-occurrence

@@ -175,6 +175,82 @@ def sample_to_token_budget(
     return out.filter(F.col("_before") < per_bucket).drop("_sb", "_before")
 
 
+def rebalance_mixture(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    num_buckets: int = 256,
+) -> DataFrame:
+    """Rebalance a corpus to a target source mixture (the Pile/Dolma
+    "mixing weights" step): downsample each group so the KEPT corpus's
+    token distribution across groups matches ``weights`` (normalized
+    over the groups present), without upsampling. The feasible total
+    is maximal: ``T = min_g tokens_g / p_g`` — the scarcest group
+    keeps everything and every other group trims down to ``p_g · T``
+    tokens via the same deterministic bucketed md5-order admission as
+    :func:`sample_to_token_budget`. Groups absent from ``weights``
+    (or weighted 0) are dropped; weights naming absent groups are
+    ignored by the normalization.
+
+    Driver boundary, documented: one collect of |groups| rows (the
+    per-group token totals) — a mixing spec is human-sized by
+    definition, so this is a bounded mixture-plan computation, not a
+    data collect. Everything row-wise stays distributed: a narrow
+    filter on the group set, one (group, bucket)-keyed window, one
+    comparison against the group's per-bucket budget.
+    """
+    if not weights:
+        raise ValueError("weights must name at least one group")
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    totals = {
+        r["g"]: r["t"]
+        for r in df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.sum(tokens_col).alias("t"))
+        .collect()
+        if r["t"] is not None
+    }
+    present = {g: w for g, w in weights.items() if g in totals and w > 0}
+    if not present:
+        raise ValueError("no weighted group present in the corpus")
+    z = float(sum(present.values()))
+    p = {g: w / z for g, w in present.items()}
+    total = min(totals[g] / p[g] for g in p)
+    # keep-all short circuit: a group whose budget covers its total
+    # (the scarcest group, and any float-ulp neighbor) bypasses the
+    # bucketed admission entirely — fixed per-bucket budgets would
+    # otherwise trim its over-full md5 buckets and undershoot
+    per_bucket = {
+        g: (float("inf") if p[g] * total >= totals[g]
+            else p[g] * total / num_buckets)
+        for g in p
+    }
+
+    budget_expr = None
+    for g, b in per_bucket.items():
+        budget_expr = (
+            F.when(F.col(group_col) == g, F.lit(b))
+            if budget_expr is None
+            else budget_expr.when(F.col(group_col) == g, F.lit(b))
+        )
+    out = df.filter(F.col(group_col).isin(list(p))).withColumn(
+        "_sb",
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+        ).cast("int")
+        % num_buckets,
+    )
+    w = (
+        Window.partitionBy(group_col, "_sb")
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = out.withColumn("_before", F.sum(tokens_col).over(w) - F.col(tokens_col))
+    return out.filter(F.col("_before") < budget_expr).drop("_sb", "_before")
+
+
 def weighted_sample(
     df: DataFrame,
     key_col: str,

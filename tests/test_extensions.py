@@ -636,6 +636,42 @@ def test_duplicate_spans_merges_overlapping_windows(spark):
     )
 
 
+def test_rebalance_mixture_hits_target_proportions(spark):
+    """Mixing-weights rebalance: the scarcest-relative group keeps
+    everything, the others trim so kept-token proportions match the
+    target within document granularity; unweighted groups drop; the
+    kept set is identical under repartitioning."""
+    from gem_data_wrangle_spark.operators.sampling import rebalance_mixture
+
+    rows = []
+    # a: 60 docs x 100 tokens = 6000; b: 40 x 100 = 4000; c: 50 x 100;
+    # d unweighted
+    for g, n in (("a", 60), ("b", 40), ("c", 50), ("d", 30)):
+        for i in range(n):
+            rows.append((f"{g}{i}", g, 100))
+    df = spark.createDataFrame(rows, "doc_id string, src string, n_tok int")
+    # target 1:1 between a and b -> T = min(6000/0.5, 4000/0.5) = 8000;
+    # a keeps ~4000 tokens, b keeps all 4000
+    out = rebalance_mixture(
+        df, "src", "n_tok", "doc_id", {"a": 1.0, "b": 1.0}, num_buckets=4
+    )
+    kept = out.groupBy("src").agg(F.sum("n_tok").alias("t")).collect()
+    by_g = {r["src"]: r["t"] for r in kept}
+    assert "c" not in by_g and "d" not in by_g
+    assert by_g["b"] == 4000  # scarcest group untouched
+    # a trims to ~4000, overshoot bounded by num_buckets x one doc
+    assert 4000 <= by_g["a"] <= 4000 + 4 * 100
+    ids = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in rebalance_mixture(
+            df.repartition(13), "src", "n_tok", "doc_id",
+            {"a": 1.0, "b": 1.0}, num_buckets=4,
+        ).collect()
+    )
+    assert ids == ids2
+
+
 def test_dedup_lines_global_first_occurrence(spark):
     """RefinedWeb-style line dedup: the first occurrence (lowest
     (doc, position)) of a long line survives corpus-wide, later copies
