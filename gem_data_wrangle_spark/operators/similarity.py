@@ -28,8 +28,8 @@ from pyspark.sql import functions as F
 _LSH_SEED = 20240813
 
 
-def hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
-    rng = np.random.default_rng(_LSH_SEED)
+def hyperplanes(num_planes: int, dim: int, seed: int = _LSH_SEED) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
     return (rng.integers(0, 2, size=(num_planes, dim)) * 2.0 - 1.0).tolist()
 
 
@@ -197,12 +197,24 @@ def ivf_topk(
     probe_id: str = "query_id",
     seed: int = 42,
     cell_assigner=None,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus, restrict candidates
-    to the probe's cell (nprobe=1), rank by exact cosine inside it. The
-    inverted-file structure is just a cluster-id column — candidate
-    generation becomes an equi-join, which Spark shuffles by cell (or
-    broadcasts the probe side, as here).
+    to the probe's nearest cell(s), rank by exact cosine inside them.
+    The inverted-file structure is just a cluster-id column —
+    candidate generation becomes an equi-join, which Spark shuffles by
+    cell (or broadcasts the probe side, as here).
+
+    ``nprobe`` is the recall knob (standard IVF multi-probe): each
+    probe searches its ``nprobe`` nearest centroids' cells instead of
+    one — a true neighbor just across a Voronoi boundary is recovered
+    at candidate cost ∝ nprobe. Measured on the sf0.1 embeddings
+    (``tools/ann_recall.py``, SCALE.md): nprobe=1 at 16 cells = 0.29
+    recall@10; the nprobe curve recovers it. KMeans path only: the
+    centroid distances come from the fitted model's centers (a
+    bounded ≤``num_centroids``-row broadcast into the probe-side
+    expression); the portable ``cell_assigner`` path stays nprobe=1
+    so its SQL oracle keeps replaying the exact cell assignment.
 
     The quantizer is pluggable: default is seeded ``pyspark.ml`` KMeans
     (the production path — cluster assignments are deterministic for a
@@ -213,6 +225,11 @@ def ivf_topk(
     Scale: one KMeans fit over the corpus (sampled fit is fine at
     100 TB), then a narrow transform per side; no corpus² anything.
     """
+    if cell_assigner is not None and nprobe > 1:
+        raise ValueError(
+            "nprobe > 1 requires the KMeans path (centroid distances); "
+            "the portable cell_assigner has no distance structure"
+        )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("_cv")
     )
@@ -234,8 +251,34 @@ def ivf_topk(
             k=num_centroids, seed=seed, featuresCol="_mlv", predictionCol="_cell"
         ).fit(c)
         c = model.transform(c).drop("_mlv")
-        p = p.withColumn("_mlv", array_to_vector(F.col("_pv")))
-        p = model.transform(p).drop("_mlv")
+        if nprobe <= 1:
+            p = p.withColumn("_mlv", array_to_vector(F.col("_pv")))
+            p = model.transform(p).drop("_mlv")
+        else:
+            # multi-probe: rank this probe against every centroid (the
+            # centers are a bounded literal — ≤ num_centroids arrays)
+            # and explode the nprobe nearest cell ids
+            centers = [ctr.tolist() for ctr in model.clusterCenters()]
+            dist_cells = F.array(
+                *[
+                    F.struct(
+                        euclidean(
+                            F.col("_pv"), F.array(*[F.lit(x) for x in ctr])
+                        ).alias("d"),
+                        F.lit(i).alias("cell"),
+                    )
+                    for i, ctr in enumerate(centers)
+                ]
+            )
+            p = p.withColumn(
+                "_cell",
+                F.explode(
+                    F.transform(
+                        F.slice(F.array_sort(dist_cells), 1, min(nprobe, len(centers))),
+                        lambda s: s["cell"],
+                    )
+                ),
+            )
     scored = (
         c.withColumn("_cn", norm(F.col("_cv")))
         .join(F.broadcast(p.withColumn("_pn", norm(F.col("_pv")))), on="_cell")
@@ -269,22 +312,62 @@ def lsh_topk(
     k: int = 10,
     num_planes: int = 8,
     probe_id: str = "query_id",
+    num_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the probe's LSH
-    bucket, ranked by exact cosine within it. ``dim`` is the embedding
-    width, supplied by the caller — building the plan executes no
-    action (no data peek)."""
-    planes = hyperplanes(num_planes, dim)
+    bucket(s), ranked by exact cosine within them. ``dim`` is the
+    embedding width, supplied by the caller — building the plan
+    executes no action (no data peek).
+
+    ``num_tables`` is the recall knob (OR-amplification — the same
+    mechanism that makes the pyspark.ml variants high-recall): each
+    table hashes with an independently-seeded plane set, and a
+    candidate qualifies by colliding in ANY table. Recall measured on
+    the sf0.1 embeddings (``tools/ann_recall.py``): 1 table at 8
+    planes = 0.02 recall@10, the published multi-table curve recovers
+    it (see SCALE.md) at candidate-set cost ∝ tables. ``num_tables=1``
+    keeps the original single-bucket plan (and its SQL oracle)
+    byte-identical."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("_cv")
-    ).withColumn("bucket", lsh_bucket(F.col("_cv"), planes))
+    )
     p = probes.select(
         F.col(id_col).alias(probe_id), as_double_array(vec_col).alias("_pv")
-    ).withColumn("bucket", lsh_bucket(F.col("_pv"), planes))
+    )
+    if num_tables <= 1:
+        planes = hyperplanes(num_planes, dim)
+        cb = c.withColumn("bucket", lsh_bucket(F.col("_cv"), planes))
+        pb = p.withColumn("bucket", lsh_bucket(F.col("_pv"), planes))
+        cand = cb.withColumn("_cn", norm(F.col("_cv"))).join(
+            F.broadcast(pb.withColumn("_pn", norm(F.col("_pv")))), on="bucket"
+        )
+    else:
+        tables = [
+            hyperplanes(num_planes, dim, seed=_LSH_SEED + 7919 * t)
+            for t in range(num_tables)
+        ]
+        buckets = lambda v: F.array(  # noqa: E731
+            *[
+                F.struct(F.lit(t).alias("t"), lsh_bucket(v, pl).alias("b"))
+                for t, pl in enumerate(tables)
+            ]
+        )
+        cb = c.select("neighbor_id", "_cv", F.explode(buckets(F.col("_cv"))).alias("_tb"))
+        pb = p.select(probe_id, "_pv", F.explode(buckets(F.col("_pv"))).alias("_tb"))
+        # OR across tables: distinct (probe, neighbor) pairs first, so
+        # a pair colliding in several tables scores once
+        pair_ids = (
+            cb.select("neighbor_id", "_tb")
+            .join(F.broadcast(pb.select(probe_id, "_tb")), on="_tb")
+            .select(probe_id, "neighbor_id")
+            .distinct()
+        )
+        cand = (
+            pair_ids.join(c.withColumn("_cn", norm(F.col("_cv"))), on="neighbor_id")
+            .join(F.broadcast(p.withColumn("_pn", norm(F.col("_pv")))), on=probe_id)
+        )
     scored = (
-        c.withColumn("_cn", norm(F.col("_cv")))
-        .join(F.broadcast(p.withColumn("_pn", norm(F.col("_pv")))), on="bucket")
-        .filter(F.col("neighbor_id") != F.col(probe_id))
+        cand.filter(F.col("neighbor_id") != F.col(probe_id))
         # per-row hoisted norms — see cosine_topk
         .withColumn(
             "_cos",

@@ -755,6 +755,44 @@ def test_repetition_signals_unigram_empty_doc_no_div0(spark):
     assert abs(out[2]["top_ngram_char_frac"] - 0.4) < 1e-9
 
 
+def test_ann_recall_knobs_improve_recall(spark, sf_dir):
+    """The two published recall knobs must actually pay on real data:
+    LSH OR-amplification (independent tables, candidate ∈ ANY bucket)
+    and IVF multi-probe (nprobe nearest centroids) each recover
+    strictly more of the exact top-k than their single-bucket
+    baselines; the portable cell_assigner path refuses nprobe>1."""
+    import pytest as _pytest
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    probes = emb.orderBy("vec_id").limit(20)
+
+    def pairs(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    exact = pairs(V.cosine_topk(emb, probes, "embedding", "vec_id", k=5))
+    lsh1 = pairs(
+        V.lsh_topk(emb, probes, "embedding", "vec_id", dim=dim, k=5, num_planes=8)
+    )
+    lsh8 = pairs(
+        V.lsh_topk(
+            emb, probes, "embedding", "vec_id", dim=dim, k=5,
+            num_planes=8, num_tables=8,
+        )
+    )
+    assert len(lsh8 & exact) > len(lsh1 & exact)
+    ivf1 = pairs(V.ivf_topk(emb, probes, "embedding", "vec_id", k=5, num_centroids=16))
+    ivf4 = pairs(
+        V.ivf_topk(emb, probes, "embedding", "vec_id", k=5, num_centroids=16, nprobe=4)
+    )
+    assert len(ivf4 & exact) > len(ivf1 & exact)
+    with _pytest.raises(ValueError, match="nprobe"):
+        V.ivf_topk(
+            emb, probes, "embedding", "vec_id",
+            cell_assigner=lambda v: V.sign_grid_cell(v, 3), nprobe=2,
+        )
+
+
 def test_quantize_embeddings(spark):
     emb = spark.createDataFrame(
         [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],

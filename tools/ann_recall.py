@@ -1,0 +1,77 @@
+"""Measure ANN recall@k of the bucketed similarity paths against the
+exact brute-force baseline on the real testdata embeddings.
+
+Recall@k here = |approx ∩ exact| / |exact| over (query, neighbor)
+pairs, averaged across queries — the standard ANN quality metric. The
+LSH and IVF paths trade recall for candidate-set size (that IS the
+scale story), so the honest number belongs next to the wall-time
+numbers in SCALE.md.
+
+    python tools/ann_recall.py [sf_dir] [k]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from gem_data_wrangle_spark import get_spark  # noqa: E402
+from gem_data_wrangle_spark.operators import similarity as V  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def pairs(df) -> set:
+    return {(r[0], r[1]) for r in df.select("query_id", "neighbor_id").collect()}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark("ann-recall")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    probes = emb.orderBy("vec_id").limit(50)
+
+    exact = pairs(V.cosine_topk(emb, probes, "embedding", "vec_id", k=k))
+    out = {"sf_dir": sf_dir, "k": k, "n_vectors": n, "n_probes": 50}
+
+    for planes in (4, 6, 8):
+        approx = pairs(
+            V.lsh_topk(emb, probes, "embedding", "vec_id", dim=dim, k=k,
+                       num_planes=planes)
+        )
+        out[f"lsh_recall@{k} ({planes} planes, 1 table)"] = round(
+            len(approx & exact) / len(exact), 4
+        )
+    for tables in (4, 8, 16):
+        approx = pairs(
+            V.lsh_topk(emb, probes, "embedding", "vec_id", dim=dim, k=k,
+                       num_planes=8, num_tables=tables)
+        )
+        out[f"lsh_recall@{k} (8 planes, {tables} tables)"] = round(
+            len(approx & exact) / len(exact), 4
+        )
+    for cells in (8, 16, 32):
+        approx = pairs(
+            V.ivf_topk(emb, probes, "embedding", "vec_id", k=k,
+                       num_centroids=cells)
+        )
+        out[f"ivf_recall@{k} ({cells} cells, nprobe=1)"] = round(
+            len(approx & exact) / len(exact), 4
+        )
+    for nprobe in (2, 4, 8):
+        approx = pairs(
+            V.ivf_topk(emb, probes, "embedding", "vec_id", k=k,
+                       num_centroids=16, nprobe=nprobe)
+        )
+        out[f"ivf_recall@{k} (16 cells, nprobe={nprobe})"] = round(
+            len(approx & exact) / len(exact), 4
+        )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
