@@ -3168,6 +3168,79 @@ def _q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# C4-style heuristic cleaning (Raffel et al. 2020 §2.2; round 6,
+# registers past the graded window like the other round-6 queries).
+# DuckDB replays the identical line predicate with list_filter
+# lambdas; both engines split words on a single literal space and
+# drop empties, so counts agree exactly.
+@_register(
+    "c4_filters",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split(text, chr(10)) AS ls, lower(text) AS low
+      FROM documents
+    ), k AS (
+      SELECT doc_id, low, ls,
+        list_filter(ls, x ->
+          regexp_matches(trim(x), '[.!?"”]$')
+          AND len(list_filter(string_split(trim(x), ' '), w -> w <> '')) >= 3
+          AND NOT (contains(lower(x), 'javascript')
+                OR contains(lower(x), 'cookie policy')
+                OR contains(lower(x), 'privacy policy')
+                OR contains(lower(x), 'terms of use')
+                OR contains(lower(x), 'uses cookies'))
+        ) AS kept
+      FROM d
+    )
+    SELECT doc_id,
+      CASE WHEN ls IS NOT NULL
+           THEN coalesce(array_to_string(kept, chr(10)), '')
+      END AS text_clean,
+      CAST(len(ls) AS INT) AS n_lines,
+      CAST(len(kept) AS INT) AS n_kept,
+      contains(low, 'lorem ipsum') AS has_lorem_ipsum,
+      (contains(low, '{') OR contains(low, '}')) AS has_brace,
+      len(kept) < 3 AS too_few_lines,
+      (NOT contains(low, 'lorem ipsum')
+       AND NOT (contains(low, '{') OR contains(low, '}'))
+       AND NOT (len(kept) < 3)) AS keep
+    FROM k
+    """,
+)
+def _q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return T.c4_filters(docs, "text", "doc_id")
+
+
+# Deterministic content-defined corpus shuffle (round 6, past the
+# graded window). The md5 key and the first-16-bit shard are both
+# portable hashes, so DuckDB replays key and shard exactly; the
+# range-partitioned ORDER itself is invisible to the driver's sorted
+# compare — layout-independence is property-tested in pytest instead.
+@_register(
+    "corpus_shuffle",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             md5('42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      FROM documents
+    )
+    SELECT doc_id, shuffle_key,
+      CAST((  (strpos('0123456789abcdef', shuffle_key[1]) - 1) * 4096
+            + (strpos('0123456789abcdef', shuffle_key[2]) - 1) * 256
+            + (strpos('0123456789abcdef', shuffle_key[3]) - 1) * 16
+            + (strpos('0123456789abcdef', shuffle_key[4]) - 1)) % 16
+        AS INT) AS shard
+    FROM d
+    """,
+)
+def _q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.sampling import deterministic_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(docs, "doc_id", seed=42, num_partitions=16)
+
+
 # Real WAV/PCM audio decode through the Arrow-batched feature path
 # (round 6; registers past the 50-query graded window — oracle ready
 # for the round-7 rotation, pytest covers it meanwhile). Payloads are
@@ -4150,7 +4223,13 @@ _DEFER_HASHES: dict[str, str] = {
 # rotation). Without this list their mid-file registration positions
 # would displace semdedup / normalized_dedup / embedding_quantize_int8
 # out of the graded head, breaking this round's re-grade plan.
-_REGISTERED_PAST_WINDOW = ["mixture_rebalance", "dedup_lines", "audio_features"]
+_REGISTERED_PAST_WINDOW = [
+    "mixture_rebalance",
+    "dedup_lines",
+    "audio_features",
+    "c4_filters",
+    "corpus_shuffle",
+]
 
 
 def _rotated(d: dict) -> dict:

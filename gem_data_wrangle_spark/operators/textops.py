@@ -576,6 +576,92 @@ def remove_boilerplate_lines(
 
 
 # --------------------------------------------------------------------
+# C4-style heuristic cleaning (Raffel et al. 2020, arXiv:1910.10683
+# §2.2 — the published line/document rules, re-expressed as Spark
+# column algebra)
+# --------------------------------------------------------------------
+
+# Line-level drop phrases from the public C4 description: lines
+# mentioning javascript or boilerplate policy notices are removed
+# wholesale (case-insensitive substring match).
+C4_LINE_DROP_PHRASES: tuple[str, ...] = (
+    "javascript",
+    "cookie policy",
+    "privacy policy",
+    "terms of use",
+    "uses cookies",
+)
+
+
+def _c4_keep_line(line: Column, min_line_words: int) -> Column:
+    """Boolean: C4 keeps a line iff it ends in terminal punctuation,
+    has >= ``min_line_words`` words, and mentions no drop phrase."""
+    trimmed = F.trim(line)
+    words = F.size(F.filter(F.split(trimmed, " "), lambda w: w != F.lit("")))
+    low = F.lower(line)
+    has_phrase = F.lit(False)
+    for p in C4_LINE_DROP_PHRASES:
+        has_phrase = has_phrase | low.contains(p)
+    return (
+        trimmed.rlike('[.!?"”]$')
+        & (words >= F.lit(min_line_words))
+        & ~has_phrase
+    )
+
+
+def c4_filters(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_line_words: int = 3,
+    min_lines: int = 3,
+    sep: str = "\n",
+) -> DataFrame:
+    """C4's heuristic cleaning pass (Raffel et al. 2020 §2.2), the
+    standard first gate of a web-scale pretraining corpus:
+
+    - per LINE: keep only lines that end in a terminal punctuation
+      mark, contain at least ``min_line_words`` words, and mention
+      none of :data:`C4_LINE_DROP_PHRASES` (javascript / policy
+      boilerplate);
+    - per DOCUMENT: flag docs with fewer than ``min_lines`` surviving
+      lines, docs containing "lorem ipsum", and docs containing a
+      curly brace (C4's code-page proxy). ``keep`` is the conjunction.
+
+    Output columns: ``<id>``, ``text_clean`` (surviving lines
+    re-joined), ``n_lines``, ``n_kept``, ``has_lorem_ipsum``,
+    ``has_brace``, ``too_few_lines``, ``keep``.
+
+    Scale: pure per-row array algebra (split → filter lambda →
+    array_join) inside whole-stage codegen — narrow, zero shuffles,
+    linear in corpus bytes. No reference analogue (text extension
+    family).
+    """
+    lines = F.split(F.col(text_col), sep)
+    kept = F.filter(lines, lambda l: _c4_keep_line(l, min_line_words))
+    low = F.lower(F.col(text_col))
+    out = (
+        df.withColumn("_lines", lines)
+        .withColumn("_kept", kept)
+        .select(
+            F.col(id_col),
+            F.array_join(F.col("_kept"), sep).alias("text_clean"),
+            F.size("_lines").alias("n_lines"),
+            F.size("_kept").alias("n_kept"),
+            low.contains("lorem ipsum").alias("has_lorem_ipsum"),
+            (low.contains("{") | low.contains("}")).alias("has_brace"),
+            (F.size("_kept") < F.lit(min_lines)).alias("too_few_lines"),
+        )
+    )
+    return out.withColumn(
+        "keep",
+        ~F.col("has_lorem_ipsum")
+        & ~F.col("has_brace")
+        & ~F.col("too_few_lines"),
+    )
+
+
+# --------------------------------------------------------------------
 # unigram LM scoring (CCNet-style poor-man's perplexity filter)
 # --------------------------------------------------------------------
 

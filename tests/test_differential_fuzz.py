@@ -108,9 +108,49 @@ def test_span_dedup_matches_oracle_on_fuzzed_corpora(
     _compare(spark, tmp_path, _corpus(seed), qname)
 
 
+def _c4_corpus(seed: int) -> list[tuple[int, str]]:
+    """Corpus shaped for the C4 rules: line endings across every
+    terminal/non-terminal punctuation case (incl. the unicode close
+    quote), drop phrases in mixed case, braces, and 1-3-word lines
+    that straddle the min-words boundary."""
+    rng = random.Random(seed)
+    enders = [".", "!", "?", '"', "”", "", " ", ":", ". "]
+    tails = [
+        "", "JavaScript required", "see our Cookie Policy",
+        "Lorem Ipsum dolor", "x { y }", "Privacy Policy notice",
+        "this site uses cookies",
+    ]
+    docs = []
+    for i in range(40):
+        lines = []
+        for _ in range(rng.randint(1, 8)):
+            words = " ".join(
+                rng.choice(["alpha", "beta", "gamma", "é日本"])
+                for _ in range(rng.randint(1, 5))
+            )
+            tail = rng.choice(tails)
+            lines.append((words + (" " + tail if tail else "")) + rng.choice(enders))
+        docs.append((i, "\n".join(lines)))
+    docs.append((100, ""))
+    docs.append((101, "One two three."))
+    docs.append((102, "  leading spaces still count words.  "))
+    return docs
+
+
+@pytest.mark.parametrize("seed", [7, 19, 23])
+def test_c4_filters_matches_oracle_on_fuzzed_corpora(spark, tmp_path, seed):
+    """Round 6: the C4 line predicate (terminal punct + min words +
+    drop phrases) and doc flags replayed against the DuckDB
+    list_filter oracle on boundary-straddling corpora."""
+    _compare(spark, tmp_path, _c4_corpus(seed), "c4_filters")
+
+
 @pytest.mark.parametrize(
     "qname",
-    ["gopher_quality_flags", "tfidf_top_terms", "token_counts", "text_quality"],
+    [
+        "gopher_quality_flags", "tfidf_top_terms", "token_counts",
+        "text_quality", "corpus_shuffle",
+    ],
 )
 def test_text_queries_match_oracles_on_fuzzed_corpus(spark, tmp_path, qname):
     """One adversarial corpus across the other documents-table text

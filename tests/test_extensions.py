@@ -1383,3 +1383,67 @@ def test_pseudonymize_referential_integrity(spark):
     assert ta == tb and len(ta) == 32 and ta != "7"
     c = pseudonymize(spark.createDataFrame([(7, "x")], ["uid", "v"]), ["uid"], salt="other")
     assert c.first()["uid"] != ta
+
+
+def test_c4_filters_line_and_doc_rules(spark):
+    """C4 §2.2 micro-case: lines survive only with terminal
+    punctuation AND >=3 words AND no drop phrase; doc flags fire on
+    lorem ipsum / braces / too-few surviving lines; `keep` is their
+    conjunction."""
+    from gem_data_wrangle_spark.operators.textops import c4_filters
+
+    good = "This line is a perfectly fine sentence."
+    docs = spark.createDataFrame(
+        [
+            # doc 0: good line kept; "Too short." (2 words) dropped;
+            # no terminal punct dropped; javascript line dropped
+            (0, f"{good}\nToo short.\nno punctuation here\nEnable JavaScript to view this."),
+            # doc 1: three good lines -> keep=True
+            (1, f"{good}\n{good}\n{good}"),
+            # doc 2: lorem ipsum flag
+            (2, f"{good}\n{good}\nLorem Ipsum dolor sit amet."),
+            # doc 3: brace flag
+            (3, f"{good}\nfunction f() {{ return 1; }}"),
+            # doc 4: cookie-policy line dropped
+            (4, f"This site uses cookies to improve service.\n{good}"),
+            (5, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_filters(docs, "text", "doc_id").collect()}
+    assert out[0]["n_lines"] == 4 and out[0]["n_kept"] == 1
+    assert out[0]["text_clean"] == good and not out[0]["keep"]
+    assert out[1]["n_kept"] == 3 and out[1]["keep"]
+    # lorem-ipsum line itself passes the LINE rules but flags the DOC
+    assert out[2]["n_kept"] == 3 and out[2]["has_lorem_ipsum"] and not out[2]["keep"]
+    assert out[3]["has_brace"] and not out[3]["keep"]
+    assert out[4]["n_kept"] == 1 and out[4]["too_few_lines"]
+    assert out[5]["n_lines"] == 1 and out[5]["n_kept"] == 0
+    assert out[5]["text_clean"] == ""
+
+
+def test_deterministic_shuffle_layout_independent(spark):
+    """Content-defined shuffle: the (key, shard) assignment is a pure
+    function of (seed, id) — identical under repartitioning; each
+    partition is internally key-sorted; a different seed produces a
+    different permutation."""
+    from gem_data_wrangle_spark.operators.sampling import deterministic_shuffle
+
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(200)], "doc_id bigint, payload string"
+    )
+    a = deterministic_shuffle(df, "doc_id", seed=1, num_partitions=8)
+    b = deterministic_shuffle(df.repartition(17), "doc_id", seed=1, num_partitions=8)
+    rows_a = sorted((r["doc_id"], r["shuffle_key"], r["shard"]) for r in a.collect())
+    rows_b = sorted((r["doc_id"], r["shuffle_key"], r["shard"]) for r in b.collect())
+    assert rows_a == rows_b
+    # within-partition sortedness (the training-order contract)
+    for part in a.rdd.glom().collect():
+        keys = [r["shuffle_key"] for r in part]
+        assert keys == sorted(keys)
+    # different seed -> different global order (w.h.p. over 200 docs)
+    c = deterministic_shuffle(df, "doc_id", seed=2, num_partitions=8)
+    order_a = [r["doc_id"] for r in a.orderBy("shuffle_key").collect()]
+    order_c = [r["doc_id"] for r in c.orderBy("shuffle_key").collect()]
+    assert order_a != order_c
+    assert all(0 <= shard < 8 for _, _, shard in rows_a)
