@@ -37,7 +37,8 @@ FEATURE_SCHEMA = "id bigint, n_bytes bigint, feature double"
 
 # PNG decode is always available (stdlib zlib codec); baseline AND
 # progressive JPEG decode via the numpy-backed T.81 codec
-# (jpeg_codec.py); PIL widens coverage (WebP / ...) when importable.
+# (jpeg_codec.py); lossless WebP (VP8L) via webp_codec.py since round
+# 6; PIL widens coverage (lossy WebP / AVIF / ...) when importable.
 REAL_DECODERS_AVAILABLE = True
 
 
@@ -60,6 +61,10 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
         from gem_data_wrangle_spark.operators import jpeg_codec  # noqa: PLC0415
 
         return jpeg_codec.jpeg_decode(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from gem_data_wrangle_spark.operators import webp_codec  # noqa: PLC0415
+
+        return webp_codec.webp_decode(payload)
     return png_codec.png_decode(payload)
 
 
@@ -133,10 +138,10 @@ def extract_pixel_features(media: DataFrame, media_col: str = "media") -> DataFr
     ``decode_status`` of ``undecodable:<sniffed format>`` (VERDICT r3
     item 7) — at corpus scale a crashed task over one corrupt blob is
     the failure mode to design out, and a silently-NULL row hides a
-    capability gap (without PIL, WebP / AVIF / ... are undecodable;
-    baseline JPEG decodes via ``jpeg_codec`` since round 5 and
-    progressive since round 6; the status column makes the residual
-    gap measurable, see
+    capability gap (without PIL, lossy-WebP / AVIF / ... are
+    undecodable; baseline JPEG decodes via ``jpeg_codec`` since round
+    5, progressive JPEG and lossless WebP since round 6; the status
+    column makes the residual gap measurable, see
     :func:`decode_capability_audit`). Arrow-batched ``mapInPandas``
     like every multimodal path; decode cost is per-row CPU with
     constant memory.
@@ -311,9 +316,28 @@ def _parse_dimensions(payload: bytes) -> tuple[str | None, int | None, int | Non
     uint32 at bytes 16..24. GIF87a/89a: little-endian uint16 at 6..10.
     JPEG: walk the marker stream to the first SOF0-SOF15 frame header
     (height then width, big-endian uint16 at offsets 3/5 past the
-    marker length field).
+    marker length field). WebP: RIFF + first chunk — VP8L packs
+    14-bit w-1/h-1 after the signature byte, lossy VP8 carries them
+    past the keyframe start code, VP8X has a 24-bit canvas size.
     """
     try:
+        if (
+            payload[:4] == b"RIFF"
+            and payload[8:12] == b"WEBP"
+            and len(payload) >= 30
+        ):
+            fourcc = payload[12:16]
+            if fourcc == b"VP8L" and payload[20] == 0x2F:
+                bits = int.from_bytes(payload[21:25], "little")
+                return "webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+            if fourcc == b"VP8 " and payload[23:26] == b"\x9d\x01\x2a":
+                w = int.from_bytes(payload[26:28], "little") & 0x3FFF
+                h = int.from_bytes(payload[28:30], "little") & 0x3FFF
+                return "webp", w, h
+            if fourcc == b"VP8X":
+                w = int.from_bytes(payload[24:27], "little") + 1
+                h = int.from_bytes(payload[27:30], "little") + 1
+                return "webp", w, h
         if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
             w = int.from_bytes(payload[16:20], "big")
             h = int.from_bytes(payload[20:24], "big")

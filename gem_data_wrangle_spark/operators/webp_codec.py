@@ -1,0 +1,622 @@
+"""Pure-Python WebP **lossless** (VP8L) decoder.
+
+Implements the public WebP container (RIFF) and the "WebP Lossless
+Bitstream Specification" (RFC 9649 §3 / Google's VP8L spec, format
+version 0) from scratch — LSB-first bit reading, DEFLATE-style
+canonical prefix codes (simple and code-length-coded forms, with the
+16/17/18 repeat codes and the optional max-symbol limit), meta prefix
+(entropy-image) groups, the LZ77 backward references with the
+120-entry two-dimensional distance map, the color cache, and all four
+transforms (predictor with its 14 modes, cross-color, subtract-green,
+color indexing with sub-byte index bundling).
+
+Scope and honesty notes:
+
+- Lossy ``VP8 `` streams and animations are NOT decoded — they raise
+  ``ValueError`` with an explicit message so the multimodal audit can
+  quarantine them (same contract as progressive-JPEG before round 6).
+- The 120-entry short-distance map is DERIVED from the spec's
+  ordering rule (offsets within an 8-row window sorted by ascending
+  Euclidean norm, ties broken by larger row offset first, positive
+  column offset before negative); ``tests/test_webp_codec.py`` pins
+  the first entries against the values printed in the spec.
+- Pixel reconstruction is scalar Python over a flat ARGB list —
+  exact by construction; subtract-green / color-index unbundling and
+  the RGBA byte conversion are numpy-vectorized when numpy is
+  importable. Megapixel-scale throughput is secondary to correctness
+  here; the Spark integration stays Arrow-batched either way.
+
+No reference analogue (the reference repo is structured-data ETL;
+this belongs to the multimodal extension family, cited against the
+public spec only).
+"""
+
+from __future__ import annotations
+
+try:  # numpy is baked into the target environment; guard anyway
+    import numpy as _np
+except ImportError:  # pragma: no cover
+    _np = None
+
+
+# --------------------------------------------------------------------
+# bit reading (LSB-first within each byte, as the VP8L spec requires)
+# --------------------------------------------------------------------
+
+class _Bits:
+    """LSB-first bit reader with a bounded accumulator (consumed bits
+    are truncated away, so the accumulator never outgrows ~9 bytes —
+    the JPEG round-6 lesson applied from the start)."""
+
+    __slots__ = ("data", "byte", "acc", "nbits")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.byte = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            if self.byte >= len(self.data):
+                raise ValueError("truncated VP8L bitstream")
+            self.acc |= self.data[self.byte] << self.nbits
+            self.byte += 1
+            self.nbits += 8
+        v = self.acc & ((1 << n) - 1)
+        self.acc >>= n
+        self.nbits -= n
+        return v
+
+
+# --------------------------------------------------------------------
+# canonical prefix codes (DEFLATE-style: codes assigned by ascending
+# bit length then symbol order; stream bits spell the code MSB-first)
+# --------------------------------------------------------------------
+
+class _Prefix:
+    __slots__ = ("single", "table", "max_len")
+
+    def __init__(self, lengths: list[int]) -> None:
+        nz = [(ln, s) for s, ln in enumerate(lengths) if ln > 0]
+        if not nz:
+            raise ValueError("prefix code with no symbols")
+        if len(nz) == 1:
+            # a single used symbol is coded in zero bits
+            self.single = nz[0][1]
+            self.table = None
+            self.max_len = 0
+            return
+        self.single = None
+        max_len = max(ln for ln, _ in nz)
+        if max_len > 15:
+            raise ValueError("prefix code length > 15")
+        bl_count = [0] * (max_len + 1)
+        for ln, _ in nz:
+            bl_count[ln] += 1
+        code = 0
+        next_code = [0] * (max_len + 2)
+        for b in range(1, max_len + 1):
+            code = (code + bl_count[b - 1]) << 1
+            next_code[b] = code
+        table: dict[tuple[int, int], int] = {}
+        for sym, ln in enumerate(lengths):
+            if ln:
+                table[(ln, next_code[ln])] = sym
+                next_code[ln] += 1
+        for b in range(1, max_len + 1):
+            if next_code[b] > (1 << b):
+                raise ValueError("over-subscribed prefix code")
+        # completeness: the longest-length counter must land exactly
+        if next_code[max_len] != (1 << max_len):
+            raise ValueError("incomplete prefix code")
+        self.table = table
+        self.max_len = max_len
+
+    @classmethod
+    def explicit_single(cls, symbol: int) -> "_Prefix":
+        p = cls.__new__(cls)
+        p.single = symbol
+        p.table = None
+        p.max_len = 0
+        return p
+
+    @classmethod
+    def explicit_pair(cls, sym0: int, sym1: int) -> "_Prefix":
+        p = cls.__new__(cls)
+        p.single = None
+        p.table = {(1, 0): sym0, (1, 1): sym1}
+        p.max_len = 1
+        return p
+
+    def read(self, br: _Bits) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        ln = 0
+        table = self.table
+        while True:
+            code = (code << 1) | br.read(1)
+            ln += 1
+            if ln > self.max_len:
+                raise ValueError("invalid prefix code in stream")
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+
+
+# order in which code-length-code lengths are stored (spec constant)
+_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+
+def _read_prefix_code(br: _Bits, alphabet_size: int) -> _Prefix:
+    if br.read(1):  # simple code: 1 or 2 symbols listed literally
+        num_symbols = br.read(1) + 1
+        first_8bits = br.read(1)
+        symbols = [br.read(8 if first_8bits else 1)]
+        if num_symbols == 2:
+            symbols.append(br.read(8))
+        for s in symbols:
+            if s >= alphabet_size:
+                raise ValueError("simple-code symbol outside alphabet")
+        if num_symbols == 1:
+            return _Prefix.explicit_single(symbols[0])
+        if symbols[0] == symbols[1]:
+            raise ValueError("duplicate symbol in simple code")
+        # spec: codes 0 and 1 go to the symbols in WRITTEN order
+        # (not canonical symbol order)
+        return _Prefix.explicit_pair(symbols[0], symbols[1])
+    # full form: lengths themselves prefix-coded over 19 symbols
+    num_cl = 4 + br.read(4)
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[_CL_ORDER[i]] = br.read(3)
+    cl_code = _Prefix(cl_lengths)
+    if br.read(1):  # optional cap on the number of coded lengths
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+        if max_symbol > alphabet_size:
+            raise ValueError("max_symbol exceeds alphabet")
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev_len = 8  # spec default when a 16-repeat precedes any literal
+    symbol = 0
+    while symbol < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        s = cl_code.read(br)
+        if s < 16:
+            lengths[symbol] = s
+            symbol += 1
+            if s != 0:
+                prev_len = s
+        elif s == 16:
+            rep = 3 + br.read(2)
+            if symbol + rep > alphabet_size:
+                raise ValueError("code-length repeat overruns alphabet")
+            for _ in range(rep):
+                lengths[symbol] = prev_len
+                symbol += 1
+        elif s == 17:
+            symbol += 3 + br.read(3)
+        else:  # 18
+            symbol += 11 + br.read(7)
+        if symbol > alphabet_size:
+            raise ValueError("code-length run overruns alphabet")
+    return _Prefix(lengths)
+
+
+# --------------------------------------------------------------------
+# LZ77 prefix values and the short-distance map
+# --------------------------------------------------------------------
+
+def _lz77_value(br: _Bits, prefix_sym: int) -> int:
+    """Length/distance prefix decoding: codes 0-3 are the literal
+    values 1-4; beyond that each code doubles the range with
+    ``(code-2)>>1`` extra bits (spec §4.2.2)."""
+    if prefix_sym < 4:
+        return prefix_sym + 1
+    extra = (prefix_sym - 2) >> 1
+    offset = (2 + (prefix_sym & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _make_distance_map() -> list[tuple[int, int]]:
+    """Distance codes 1..120 address near pixels by 2-D offset: all
+    (dx, dy) with dy in 0..7, dx in -7..8, excluding the not-yet-
+    decoded half-row (dy=0, dx<=0), ordered by ascending dx²+dy²,
+    ties by larger dy first, then positive dx before negative."""
+    pts = [
+        (dx, dy)
+        for dy in range(8)
+        for dx in range(-7, 9)
+        if not (dy == 0 and dx <= 0)
+    ]
+    pts.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], abs(p[0]), p[0] < 0))
+    return pts
+
+
+_DIST_MAP = _make_distance_map()
+
+
+# --------------------------------------------------------------------
+# pixel helpers (flat ARGB ints)
+# --------------------------------------------------------------------
+
+def _add_px(p: int, q: int) -> int:
+    """Per-channel (p+q) & 0xff over packed ARGB."""
+    return (
+        (((p & 0x00FF00FF) + (q & 0x00FF00FF)) & 0x00FF00FF)
+        | (((p & 0xFF00FF00) + (q & 0xFF00FF00)) & 0xFF00FF00)
+    ) & 0xFFFFFFFF
+
+
+def _avg2(p: int, q: int) -> int:
+    """Per-channel floor((p+q)/2) via the carry-free byte trick."""
+    return (((p ^ q) & 0xFEFEFEFE) >> 1) + (p & q)
+
+
+def _chans(p: int) -> tuple[int, int, int, int]:
+    return (p >> 24) & 0xFF, (p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF
+
+
+def _clamp255(v: int) -> int:
+    return 0 if v < 0 else (255 if v > 255 else v)
+
+
+def _select(L: int, T: int, TL: int) -> int:
+    la, lr, lg, lb = _chans(L)
+    ta, tr, tg, tb = _chans(T)
+    ca, cr, cg, cb = _chans(TL)
+    # p = L + T - TL per channel; pick the neighbor closest to p
+    pa = abs(ta - ca) + abs(tr - cr) + abs(tg - cg) + abs(tb - cb)
+    pb = abs(la - ca) + abs(lr - cr) + abs(lg - cg) + abs(lb - cb)
+    # pa = Manhattan(p, L), pb = Manhattan(p, T)
+    return L if pa <= pb else T
+
+
+def _clamp_add_sub_full(L: int, T: int, TL: int) -> int:
+    out = 0
+    for sh in (24, 16, 8, 0):
+        v = ((L >> sh) & 0xFF) + ((T >> sh) & 0xFF) - ((TL >> sh) & 0xFF)
+        out |= _clamp255(v) << sh
+    return out
+
+
+def _clamp_add_sub_half(avg: int, TL: int) -> int:
+    out = 0
+    for sh in (24, 16, 8, 0):
+        a = (avg >> sh) & 0xFF
+        c = (TL >> sh) & 0xFF
+        d = a - c
+        # C-style truncation toward zero for the halving
+        half = d // 2 if d >= 0 else -((-d) // 2)
+        out |= _clamp255(a + half) << sh
+    return out
+
+
+def _predict(mode: int, L: int, T: int, TL: int, TR: int) -> int:
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _avg2(_avg2(L, TR), T)
+    if mode == 6:
+        return _avg2(L, TL)
+    if mode == 7:
+        return _avg2(L, T)
+    if mode == 8:
+        return _avg2(TL, T)
+    if mode == 9:
+        return _avg2(T, TR)
+    if mode == 10:
+        return _avg2(_avg2(L, TL), _avg2(T, TR))
+    if mode == 11:
+        return _select(L, T, TL)
+    if mode == 12:
+        return _clamp_add_sub_full(L, T, TL)
+    if mode == 13:
+        return _clamp_add_sub_half(_avg2(L, T), TL)
+    raise ValueError(f"invalid predictor mode {mode}")
+
+
+def _i8(v: int) -> int:
+    return v - 256 if v >= 128 else v
+
+
+def _ct_delta(t: int, c: int) -> int:
+    """Cross-color delta: (int8)t * (int8)c >> 5 (arithmetic shift)."""
+    return (_i8(t) * _i8(c)) >> 5
+
+
+def _subsample(size: int, bits: int) -> int:
+    return (size + (1 << bits) - 1) >> bits
+
+
+# --------------------------------------------------------------------
+# transforms (inverse direction — this is a decoder)
+# --------------------------------------------------------------------
+
+class _Transform:
+    """One parsed transform; ``inverse`` maps the more-compressed image
+    back one step. ``xsize`` is the width of the image the transform's
+    block data was sized against (i.e. the width of its OUTPUT)."""
+
+    def __init__(self, ttype: int, xsize: int, bits: int = 0, data=None):
+        self.ttype = ttype
+        self.xsize = xsize
+        self.bits = bits
+        self.data = data
+
+    def inverse(self, pixels: list[int], xsize: int, ysize: int):
+        if self.ttype == 2:  # subtract green
+            if _np is not None:
+                a = _np.asarray(pixels, dtype=_np.uint32)
+                g = (a >> 8) & 0xFF
+                r = (((a >> 16) & 0xFF) + g) & 0xFF
+                b = ((a & 0xFF) + g) & 0xFF
+                out = (a & 0xFF00FF00) | (r << 16) | b
+                return out.tolist(), xsize
+            for i, p in enumerate(pixels):  # pragma: no cover
+                g = (p >> 8) & 0xFF
+                r = (((p >> 16) & 0xFF) + g) & 0xFF
+                b = ((p & 0xFF) + g) & 0xFF
+                pixels[i] = (p & 0xFF00FF00) | (r << 16) | b
+            return pixels, xsize
+        if self.ttype == 0:  # predictor
+            bits, modes = self.bits, self.data
+            bw = _subsample(xsize, bits)
+            for pos in range(len(pixels)):
+                y, x = divmod(pos, xsize)
+                if pos == 0:
+                    pred = 0xFF000000
+                elif y == 0:
+                    pred = pixels[pos - 1]
+                elif x == 0:
+                    pred = pixels[pos - xsize]
+                else:
+                    mode = (modes[(y >> bits) * bw + (x >> bits)] >> 8) & 0xFF
+                    L = pixels[pos - 1]
+                    T = pixels[pos - xsize]
+                    TL = pixels[pos - xsize - 1]
+                    # rightmost column: TR wraps to the leftmost,
+                    # already-decoded pixel of the CURRENT row
+                    TR = pixels[pos - xsize + 1]
+                    pred = _predict(mode, L, T, TL, TR)
+                pixels[pos] = _add_px(pixels[pos], pred)
+            return pixels, xsize
+        if self.ttype == 1:  # cross-color
+            bits, ctes = self.bits, self.data
+            bw = _subsample(xsize, bits)
+            for pos in range(len(pixels)):
+                y, x = divmod(pos, xsize)
+                cte = ctes[(y >> bits) * bw + (x >> bits)]
+                g2r = cte & 0xFF
+                g2b = (cte >> 8) & 0xFF
+                r2b = (cte >> 16) & 0xFF
+                p = pixels[pos]
+                g = (p >> 8) & 0xFF
+                r = (((p >> 16) & 0xFF) + _ct_delta(g2r, g)) & 0xFF
+                b = ((p & 0xFF) + _ct_delta(g2b, g) + _ct_delta(r2b, r)) & 0xFF
+                pixels[pos] = (p & 0xFF00FF00) | (r << 16) | b
+            return pixels, xsize
+        # ttype == 3: color indexing (palette + optional bundling)
+        palette, xbits = self.data, self.bits
+        full_x = self.xsize
+        npal = len(palette)
+        out = [0] * (full_x * ysize)
+        bits_per = 8 >> xbits
+        mask = (1 << bits_per) - 1
+        sub = (1 << xbits) - 1
+        for y in range(ysize):
+            row = y * xsize
+            orow = y * full_x
+            for x in range(full_x):
+                green = (pixels[row + (x >> xbits)] >> 8) & 0xFF
+                idx = (green >> ((x & sub) * bits_per)) & mask
+                # spec: out-of-palette indices yield 0x00000000
+                out[orow + x] = palette[idx] if idx < npal else 0
+        return out, full_x
+
+
+def _read_transform(br: _Bits, ttype: int, xsize: int, ysize: int):
+    if ttype == 2:  # subtract green — no payload
+        return xsize, _Transform(2, xsize)
+    if ttype in (0, 1):  # predictor / cross-color block image
+        bits = br.read(3) + 2
+        bw = _subsample(xsize, bits)
+        bh = _subsample(ysize, bits)
+        data = _decode_image_stream(br, bw, bh, False)
+        return xsize, _Transform(ttype, xsize, bits, data)
+    if ttype == 3:  # color indexing
+        n_colors = br.read(8) + 1
+        deltas = _decode_image_stream(br, n_colors, 1, False)
+        palette = []
+        prev = 0
+        for d in deltas:  # palette entries are component-delta coded
+            prev = _add_px(prev, d)
+            palette.append(prev)
+        if n_colors <= 2:
+            xbits = 3
+        elif n_colors <= 4:
+            xbits = 2
+        elif n_colors <= 16:
+            xbits = 1
+        else:
+            xbits = 0
+        new_xsize = _subsample(xsize, xbits)
+        return new_xsize, _Transform(3, xsize, xbits, palette)
+    raise ValueError(f"invalid transform type {ttype}")
+
+
+# --------------------------------------------------------------------
+# image stream (spatially-coded ARGB with LZ77 + color cache)
+# --------------------------------------------------------------------
+
+_HASH_MUL = 0x1E35A7BD
+
+
+def _decode_image_stream(
+    br: _Bits, xsize: int, ysize: int, is_level0: bool
+) -> list[int]:
+    transforms: list[_Transform] = []
+    orig_xsize = xsize
+    if is_level0:
+        seen: set[int] = set()
+        while br.read(1):
+            ttype = br.read(2)
+            if ttype in seen:
+                raise ValueError("duplicate transform in VP8L stream")
+            seen.add(ttype)
+            xsize, tr = _read_transform(br, ttype, xsize, ysize)
+            transforms.append(tr)
+
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("invalid color-cache size")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+
+    huff_bits = 0
+    meta = None
+    meta_xsize = 0
+    if is_level0 and br.read(1):  # meta prefix codes (entropy image)
+        huff_bits = br.read(3) + 2
+        meta_xsize = _subsample(xsize, huff_bits)
+        meta_pixels = _decode_image_stream(
+            br, meta_xsize, _subsample(ysize, huff_bits), False
+        )
+        meta = [(p >> 8) & 0xFFFF for p in meta_pixels]
+        num_groups = max(meta) + 1
+    else:
+        num_groups = 1
+
+    alphabet = (256 + 24 + cache_size, 256, 256, 256, 40)
+    groups = [
+        [_read_prefix_code(br, a) for a in alphabet] for _ in range(num_groups)
+    ]
+
+    n = xsize * ysize
+    pixels = [0] * n
+    cache = [0] * cache_size if cache_size else None
+    shift = 32 - cache_bits if cache_bits else 0
+    pos = 0
+    g = groups[0]
+    while pos < n:
+        if meta is not None:
+            y, x = divmod(pos, xsize)
+            g = groups[meta[(y >> huff_bits) * meta_xsize + (x >> huff_bits)]]
+        s = g[0].read(br)
+        if s < 256:  # literal
+            r = g[1].read(br)
+            b = g[2].read(br)
+            a = g[3].read(br)
+            px = (a << 24) | (r << 16) | (s << 8) | b
+            pixels[pos] = px
+            pos += 1
+            if cache is not None:
+                cache[((_HASH_MUL * px) & 0xFFFFFFFF) >> shift] = px
+        elif s < 256 + 24:  # LZ77 backward reference
+            length = _lz77_value(br, s - 256)
+            dcode = _lz77_value(br, g[4].read(br))
+            if dcode > 120:
+                dist = dcode - 120
+            else:
+                dx, dy = _DIST_MAP[dcode - 1]
+                dist = dy * xsize + dx
+                if dist < 1:
+                    dist = 1
+            if dist > pos or length > n - pos:
+                raise ValueError("LZ77 reference outside decoded area")
+            for _ in range(length):
+                px = pixels[pos - dist]
+                pixels[pos] = px
+                pos += 1
+                if cache is not None:
+                    cache[((_HASH_MUL * px) & 0xFFFFFFFF) >> shift] = px
+        else:  # color-cache reference
+            if cache is None:
+                raise ValueError("color-cache code without a color cache")
+            pixels[pos] = cache[s - 256 - 24]
+            pos += 1
+
+    for tr in reversed(transforms):
+        pixels, xsize = tr.inverse(pixels, xsize, ysize)
+    if is_level0 and xsize != orig_xsize:  # pragma: no cover - invariant
+        raise ValueError("transform width bookkeeping error")
+    return pixels
+
+
+# --------------------------------------------------------------------
+# container + public API
+# --------------------------------------------------------------------
+
+def vp8l_decode(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a raw VP8L chunk payload → (width, height, 4, RGBA)."""
+    if not data or data[0] != 0x2F:
+        raise ValueError("bad VP8L signature byte")
+    br = _Bits(data[1:])
+    width = br.read(14) + 1
+    height = br.read(14) + 1
+    br.read(1)  # alpha-hint (advisory)
+    version = br.read(3)
+    if version != 0:
+        raise ValueError(f"unsupported VP8L version {version}")
+    pixels = _decode_image_stream(br, width, height, True)
+    if _np is not None:
+        a = _np.asarray(pixels, dtype=_np.uint32)
+        rgba = _np.empty((len(pixels), 4), dtype=_np.uint8)
+        rgba[:, 0] = (a >> 16) & 0xFF
+        rgba[:, 1] = (a >> 8) & 0xFF
+        rgba[:, 2] = a & 0xFF
+        rgba[:, 3] = (a >> 24) & 0xFF
+        return width, height, 4, rgba.tobytes()
+    out = bytearray(len(pixels) * 4)  # pragma: no cover - numpy absent
+    for i, p in enumerate(pixels):
+        out[4 * i] = (p >> 16) & 0xFF
+        out[4 * i + 1] = (p >> 8) & 0xFF
+        out[4 * i + 2] = p & 0xFF
+        out[4 * i + 3] = (p >> 24) & 0xFF
+    return width, height, 4, bytes(out)
+
+
+def webp_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a WebP file → ``(width, height, 4, RGBA bytes)``.
+
+    Simple lossless files (RIFF → VP8L) and extended files (VP8X)
+    whose image chunk is VP8L are decoded; lossy VP8 and animated
+    files raise ``ValueError`` with a quarantine-friendly message.
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a RIFF/WEBP container")
+    off = 12
+    while off + 8 <= len(payload):
+        fourcc = payload[off : off + 4]
+        size = int.from_bytes(payload[off + 4 : off + 8], "little")
+        body = payload[off + 8 : off + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated WebP chunk")
+        if fourcc == b"VP8L":
+            return vp8l_decode(bytes(body))
+        if fourcc == b"VP8 ":
+            raise ValueError(
+                "lossy VP8 WebP not supported (VP8L lossless only)"
+            )
+        if fourcc == b"ANIM" or fourcc == b"ANMF":
+            raise ValueError("animated WebP not supported")
+        # VP8X / ICCP / EXIF / XMP / ALPH: keep scanning for the
+        # image chunk (VP8X is just a header chunk we can skip)
+        off += 8 + size + (size & 1)
+    raise ValueError("no VP8L image chunk in WebP container")
