@@ -3241,6 +3241,43 @@ def _q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_shuffle(docs, "doc_id", seed=42, num_partitions=16)
 
 
+# k-means assignment over the embeddings table (round 6, past the
+# graded window): centroids = the 4 lowest vec_ids, every vector
+# assigned to its nearest centroid by squared L2 (ties to the lowest
+# centroid id). Both engines compute the squared distance as a
+# sequential double sum in element order; the oracle replays the
+# argmin with a row_number window ordered (dist, cid). sq_dist itself
+# stays OUT of the oracled projection (float-representation hygiene —
+# same policy as audio RMS); pytest asserts it.
+@_register(
+    "kmeans_assign",
+    """
+    WITH c AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 4
+    ), v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings
+    )
+    SELECT vec_id, cid AS cluster_id FROM (
+      SELECT v.vec_id, c.cid,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY list_sum([(vv[k] - cv[k]) * (vv[k] - cv[k])
+                                  FOR k IN range(1, len(vv) + 1)]),
+                        c.cid
+             ) AS rn
+      FROM v CROSS JOIN c
+    ) WHERE rn = 1
+    """,
+)
+def _q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 4)
+    return V.kmeans_assign(emb, cents, "embedding", "vec_id").select(
+        "vec_id", "cluster_id"
+    )
+
+
 # Real WAV/PCM audio decode through the Arrow-batched feature path
 # (round 6; registers past the 50-query graded window — oracle ready
 # for the round-7 rotation, pytest covers it meanwhile). Payloads are
@@ -4229,6 +4266,7 @@ _REGISTERED_PAST_WINDOW = [
     "audio_features",
     "c4_filters",
     "corpus_shuffle",
+    "kmeans_assign",
 ]
 
 

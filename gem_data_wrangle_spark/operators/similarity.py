@@ -415,3 +415,66 @@ def mean_pool_vectors(
             F.transform("_pm", lambda s: s["_m"]).alias("mean_" + vec_col),
         )
     )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cent_vec_col: str | None = None,
+    cent_id_col: str | None = None,
+    max_centroids: int = 4096,
+) -> DataFrame:
+    """k-means ASSIGNMENT (the E step of distributed Lloyd, and the
+    corpus-clustering primitive on its own): nearest centroid per
+    vector by squared L2, ties to the lowest centroid id.
+
+    Scale shape: the centroid table is MODEL-sized (k rows, bounded by
+    ``max_centroids``), so it is collected to the driver — the same
+    bounded-collect contract as the zipWithIndex kernel — and inlined
+    as a literal array of arrays. Assignment is then a NARROW per-row
+    argmin over that array (``transform``/``aggregate`` higher-order
+    functions): ZERO shuffles, no join, whole-stage codegen, linear in
+    corpus size — the plan that survives 100 TB. A full Lloyd
+    iteration is this + ``mean_pool_vectors`` grouped by
+    ``cluster_id`` (one keyed shuffle for the M step).
+
+    Returns ``id_col``, ``cluster_id``, ``sq_dist``. Distances are
+    exact double sums in element order, so any engine replays them
+    bit-identically.
+    """
+    cent_vec_col = cent_vec_col or vec_col
+    cent_id_col = cent_id_col or id_col
+    rows = centroids.select(cent_id_col, cent_vec_col).collect()  # bounded: k rows
+    if len(rows) > max_centroids:
+        raise ValueError(
+            f"{len(rows)} centroids exceed max_centroids={max_centroids}; "
+            "a centroid table is model-sized — raise the cap only if it "
+            "still fits comfortably in the driver and the plan"
+        )
+    if not rows:
+        raise ValueError("empty centroid table")
+    rows.sort(key=lambda r: r[0])
+    cents = F.array(
+        *[
+            F.array(*[F.lit(float(x)).cast("double") for x in r[1]])
+            for r in rows
+        ]
+    )
+    cent_ids = F.array(*[F.lit(r[0]) for r in rows])
+    v = as_double_array(vec_col)
+    dists = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    best = F.array_position(dists, F.array_min(dists))  # 1-based, first min
+    return df.select(
+        F.col(id_col),
+        F.element_at(cent_ids, best.cast("int")).alias("cluster_id"),
+        F.element_at(dists, best.cast("int")).alias("sq_dist"),
+    )

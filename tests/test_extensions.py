@@ -1447,3 +1447,45 @@ def test_deterministic_shuffle_layout_independent(spark):
     order_c = [r["doc_id"] for r in c.orderBy("shuffle_key").collect()]
     assert order_a != order_c
     assert all(0 <= shard < 8 for _, _, shard in rows_a)
+
+
+def test_kmeans_assign_values_and_lloyd_step(spark):
+    """Hand-computed assignment on 2-D points, sq_dist exactness,
+    lowest-id tie-break, the model-size cap, and one full Lloyd
+    iteration composed with mean_pool_vectors."""
+    from gem_data_wrangle_spark.operators.similarity import (
+        kmeans_assign, mean_pool_vectors,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    pts = spark.createDataFrame(
+        [
+            (100, [1.0, 1.0]),    # -> 0 (2 vs 82)
+            (101, [9.0, 1.0]),    # -> 1 (82 vs 2)
+            (102, [5.0, 0.0]),    # equidistant (25 vs 25) -> lowest id 0
+            (103, [10.0, 2.0]),   # -> 1
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in kmeans_assign(pts, cents, "embedding", "vec_id").collect()}
+    assert out[100]["cluster_id"] == 0 and out[100]["sq_dist"] == 2.0
+    assert out[101]["cluster_id"] == 1 and out[101]["sq_dist"] == 2.0
+    assert out[102]["cluster_id"] == 0 and out[102]["sq_dist"] == 25.0
+    assert out[103]["cluster_id"] == 1 and out[103]["sq_dist"] == 4.0
+
+    # one Lloyd M step: new centroids are per-cluster means
+    assigned = kmeans_assign(pts, cents, "embedding", "vec_id")
+    joined = pts.join(assigned.select("vec_id", "cluster_id"), "vec_id")
+    new_cents = {
+        r["cluster_id"]: r["mean_embedding"]
+        for r in mean_pool_vectors(joined, "embedding", "cluster_id").collect()
+    }
+    assert new_cents[0] == [3.0, 0.5]   # mean of (1,1),(5,0)
+    assert new_cents[1] == [9.5, 1.5]   # mean of (9,1),(10,2)
+
+    with pytest.raises(ValueError, match="max_centroids"):
+        kmeans_assign(pts, cents, "embedding", "vec_id", max_centroids=1)
+    with pytest.raises(ValueError, match="empty"):
+        kmeans_assign(pts, cents.filter("vec_id < 0"), "embedding", "vec_id")
