@@ -3213,10 +3213,12 @@ def _q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Deterministic content-defined corpus shuffle (round 6, past the
-# graded window). The md5 key and the first-16-bit shard are both
-# portable hashes, so DuckDB replays key and shard exactly; the
-# range-partitioned ORDER itself is invisible to the driver's sorted
-# compare — layout-independence is property-tested in pytest instead.
+# graded window). The md5 key and the range-bucketed shard
+# (floor(first16bits · n / 65536); for n=16 that is exactly the first
+# hex nibble) are both portable pure functions of (seed, id), so
+# DuckDB replays key and shard exactly; the physical ORDER itself is
+# invisible to the driver's sorted compare — layout-independence and
+# in-partition sortedness are property-tested in pytest instead.
 @_register(
     "corpus_shuffle",
     """
@@ -3226,10 +3228,10 @@ def _q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, shuffle_key,
-      CAST((  (strpos('0123456789abcdef', shuffle_key[1]) - 1) * 4096
-            + (strpos('0123456789abcdef', shuffle_key[2]) - 1) * 256
-            + (strpos('0123456789abcdef', shuffle_key[3]) - 1) * 16
-            + (strpos('0123456789abcdef', shuffle_key[4]) - 1)) % 16
+      CAST(((  (strpos('0123456789abcdef', shuffle_key[1]) - 1) * 4096
+             + (strpos('0123456789abcdef', shuffle_key[2]) - 1) * 256
+             + (strpos('0123456789abcdef', shuffle_key[3]) - 1) * 16
+             + (strpos('0123456789abcdef', shuffle_key[4]) - 1)) * 16) // 65536
         AS INT) AS shard
     FROM d
     """,

@@ -185,14 +185,21 @@ def rebalance_mixture(
 ) -> DataFrame:
     """Rebalance a corpus to a target source mixture (the Pile/Dolma
     "mixing weights" step): downsample each group so the KEPT corpus's
-    token distribution across groups matches ``weights`` (normalized
-    over the groups present), without upsampling. The feasible total
-    is maximal: ``T = min_g tokens_g / p_g`` — the scarcest group
-    keeps everything and every other group trims down to ``p_g · T``
-    tokens via the same deterministic bucketed md5-order admission as
+    token distribution across groups matches the RATIOS of
+    ``weights``, without upsampling. The feasible total is maximal:
+    ``T = min_g tokens_g / w_g`` — the scarcest group keeps
+    everything and every other group trims down to ``w_g · T`` tokens
+    via the same deterministic bucketed md5-order admission as
     :func:`sample_to_token_budget`. Groups absent from ``weights``
-    (or weighted 0) are dropped; weights naming absent groups are
-    ignored by the normalization.
+    (or weighted 0) are dropped.
+
+    Weights are deliberately NOT normalized: the budgets
+    ``w_g · min_h(t_h / w_h)`` are scale-invariant (multiplying every
+    weight by c cancels), and skipping the float division keeps the
+    arithmetic bit-identical to a plain SQL replay of the same
+    formula — dividing by ``sum(weights)`` first would shift budgets
+    by an ulp (e.g. 0.4/0.9999999999999999) and could flip a
+    boundary document between engines.
 
     Driver boundary, documented: one collect of |groups| rows (the
     per-group token totals) — a mixing spec is human-sized by
@@ -215,8 +222,7 @@ def rebalance_mixture(
     present = {g: w for g, w in weights.items() if g in totals and w > 0}
     if not present:
         raise ValueError("no weighted group present in the corpus")
-    z = float(sum(present.values()))
-    p = {g: w / z for g, w in present.items()}
+    p = {g: float(w) for g, w in present.items()}
     total = min(totals[g] / p[g] for g in p)
     # keep-all short circuit: a group whose budget covers its total
     # (the scarcest group, and any float-ulp neighbor) bypasses the
@@ -228,6 +234,11 @@ def rebalance_mixture(
         for g in p
     }
 
+    # NOTE: the admission mechanics below (md5-prefix bucket, (group,
+    # bucket)-partitioned cumulative window, `_before < budget`) are
+    # deliberately the same scheme as sample_to_token_budget above —
+    # keep the two in lockstep (and with their DuckDB oracles) if the
+    # hash/order scheme ever changes.
     budget_expr = None
     for g, b in per_bucket.items():
         budget_expr = (
@@ -294,19 +305,27 @@ def deterministic_shuffle(
     must be recomputable from (corpus, seed) alone, independent of
     input file layout, cluster size, or prior partitioning.
 
-    Adds ``shuffle_key = md5(seed ':' id)`` and ``shard`` (the key's
-    first 16 bits mod the partition count), then range-partitions on
-    the key and sorts within partitions. Reading the shards in shard
-    order yields a total order that any engine can replay exactly
-    (md5 is the portable hash — same trick as ``bernoulli_sample``).
+    Adds ``shuffle_key = md5(seed ':' id)`` and ``shard`` — a RANGE
+    bucket of the key's first 16 bits (``floor(prefix·n/65536)``), so
+    shard index is MONOTONE in the key: ordering by (shard,
+    shuffle_key) IS the global key order. The shard, not the Spark
+    partition, is the reproducibility unit: both columns are pure
+    functions of (seed, id, num_partitions), so writing with
+    ``partitionBy("shard")`` yields byte-identical, internally
+    key-sorted shard files on ANY cluster — any engine replays them
+    from the md5 alone (same portable-hash trick as
+    ``bernoulli_sample``).
 
-    Scale: ONE range exchange (boundaries from Spark's reservoir
-    sample of the keys — no global sort, no single-partition window);
+    Physical layout: ONE hash exchange on the shard column (hash of a
+    small int — deterministic given ``num_partitions``, unlike
+    ``repartitionByRange`` whose reservoir-sampled boundaries change
+    with input layout and cluster size), then an in-partition sort.
     md5 keys are uniform, so shards are balanced regardless of how
-    skewed the id space is. Rerunning on a 1000-executor cluster
-    yields byte-identical shard contents.
+    skewed the id space is. ``num_partitions`` defaults to a FIXED
+    256 — not the cluster's parallelism — precisely so the default
+    output is cluster-independent.
     """
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    n = num_partitions or 256
     key = F.md5(
         F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
     )
@@ -314,12 +333,13 @@ def deterministic_shuffle(
         df.withColumn("shuffle_key", key)
         .withColumn(
             "shard",
-            (
-                F.conv(F.substring("shuffle_key", 1, 4), 16, 10).cast("int")
-                % F.lit(n)
-            ),
+            F.floor(
+                F.conv(F.substring("shuffle_key", 1, 4), 16, 10).cast("long")
+                * F.lit(n)
+                / F.lit(65536)
+            ).cast("int"),
         )
     )
-    return out.repartitionByRange(n, "shuffle_key").sortWithinPartitions(
-        "shuffle_key"
+    return out.repartition(n, "shard").sortWithinPartitions(
+        "shard", "shuffle_key"
     )

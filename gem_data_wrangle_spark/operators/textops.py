@@ -25,6 +25,18 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 ENGLISH_STOPWORDS = LANG_STOPWORDS["en"]
 
 
+def split_literal(text: Column | str, sep: str) -> Column:
+    """``F.split`` treats its separator as a Java regex; every
+    ``sep``-parameterized operator here splits on the LITERAL
+    separator (mirroring the literal ``array_join`` used to
+    reassemble), so quote it with \\Q...\\E. Separators containing
+    the closing quote ``\\E`` are rejected rather than silently
+    mis-split."""
+    if "\\E" in sep:
+        raise ValueError(r"separator must not contain \E")
+    return F.split(text if isinstance(text, Column) else F.col(text), "\\Q" + sep + "\\E")
+
+
 def ngrams(text: Column | str, n: int = 2) -> Column:
     """Distinct word n-gram shingles (zip_with over shifted slices —
     O(tokens); see ``operators.dedup._shingles`` for why)."""
@@ -556,7 +568,7 @@ def remove_boilerplate_lines(
     group-by; all JVM array algebra, no UDF.
     """
     lines = df.select(
-        F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_line")
+        F.col(id_col), F.posexplode(split_literal(text_col, sep)).alias("_pos", "_line")
     ).withColumn("_h", F.md5("_line"))
     frequent = (
         lines.select("_h", id_col).distinct()
@@ -637,7 +649,7 @@ def c4_filters(
     linear in corpus bytes. No reference analogue (text extension
     family).
     """
-    lines = F.split(F.col(text_col), sep)
+    lines = split_literal(text_col, sep)
     kept = F.filter(lines, lambda l: _c4_keep_line(l, min_line_words))
     low = F.lower(F.col(text_col))
     out = (

@@ -272,11 +272,13 @@ def _select(L: int, T: int, TL: int) -> int:
     la, lr, lg, lb = _chans(L)
     ta, tr, tg, tb = _chans(T)
     ca, cr, cg, cb = _chans(TL)
-    # p = L + T - TL per channel; pick the neighbor closest to p
-    pa = abs(ta - ca) + abs(tr - cr) + abs(tg - cg) + abs(tb - cb)
-    pb = abs(la - ca) + abs(lr - cr) + abs(lg - cg) + abs(lb - cb)
-    # pa = Manhattan(p, L), pb = Manhattan(p, T)
-    return L if pa <= pb else T
+    # p = L + T - TL per channel; pick the neighbor closest to p.
+    # Manhattan(p, L) reduces to sum|T-TL|, Manhattan(p, T) to
+    # sum|L-TL|. Spec tie-break: `if (pL < pT) return L; else return
+    # T;` — a TIE selects T.
+    p_l = abs(ta - ca) + abs(tr - cr) + abs(tg - cg) + abs(tb - cb)
+    p_t = abs(la - ca) + abs(lr - cr) + abs(lg - cg) + abs(lb - cb)
+    return L if p_l < p_t else T
 
 
 def _clamp_add_sub_full(L: int, T: int, TL: int) -> int:

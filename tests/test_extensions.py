@@ -1437,10 +1437,15 @@ def test_deterministic_shuffle_layout_independent(spark):
     rows_a = sorted((r["doc_id"], r["shuffle_key"], r["shard"]) for r in a.collect())
     rows_b = sorted((r["doc_id"], r["shuffle_key"], r["shard"]) for r in b.collect())
     assert rows_a == rows_b
-    # within-partition sortedness (the training-order contract)
+    # within-partition sortedness by (shard, key) — the write-order
+    # contract for partitionBy("shard") sinks
     for part in a.rdd.glom().collect():
-        keys = [r["shuffle_key"] for r in part]
-        assert keys == sorted(keys)
+        sk = [(r["shard"], r["shuffle_key"]) for r in part]
+        assert sk == sorted(sk)
+    # shard is a RANGE bucket: monotone in the key, so (shard, key)
+    # order IS the key order
+    by_key = sorted((key, shard) for _, key, shard in rows_a)
+    assert [s for _, s in by_key] == sorted(s for _, s in by_key)
     # different seed -> different global order (w.h.p. over 200 docs)
     c = deterministic_shuffle(df, "doc_id", seed=2, num_partitions=8)
     order_a = [r["doc_id"] for r in a.orderBy("shuffle_key").collect()]
@@ -1489,3 +1494,40 @@ def test_kmeans_assign_values_and_lloyd_step(spark):
         kmeans_assign(pts, cents, "embedding", "vec_id", max_centroids=1)
     with pytest.raises(ValueError, match="empty"):
         kmeans_assign(pts, cents.filter("vec_id < 0"), "embedding", "vec_id")
+
+
+def test_c4_filters_literal_separator(spark):
+    """Regex-metacharacter separators split literally (split is
+    \\Q-quoted to mirror the literal array_join reassembly)."""
+    from gem_data_wrangle_spark.operators.textops import c4_filters
+
+    good = "This line is a perfectly fine sentence."
+    docs = spark.createDataFrame(
+        [(0, f"{good}|no punct line|{good}")], "doc_id bigint, text string"
+    )
+    r = c4_filters(docs, "text", "doc_id", sep="|").collect()[0]
+    assert r["n_lines"] == 3 and r["n_kept"] == 2
+    assert r["text_clean"] == f"{good}|{good}"
+
+
+def test_rebalance_mixture_weights_are_scale_invariant(spark):
+    """Budgets use raw weights (w_g * min_h(t_h / w_h)) — multiplying
+    every weight by a constant changes nothing, and no float
+    normalization is applied that could drift from a SQL replay."""
+    from gem_data_wrangle_spark.operators.sampling import rebalance_mixture
+
+    rows = [(f"{g}{i}", g, 100) for g, n in (("a", 60), ("b", 40)) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id string, src string, n_tok int")
+    ids1 = sorted(
+        r["doc_id"]
+        for r in rebalance_mixture(
+            df, "src", "n_tok", "doc_id", {"a": 0.4, "b": 0.3}, num_buckets=4
+        ).collect()
+    )
+    ids2 = sorted(
+        r["doc_id"]
+        for r in rebalance_mixture(
+            df, "src", "n_tok", "doc_id", {"a": 4.0, "b": 3.0}, num_buckets=4
+        ).collect()
+    )
+    assert ids1 == ids2 and ids1

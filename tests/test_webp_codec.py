@@ -723,13 +723,17 @@ def test_predictor_modes_micro():
 
 
 def test_select_predictor_follows_manhattan_rule():
-    # p = L+T-TL; choose the neighbor closest to p
+    # p = L+T-TL; choose the neighbor closest to p; spec tie-break
+    # (`if (pL < pT) return L; else return T;`) selects T on a tie
     L, T, TL = 0xFF000000 | (100 << 16), 0xFF000000 | (90 << 16), 0xFF000000 | (95 << 16)
-    # |p-L| = |T-TL| = 5 ; |p-T| = |L-TL| = 5 -> tie goes to L
-    assert _predict(11, L, T, TL, 0) == L
+    # |p-L| = |T-TL| = 5 ; |p-T| = |L-TL| = 5 -> tie goes to T
+    assert _predict(11, L, T, TL, 0) == T
     T2 = 0xFF000000 | (60 << 16)
     # |p-L|=|T2-TL|=35, |p-T2|=|L-TL|=5 -> T2 is closer
     assert _predict(11, L, T2, TL, 0) == T2
+    L2 = 0xFF000000 | (80 << 16)
+    # |p-L2|=|T-TL|=5 < |p-T|=|L2-TL|=15 -> L2 is closer
+    assert _predict(11, L2, T, TL, 0) == L2
 
 
 def test_cross_color_delta_is_signed_arithmetic():
