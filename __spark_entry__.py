@@ -3243,6 +3243,101 @@ def _q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_shuffle(docs, "doc_id", seed=42, num_partitions=16)
 
 
+# WARC ingestion + HTML text extraction (round 6, past the graded
+# window). Each document is wrapped into a synthetic WARC response
+# record (HTTP head + HTML with head/style/script boilerplate), then
+# run through build_warc -> parse_warc -> html_to_text inside
+# mapInPandas — the Common Crawl ingestion path, driver-checkable
+# because the extraction is a pure function DuckDB can replay: the
+# parser's visible text reduces to the known block structure
+# ('\\n' + 'Doc <id>' + '\\n\\n' + text + '\\n'), per-line whitespace
+# collapse, and the blank-line squeeze (keep a blank iff the previous
+# raw line was non-blank and a non-blank follows).
+@_register(
+    "warc_html_extract",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             chr(10) || 'Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+               || chr(10) || coalesce(text, '') || chr(10) AS raw
+      FROM documents
+    ), ls AS (
+      SELECT doc_id,
+             unnest(range(1, len(parts) + 1)) AS pos,
+             unnest(list_transform(parts,
+                    x -> trim(regexp_replace(x, ' +', ' ', 'g')))) AS c
+      FROM (SELECT doc_id, string_split(raw, chr(10)) AS parts FROM d)
+    ), k AS (
+      SELECT doc_id, pos, c,
+             lag(c) OVER (PARTITION BY doc_id ORDER BY pos) AS prevc,
+             max(CASE WHEN c <> '' THEN 1 ELSE 0 END) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+             ) AS nb_after
+      FROM ls
+    ), kept AS (
+      SELECT doc_id, pos, c FROM k
+      WHERE c <> ''
+         OR (prevc IS NOT NULL AND prevc <> '' AND nb_after = 1)
+    )
+    SELECT doc_id,
+           'http://example.com/' || CAST(doc_id AS VARCHAR) AS target_uri,
+           CAST(200 AS INT) AS http_status,
+           string_agg(c, chr(10) ORDER BY pos) AS text_clean
+    FROM kept GROUP BY doc_id
+    """,
+)
+def _q_warc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: PLC0415
+
+    from gem_data_wrangle_spark.sources import warc as WC
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it):
+        for pdf in it:
+            ids, uris, stats, texts = [], [], [], []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                html = (
+                    "<html><head><style>p{color:red}</style></head>"
+                    f"<body><h1>Doc {did}</h1><p>"
+                    + ("" if txt is None else txt)
+                    + "</p><script>skip()</script></body></html>"
+                )
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                    + html.encode("utf-8")
+                )
+                blob = WC.build_warc(
+                    [
+                        {
+                            "warc_type": "response",
+                            "target_uri": f"http://example.com/{did}",
+                            "content_type": "application/http; msgtype=response",
+                            "payload": http,
+                        }
+                    ]
+                )
+                rec = WC.parse_warc(blob, warc_file="synthetic")[0]
+                ids.append(did)
+                uris.append(rec["target_uri"])
+                stats.append(rec["http_status"])
+                texts.append(WC.html_to_text(rec["payload"].decode("utf-8")))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "target_uri": uris,
+                    "http_status": stats,
+                    "text_clean": texts,
+                }
+            )
+
+    return docs.mapInPandas(
+        batches,
+        "doc_id bigint, target_uri string, http_status int, text_clean string",
+    )
+
+
 # k-means assignment over the embeddings table (round 6, past the
 # graded window): centroids = the 4 lowest vec_ids, every vector
 # assigned to its nearest centroid by squared L2 (ties to the lowest
@@ -4269,6 +4364,7 @@ _REGISTERED_PAST_WINDOW = [
     "c4_filters",
     "corpus_shuffle",
     "kmeans_assign",
+    "warc_html_extract",
 ]
 
 

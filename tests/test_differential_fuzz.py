@@ -149,7 +149,7 @@ def test_c4_filters_matches_oracle_on_fuzzed_corpora(spark, tmp_path, seed):
     "qname",
     [
         "gopher_quality_flags", "tfidf_top_terms", "token_counts",
-        "text_quality", "corpus_shuffle",
+        "text_quality", "corpus_shuffle", "warc_html_extract",
     ],
 )
 def test_text_queries_match_oracles_on_fuzzed_corpus(spark, tmp_path, qname):
