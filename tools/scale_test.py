@@ -49,6 +49,14 @@ QUERIES = [
     "duplicate_spans",
     "cut_duplicate_spans",
     "dedup_lines",
+    # round 6 continuation: the web-ingestion / training-order family
+    # — all narrow or single-exchange shapes, so anything non-linear
+    # here indicts per-row work (the html parser, the md5/conv chain),
+    # not a shuffle
+    "c4_filters",
+    "corpus_shuffle",
+    "kmeans_assign",
+    "warc_html_extract",
 ]
 
 BASE = "/root/testdata/sf0.1"
