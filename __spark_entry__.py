@@ -3338,6 +3338,47 @@ def _q_warc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# URL canonicalization + first-occurrence URL dedup (round 6, past
+# the graded window). URLs are synthesized per document with every
+# canonicalization hazard baked in (mixed-case scheme/host, default
+# port, tracking params, unsorted query, fragment); the oracle states
+# the EXPECTED canonical form directly — an independent formulation,
+# not a replay of the operator's regex chain — and replays the
+# first-per-key choice as a row_number window.
+@_register(
+    "url_dedup",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             'https://news.example.com/articles/'
+               || CAST(doc_id % 7 AS VARCHAR)
+               || '?a=1&b=2&id=' || CAST(doc_id % 3 AS VARCHAR)
+               AS canonical_url
+      FROM documents
+    )
+    SELECT doc_id, canonical_url FROM (
+      SELECT doc_id, canonical_url,
+             row_number() OVER (
+               PARTITION BY canonical_url ORDER BY doc_id
+             ) AS rn
+      FROM d
+    ) WHERE rn = 1
+    """,
+)
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://News.Example.COM:443/articles/"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("?utm_source=feed&fbclid=zz&id="),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("&b=2&a=1#frag"),
+    )
+    return T.url_dedup_first(
+        docs.withColumn("url", url), "url", ["doc_id"]
+    ).select("doc_id", "canonical_url")
+
+
 # k-means assignment over the embeddings table (round 6, past the
 # graded window): centroids = the 4 lowest vec_ids, every vector
 # assigned to its nearest centroid by squared L2 (ties to the lowest
@@ -4365,6 +4406,7 @@ _REGISTERED_PAST_WINDOW = [
     "corpus_shuffle",
     "kmeans_assign",
     "warc_html_extract",
+    "url_dedup",
 ]
 
 

@@ -674,6 +674,63 @@ def c4_filters(
 
 
 # --------------------------------------------------------------------
+# URL canonicalization (RefinedWeb-style pre-fetch URL dedup)
+# --------------------------------------------------------------------
+
+# Tracking parameters stripped during canonicalization (the public
+# lists every crawl pipeline uses: Google/Facebook/Microsoft click
+# and campaign identifiers).
+URL_TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|ref)="
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Canonical form of a URL for dedup: fragment stripped, scheme
+    and authority lowercased (path/query case preserved — paths are
+    case-sensitive), default :80/:443 ports dropped, tracking
+    parameters removed, surviving query parameters sorted, and an
+    empty ``?`` dropped.
+
+    Deliberately pure string/array algebra (regex + split + filter +
+    array_sort + join) rather than ``parse_url`` so any engine
+    replays it identically; zero shuffles, codegen throughout.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    u = F.regexp_replace(u, "#.*$", "")  # fragment
+    head = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    rest = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    head = F.lower(head)
+    head = F.regexp_replace(head, r":(80|443)$", "")
+    pathq = F.concat(head, rest)
+    pre = F.regexp_replace(pathq, r"\?.*$", "")
+    qs = F.when(
+        pathq.contains("?"), F.regexp_replace(pathq, r"^[^?]*\?", "")
+    ).otherwise(F.lit(""))
+    params = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != F.lit("")) & ~p.rlike(URL_TRACKING_PARAM_RE),
+    )
+    kept = F.array_join(F.array_sort(params), "&")
+    return F.when(kept != "", F.concat(pre, F.lit("?"), kept)).otherwise(pre)
+
+
+def url_dedup_first(
+    df: DataFrame, url_col: str, order_cols: list[str]
+) -> DataFrame:
+    """URL-level dedup (the RefinedWeb step BEFORE any content
+    fetch/compare): keep the first row per :func:`canonical_url`,
+    ordered by ``order_cols``. Adds the ``canonical_url`` column.
+    One md5-digest-keyed shuffle via the existing
+    ``dedup_first_per_key`` machinery (skew-safe variant available
+    there for hot canonical forms, e.g. a link farm)."""
+    from gem_data_wrangle_spark.operators.aggregates import (  # noqa: PLC0415
+        dedup_first_per_key,
+    )
+
+    with_canon = df.withColumn("canonical_url", canonical_url(url_col))
+    return dedup_first_per_key(with_canon, ["canonical_url"], order_cols)
+
+
+# --------------------------------------------------------------------
 # unigram LM scoring (CCNet-style poor-man's perplexity filter)
 # --------------------------------------------------------------------
 

@@ -1531,3 +1531,44 @@ def test_rebalance_mixture_weights_are_scale_invariant(spark):
         ).collect()
     )
     assert ids1 == ids2 and ids1
+
+
+def test_canonical_url_rules(spark):
+    """Canonicalization hazards one by one: case, default ports,
+    fragments, tracking params, query sort, empty-? drop, opaque
+    (schemeless) strings passing through the same query algebra."""
+    from gem_data_wrangle_spark.operators.textops import canonical_url
+
+    cases = [
+        ("HTTPS://Example.COM:443/A/B?z=1&a=2#frag",
+         "https://example.com/A/B?a=2&z=1"),          # path case preserved
+        ("http://Example.com:80/x", "http://example.com/x"),
+        ("http://example.com:8080/x", "http://example.com:8080/x"),  # non-default port kept
+        ("https://e.com/p?utm_source=a&utm_medium=b&fbclid=z&gclid=1&msclkid=2&ref=r",
+         "https://e.com/p"),                           # all tracking -> ? dropped
+        ("https://e.com/p?id=1&utm_source=x&id=0",
+         "https://e.com/p?id=0&id=1"),                 # sort keeps duplicates
+        ("https://e.com/", "https://e.com/"),
+        ("no-scheme-string", "no-scheme-string"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i int, url string")
+    got = {r["i"]: r["c"] for r in df.select("i", canonical_url("url").alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, f"case {i}: {got[i]} != {want}"
+
+
+def test_url_dedup_first_keeps_first_occurrence(spark):
+    from gem_data_wrangle_spark.operators.textops import url_dedup_first
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://E.com/x?utm_source=a"),
+            (2, "https://e.com/x"),            # same canonical as 1
+            (3, "https://e.com/y"),
+        ],
+        "doc_id bigint, url string",
+    )
+    out = url_dedup_first(df, "url", ["doc_id"]).collect()
+    kept = {r["doc_id"]: r["canonical_url"] for r in out}
+    assert set(kept) == {1, 3}
+    assert kept[1] == "https://e.com/x"
