@@ -315,3 +315,61 @@ def test_weighted_sample_partition_layout_invariant(spark):
     a = {r.doc_id for r in weighted_sample(df, "doc_id", "w", 97).collect()}
     b = {r.doc_id for r in weighted_sample(df.repartition(13), "doc_id", "w", 97).collect()}
     assert a == b and a
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    urls=st.lists(
+        st.from_regex(
+            r"(https?|HTTPS?)://[A-Za-z0-9.]{1,12}(:(80|443|8080))?"
+            r"(/[A-Za-z0-9/._-]{0,12})?"
+            r"(\?([a-z]{1,6}=[A-Za-z0-9]{0,4}&?|utm_[a-z]{1,5}=[a-z]{0,3}&?){0,4})?"
+            r"(#[A-Za-z0-9]{0,6})?",
+            fullmatch=True,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_canonical_url_is_idempotent(spark, urls):
+    """canonical(canonical(u)) == canonical(u): the canonical form is
+    a fixpoint — re-canonicalizing an already-deduped URL table must
+    never re-split groups."""
+    from gem_data_wrangle_spark.operators.textops import canonical_url
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i int, url string"
+    )
+    once = df.select("i", canonical_url("url").alias("c1"))
+    twice = once.select("i", "c1", canonical_url("c1").alias("c2")).collect()
+    for r in twice:
+        assert r["c1"] == r["c2"], (r["c1"], r["c2"])
+
+
+def test_c4_filters_is_idempotent_on_its_own_output(spark):
+    """Every line c4 keeps satisfies the line predicate, so running
+    the filter on text_clean keeps everything: n_kept == n_lines and
+    text_clean is unchanged (for non-empty outputs)."""
+    from gem_data_wrangle_spark.operators.textops import c4_filters
+
+    good = "This line is a perfectly fine sentence."
+    docs = spark.createDataFrame(
+        [
+            (0, f"{good}\nshort.\n{good}\nEnable JavaScript now please."),
+            (1, f"{good}\n{good}"),
+            (2, "nothing survives here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    once = c4_filters(docs, "text", "doc_id").select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    again = {
+        r["doc_id"]: r
+        for r in c4_filters(once, "text", "doc_id").collect()
+    }
+    first = {r["doc_id"]: r for r in c4_filters(docs, "text", "doc_id").collect()}
+    for did, r in first.items():
+        if r["text_clean"]:
+            assert again[did]["text_clean"] == r["text_clean"]
+            assert again[did]["n_kept"] == again[did]["n_lines"]
