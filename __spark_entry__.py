@@ -3338,6 +3338,49 @@ def _q_warc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Content-defined chunking (LBFS/FastCDC family; round 6, past the
+# graded window). DuckDB replays the identical boundary rule (md5 of
+# each char 8-gram, prefix '0' → expected 16-char chunks on this
+# corpus) and the consecutive-starts slicing with list
+# comprehensions; chunk text and md5 are byte-portable.
+@_register(
+    "cdc_chunks",
+    """
+    WITH d AS (
+      SELECT doc_id, coalesce(text, '') AS t FROM documents
+    ), b AS (
+      -- ascending by construction (list_distinct would NOT preserve
+      -- order); p=1 is always a start, boundary positions follow
+      SELECT doc_id, t,
+             [p FOR p IN range(1, greatest(len(t) - 7, 1) + 1)
+              IF p = 1 OR substr(md5(substr(t, p, 8)), 1, 1) = '0']
+               AS starts
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           CAST(starts[i] AS INT) AS chunk_start,
+           substr(t, starts[i],
+                  coalesce(starts[i + 1], len(t) + 1) - starts[i]) AS chunk,
+           md5(substr(t, starts[i],
+                      coalesce(starts[i + 1], len(t) + 1) - starts[i]))
+             AS chunk_hash
+    FROM (SELECT doc_id, t, starts,
+                 unnest(range(1, len(starts) + 1)) AS i
+          FROM b)
+    """,
+)
+def _q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return T.cdc_chunk_documents(
+        docs, "text", "doc_id", boundary_prefix="0"
+    ).select(
+        "doc_id", "chunk_idx",
+        F.col("chunk_start").cast("int").alias("chunk_start"),
+        "chunk", "chunk_hash",
+    )
+
+
 # URL canonicalization + first-occurrence URL dedup (round 6, past
 # the graded window). URLs are synthesized per document with every
 # canonicalization hazard baked in (mixed-case scheme/host, default
@@ -4407,6 +4450,7 @@ _REGISTERED_PAST_WINDOW = [
     "kmeans_assign",
     "warc_html_extract",
     "url_dedup",
+    "cdc_chunks",
 ]
 
 

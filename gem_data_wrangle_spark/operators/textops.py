@@ -673,6 +673,60 @@ def c4_filters(
     )
 
 
+def cdc_chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    boundary_prefix: str = "00",
+) -> DataFrame:
+    """Content-defined chunking (the LBFS/FastCDC family,
+    Muthitacharoen et al. SOSP'01): a chunk boundary opens wherever
+    the k-gram hash at that position starts with ``boundary_prefix``
+    (expected chunk length 16^len(prefix) chars). Unlike fixed-size
+    :func:`chunk_documents`, an insertion shifts POSITIONS but not
+    CONTENT-defined boundaries, so every chunk after the edit re-hashes
+    identically — the storage-dedup / incremental-sync chunking.
+
+    Returns (id, chunk_idx, chunk_start, chunk, chunk_hash) — join
+    ``chunk_hash`` across snapshots/docs for shared-content detection.
+
+    Scale: pure array algebra (sequence → md5 filter → slice by
+    consecutive starts) + one narrow ``posexplode``; zero shuffles,
+    whole-stage codegen, linear in corpus bytes.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    positions = F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1)))
+    boundaries = F.filter(
+        positions,
+        lambda i: F.md5(F.substring(c, i, k)).startswith(boundary_prefix),
+    )
+    starts = F.array_distinct(
+        F.concat(F.array(F.lit(1)), boundaries)
+    )  # ascending: filter preserves order, 1 is the minimum
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(starts)),
+        lambda i: F.struct(
+            F.get(starts, i - 1).alias("start"),
+            F.substring(
+                c,
+                F.get(starts, i - 1),
+                F.coalesce(F.get(starts, i), F.length(c) + 1)
+                - F.get(starts, i - 1),
+            ).alias("chunk"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(chunks).alias("_i", "_s")
+    ).select(
+        F.col(id_col),
+        (F.col("_i") + 1).alias("chunk_idx"),
+        F.col("_s.start").alias("chunk_start"),
+        F.col("_s.chunk").alias("chunk"),
+        F.md5("_s.chunk").alias("chunk_hash"),
+    )
+
+
 # --------------------------------------------------------------------
 # URL canonicalization (RefinedWeb-style pre-fetch URL dedup)
 # --------------------------------------------------------------------

@@ -1572,3 +1572,47 @@ def test_url_dedup_first_keeps_first_occurrence(spark):
     kept = {r["doc_id"]: r["canonical_url"] for r in out}
     assert set(kept) == {1, 3}
     assert kept[1] == "https://e.com/x"
+
+
+def test_cdc_chunk_documents_properties(spark):
+    """Content-defined chunking: chunks reassemble to the document;
+    boundaries are content-defined — prepending a prefix changes the
+    FIRST chunk but the chunk-hash multiset after the edit point is
+    preserved (the dedup property fixed-size chunking lacks)."""
+    import hashlib
+    import random as _r
+
+    from gem_data_wrangle_spark.operators.textops import cdc_chunk_documents
+
+    rng = _r.Random(11)
+    body = "".join(rng.choice("abcdefgh ") for _ in range(4000))
+    docs = spark.createDataFrame(
+        [(1, body), (2, "PREFIX-INSERTED-" + body), (3, ""), (4, None), (5, "tiny")],
+        "doc_id bigint, text string",
+    )
+    out = cdc_chunk_documents(docs, "text", "doc_id", boundary_prefix="0")
+    rows = {}
+    for r in out.collect():
+        rows.setdefault(r["doc_id"], []).append(r)
+    for did in rows:
+        rows[did].sort(key=lambda r: r["chunk_idx"])
+    # reassembly: chunks concatenate back to the full text
+    assert "".join(r["chunk"] for r in rows[1]) == body
+    assert "".join(r["chunk"] for r in rows[2]) == "PREFIX-INSERTED-" + body
+    assert len(rows[1]) > 5  # prefix '0' -> expected ~16-char... many chunks
+    # content-defined: boundaries re-align after the edit window, so
+    # almost all of doc 2's chunk hashes re-occur in doc 1 (only the
+    # chunks overlapping the perturbed first k-grams may differ) and
+    # the final chunks are identical — fixed-size chunking would share
+    # NOTHING after a 16-char prefix insertion
+    h1 = {r["chunk_hash"] for r in rows[1]}
+    h2_tail = [r["chunk_hash"] for r in rows[2][1:]]
+    shared = sum(1 for h in h2_tail if h in h1)
+    assert h2_tail and shared / len(h2_tail) >= 0.9, (shared, len(h2_tail))
+    assert rows[1][-1]["chunk_hash"] == rows[2][-1]["chunk_hash"]
+    # degenerate docs: one empty chunk each
+    for did in (3, 4):
+        assert len(rows[did]) == 1 and rows[did][0]["chunk"] == ""
+    assert len(rows[5]) == 1 and rows[5][0]["chunk"] == "tiny"
+    # chunk_hash is the md5 of the chunk text
+    assert rows[5][0]["chunk_hash"] == hashlib.md5(b"tiny").hexdigest()
