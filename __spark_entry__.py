@@ -3459,6 +3459,81 @@ def _q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Full distributed Lloyd k-means, 2 training iterations + final
+# scoring pass (round 6, past the graded window). The oracle unrolls
+# both iterations: assign (argmin via row_number over (sq_dist, cid))
+# → per-dimension mean by cluster (the M step) → reassign → M step →
+# score. Empty clusters carry the previous centroid forward on both
+# sides. sq_dist stays out of the oracled projection (float hygiene,
+# same policy as kmeans_assign); the per-dim means are double avgs
+# whose engine sum-order freedom is far below the argmin margins on
+# this corpus — pytest pins convergence behavior separately.
+@_register(
+    "kmeans_lloyd",
+    """
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings
+    ), c0 AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 4
+    ), a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c0.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_sum([(vv[k] - cv[k]) * (vv[k] - cv[k])
+                                    FOR k IN range(1, len(vv) + 1)]),
+                          c0.cid
+               ) AS rn
+        FROM v CROSS JOIN c0) WHERE rn = 1
+    ), m1 AS (
+      SELECT cid, k, avg(vv[k]) AS m
+      FROM (SELECT a1.cid, v.vv, unnest(range(1, len(v.vv) + 1)) AS k
+            FROM a1 JOIN v USING (vec_id))
+      GROUP BY cid, k
+    ), c1 AS (
+      SELECT cid, list(m ORDER BY k) AS cv FROM m1 GROUP BY cid
+      UNION ALL
+      SELECT cid, cv FROM c0 WHERE cid NOT IN (SELECT cid FROM m1)
+    ), a2 AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c1.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_sum([(vv[k] - cv[k]) * (vv[k] - cv[k])
+                                    FOR k IN range(1, len(vv) + 1)]),
+                          c1.cid
+               ) AS rn
+        FROM v CROSS JOIN c1) WHERE rn = 1
+    ), m2 AS (
+      SELECT cid, k, avg(vv[k]) AS m
+      FROM (SELECT a2.cid, v.vv, unnest(range(1, len(v.vv) + 1)) AS k
+            FROM a2 JOIN v USING (vec_id))
+      GROUP BY cid, k
+    ), c2 AS (
+      SELECT cid, list(m ORDER BY k) AS cv FROM m2 GROUP BY cid
+      UNION ALL
+      SELECT cid, cv FROM c1 WHERE cid NOT IN (SELECT cid FROM m2)
+    )
+    SELECT vec_id, cid AS cluster_id FROM (
+      SELECT v.vec_id, c2.cid,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY list_sum([(vv[k] - cv[k]) * (vv[k] - cv[k])
+                                  FOR k IN range(1, len(vv) + 1)]),
+                        c2.cid
+             ) AS rn
+      FROM v CROSS JOIN c2) WHERE rn = 1
+    """,
+)
+def _q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 4)
+    return V.kmeans_lloyd(emb, "embedding", "vec_id", cents, iters=2).select(
+        "vec_id", "cluster_id"
+    )
+
+
 # Real WAV/PCM audio decode through the Arrow-batched feature path
 # (round 6; registers past the 50-query graded window — oracle ready
 # for the round-7 rotation, pytest covers it meanwhile). Payloads are
@@ -3535,6 +3610,76 @@ def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id", "decode_status", "rate", "channels", "n_frames",
         "duration", "peak", "zero_cross_rate",
     )
+
+
+# Unigram-LM mean log-probability (the CCNet-perplexity stand-in;
+# round 6, past the graded window). The oracle re-derives the corpus
+# frequency table and the add-½ smoothed per-token log-probability
+# independently; both sides round the operator's 6-dp mean again to
+# 4 dp (double-rounded on BOTH sides, so the projections are
+# structurally identical — the only engine freedom left is libm ln
+# ulps, the same exposure tfidf_top_terms carries green).
+@_register(
+    "unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), freq AS (
+      SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT sum(cnt) AS n, count(*) AS v FROM freq
+    )
+    SELECT doc_id,
+           round(round(avg(ln(cnt + 0.5) - ln(n + 0.5 * v)), 6), 4)
+             AS mean_token_logprob,
+           count(*) AS n_tokens
+    FROM toks JOIN freq USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = T.unigram_logprob_scores(docs, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        F.round("mean_token_logprob", 4).alias("mean_token_logprob"),
+        "n_tokens",
+    )
+
+
+# Okapi BM25 for a fixed 3-term query (round 6, past the graded
+# window). Terms are common corpus words so most documents score; the
+# oracle recomputes idf/tf/length-normalization from scratch. The
+# 3-addend score sum is permutation-insensitive at 4 dp.
+@_register(
+    "bm25_rank",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), dl AS (
+      SELECT doc_id, count(*) AS _dl FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT count(*) AS _n, avg(_dl) AS _avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS _tf FROM toks
+      WHERE term IN ('customer', 'join', 'vector')
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*) AS _df FROM tf GROUP BY term
+    )
+    SELECT doc_id,
+           round(sum(ln((_n - _df + 0.5) / (_df + 0.5) + 1.0)
+                     * (_tf * 2.2)
+                     / (_tf + 1.2 * (1 - 0.75 + 0.75 * _dl / _avgdl))),
+                 4) AS bm25
+    FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY doc_id
+    """,
+)
+def _q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = T.bm25_scores(docs, "text", "doc_id", ["customer", "join", "vector"])
+    return out.select("doc_id", F.round("bm25", 4).alias("bm25"))
 
 
 # --------------------------------------------------------------------
@@ -4451,6 +4596,9 @@ _REGISTERED_PAST_WINDOW = [
     "warc_html_extract",
     "url_dedup",
     "cdc_chunks",
+    "unigram_logprob",
+    "bm25_rank",
+    "kmeans_lloyd",
 ]
 
 

@@ -478,3 +478,111 @@ def kmeans_assign(
         F.element_at(cent_ids, best.cast("int")).alias("cluster_id"),
         F.element_at(dists, best.cast("int")).alias("sq_dist"),
     )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str,
+    id_col: str,
+    iters: int = 2,
+    cent_vec_col: str | None = None,
+    cent_id_col: str | None = None,
+    max_centroids: int = 4096,
+) -> list[tuple]:
+    """Full distributed Lloyd TRAINING: ``iters`` rounds of
+    E step (:func:`kmeans_assign` — narrow literal-centroid argmin,
+    zero shuffles) + M step (:func:`mean_pool_vectors` grouped by
+    ``cluster_id`` — one keyed shuffle with map-side partial
+    aggregation, then a model-sized k-row collect, the same bounded
+    contract as the assignment's centroid inlining). A cluster that
+    loses every member keeps its previous centroid (the standard
+    empty-cluster rule), so k never shrinks.
+
+    Per-iteration cost at 100 TB: one corpus scan for the narrow
+    assignment fused with the explode, one (cluster, dim)-keyed
+    shuffle of k·dim partial means — the corpus is never joined or
+    re-shuffled on a wide key, matching pyspark.ml's KMeans shape
+    (treeAggregate over literal centers).
+
+    Returns the fitted centroids as ``[(centroid_id, [double, ...]),
+    ...]`` sorted by id — feed them back through ``spark
+    .createDataFrame`` into :func:`kmeans_assign` for scoring.
+    """
+    cent_vec_col = cent_vec_col or vec_col
+    cent_id_col = cent_id_col or id_col
+    rows = centroids.select(cent_id_col, cent_vec_col).collect()  # bounded: k rows
+    if len(rows) > max_centroids:
+        raise ValueError(
+            f"{len(rows)} centroids exceed max_centroids={max_centroids}"
+        )
+    cents = sorted((r[0], [float(x) for x in r[1]]) for r in rows)
+    spark = df.sparkSession
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    id_field = centroids.select(cent_id_col).schema.fields[0]
+    cent_schema = StructType(
+        [
+            StructField(cent_id_col, id_field.dataType),
+            StructField(cent_vec_col, ArrayType(DoubleType())),
+        ]
+    )
+    for _ in range(iters):
+        cent_df = spark.createDataFrame(list(cents), cent_schema)
+        assigned = kmeans_assign(
+            df.select(F.col(id_col), F.col(vec_col)),
+            cent_df,
+            vec_col,
+            id_col,
+            cent_vec_col=cent_vec_col,
+            cent_id_col=cent_id_col,
+            max_centroids=max_centroids,
+        )
+        members = df.select(F.col(id_col), F.col(vec_col)).join(
+            assigned.select(id_col, "cluster_id"), on=id_col
+        )
+        pooled = mean_pool_vectors(members, vec_col, "cluster_id")
+        new = {
+            r[0]: [float(x) for x in r[1]]
+            for r in pooled.collect()  # bounded: k rows
+        }
+        cents = [(cid, new.get(cid, cv)) for cid, cv in cents]
+    return cents
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: DataFrame,
+    iters: int = 2,
+    cent_vec_col: str | None = None,
+    cent_id_col: str | None = None,
+) -> DataFrame:
+    """Train with :func:`kmeans_fit`, then score the corpus with the
+    fitted centroids: returns ``id_col``, ``cluster_id``, ``sq_dist``
+    for every vector. The training loop touches only model-sized
+    state on the driver; the final scoring pass is the same
+    zero-shuffle narrow argmin as :func:`kmeans_assign`."""
+    cent_vec_col = cent_vec_col or vec_col
+    cent_id_col = cent_id_col or id_col
+    fitted = kmeans_fit(
+        df, centroids, vec_col, id_col, iters=iters,
+        cent_vec_col=cent_vec_col, cent_id_col=cent_id_col,
+    )
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    id_field = centroids.select(cent_id_col).schema.fields[0]
+    cent_df = df.sparkSession.createDataFrame(
+        fitted,
+        StructType(
+            [
+                StructField(cent_id_col, id_field.dataType),
+                StructField(cent_vec_col, ArrayType(DoubleType())),
+            ]
+        ),
+    )
+    return kmeans_assign(
+        df, cent_df, vec_col, id_col,
+        cent_vec_col=cent_vec_col, cent_id_col=cent_id_col,
+    )

@@ -1496,6 +1496,41 @@ def test_kmeans_assign_values_and_lloyd_step(spark):
         kmeans_assign(pts, cents.filter("vec_id < 0"), "embedding", "vec_id")
 
 
+def test_kmeans_fit_converges_and_carries_empty_clusters(spark):
+    """Hand-computed 2-iteration Lloyd on 1-D-ish points, the
+    empty-cluster carry-forward rule, and fit/score agreement."""
+    from gem_data_wrangle_spark.operators.similarity import (
+        kmeans_assign, kmeans_fit, kmeans_lloyd,
+    )
+
+    schema = "vec_id bigint, embedding array<double>"
+    cents = spark.createDataFrame([(0, [0.0, 0.0]), (1, [10.0, 0.0])], schema)
+    pts = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [3.0, 0.0]), (102, [11.0, 0.0])], schema
+    )
+    # iter 1: {100,101}->0, {102}->1 -> c0=[2,0], c1=[11,0]; iter 2 fixed point
+    fitted = kmeans_fit(pts, cents, "embedding", "vec_id", iters=2)
+    assert fitted == [(0, [2.0, 0.0]), (1, [11.0, 0.0])]
+
+    # a cluster that loses every member keeps its previous centroid
+    far = spark.createDataFrame([(0, [0.0, 0.0]), (1, [100.0, 0.0])], schema)
+    near = spark.createDataFrame([(100, [1.0, 0.0]), (101, [2.0, 0.0])], schema)
+    kept = kmeans_fit(near, far, "embedding", "vec_id", iters=2)
+    assert kept == [(0, [1.5, 0.0]), (1, [100.0, 0.0])]
+
+    # lloyd = fit + score with the fitted centroids
+    scored = {
+        r["vec_id"]: r["cluster_id"]
+        for r in kmeans_lloyd(pts, "embedding", "vec_id", cents, iters=2).collect()
+    }
+    cent_df = spark.createDataFrame(fitted, schema)
+    direct = {
+        r["vec_id"]: r["cluster_id"]
+        for r in kmeans_assign(pts, cent_df, "embedding", "vec_id").collect()
+    }
+    assert scored == direct == {100: 0, 101: 0, 102: 1}
+
+
 def test_c4_filters_literal_separator(spark):
     """Regex-metacharacter separators split literally (split is
     \\Q-quoted to mirror the literal array_join reassembly)."""
