@@ -3840,7 +3840,11 @@ def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # canonical representative (keep = min doc of the cluster). Iterative
 # min-label propagation on the Spark side; DuckDB replays it with a
 # WITH RECURSIVE reachability closure over the same candidate pairs.
-def _neardup_components_oracle(num_bands: int = 4, rows_per_band: int = 4) -> str:
+def _neardup_components_oracle(
+    num_bands: int = 4,
+    rows_per_band: int = 4,
+    final_select: str | None = None,
+) -> str:
     band_selects = []
     for b in range(num_bands):
         mins = ", ".join(
@@ -3868,10 +3872,18 @@ def _neardup_components_oracle(num_bands: int = 4, rows_per_band: int = 4) -> st
       UNION
       SELECT e.d, r.root FROM reach r JOIN edges e ON e.s = r.node
     )
-    SELECT node AS doc_id, CAST(min(root) AS BIGINT) AS component,
-           CAST(node = min(root) AS BOOLEAN) AS keep
-    FROM reach GROUP BY node
+    {final_select or _NEARDUP_DEFAULT_SELECT}
     """
+
+
+# byte-identical to the pre-round-6 inline SELECT (the deferred
+# neardup_components query rides its r5-green row, so its generated
+# oracle must not drift when the builder grows parameters)
+_NEARDUP_DEFAULT_SELECT = (
+    "SELECT node AS doc_id, CAST(min(root) AS BIGINT) AS component,\n"
+    "           CAST(node = min(root) AS BOOLEAN) AS keep\n"
+    "    FROM reach GROUP BY node"
+)
 
 
 @_register("neardup_components", _neardup_components_oracle())
@@ -3889,6 +3901,29 @@ def _q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(
         "doc_id", "component", (F.col("doc_id") == F.col("component")).alias("keep")
     )
+
+
+# End-to-end near-duplicate REMOVAL (round 6, past the graded
+# window): the composed candidates → closure → keep-lowest-id →
+# left-anti materialization, value-checked over the full surviving
+# rows (every original document column). Oracle = the same recursive
+# reachability closure, final select flipped to the survivors joined
+# back to the corpus.
+@_register(
+    "neardup_dedup",
+    _neardup_components_oracle(
+        final_select="""
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+    FROM documents d JOIN (
+      SELECT node AS doc_id FROM reach GROUP BY node
+      HAVING node = min(root)
+    ) keepers USING (doc_id)
+    """
+    ),
+)
+def _q_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.neardup_dedup(docs, "text", "doc_id", num_bands=4, rows_per_band=4, ngram=2)
 
 
 # Gopher/C4-style quality rule flags: word-count bounds, mean word
@@ -4599,6 +4634,7 @@ _REGISTERED_PAST_WINDOW = [
     "unigram_logprob",
     "bm25_rank",
     "kmeans_lloyd",
+    "neardup_dedup",
 ]
 
 

@@ -688,3 +688,42 @@ def dedup_against_index(
         fresh = batch
         updated = fresh.select(F.col("_h").alias("digest"))
     return fresh.drop("_h"), updated
+
+
+def neardup_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_bands: int = 4,
+    rows_per_band: int = 4,
+    ngram: int = 2,
+    max_iter: int = 20,
+) -> DataFrame:
+    """End-to-end near-duplicate REMOVAL — the operation a pretraining
+    pipeline actually ships: MinHash/LSH candidate pairs →
+    transitive closure (A-B, B-C ⇒ one cluster even if A-C never
+    collided) → keep the lowest-id document per cluster → return the
+    SURVIVING rows of ``df`` with every original column intact.
+
+    Scale shape: the non-survivors (cluster members that are not the
+    minimum id) are the SMALL side — a few percent of a deduplicated
+    crawl — so the final step is a LEFT ANTI join of the corpus
+    against the loser id set (broadcast-able under AQE), never an
+    inner join shuffling the full corpus against itself. Candidates
+    come from band equi-joins (no all-pairs), closure from
+    :func:`gem_data_wrangle_spark.operators.graph.connected_components`
+    (min-label propagation, diameter-bounded).
+    """
+    from gem_data_wrangle_spark.operators.graph import (  # noqa: PLC0415
+        connected_components,
+    )
+
+    cand = lsh_candidate_pairs(
+        df, text_col, id_col,
+        num_bands=num_bands, rows_per_band=rows_per_band, ngram=ngram,
+    )
+    comp = connected_components(
+        cand, "id_a", "id_b", id_col=id_col, max_iter=max_iter,
+    )
+    losers = comp.filter(F.col(id_col) != F.col("component")).select(id_col)
+    return df.join(losers, on=id_col, how="left_anti")

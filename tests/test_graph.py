@@ -43,3 +43,34 @@ def test_components_max_iter_bounds_work(spark):
     # ample bound on the same chain converges with no warning
     ok = connected_components(edges, "a", "b", max_iter=15)
     assert {r["component"] for r in ok.collect()} == {1}
+
+
+def test_neardup_dedup_end_to_end(spark):
+    """Transitive near-dup removal keeps the lowest id per cluster and
+    returns the surviving rows with every original column intact."""
+    from gem_data_wrangle_spark.operators.dedup import neardup_dedup
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, dup, "en"),
+            (2, dup, "en"),          # exact near-dup of 1
+            (3, dup + " iota", "en"),  # shares most shingles -> same cluster
+            (9, "completely different words nothing shared here at all", "fr"),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    out = neardup_dedup(docs, "text", "doc_id")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert 1 in rows and 9 in rows          # cluster representative + singleton
+    assert 2 not in rows                     # non-minimum cluster members removed
+    assert set(out.columns) == {"doc_id", "text", "lang"}
+    assert rows[9]["lang"] == "fr"
+
+    # a corpus with no collisions passes through unchanged
+    uniq = spark.createDataFrame(
+        [(i, f"unique text number {i} with tokens {i * 7} {i * 13}", "en")
+         for i in range(4)],
+        "doc_id bigint, text string, lang string",
+    )
+    assert neardup_dedup(uniq, "text", "doc_id").count() == 4

@@ -57,6 +57,13 @@ QUERIES = [
     "corpus_shuffle",
     "kmeans_assign",
     "warc_html_extract",
+    # round 6 continuation: scoring family — unigram_logprob's vocab
+    # count and bm25's postings are both partial-combined before their
+    # shuffles; kmeans_lloyd adds two bounded k-row collects on top of
+    # the narrow assignment, so its ratio tracks the scan
+    "kmeans_lloyd",
+    "unigram_logprob",
+    "bm25_rank",
 ]
 
 BASE = "/root/testdata/sf0.1"
@@ -99,13 +106,14 @@ def replicate(spark, n: int, out_dir: str) -> None:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = sys.argv[2:]  # optional query-name filter; skips the extras
     out_dir = f"/tmp/scale_sf{n}x"
     spark = get_spark("scale-test")
     replicate(spark, n, out_dir)
 
     qs = entrymod.queries()
     results = {}
-    for name in QUERIES:
+    for name in only if only else QUERIES:
         times = {}
         for label, sf_dir in [("1x", BASE), (f"{n}x", out_dir)]:
             t0 = time.time()
@@ -114,6 +122,9 @@ def main() -> None:
         ratio = round(times[f"{n}x"] / max(times["1x"], 1e-9), 1)
         results[name] = {**times, "ratio": ratio}
         print(json.dumps({name: results[name]}))
+
+    if only:
+        return
 
     # semdedup is the one operator whose cost is quadratic in the
     # quantizer CELL size, so the honest scale measurement lets the
