@@ -158,3 +158,36 @@ def test_text_queries_match_oracles_on_fuzzed_corpus(spark, tmp_path, qname):
     division crash (x/0 raises in Spark, NULLs in DuckDB) — the empty
     doc stays in the corpus as the regression guard."""
     _compare(spark, tmp_path, _corpus(7), qname)
+
+@pytest.mark.parametrize("seed", [7, 19, 23])
+def test_unigram_logprob_matches_oracle_on_fuzzed_corpora(
+    spark, tmp_path, seed
+):
+    """Round 6: the unigram-LM mean log-prob — empty docs (the ''
+    token), single-token docs, and unicode stress the smoothing
+    constant and the double-rounded 4-dp agreement between Spark's
+    partial-agg avg and DuckDB's sequential avg."""
+    _compare(spark, tmp_path, _corpus(seed), "unigram_logprob")
+
+
+def _bm25_corpus(seed: int) -> list[tuple[int, str]]:
+    """The fuzz corpus with the graded query's BM25 terms mixed into a
+    random subset of documents (otherwise no posting survives the
+    term filter and the test degenerates to 0-row agreement)."""
+    rng = random.Random(seed + 1)
+    out = []
+    for i, t in _corpus(seed):
+        extra = " ".join(
+            rng.choice(["customer", "join", "vector", "zz"])
+            for _ in range(rng.randint(0, 6))
+        )
+        out.append((i, (t + " " + extra).strip() if extra else t))
+    return out
+
+
+@pytest.mark.parametrize("seed", [7, 19, 23])
+def test_bm25_matches_oracle_on_fuzzed_corpora(spark, tmp_path, seed):
+    """Round 6: BM25's idf/saturation/length-normalization algebra —
+    skewed doc lengths and term multiplicities from the fuzz corpus
+    stress the 4-dp ln() agreement across engines."""
+    _compare(spark, tmp_path, _bm25_corpus(seed), "bm25_rank")
