@@ -59,6 +59,12 @@ HEADLINE = [
     # round 6: the Lee-et-al payoff stage — positioned fingerprints →
     # span merge → cut; benched end-to-end (spans recomputed inside)
     "cut_duplicate_spans",
+    # round 6 continuation: the end-to-end near-dup REMOVAL flagship
+    # (LSH candidates → iterative closure → anti-join; ~10 s at sf0.1,
+    # dominated by the per-iteration checkpoint+probe fixed cost, not
+    # data — pre-explained in BENCH_HISTORY) and the unigram-LM scorer
+    "neardup_dedup",
+    "unigram_logprob",
 ]
 
 
