@@ -3682,6 +3682,46 @@ def _q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("bm25", 4).alias("bm25"))
 
 
+# CCNet-style perplexity cut (round 6, past the graded window): drop
+# the worst decile by mean token log-prob. The graded query pins
+# exact=True so DuckDB's quantile_cont replays the interpolated
+# cutoff (approx_percentile is the operator's scale-path default).
+# The >= compare is engine-stable: an interpolated cutoff either
+# equals an order statistic exactly (integral position or tied
+# neighbors — bit-identical in both engines) or lies strictly
+# between two adjacent order statistics, where no score can sit.
+@_register(
+    "lm_quality_cut",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), freq AS (
+      SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT sum(cnt) AS n, count(*) AS v FROM freq
+    ), s AS (
+      SELECT doc_id,
+             round(avg(ln(cnt + 0.5) - ln(n + 0.5 * v)), 6) AS sc,
+             count(*) AS n_tokens
+      FROM toks JOIN freq USING (tok) CROSS JOIN tot
+      GROUP BY doc_id
+    ), c AS (
+      SELECT quantile_cont(sc, 0.1) AS cut FROM s
+    )
+    SELECT doc_id, round(round(sc, 6), 4) AS mean_token_logprob, n_tokens
+    FROM s CROSS JOIN c WHERE sc >= cut
+    """,
+)
+def _q_lm_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = T.lm_quality_filter(docs, "text", "doc_id", min_quantile=0.1, exact=True)
+    return out.select(
+        "doc_id",
+        F.round("mean_token_logprob", 4).alias("mean_token_logprob"),
+        "n_tokens",
+    )
+
+
 # --------------------------------------------------------------------
 # capstone: composed training-data pipeline — quality gate → exact
 # dedup → language filter → deterministic split, one lazy plan
@@ -4635,6 +4675,7 @@ _REGISTERED_PAST_WINDOW = [
     "bm25_rank",
     "kmeans_lloyd",
     "neardup_dedup",
+    "lm_quality_cut",
 ]
 
 

