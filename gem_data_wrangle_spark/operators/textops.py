@@ -895,6 +895,13 @@ def lm_quality_filter(
     per-corpus-sample, NOT for 100 TB; the graded query uses it so
     DuckDB's quantile_cont can replay the cutoff bit-for-bit).
     Returns the surviving ``(id, mean_token_logprob, n_tokens)`` rows.
+
+    The scoring subplan feeds BOTH the cutoff aggregate and the
+    filter branch, so Spark evaluates it twice (PLANS.md shows the
+    doubled exchanges); at corpus scale, ``.persist()`` the
+    :func:`unigram_logprob_scores` output and apply the cutoff
+    yourself, or accept 2x the scoring cost — the cutoff side
+    reduces to one broadcast row either way.
     """
     fn = "percentile" if exact else "approx_percentile"
     scores = unigram_logprob_scores(df, text_col, id_col, smoothing=smoothing)

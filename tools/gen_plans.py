@@ -51,6 +51,7 @@ CASES = {
     "kmeans_lloyd": "Lloyd k-means scoring pass — fitted centroids inlined as a literal (training already folded to model-sized driver state); ZERO exchanges, no join",
     "unigram_logprob": "unigram-LM scoring — explode → vocab-keyed partial-combine count, frequency join-back, per-doc re-agg; corpus stats broadcast as one row",
     "bm25_rank": "BM25 — query-term filter lands right after the explode so only matching postings shuffle; doc lengths aggregated once, stats broadcast",
+    "lm_quality_cut": "perplexity cut — unigram scoring plan + a ONE-ROW percentile cutoff broadcast into the filter; the scoring subplan feeds BOTH branches (2 passes unless the caller persists scores)",
 }
 
 INTERESTING = (
