@@ -3722,6 +3722,101 @@ def _q_lm_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _md5_nibble_sum_sql(hx: str, nibbles: int) -> str:
+    """DuckDB integer from the first ``nibbles`` hex chars of ``hx`` —
+    the portable replay of Spark's ``conv(substr(md5(x),1,n),16,10)``
+    (same strpos arithmetic as the bernoulli_sample oracle)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', {hx}[{i + 1}]) - 1) * {16 ** (nibbles - 1 - i)}"
+        for i in range(nibbles)
+    )
+
+
+# DSIR importance weights (Xie et al. 2302.03169; round 6, past the
+# graded window): target = the corpus's English slice, raw = the full
+# corpus; every raw doc scored by sum of hashed-unigram+bigram
+# log-ratios lambda_b = log p_b - log q_b (4096 md5 buckets, Laplace
+# smoothing). lambda AND the per-doc weighted sum round to 6 dp on
+# both sides: integer-weighted 6-dp terms sum to the CENTER of a 1e-6
+# rounding bucket (ulp-proof), while 4 dp sat exactly on half
+# boundaries and flipped 3/500 docs in local parity.
+_DSIR_GRAMS_SQL = """
+    rt AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ), rg AS (
+      SELECT doc_id,
+             unnest(list_concat(
+               t, [t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))])) AS g
+      FROM rt
+    ), rb AS (
+      SELECT doc_id, {bucket} AS b
+      FROM (SELECT doc_id, md5(g) AS hx FROM rg)
+    ), tg AS (
+      SELECT unnest(list_concat(
+               t, [t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))])) AS g
+      FROM rt WHERE lang = 'en'
+    ), tb AS (
+      SELECT {bucket} AS b FROM (SELECT md5(g) AS hx FROM tg)
+    ), qc AS (
+      SELECT b, count(*) AS qn_b FROM rb GROUP BY b
+    ), pc AS (
+      SELECT b, count(*) AS pn_b FROM tb GROUP BY b
+    ), tot AS (
+      SELECT (SELECT sum(qn_b) FROM qc) AS qn, (SELECT sum(pn_b) FROM pc) AS pn
+    ), lam AS (
+      SELECT b,
+             round((ln(coalesce(pn_b, 0) + 1.0) - ln(pn + 4096.0))
+                   - (ln(qn_b + 1.0) - ln(qn + 4096.0)), 6) AS lam
+      FROM qc LEFT JOIN pc USING (b) CROSS JOIN tot
+    ), db AS (
+      SELECT doc_id, b, count(*) AS c FROM rb GROUP BY doc_id, b
+    ), w AS (
+      SELECT doc_id, round(sum(c * lam), 6) AS log_importance,
+             sum(c) AS n_features
+      FROM db JOIN lam USING (b) GROUP BY doc_id
+    )
+""".format(bucket=_md5_nibble_sum_sql("hx", 3))
+
+
+@_register(
+    "dsir_logweights",
+    "WITH" + _DSIR_GRAMS_SQL + "SELECT doc_id, log_importance, n_features FROM w",
+)
+def _q_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.sampling import dsir_logweights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_logweights(docs, target, "text", "doc_id").select(
+        "doc_id", "log_importance", "n_features"
+    )
+
+
+# DSIR selection: Gumbel top-k over the weights — an exact weighted
+# sample without replacement, with the Gumbel's uniform drawn from 8
+# md5 nibbles of the salted id so both engines replay the "noise".
+@_register(
+    "dsir_resample",
+    "WITH" + _DSIR_GRAMS_SQL + """
+    SELECT doc_id, log_importance,
+           round(log_importance
+                 - ln(-ln(({u} + 0.5) / 4294967296.0)), 4) AS sample_key
+    FROM (SELECT doc_id, log_importance,
+                 md5('dsir:' || CAST(doc_id AS VARCHAR)) AS hx
+          FROM w)
+    ORDER BY sample_key DESC, doc_id LIMIT 100
+    """.format(u=_md5_nibble_sum_sql("hx", 8)),
+)
+def _q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.sampling import dsir_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_resample(docs, target, "text", "doc_id", k=100).select(
+        "doc_id", "log_importance", "sample_key"
+    )
+
+
 # --------------------------------------------------------------------
 # capstone: composed training-data pipeline — quality gate → exact
 # dedup → language filter → deterministic split, one lazy plan
@@ -4676,6 +4771,8 @@ _REGISTERED_PAST_WINDOW = [
     "kmeans_lloyd",
     "neardup_dedup",
     "lm_quality_cut",
+    "dsir_logweights",
+    "dsir_resample",
 ]
 
 

@@ -343,3 +343,137 @@ def deterministic_shuffle(
     return out.repartition(n, "shard").sortWithinPartitions(
         "shard", "shuffle_key"
     )
+
+
+def _hashed_ngrams(text: Column) -> Column:
+    """Unigram + bigram sequence (WITH multiplicity) — DSIR's bag of
+    hashed n-grams. Built with ``zip_with`` over shifted slices, the
+    same O(tokens) shape as ``dedup._shingles`` (a lambda referencing
+    the token array would re-evaluate the split per element)."""
+    toks = F.split(text, " ")
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    bi = F.zip_with(
+        F.slice(toks, 1, m), F.slice(toks, 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.concat(toks, bi)
+
+
+def dsir_logweights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    nibbles: int = 3,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., *Data Selection for
+    Language Models via Importance Resampling*, arXiv:2302.03169):
+    score every raw document by how much more likely its hashed
+    n-gram bag is under the TARGET distribution than under the RAW
+    distribution, ``log w(x) = Σ_b c_b(x)·(log p̂_b − log q̂_b)`` —
+    the paper's bag-of-hashed-ngrams importance estimator with
+    unigram+bigram features hashed into ``16**nibbles`` buckets
+    (default 4096) and Laplace smoothing.
+
+    Plan shape (100 TB-ready): one explode→groupBy per corpus builds
+    the two bucket-count tables (each ≤ B rows — B is a CONSTANT, so
+    the per-bucket log-ratio table λ is always broadcastable no
+    matter the corpus size); per-doc bucket counts partial-combine in
+    the same explode shuffle; the λ join is a broadcast hash join and
+    the final per-doc sum is the only other shuffle. Zero UDFs; the
+    md5-nibble bucket is the package's portable hash, so any engine
+    replays the weights exactly (λ — and the weighted sum — round to
+    6 decimals: the sum of integer-weighted 6-dp terms sits at the
+    CENTER of a 1e-6 rounding bucket, so cross-engine summation-order
+    ulps cannot flip it, whereas any coarser rounding puts it exactly
+    on a half boundary).
+
+    Returns ``(id_col, log_importance, n_features)`` for every raw
+    document (empty-text docs score on their single empty token).
+    """
+    buckets = 16 ** nibbles
+    raw_grams = raw.select(
+        F.col(id_col),
+        F.explode(_hashed_ngrams(F.col(text_col))).alias("_g"),
+    ).select(F.col(id_col), hash_bucket(F.col("_g"), nibbles).alias("_b"))
+    target_grams = target.select(
+        F.explode(_hashed_ngrams(F.col(text_col))).alias("_g")
+    ).select(hash_bucket(F.col("_g"), nibbles).alias("_b"))
+
+    qcnt = raw_grams.groupBy("_b").agg(F.count(F.lit(1)).alias("_qc"))
+    pcnt = target_grams.groupBy("_b").agg(F.count(F.lit(1)).alias("_pc"))
+    qtot = qcnt.agg(F.sum("_qc").alias("_qn"))
+    ptot = pcnt.agg(F.sum("_pc").alias("_pn"))
+
+    lam = (
+        qcnt.join(pcnt, on="_b", how="left")
+        .crossJoin(F.broadcast(qtot))
+        .crossJoin(F.broadcast(ptot))
+        .select(
+            "_b",
+            F.round(
+                (F.log(F.coalesce(F.col("_pc"), F.lit(0)) + F.lit(smoothing))
+                 - F.log(F.coalesce(F.col("_pn"), F.lit(0)) + F.lit(smoothing * buckets)))
+                - (F.log(F.col("_qc") + F.lit(smoothing))
+                   - F.log(F.col("_qn") + F.lit(smoothing * buckets))),
+                6,
+            ).alias("_lam"),
+        )
+    )
+
+    docb = raw_grams.groupBy(id_col, "_b").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        docb.join(F.broadcast(lam), on="_b")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum(F.col("_c") * F.col("_lam")), 6).alias("log_importance"),
+            F.sum("_c").alias("n_features"),
+        )
+    )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    nibbles: int = 3,
+    smoothing: float = 1.0,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR's selection step: sample ``k`` raw documents WITHOUT
+    replacement, with probability ∝ importance weight, via the Gumbel
+    top-k trick — ``argtop_k(log w(x) + g_x)`` with standard Gumbel
+    noise ``g = −log(−log u)`` is an exact weighted sample without
+    replacement (Vieira 2014). The uniform ``u`` comes from 8 md5
+    nibbles of the salted id, so the "noise" — and therefore the
+    sample — is deterministic, engine-portable, and independent of
+    partition layout, like every sampler in this module.
+
+    Scale: :func:`dsir_logweights`' plan plus one global top-k
+    (``orderBy(...).limit(k)`` plans as ``TakeOrderedAndProject`` —
+    per-partition heaps of k, no global sort materialization). Ties
+    break on the id for full determinism.
+
+    Returns ``(id_col, log_importance, sample_key)`` rows, the k
+    selected documents.
+    """
+    w = dsir_logweights(raw, target, text_col, id_col, nibbles, smoothing)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    gumbel = -F.log(-F.log(u))
+    return (
+        w.withColumn("sample_key", F.round(F.col("log_importance") + gumbel, 4))
+        .orderBy(F.desc("sample_key"), F.col(id_col))
+        .limit(k)
+    )

@@ -1674,3 +1674,57 @@ def test_lm_quality_filter_cuts_worst_decile(spark):
     approx = {r["doc_id"] for r in
               lm_quality_filter(docs, "text", "doc_id").collect()}
     assert set(range(9)) <= approx
+
+
+def test_dsir_logweights_prefers_target_like_docs(spark):
+    """DSIR (arXiv:2302.03169): documents sharing the target's hashed
+    n-gram mass must outscore off-target documents; weights are
+    layout-independent; n_features counts unigrams + bigrams."""
+    from gem_data_wrangle_spark.operators.sampling import dsir_logweights
+
+    target_text = "the quick brown fox jumps over the lazy dog"
+    raw = spark.createDataFrame(
+        [(i, target_text) for i in range(3)]
+        + [(10 + i, "zzz qqq vvv kkk jjj xxx www yyy uuu") for i in range(3)],
+        "doc_id bigint, text string",
+    )
+    target = spark.createDataFrame(
+        [(100 + i, target_text) for i in range(4)], "doc_id bigint, text string"
+    )
+    w = {r["doc_id"]: r["log_importance"]
+         for r in dsir_logweights(raw, target, "text", "doc_id").collect()}
+    assert len(w) == 6
+    assert min(w[i] for i in range(3)) > max(w[10 + i] for i in range(3))
+    # n_features = tokens + bigrams = 9 + 8
+    nf = {r["doc_id"]: r["n_features"]
+          for r in dsir_logweights(raw, target, "text", "doc_id").collect()}
+    assert nf[0] == 17
+    # layout independence: same weights under a different partitioning
+    w2 = {r["doc_id"]: r["log_importance"]
+          for r in dsir_logweights(raw.repartition(7), target.repartition(3),
+                                   "text", "doc_id").collect()}
+    assert w == w2
+
+
+def test_dsir_resample_is_deterministic_weighted_topk(spark):
+    """Gumbel top-k: exactly k rows, a subset of the raw ids, stable
+    across runs and partitionings, and biased toward target-like docs
+    (the on-target half must dominate the sample)."""
+    from gem_data_wrangle_spark.operators.sampling import dsir_resample
+
+    on = "data table query join column row index scan"
+    off = "zzz qqq vvv kkk jjj xxx www yyy"
+    raw = spark.createDataFrame(
+        [(i, on) for i in range(20)] + [(100 + i, off) for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    target = spark.createDataFrame([(500, on)], "doc_id bigint, text string")
+    take = dsir_resample(raw, target, "text", "doc_id", k=10)
+    rows = take.collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == 10 and len(set(ids)) == 10
+    assert sum(1 for i in ids if i < 100) > 8
+    again = [r["doc_id"] for r in
+             dsir_resample(raw.repartition(5), target, "text", "doc_id", k=10)
+             .collect()]
+    assert ids == again
