@@ -3422,6 +3422,65 @@ def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "canonical_url")
 
 
+# UT1-style domain blocklist gate (round 6, past the graded window):
+# synthetic per-doc hosts cycle through 5 domains; the 2-entry
+# blocklist must knock out exact matches AND subdomain matches
+# (ads.tracker.example.com via example.com, blog.sub.spam.net via
+# spam.net). The oracle replays the parent-domain chain with a list
+# comprehension over the split host and a correlated NOT EXISTS.
+@_register(
+    "blocked_domains",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             'https://' ||
+             CASE doc_id % 5
+               WHEN 0 THEN 'ads.tracker.example.com'
+               WHEN 1 THEN 'news.example.org'
+               WHEN 2 THEN 'example.com'
+               WHEN 3 THEN 'static.cdn.net'
+               ELSE 'blog.sub.spam.net' END ||
+             '/p/' || CAST(doc_id % 7 AS VARCHAR) AS url
+      FROM documents
+    ), h AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(
+               regexp_replace(
+                 regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
+                 '^[^/?#]*@', ''),
+               '^([^/:?#]+)', 1)) AS host
+      FROM d
+    )
+    SELECT doc_id, url FROM h
+    WHERE NOT EXISTS (
+      SELECT 1 FROM (SELECT unnest(['example.com', 'spam.net']) AS dom) b
+      WHERE list_contains(
+        [array_to_string(string_split(h.host, '.')[i:], '.')
+         FOR i IN range(1, len(string_split(h.host, '.')))],
+        b.dom)
+    )
+    """,
+)
+def _q_blocked_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    host = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("ads.tracker.example.com"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("news.example.org"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("example.com"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("static.cdn.net"))
+        .otherwise(F.lit("blog.sub.spam.net"))
+    )
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/p/"), (F.col("doc_id") % 7).cast("string")
+    )
+    blocklist = spark.createDataFrame(
+        [("example.com",), ("spam.net",)], "domain string"
+    )
+    return T.filter_blocked_domains(
+        docs.withColumn("url", url), "url", blocklist
+    ).select("doc_id", "url")
+
+
 # k-means assignment over the embeddings table (round 6, past the
 # graded window): centroids = the 4 lowest vec_ids, every vector
 # assigned to its nearest centroid by squared L2 (ties to the lowest
@@ -3532,6 +3591,111 @@ def _q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.kmeans_lloyd(emb, "embedding", "vec_id", cents, iters=2).select(
         "vec_id", "cluster_id"
     )
+
+
+def _pq_seed_codebooks(emb, m: int = 4, ksub: int = 16) -> list:
+    """Fixed PQ codebooks for the graded queries: the ``ksub`` lowest
+    vec_ids' sub-vectors, UNtrained — codeword j of subspace s is
+    vec_id j's slice, so a SQL oracle can replay the argmin exactly
+    (the kmeans_assign precedent: Lloyd-TRAINED codebooks are
+    pytest/recall-tool territory, not the hash gate's)."""
+    rows = (
+        emb.filter(F.col("vec_id") < ksub).orderBy("vec_id").collect()
+    )  # bounded: ksub rows
+    sub = len(rows[0]["embedding"]) // m
+    return [
+        [[float(x) for x in r["embedding"][j * sub:(j + 1) * sub]] for r in rows]
+        for j in range(m)
+    ]
+
+
+# Product quantization encode (Jégou et al. TPAMI 2011; round 6, past
+# the graded window): 64-dim vectors → 4 codes, codeword = nearest of
+# the 16 seed sub-vectors by squared L2 (first min on ties — both
+# engines order by (dist, cid)). Codes are small ints, hash-safe;
+# distances stay out of the projection (float hygiene, kmeans policy).
+_PQ_ASSIGN_SQL = """
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings
+    ), c AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 16
+    ), s AS (
+      SELECT unnest(range(0, 4)) AS s
+    ), sub AS (
+      SELECT vec_id, s, [vv[16 * s + i] FOR i IN range(1, 17)] AS sv
+      FROM v CROSS JOIN s
+    ), csub AS (
+      SELECT cid, s, [cv[16 * s + i] FOR i IN range(1, 17)] AS csv
+      FROM c CROSS JOIN s
+    ), assign AS (
+      SELECT vec_id, s, code, sd FROM (
+        SELECT sub.vec_id, sub.s, CAST(csub.cid AS INT) AS code,
+               list_sum([(sv[k] - csv[k]) * (sv[k] - csv[k])
+                         FOR k IN range(1, 17)]) AS sd,
+               row_number() OVER (
+                 PARTITION BY sub.vec_id, sub.s
+                 ORDER BY list_sum([(sv[k] - csv[k]) * (sv[k] - csv[k])
+                                    FOR k IN range(1, 17)]),
+                          csub.cid
+               ) AS rn
+        FROM sub JOIN csub USING (s)
+      ) WHERE rn = 1
+    )
+"""
+
+
+@_register(
+    "pq_encode",
+    _PQ_ASSIGN_SQL + """
+    SELECT vec_id, list(code ORDER BY s) AS pq_codes
+    FROM assign GROUP BY vec_id
+    """,
+)
+def _q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    books = _pq_seed_codebooks(emb)
+    return V.pq_encode(emb, books, "embedding", "vec_id").select(
+        "vec_id", "pq_codes"
+    )
+
+
+# PQ asymmetric-distance top-k (pure ADC, rerank=0 so the oracle
+# replays every distance): probe keeps its exact vector, corpus rows
+# ranked by the sum of per-subspace squared distances to their
+# CODEWORDS. The oracle reuses the assignment CTE and sums the four
+# subspace terms in subspace order (list_sum over list(... ORDER BY
+# s)) to mirror Spark's sequential aggregate fold.
+@_register(
+    "pq_topk_adc",
+    _PQ_ASSIGN_SQL + """
+    , p AS (
+      SELECT vec_id AS query_id, s, sv AS pv FROM sub WHERE vec_id < 5
+    ), terms AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, p.s,
+             list_sum([(pv[k] - csv[k]) * (pv[k] - csv[k])
+                       FOR k IN range(1, 17)]) AS d
+      FROM p
+      JOIN assign a ON a.s = p.s AND a.vec_id <> p.query_id
+      JOIN csub ON csub.s = a.s AND csub.cid = a.code
+    ), dist AS (
+      SELECT query_id, neighbor_id, list_sum(list(d ORDER BY s)) AS ad
+      FROM terms GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY ad, neighbor_id) AS rank
+      FROM dist
+    ) WHERE rank <= 10
+    """,
+)
+def _q_pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    books = _pq_seed_codebooks(emb)
+    codes = V.pq_encode(emb, books, "embedding", "vec_id")
+    probes = emb.filter(F.col("vec_id") < 5)
+    return V.pq_topk(codes, probes, books, "embedding", "vec_id", k=10)
 
 
 # Real WAV/PCM audio decode through the Arrow-batched feature path
@@ -4773,6 +4937,9 @@ _REGISTERED_PAST_WINDOW = [
     "lm_quality_cut",
     "dsir_logweights",
     "dsir_resample",
+    "pq_encode",
+    "pq_topk_adc",
+    "blocked_domains",
 ]
 
 

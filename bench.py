@@ -65,6 +65,12 @@ HEADLINE = [
     # data — pre-explained in BENCH_HISTORY) and the unigram-LM scorer
     "neardup_dedup",
     "unigram_logprob",
+    # round 6 continuation: DSIR importance weights (two explode aggs
+    # + constant-size broadcast λ join) and PQ ADC top-k (narrow
+    # literal-codebook encode + code-column scan) — the new
+    # data-selection and compressed-ANN families on the record
+    "dsir_logweights",
+    "pq_topk_adc",
 ]
 
 

@@ -1728,3 +1728,100 @@ def test_dsir_resample_is_deterministic_weighted_topk(spark):
              dsir_resample(raw.repartition(5), target, "text", "doc_id", k=10)
              .collect()]
     assert ids == again
+
+
+def test_pq_encode_and_adc_topk(spark):
+    """Product quantization (Jégou et al. 2011): codes index the
+    nearest codeword per subspace; ADC top-k over an obvious planted
+    structure recovers the true neighbor; encode is layout-independent
+    and reranked results refine toward exact L2 order."""
+    from gem_data_wrangle_spark.operators.similarity import (
+        pq_encode, pq_topk, pq_train, _pq_bounds,
+    )
+
+    assert _pq_bounds(10, 4) == [(1, 3), (4, 3), (7, 2), (9, 2)]
+
+    # 8-dim corpus: two tight clusters around +1 and -1 per dim
+    import itertools
+    rows = []
+    for i in range(16):
+        base = 1.0 if i % 2 == 0 else -1.0
+        rows.append((i, [base + 0.01 * ((i + j) % 3) for j in range(8)]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    books = pq_train(df, "embedding", "vec_id", dim=8, m=2, ksub=4, iters=2)
+    assert len(books) == 2 and len(books[0]) == 4 and len(books[0][0]) == 4
+
+    codes = pq_encode(df, books, "embedding", "vec_id")
+    got = {r["vec_id"]: list(r["pq_codes"]) for r in codes.collect()}
+    assert all(len(c) == 2 for c in got.values())
+    # same-parity vectors (same cluster) share codes far more often
+    # than cross-parity ones; at minimum parity 0 and 1 codes differ
+    assert got[0] != got[1]
+    # layout independence
+    got2 = {r["vec_id"]: list(r["pq_codes"])
+            for r in pq_encode(df.repartition(5), books, "embedding",
+                               "vec_id").collect()}
+    assert got == got2
+
+    probes = df.filter(F.col("vec_id") < 2)
+    out = pq_topk(codes, probes, books, "embedding", "vec_id", k=3)
+    byq = {}
+    for r in out.collect():
+        byq.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    # every ADC neighbor of probe 0 (the +1 cluster) is even, of
+    # probe 1 odd — quantized distance keeps the planted clusters apart
+    assert all(n % 2 == 0 for n in byq[0])
+    assert all(n % 2 == 1 for n in byq[1])
+
+    # rerank must equal the exact L2 ranking when R covers the corpus
+    import numpy as np
+    vecs = {i: np.array(v) for i, v in rows}
+    exact0 = [i for _, i in sorted(
+        (float(np.sum((vecs[0] - v) ** 2)), i) for i, v in vecs.items() if i != 0
+    )][:3]
+    rer = pq_topk(codes, probes, books, "embedding", "vec_id", k=3, rerank=16)
+    rbyq = {}
+    for r in sorted(rer.collect(), key=lambda r: (r["query_id"], r["rank"])):
+        rbyq.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert rbyq[0] == exact0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pq_topk(codes, probes, books, "embedding", "vec_id", k=5, rerank=3)
+
+
+def test_filter_blocked_domains_subdomain_chain(spark):
+    """UT1-style blocklist: exact host AND any parent domain block;
+    userinfo/port/case stripped; match_subdomains=False only blocks
+    exact hosts; duplicate rows block together."""
+    from gem_data_wrangle_spark.operators.textops import (
+        filter_blocked_domains, url_host,
+    )
+
+    rows = [
+        (0, "https://ads.tracker.example.com/x"),
+        (1, "http://News.Example.ORG/y"),
+        (2, "https://user:pw@EXAMPLE.com:8443/z"),
+        (3, "https://static.cdn.net/a"),
+        (4, "ftp://blog.sub.spam.net/b"),
+        (5, "https://spam.net.evil.org/c"),  # spam.net as LABELS only
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    bl = spark.createDataFrame([("example.com",), ("spam.net",)], "domain string")
+
+    kept = {r["doc_id"] for r in
+            filter_blocked_domains(df, "url", bl).collect()}
+    # 0: subdomain of example.com; 2: exact (case/user/port stripped);
+    # 4: parent chain hits spam.net. 5 survives: evil.org, net.evil.org,
+    # spam.net.evil.org are its chain — spam.net is NOT a suffix.
+    assert kept == {1, 3, 5}
+
+    exact_only = {r["doc_id"] for r in
+                  filter_blocked_domains(df, "url", bl,
+                                         match_subdomains=False).collect()}
+    assert exact_only == {0, 1, 3, 4, 5}
+
+    hosts = {r["doc_id"]: r["h"] for r in
+             df.select("doc_id", url_host("url").alias("h")).collect()}
+    assert hosts[2] == "example.com"
+    assert hosts[1] == "news.example.org"

@@ -70,6 +70,21 @@ def main() -> None:
         out[f"ivf_recall@{k} (16 cells, nprobe={nprobe})"] = round(
             len(approx & exact) / len(exact), 4
         )
+    # PQ ranks by squared L2 (ADC), the brute-force baseline by
+    # cosine — on these near-isotropic synthetic embeddings the two
+    # exact rankings agree (measured identical recall at sf0.01), so
+    # one baseline serves both families.
+    books = V.pq_train(emb, "embedding", "vec_id", dim=dim, m=8, ksub=32,
+                       iters=3)
+    codes = V.pq_encode(emb, books, "embedding", "vec_id")
+    for rerank in (0, 2 * k, 4 * k, 8 * k, 16 * k):
+        approx = pairs(
+            V.pq_topk(codes, probes, books, "embedding", "vec_id", k=k,
+                      rerank=rerank)
+        )
+        out[f"pq_recall@{k} (m=8, ksub=32, rerank={rerank})"] = round(
+            len(approx & exact) / len(exact), 4
+        )
     print(json.dumps(out))
 
 

@@ -52,6 +52,11 @@ CASES = {
     "unigram_logprob": "unigram-LM scoring — explode → vocab-keyed partial-combine count, frequency join-back, per-doc re-agg; corpus stats broadcast as one row",
     "bm25_rank": "BM25 — query-term filter lands right after the explode so only matching postings shuffle; doc lengths aggregated once, stats broadcast",
     "lm_quality_cut": "perplexity cut — unigram scoring plan + a ONE-ROW percentile cutoff broadcast into the filter; the scoring subplan feeds BOTH branches (2 passes unless the caller persists scores)",
+    "dsir_logweights": "DSIR weights — two explode→groupBy bucket counts; the ≤4096-row lambda table BROADCASTS into the per-doc sum no matter the corpus size",
+    "dsir_resample": "DSIR selection — the weights plan + md5-Gumbel key + global top-k planning as TakeOrderedAndProject (per-partition heaps, no full sort)",
+    "pq_encode": "PQ encode — per-subspace argmin over LITERAL codebooks: narrow, zero exchanges before the sink, whole-stage codegen",
+    "pq_topk_adc": "PQ ADC top-k — per-probe LUT over literal codebooks, probes broadcast, corpus streams its code column; one window shuffle for the per-probe top-k",
+    "blocked_domains": "domain blocklist — exploded parent chain SEMI-joins the BROADCAST blocklist; the corpus-side anti-join is AQE-sized, never nested-loop",
 }
 
 INTERESTING = (

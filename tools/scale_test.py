@@ -64,6 +64,17 @@ QUERIES = [
     "kmeans_lloyd",
     "unigram_logprob",
     "bm25_rank",
+    # round 6 continuation: DSIR — the lambda table is capped at 4096
+    # buckets regardless of corpus size, so the only data-proportional
+    # work is the two explode shuffles; a super-linear ratio would
+    # indict the per-doc bucket-count groupBy, not the broadcast join
+    "dsir_logweights",
+    "dsir_resample",
+    # round 6 continuation: PQ — encode is a narrow literal-codebook
+    # argmin (should track the scan); ADC top-k is corpus×5-probes
+    # over the code column + one top-k window
+    "pq_encode",
+    "pq_topk_adc",
 ]
 
 BASE = "/root/testdata/sf0.1"
