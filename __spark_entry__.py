@@ -3481,6 +3481,271 @@ def _q_blocked_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "url")
 
 
+# --------------------------------------------------------------------
+# round-6 oracle widening: six operators that previously carried only
+# pytest evidence get driver-value-checkable oracles (registered past
+# the graded window for the round-7 rotation). Inputs are synthesized
+# deterministically from the testdata tables where the operator needs
+# structure the tables lack (multi-line docs, coordinates, typos,
+# snapshot series).
+# --------------------------------------------------------------------
+
+# C4 corpus-level boilerplate-line removal: every doc gains a footer
+# line (all docs) and a cookie line (every 2nd doc) — both exceed
+# min_docs=3 and vanish; a doc's own text line also vanishes when the
+# corpus repeats that exact text in >= 3 docs (real duplicates exist
+# in the synthetic corpus). Docs whose every line was boilerplate drop
+# out of the result entirely (inner reassembly group-by) — mirrored.
+@_register(
+    "boilerplate_removal",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             text || chr(10) || 'Shared footer - all rights reserved' ||
+             CASE WHEN doc_id % 2 = 0
+                  THEN chr(10) || 'This site uses cookies' ELSE '' END AS text
+      FROM documents
+    ), lines AS (
+      SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos, unnest(ls) AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d)
+    ), freq AS (
+      SELECT line FROM (
+        SELECT line, count(DISTINCT doc_id) AS nd FROM lines GROUP BY line
+      ) WHERE nd >= 3
+    ), kept AS (
+      SELECT * FROM lines WHERE line NOT IN (SELECT line FROM freq)
+    )
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+    FROM kept GROUP BY doc_id
+    """,
+)
+def _q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    synth = F.concat(
+        F.col("text"),
+        F.lit("\nShared footer - all rights reserved"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit("\nThis site uses cookies")
+        ).otherwise(F.lit("")),
+    )
+    return T.remove_boilerplate_lines(
+        docs.withColumn("text", synth), "text", "doc_id", min_docs=3
+    ).select("doc_id", "text")
+
+
+# Geospatial radius join: synthetic lat/lon from customer keys (1-deg
+# lattice + fractional offsets), 50 probes against all customers at
+# 250 km. The ENGINE buckets into grid cells + 8 neighbors and
+# equi-joins; the oracle is the straight cross-join ground truth —
+# identical results is exactly the no-lost-pairs guarantee the
+# operator's cell sizing claims. distance_km stays OUT of the oracled
+# projection (trig float hygiene; the operator rounds it to 3 dp for
+# humans, pytest checks values).
+@_register(
+    "geo_radius_join",
+    """
+    WITH c AS (
+      SELECT c_custkey,
+             CAST((c_custkey % 171) - 85 + 0.25 AS DOUBLE) AS lat,
+             CAST(((c_custkey * 7) % 351) - 175 + 0.5 AS DOUBLE) AS lon
+      FROM customer
+    ), p AS (
+      SELECT c_custkey AS id_a, lat, lon FROM c WHERE c_custkey < 50
+    ), q AS (
+      SELECT c_custkey AS id_b, lat, lon FROM c
+    )
+    SELECT id_a, id_b FROM p, q
+    WHERE 2 * 6371.0088 * asin(sqrt(
+            pow(sin(radians(q.lat - p.lat) / 2), 2)
+            + cos(radians(p.lat)) * cos(radians(q.lat))
+              * pow(sin(radians(q.lon - p.lon) / 2), 2)
+          )) <= 250.0
+    """,
+)
+def _q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.geo import points_within_radius
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") % 171) - 85 + F.lit(0.25)).cast("double").alias("lat"),
+        (((F.col("c_custkey") * 7) % 351) - 175 + F.lit(0.5)).cast("double").alias("lon"),
+    )
+    probes = cust.filter(F.col("c_custkey") < 50).select(
+        F.col("c_custkey").alias("id_a"), "lat", "lon"
+    )
+    corpus = cust.select(F.col("c_custkey").alias("id_b"), "lat", "lon")
+    return points_within_radius(probes, corpus, radius_km=250.0).select(
+        "id_a", "id_b"
+    )
+
+
+# Fuzzy entity resolution: supplier names with a trailing typo
+# character resolve back to the canonical list (every fact is
+# distance 1 from its origin and >= 2 from every sibling, so the
+# window's (dist, dim) pick is exercised on real tie structure). The
+# oracle replays the FULL algorithm — (initial, length-band) blocking
+# included — so a best match outside the blocking key correctly does
+# NOT appear on either side. Band overlap = interval intersection of
+# [trunc((L-2)/2), trunc((L+2)/2)] (floor == trunc: lengths > 2).
+@_register(
+    "fuzzy_match",
+    """
+    WITH f AS (
+      SELECT DISTINCT lower(trim(s_name || 'x')) AS fact FROM supplier
+    ), dm AS (
+      SELECT DISTINCT lower(trim(s_name)) AS dim FROM supplier
+    ), cand AS (
+      SELECT fact, dim, levenshtein(fact, dim) AS dist
+      FROM f JOIN dm ON substr(fact, 1, 1) = substr(dim, 1, 1)
+        AND CAST(floor((length(fact) - 2) / 2.0) AS INT)
+            <= CAST(floor((length(dim) + 2) / 2.0) AS INT)
+        AND CAST(floor((length(dim) - 2) / 2.0) AS INT)
+            <= CAST(floor((length(fact) + 2) / 2.0) AS INT)
+      WHERE levenshtein(fact, dim) <= 2
+    )
+    SELECT fact AS owner, dim AS s_name_matched, dist AS edit_distance
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY fact ORDER BY dist, dim) AS rn
+      FROM cand
+    ) WHERE rn = 1
+    """,
+)
+def _q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.joins import fuzzy_dim_match
+
+    sup = _t(spark, sf_dir, "supplier")
+    facts = sup.select(F.concat(F.col("s_name"), F.lit("x")).alias("owner"))
+    return fuzzy_dim_match(facts, sup, "owner", "s_name", max_distance=2).select(
+        "owner", "s_name_matched", "edit_distance"
+    )
+
+
+# Time-series resample/gap-fill: 20 users' event streams regularized
+# to a 1-hour grid with carry-forward values. DuckDB replays the
+# union+window mechanic with its native ASOF JOIN (tick >= obs is the
+# same at-or-before inclusive pick; (user, ts) is unique in the
+# data, so both picks are well-defined). Values are COPIED doubles
+# (no arithmetic), hash-safe as stored.
+@_register(
+    "resample_events",
+    """
+    WITH e AS (
+      SELECT user_id, ts, value FROM events WHERE user_id < 20
+    ), span AS (
+      SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM e GROUP BY user_id
+    ), grid AS (
+      SELECT user_id,
+             unnest(generate_series(t0, t1, INTERVAL '1 hour')) AS ts
+      FROM span
+    )
+    SELECT g.user_id,
+           strftime(g.ts, '%Y-%m-%d %H:%M:%S.%f') AS tick,
+           e.value AS value
+    FROM grid g ASOF LEFT JOIN e
+      ON g.user_id = e.user_id AND g.ts >= e.ts
+    """,
+)
+def _q_resample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.asof import resample_timeseries
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 20)
+    out = resample_timeseries(ev, "user_id", "ts", ["value"], step="1 hour")
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("tick"),
+        "value",
+    )
+
+
+# Plain-parquet UPSERT: every 10th order re-priced (×2), every 97th
+# cloned under a shifted key as an insert; anti-join + union replayed
+# literally. 2-dp money doubles round stably at 2 dp (FIXTURES.md).
+@_register(
+    "orders_upsert",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+    ), u AS (
+      SELECT o_orderkey, o_custkey, round(o_totalprice * 2, 2) AS o_totalprice,
+             o_orderstatus
+      FROM o WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, o_totalprice, o_orderstatus
+      FROM o WHERE o_orderkey % 97 = 0
+    )
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+           o_orderstatus
+    FROM (
+      SELECT * FROM o WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+      UNION ALL
+      SELECT * FROM u
+    )
+    """,
+)
+def _q_orders_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 2, 2))
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 100000000
+            )
+        )
+    )
+    out = K.upsert_snapshot(orders, updates, ["o_orderkey"])
+    return out.select(
+        "o_orderkey", "o_custkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+
+
+# SCD2 history from periodic snapshots: a 12-release series per
+# synthetic asset (status = min order status of the (asset, release)
+# bucket — deterministic), collapsed into validity intervals. The
+# oracle unrolls lag→running-change-count→interval-agg→lead exactly;
+# all output columns are ints/strings.
+@_register(
+    "scd2_history",
+    """
+    WITH s AS (
+      SELECT o_orderkey % 50 AS asset, (o_orderkey // 50) % 12 AS snap,
+             min(o_orderstatus) AS status
+      FROM orders GROUP BY 1, 2
+    ), g AS (
+      SELECT asset, snap, status,
+             sum(CASE WHEN prev IS NULL OR prev <> status THEN 1 ELSE 0 END)
+               OVER (PARTITION BY asset ORDER BY snap
+                     ROWS UNBOUNDED PRECEDING) AS chg
+      FROM (SELECT *, lag(status) OVER (PARTITION BY asset ORDER BY snap)
+                      AS prev
+            FROM s)
+    ), iv AS (
+      SELECT asset, chg, min(status) AS status, min(snap) AS valid_from
+      FROM g GROUP BY asset, chg
+    )
+    SELECT asset, status, valid_from,
+           lead(valid_from) OVER (PARTITION BY asset ORDER BY valid_from)
+             AS valid_to
+    FROM iv
+    """,
+)
+def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    snaps = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            (F.col("o_orderkey") % 50).alias("asset"),
+            (F.floor(F.col("o_orderkey") / 50) % 12).alias("snap"),
+        )
+        .agg(F.min("o_orderstatus").alias("status"))
+    )
+    out = K.scd2_from_snapshots(snaps, ["asset"], "snap", ["status"])
+    return out.select("asset", "status", "valid_from", "valid_to")
+
+
 # k-means assignment over the embeddings table (round 6, past the
 # graded window): centroids = the 4 lowest vec_ids, every vector
 # assigned to its nearest centroid by squared L2 (ties to the lowest
@@ -4940,6 +5205,12 @@ _REGISTERED_PAST_WINDOW = [
     "pq_encode",
     "pq_topk_adc",
     "blocked_domains",
+    "boilerplate_removal",
+    "geo_radius_join",
+    "fuzzy_match",
+    "resample_events",
+    "orders_upsert",
+    "scd2_history",
 ]
 
 

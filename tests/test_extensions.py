@@ -1825,3 +1825,29 @@ def test_filter_blocked_domains_subdomain_chain(spark):
              df.select("doc_id", url_host("url").alias("h")).collect()}
     assert hosts[2] == "example.com"
     assert hosts[1] == "news.example.org"
+
+
+def test_points_within_radius_high_latitude_and_antimeridian(spark):
+    """Regression (round 6): fixed +-1 longitude neighborhoods lose
+    pairs where a radius spans many longitude cells. At lat 84 a
+    300 km pair sits ~26 lon degrees apart; across the antimeridian
+    179.9E and 179.9W are ~22 km apart at lat 84."""
+    from gem_data_wrangle_spark.operators.geo import points_within_radius
+
+    rows = [
+        (1, 84.0, 0.0),
+        (2, 84.0, 20.0),     # ~230 km from (1) at this latitude
+        (3, 84.0, 179.9),
+        (4, 84.0, -179.9),   # ~2.3 km from (3) across the seam
+        (5, -84.0, 0.0),     # opposite hemisphere: far from all
+        (6, 0.0, 0.0),       # equator: far from all
+        (7, 0.0, 2.0),       # ~222 km from (6)
+    ]
+    left = spark.createDataFrame(rows, "id_a bigint, lat double, lon double")
+    right = spark.createDataFrame(rows, "id_b bigint, lat double, lon double")
+    out = points_within_radius(left, right, radius_km=300.0)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 2) in pairs and (2, 1) in pairs
+    assert (3, 4) in pairs and (4, 3) in pairs
+    assert (6, 7) in pairs
+    assert (1, 5) not in pairs and (1, 6) not in pairs

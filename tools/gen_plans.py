@@ -57,6 +57,11 @@ CASES = {
     "pq_encode": "PQ encode — per-subspace argmin over LITERAL codebooks: narrow, zero exchanges before the sink, whole-stage codegen",
     "pq_topk_adc": "PQ ADC top-k — per-probe LUT over literal codebooks, probes broadcast, corpus streams its code column; one window shuffle for the per-probe top-k",
     "blocked_domains": "domain blocklist — exploded parent chain SEMI-joins the BROADCAST blocklist; the corpus-side anti-join is AQE-sized, never nested-loop",
+    "boilerplate_removal": "corpus boilerplate removal — posexplode lines, digest-keyed frequency + anti-join, per-doc ordered reassembly",
+    "geo_radius_join": "geo radius join — latitude-aware neighbor-cell explode + ONE cell equi-join + exact haversine; never a cross join",
+    "resample_events": "time-series resample — per-key span agg, grid explode, union + ONE carry-forward window shuffle",
+    "orders_upsert": "upsert — anti-join (keys broadcast when small) + union",
+    "scd2_history": "SCD2 — lag + running change-count + interval agg + lead over ONE key-partitioned shuffle chain",
 }
 
 INTERESTING = (

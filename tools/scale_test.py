@@ -75,6 +75,15 @@ QUERIES = [
     # over the code column + one top-k window
     "pq_encode",
     "pq_topk_adc",
+    # round 6 continuation: the newly-oracled maintenance/analytics
+    # family — all one-to-two-shuffle shapes; geo fan-out is the
+    # latitude-dependent neighbor-cell constant, not data
+    "boilerplate_removal",
+    "geo_radius_join",
+    "resample_events",
+    "orders_upsert",
+    "scd2_history",
+    "blocked_domains",
 ]
 
 BASE = "/root/testdata/sf0.1"
