@@ -3746,6 +3746,102 @@ def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("asset", "status", "valid_from", "valid_to")
 
 
+def _pagerank_oracle_sql(iters: int, d: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank — one (contribution, dangling,
+    rank) CTE triple per iteration, the exact algebra the operator
+    runs. Generated by loop so the graded iteration count stays a
+    single constant shared with the Spark call."""
+    parts = [
+        """
+    WITH edges AS (
+      SELECT DISTINCT o_custkey % 150 AS src, o_orderkey % 211 AS dst
+      FROM orders
+    ), nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), nn AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+    ), deg AS (
+      SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT node, 1.0 / n AS r FROM nodes CROSS JOIN nn
+    )"""
+    ]
+    for k in range(iters):
+        parts.append(
+            f""", c{k} AS (
+      SELECT e.dst AS node, sum(r.r / d.outdeg) AS c
+      FROM edges e JOIN r{k} r ON e.src = r.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ), dang{k} AS (
+      SELECT coalesce(sum(r.r), 0) AS dm
+      FROM r{k} r LEFT JOIN deg d ON r.node = d.src WHERE d.src IS NULL
+    ), r{k + 1} AS (
+      SELECT nodes.node,
+             (1 - {d}) / nn.n
+               + {d} * (coalesce(c{k}.c, 0) + dang{k}.dm / nn.n) AS r
+      FROM nodes CROSS JOIN nn CROSS JOIN dang{k}
+      LEFT JOIN c{k} ON nodes.node = c{k}.node
+    )"""
+        )
+    parts.append(f"""
+    SELECT node, round(r, 6) AS rank FROM r{iters}""")
+    return "".join(parts)
+
+
+# Host-graph PageRank (round 6, past the graded window): the web-
+# curation quality signal (Common Crawl publishes host-level ranks;
+# corpus pipelines weight documents by them). Synthetic directed graph
+# from orders: src ∈ [0,150), dst ∈ [0,211) — nodes 150-210 have
+# in-edges but never out-edges, so the DANGLING-mass term is exercised
+# for real, not vacuously zero. 3 fixed iterations (no convergence
+# probe — replayable); both engines run the identical algebra, the
+# only engine freedom is double summation order, absorbed by the
+# 6-dp round on a ~1/361-scale quantity (the tfidf/unigram exposure).
+@_register("host_pagerank", _pagerank_oracle_sql(3))
+def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.graph import pagerank
+
+    edges = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            (F.col("o_custkey") % 150).alias("src"),
+            (F.col("o_orderkey") % 211).alias("dst"),
+        )
+        .distinct()
+    )
+    out = pagerank(edges, "src", "dst", iterations=3)
+    return out.select("node", F.round("rank", 6).alias("rank"))
+
+
+# Trailing 1-hour rolling sums over each user's event stream (round 6,
+# past the graded window): the RANGE BETWEEN INTERVAL frame both
+# engines define identically; the operator orders by exact integer
+# microseconds so the frame boundary can't drift through double
+# rounding. value is 2-dp data → the window sum rounds stably at 2 dp
+# (FIXTURES.md float policy).
+@_register(
+    "rolling_event_sums",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER w, 2) AS rolling_sum,
+           count(value) OVER w AS rolling_count
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def _q_rolling_event_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.asof import rolling_time_agg
+
+    ev = _events(spark, sf_dir)
+    out = rolling_time_agg(ev, "user_id", "ts", "value", window_seconds=3600)
+    return out.select(
+        "event_id", "user_id",
+        F.round("rolling_sum", 2).alias("rolling_sum"),
+        "rolling_count",
+    )
+
+
 # k-means assignment over the embeddings table (round 6, past the
 # graded window): centroids = the 4 lowest vec_ids, every vector
 # assigned to its nearest centroid by squared L2 (ties to the lowest
@@ -5211,6 +5307,8 @@ _REGISTERED_PAST_WINDOW = [
     "resample_events",
     "orders_upsert",
     "scd2_history",
+    "host_pagerank",
+    "rolling_event_sums",
 ]
 
 

@@ -218,3 +218,61 @@ def resample_timeseries(
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
     )
     return filled.filter(F.col("_is_grid") == 1).drop("_is_grid")
+
+
+def rolling_time_agg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int = 3600,
+    sum_col: str = "rolling_sum",
+    count_col: str = "rolling_count",
+) -> DataFrame:
+    """Trailing time-window aggregates per key: for every row, the sum
+    and count of ``value_col`` over that key's rows with timestamps in
+    ``[ts - window_seconds, ts]`` (inclusive both ends — the ANSI
+    ``RANGE BETWEEN ... PRECEDING AND CURRENT ROW`` frame, so DuckDB's
+    interval-RANGE window replays it exactly; same-timestamp peers all
+    aggregate together per RANGE semantics). The moving-average /
+    rate-limiter / burst-detection primitive of event analytics.
+
+    Plan/scale: ONE shuffle on the key; the frame is evaluated by
+    Spark's native window operator ordered by INTEGER microseconds —
+    exact long arithmetic, so the frame boundary agrees bit-for-bit
+    with DuckDB's interval comparison (a seconds-as-double ordering
+    could flip inclusion of a row sitting exactly ``window_seconds``
+    away). Sliding-frame state is bounded by the window span, never a
+    triangular self-join; per-key row counts bound task memory exactly
+    as in :func:`asof_join`.
+
+    TIMESTAMP_NTZ columns (parquet µs stamps without UTC adjustment —
+    the events table) can't feed ``unix_micros`` and must NOT round-
+    trip through timestamp_ltz (session-timezone/DST shifts — the
+    ``sessionize_events`` precedent): the naive wall-clock epoch is
+    derived timezone-independently from date-days + time-of-day parts,
+    all in integer/decimal arithmetic (``date_part('SECOND')`` is
+    DECIMAL(8,6); ×1e6 is exact).
+    """
+    from pyspark.sql.types import TimestampNTZType  # noqa: PLC0415
+
+    ts = F.col(ts_col)
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        micros = (
+            F.unix_date(ts.cast("date")).cast("long") * F.lit(86_400_000_000)
+            + F.date_part(F.lit("HOUR"), ts).cast("long") * F.lit(3_600_000_000)
+            + F.date_part(F.lit("MINUTE"), ts).cast("long") * F.lit(60_000_000)
+            + (F.date_part(F.lit("SECOND"), ts) * 1_000_000).cast("long")
+        )
+    else:
+        micros = F.unix_micros(ts)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(micros)
+        .rangeBetween(-int(window_seconds) * 1_000_000, 0)
+    )
+    return df.select(
+        "*",
+        F.sum(value_col).over(w).alias(sum_col),
+        F.count(value_col).over(w).alias(count_col),
+    )

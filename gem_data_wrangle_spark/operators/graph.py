@@ -101,3 +101,78 @@ def connected_components(
     return labels.select(
         F.col("v").alias(id_col), F.col("lbl").alias(component_col)
     )
+
+def pagerank(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    iterations: int = 5,
+    damping: float = 0.85,
+    id_col: str = "node",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list — the
+    host-graph quality signal web-corpus curation pipelines weight
+    documents by (Common Crawl publishes exactly this host-level
+    ranking; a crawl-frontier or domain-trust score is the same
+    computation). Parallel edges count once per row — pre-``distinct``
+    the edge list for simple-graph semantics.
+
+    Update rule per iteration (the standard random-surfer model with
+    uniform dangling-mass redistribution)::
+
+        r'(v) = (1-d)/N + d * (Σ_{u→v} r(u)/outdeg(u) + dangling/N)
+
+    where ``dangling`` is the total rank sitting on nodes with no
+    out-edges. Ranks sum to 1 every iteration (property-tested).
+
+    Plan/scale: per iteration, ONE shuffle join edges⋈ranks on the
+    source id + one groupBy(dst) partial-combined contribution sum —
+    the Pregel cost profile as two grouped aggregations, the same
+    shape as :func:`connected_components`. The dangling term and N
+    are 1-row aggregate frames attached via ``F.broadcast`` crossJoin
+    (never a driver collect); ``localCheckpoint`` truncates lineage
+    each round so Catalyst analysis stays flat. Iteration count is
+    FIXED (not convergence-probed): no per-round driver action, and
+    the differential oracle can unroll the exact same algebra.
+    """
+    e = edges.select(F.col(src).alias("es"), F.col(dst).alias("ed"))
+    nodes = (
+        e.select(F.col("es").alias("v"))
+        .union(e.select(F.col("ed").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n1 = nodes.agg(F.count("*").cast("double").alias("_n"))
+    deg = e.groupBy("es").agg(F.count("*").cast("double").alias("outdeg"))
+    e = e.join(deg, "es").localCheckpoint(eager=False)
+    ranks = (
+        nodes.crossJoin(F.broadcast(n1))
+        .select("v", (F.lit(1.0) / F.col("_n")).alias("r"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, e["es"] == ranks["v"])
+            .groupBy("ed")
+            .agg(F.sum(F.col("r") / F.col("outdeg")).alias("_c"))
+        )
+        dang = (
+            ranks.join(deg, ranks["v"] == deg["es"], "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("_dm"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["v"] == contrib["ed"], "left")
+            .crossJoin(F.broadcast(n1))
+            .crossJoin(F.broadcast(dang))
+            .select(
+                nodes["v"],
+                (
+                    (1.0 - damping) / F.col("_n")
+                    + damping
+                    * (F.coalesce("_c", F.lit(0.0)) + F.col("_dm") / F.col("_n"))
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("v").alias(id_col), F.col("r").alias(rank_col))

@@ -133,3 +133,38 @@ def test_resample_timeseries_carry_forward(spark):
     # s2: single point -> single tick with its own value
     assert rows[("s2", 1)] == 5.0
     assert len(rows) == 6
+
+
+def test_rolling_time_agg_frame_boundaries(spark):
+    """Trailing 1h window: inclusive at exactly -3600s (RANGE
+    semantics), exclusive beyond; same-timestamp peers aggregate
+    together on BOTH rows; keys never mix."""
+    import datetime as dt
+
+    from gem_data_wrangle_spark.operators.asof import rolling_time_agg
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 1, t0 - dt.timedelta(seconds=3601), 1.0),
+        (2, 1, t0 - dt.timedelta(seconds=3600), 2.0),
+        (3, 1, t0 - dt.timedelta(seconds=1800), 4.0),
+        (4, 1, t0, 8.0),
+        (5, 1, t0, 16.0),                               # peer of 4
+        (6, 2, t0, 32.0),                               # other key
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp_ntz, value double"
+    )
+    out = {r["event_id"]: r for r in
+           rolling_time_agg(df, "user_id", "ts", "value").collect()}
+    # t0 rows: window [t0-3600, t0] holds rows 2..5 — row 1 is 1 s too
+    # old (exclusive beyond the span), row 2 sits EXACTLY on the edge
+    # (inclusive), and the t0 peers see each other on both rows
+    assert out[4]["rolling_sum"] == 30.0 and out[4]["rolling_count"] == 4
+    assert out[5]["rolling_sum"] == 30.0 and out[5]["rolling_count"] == 4
+    # row 2's own window [t0-7200, t0-3600] reaches back to row 1
+    assert out[2]["rolling_sum"] == 3.0 and out[2]["rolling_count"] == 2
+    # row 3's window [t0-5400, t0-1800] holds rows 1, 2, 3
+    assert out[3]["rolling_sum"] == 7.0 and out[3]["rolling_count"] == 3
+    # keys never mix
+    assert out[6]["rolling_sum"] == 32.0 and out[6]["rolling_count"] == 1

@@ -74,3 +74,45 @@ def test_neardup_dedup_end_to_end(spark):
         "doc_id bigint, text string, lang string",
     )
     assert neardup_dedup(uniq, "text", "doc_id").count() == 4
+
+
+def test_pagerank_star_graph_and_dangling(spark):
+    """4-node graph, hand-checkable: 1->3, 2->3, 3->4; node 4 dangles.
+    Ranks must sum to 1 every fixed-iteration depth (dangling mass
+    redistributed, not dropped), and the hub ordering must hold:
+    sink-of-the-hub (4) > hub (3) > the leaf sources."""
+    from gem_data_wrangle_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (3, 4)], "src bigint, dst bigint"
+    )
+    for iters in (1, 3, 5):
+        out = {r["node"]: r["rank"] for r in
+               pagerank(edges, "src", "dst", iterations=iters).collect()}
+        assert set(out) == {1, 2, 3, 4}
+        assert abs(sum(out.values()) - 1.0) < 1e-9
+    assert out[4] > out[3] > out[1]
+    assert out[1] == out[2]  # symmetric leaves tie exactly
+
+    # closed-form cross-check at iterations=1, d=0.85, N=4:
+    # uniform start r=1/4; contributions: 3 gets 1/4+1/4 (deg-1 leaves),
+    # 4 gets 1/4; dangling mass = r(4) = 1/4 spread as (1/4)/4.
+    one = {r["node"]: r["rank"] for r in
+           pagerank(edges, "src", "dst", iterations=1).collect()}
+    base = 0.15 / 4 + 0.85 * (0.25 / 4)
+    assert abs(one[1] - base) < 1e-12
+    assert abs(one[3] - (base + 0.85 * 0.5)) < 1e-12
+    assert abs(one[4] - (base + 0.85 * 0.25)) < 1e-12
+
+
+def test_pagerank_parallel_edges_weight_once_per_row(spark):
+    """Documented multigraph semantics: a duplicated edge doubles that
+    edge's share of the source's out-probability."""
+    from gem_data_wrangle_spark.operators.graph import pagerank
+
+    dup = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 3)], "src bigint, dst bigint"
+    )
+    out = {r["node"]: r["rank"] for r in
+           pagerank(dup, "src", "dst", iterations=2).collect()}
+    assert out[2] > out[3]

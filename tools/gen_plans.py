@@ -62,6 +62,8 @@ CASES = {
     "resample_events": "time-series resample — per-key span agg, grid explode, union + ONE carry-forward window shuffle",
     "orders_upsert": "upsert — anti-join (keys broadcast when small) + union",
     "scd2_history": "SCD2 — lag + running change-count + interval agg + lead over ONE key-partitioned shuffle chain",
+    "host_pagerank": "PageRank (final iteration) — edges⋈ranks shuffle join + groupBy(dst) partial sum; N and dangling mass are 1-row BROADCAST frames, no driver collect",
+    "rolling_event_sums": "trailing time-window sums — ONE key shuffle, native sliding RANGE frame over integer-µs ordering",
 }
 
 INTERESTING = (

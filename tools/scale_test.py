@@ -84,6 +84,11 @@ QUERIES = [
     "orders_upsert",
     "scd2_history",
     "blocked_domains",
+    # fixed-iteration graph + sliding-frame analytics: pagerank cost =
+    # iterations × (edge-join + groupBy) over the edge set; rolling =
+    # one window shuffle with span-bounded frame state
+    "host_pagerank",
+    "rolling_event_sums",
 ]
 
 BASE = "/root/testdata/sf0.1"
