@@ -18,7 +18,7 @@ Scale notes:
   * Per iteration: one equi-join edges⋈labels (shuffle on vertex id)
     + one groupBy min — the cost profile of two grouped aggregations.
     No driver-side data; the only action is a 1-row convergence probe.
-  * ``localCheckpoint`` truncates lineage each round — without it the
+  * ``localCheckpoint`` truncates lineage (between rounds; the last round stays lazy so the returned plan is auditable) each round — without it the
     plan doubles per iteration and Catalyst analysis time explodes.
   * This is an inherently iterative algorithm (provably not a single
     SQL query without recursion); the differential oracle uses
@@ -131,7 +131,7 @@ def pagerank(
     the Pregel cost profile as two grouped aggregations, the same
     shape as :func:`connected_components`. The dangling term and N
     are 1-row aggregate frames attached via ``F.broadcast`` crossJoin
-    (never a driver collect); ``localCheckpoint`` truncates lineage
+    (never a driver collect); ``localCheckpoint`` truncates lineage (between rounds; the last round stays lazy so the returned plan is auditable)
     each round so Catalyst analysis stays flat. Iteration count is
     FIXED (not convergence-probed): no per-round driver action, and
     the differential oracle can unroll the exact same algebra.
@@ -151,7 +151,7 @@ def pagerank(
         .select("v", (F.lit(1.0) / F.col("_n")).alias("r"))
         .localCheckpoint(eager=False)
     )
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib = (
             e.join(ranks, e["es"] == ranks["v"])
             .groupBy("ed")
@@ -173,6 +173,12 @@ def pagerank(
                     * (F.coalesce("_c", F.lit(0.0)) + F.col("_dm") / F.col("_n"))
                 ).alias("r"),
             )
-            .localCheckpoint(eager=True)
         )
+        # truncate lineage between rounds, but leave the LAST round
+        # lazy: the returned frame keeps one iteration's real plan
+        # (join + partial-agg + broadcast scalars) visible to
+        # .explain()/the PLANS.md audit, and the consumer's own action
+        # triggers it exactly once
+        if it < iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("v").alias(id_col), F.col("r").alias(rank_col))
