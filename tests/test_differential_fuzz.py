@@ -201,3 +201,109 @@ def test_lm_quality_cut_matches_oracle_on_fuzzed_corpora(
     duplicated texts at the quantile boundary (tied order statistics,
     the integral-position interpolation case)."""
     _compare(spark, tmp_path, _corpus(seed), "lm_quality_cut")
+
+
+def _compare_named(spark, tmp_path, tables, qname):
+    """Generalized differential compare for queries over tables other
+    than ``documents``: ``tables`` maps view name → (rows, schema)."""
+    con = duckdb.connect()
+    for name, (rows, schema) in tables.items():
+        p = str(tmp_path / f"{name}.parquet")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        con.sql(f"CREATE VIEW {name} AS FROM '{p}/*.parquet'")
+    sdf = entrymod.queries()[qname](spark, str(tmp_path))
+    sfp = frame_fingerprint(sdf.columns, [tuple(r) for r in sdf.collect()])
+    res = con.sql(entrymod.oracle_sql()[qname])
+    dfp = frame_fingerprint([d[0] for d in res.description], res.fetchall())
+    assert sfp[0] == dfp[0], f"{qname}: row count {sfp[0]} vs {dfp[0]}"
+    assert sfp[1] == dfp[1], f"{qname}: columns {sfp[1]} vs {dfp[1]}"
+    mism = [i for i, (a, b) in enumerate(zip(sfp[2], dfp[2])) if a != b]
+    assert not mism, (
+        f"{qname}: {len(mism)} value rows differ; first: "
+        f"spark={sfp[2][mism[0]]!r} duckdb={dfp[2][mism[0]]!r}"
+    )
+
+
+def _events_rows(seed: int):
+    """Adversarial event streams for RANGE-frame semantics: many
+    timestamps land on EXACT 3600 s offsets (the inclusive frame
+    edge), plus duplicated (user, ts) peers and sub-second jitter."""
+    import datetime as dt
+
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for user in range(5):
+        t = base
+        for _ in range(30):
+            step = rng.choice([600, 3600, 3600, 1800, 1, 3599, 3601])
+            jitter = rng.choice([0, 0, 0, rng.randint(1, 999_999)])
+            t = t + dt.timedelta(seconds=step, microseconds=jitter)
+            val = round(rng.uniform(0, 100), 2)
+            rows.append((eid, t, user, "e", val)); eid += 1
+            if rng.random() < 0.2:  # same-timestamp RANGE peer
+                rows.append((eid, t, user, "e", round(rng.uniform(0, 100), 2)))
+                eid += 1
+    return rows
+
+
+@pytest.mark.parametrize("seed", [3, 11, 29])
+def test_rolling_event_sums_matches_oracle_on_fuzzed_streams(
+    spark, tmp_path, seed
+):
+    _compare_named(
+        spark, tmp_path,
+        {"events": (
+            _events_rows(seed),
+            "event_id bigint, ts timestamp_ntz, user_id bigint, "
+            "event_type string, value double",
+        )},
+        "rolling_event_sums",
+    )
+
+
+@pytest.mark.parametrize("seed", [5, 13, 31])
+def test_host_pagerank_matches_oracle_on_fuzzed_graphs(
+    spark, tmp_path, seed
+):
+    """Random key sets reshape the derived edge lattice — degrees,
+    dangling set, and component structure all vary; the 6-dp rounding
+    agreement must hold on every graph, not just the fixed testdata."""
+    rng = random.Random(seed)
+    rows = [
+        (rng.randint(0, 5000), rng.randint(0, 5000))
+        for _ in range(rng.randint(50, 400))
+    ]
+    _compare_named(
+        spark, tmp_path,
+        {"orders": (rows, "o_orderkey bigint, o_custkey bigint")},
+        "host_pagerank",
+    )
+
+
+@pytest.mark.parametrize("seed", [17, 37])
+def test_geo_radius_join_matches_oracle_on_fuzzed_keysets(
+    spark, tmp_path, seed
+):
+    """Random custkey subsets move the synthetic lattice points across
+    all latitudes (±85° via the modulo) — the grid join must equal the
+    cross-join ground truth for any occupancy pattern (the lost-pair
+    bug class the round-6 fix closed)."""
+    rng = random.Random(seed)
+    keys = sorted(rng.sample(range(0, 4000), 300)) + list(range(0, 30))
+    rows = [(k,) for k in sorted(set(keys))]
+    _compare_named(
+        spark, tmp_path,
+        {"customer": (rows, "c_custkey bigint")},
+        "geo_radius_join",
+    )
+
+
+@pytest.mark.parametrize("seed", [7, 19])
+def test_boilerplate_removal_matches_oracle_on_fuzzed_corpora(
+    spark, tmp_path, seed
+):
+    _compare(spark, tmp_path, _corpus(seed), "boilerplate_removal")
