@@ -71,6 +71,13 @@ HEADLINE = [
     # data-selection and compressed-ANN families on the record
     "dsir_logweights",
     "pq_topk_adc",
+    # round 6 continuation 2: the iterative-graph and sliding-frame
+    # analytics families — pagerank ~2.5-4 s (3 iterations × join +
+    # partial-agg over a saturating 150×211 edge lattice; cost is
+    # per-iteration fixed overhead at this size), rolling sums <1 s
+    # (ONE key window) — pre-explained in BENCH_HISTORY
+    "host_pagerank",
+    "rolling_event_sums",
 ]
 
 
