@@ -3842,6 +3842,39 @@ def _q_rolling_event_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# φ-heavy-hitters with exact verified counts (round 6, past the
+# graded window). Key = o_orderkey % (o_custkey % 200 + 1) — a
+# Zipf-ish decay over 0..199 (small residues absorb every base), so
+# the 0.5%-of-rows floor admits a non-trivial prefix. FLOOR semantics
+# are tie-free by construction (no top-k boundary), so sketch
+# candidate ordering can't affect the result; the 200-value domain
+# keeps the sketch in its exact regime at every sf, which pytest's
+# truncated-pool guard test complements. Both sides floor the
+# threshold (Python int() == SQL floor() on positives).
+@_register(
+    "heavy_hitter_keys",
+    """
+    WITH k AS (
+      SELECT o_orderkey % (o_custkey % 200 + 1) AS hot_key FROM orders
+    ), n AS (
+      SELECT CAST(floor(count(*) * 0.005) AS BIGINT) AS floor_cnt FROM k
+    )
+    SELECT hot_key, count(*) AS n_rows
+    FROM k CROSS JOIN n
+    GROUP BY hot_key, floor_cnt
+    HAVING count(*) >= greatest(floor_cnt, 1)
+    """,
+)
+def _q_heavy_hitter_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.skew import heavy_hitters
+
+    keyed = _t(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % (F.col("o_custkey") % 200 + 1)).alias("hot_key")
+    )
+    out = heavy_hitters(keyed, "hot_key", min_frac=0.005)
+    return out.select("hot_key", F.col("count").alias("n_rows"))
+
+
 # k-means assignment over the embeddings table (round 6, past the
 # graded window): centroids = the 4 lowest vec_ids, every vector
 # assigned to its nearest centroid by squared L2 (ties to the lowest
@@ -5309,6 +5342,7 @@ _REGISTERED_PAST_WINDOW = [
     "scd2_history",
     "host_pagerank",
     "rolling_event_sums",
+    "heavy_hitter_keys",
 ]
 
 

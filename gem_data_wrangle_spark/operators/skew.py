@@ -60,3 +60,67 @@ def salted_count_distinct_approx(
     return df.groupBy(*group_cols).agg(
         F.approx_count_distinct(value_col, rsd).alias(f"approx_distinct_{value_col}")
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    min_count: int | None = None,
+    min_frac: float | None = None,
+    candidate_pool: int = 1024,
+    max_tracked: int = 10_000,
+) -> DataFrame:
+    """All values of ``key_col`` occurring at least ``min_count``
+    times (or ``min_frac`` of the rows), with EXACT counts — the
+    classic φ-heavy-hitter query, and the missing input to this
+    module's own mitigations: run it first, then feed the hot keys
+    into ``salted_sum`` sizing / ``window_count_share(skew_safe=…)``
+    decisions instead of guessing.
+
+    Two-pass shape built for open key domains:
+
+    1. **Candidates** via Spark's ``approx_top_k`` sketch aggregate —
+       one pass, partial-combined per partition, driver result bounded
+       by ``candidate_pool``. The sketch is EXACT while the column's
+       distinct count stays ≤ ``max_tracked``; beyond that it is a
+       best-effort top-k (counts may be estimates), which is precisely
+       the regime where pass 2 matters.
+    2. **Exact verify** — the corpus filters to the candidate set (an
+       ``isin`` literal list pushed into the scan; never a shuffle of
+       the full domain) and counts ONLY those keys, so the expensive
+       exact aggregation touches ``candidate_pool`` keys instead of
+       the open domain.
+
+    Completeness guard: if every candidate clears the floor AND the
+    sketch returned a full pool, the pool may have been truncated
+    below the floor — the threshold set is then not provably complete
+    and the operator raises rather than silently under-reporting
+    (widen ``candidate_pool`` or raise the floor).
+
+    Exactly one of ``min_count`` / ``min_frac`` must be given.
+    ``min_frac`` costs one extra count() action over the input.
+    """
+    if (min_count is None) == (min_frac is None):
+        raise ValueError("give exactly one of min_count / min_frac")
+    if min_count is None:
+        min_count = max(int(df.count() * min_frac), 1)
+    pool = max(candidate_pool, 1)
+    sketch = df.agg(
+        F.expr(
+            f"approx_top_k(`{key_col}`, {pool}, {max(max_tracked, pool)})"
+        ).alias("tk")
+    ).collect()[0]["tk"]
+    candidates = [r["item"] for r in sketch]
+    if len(candidates) == pool and all(r["count"] >= min_count for r in sketch):
+        raise ValueError(
+            f"heavy_hitters: all {pool} sketch candidates clear the floor "
+            f"({min_count}); the candidate pool is likely truncated — widen "
+            "candidate_pool or raise the floor"
+        )
+    exact = (
+        df.filter(F.col(key_col).isin(candidates))
+        .groupBy(key_col)
+        .agg(F.count("*").alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    return exact

@@ -1851,3 +1851,41 @@ def test_points_within_radius_high_latitude_and_antimeridian(spark):
     assert (3, 4) in pairs and (4, 3) in pairs
     assert (6, 7) in pairs
     assert (1, 5) not in pairs and (1, 6) not in pairs
+
+
+def test_heavy_hitters_exact_counts_and_floor(spark):
+    import pytest as _pytest
+
+    from gem_data_wrangle_spark.operators.skew import heavy_hitters
+
+    rows = [("hot",)] * 50 + [("warm",)] * 10 + [(f"cold{i}",) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string")
+    out = {r["k"]: r["count"] for r in
+           heavy_hitters(df, "k", min_count=10).collect()}
+    assert out == {"hot": 50, "warm": 10}   # exact counts, floor inclusive
+
+    frac = {r["k"]: r["count"] for r in
+            heavy_hitters(df, "k", min_frac=0.5).collect()}
+    assert frac == {"hot": 50}              # 0.5*80=40 floor
+
+    # argument contract: exactly one of min_count / min_frac
+    with _pytest.raises(ValueError):
+        heavy_hitters(df, "k")
+    with _pytest.raises(ValueError):
+        heavy_hitters(df, "k", min_count=5, min_frac=0.1)
+
+
+def test_heavy_hitters_truncated_pool_guard(spark):
+    """When the sketch pool saturates AND every candidate clears the
+    floor, completeness is unprovable -> raise, never under-report."""
+    import pytest as _pytest
+
+    from gem_data_wrangle_spark.operators.skew import heavy_hitters
+
+    rows = [(f"k{i % 5}",) for i in range(100)]  # 5 keys x 20 rows
+    df = spark.createDataFrame(rows, "k string")
+    with _pytest.raises(ValueError, match="candidate pool"):
+        heavy_hitters(df, "k", min_count=2, candidate_pool=3)
+    # same data, ample pool: all five keys reported
+    ok = heavy_hitters(df, "k", min_count=2, candidate_pool=100)
+    assert ok.count() == 5

@@ -64,6 +64,7 @@ CASES = {
     "scd2_history": "SCD2 — lag + running change-count + interval agg + lead over ONE key-partitioned shuffle chain",
     "host_pagerank": "PageRank (final iteration) — edges⋈ranks shuffle join + groupBy(dst) partial sum; N and dangling mass are 1-row BROADCAST frames, no driver collect",
     "rolling_event_sums": "trailing time-window sums — ONE key shuffle, native sliding RANGE frame over integer-µs ordering",
+    "heavy_hitter_keys": "heavy hitters (exact-verify pass) — isin candidate filter pushed to the scan, partial-combined count over ≤pool keys",
 }
 
 INTERESTING = (

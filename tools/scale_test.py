@@ -89,6 +89,9 @@ QUERIES = [
     # one window shuffle with span-bounded frame state
     "host_pagerank",
     "rolling_event_sums",
+    # heavy hitters: sketch pass (partial-combined, pool-bounded) +
+    # exact recount of candidates only
+    "heavy_hitter_keys",
 ]
 
 BASE = "/root/testdata/sf0.1"
