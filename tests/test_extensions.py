@@ -1889,3 +1889,40 @@ def test_heavy_hitters_truncated_pool_guard(spark):
     # same data, ample pool: all five keys reported
     ok = heavy_hitters(df, "k", min_count=2, candidate_pool=100)
     assert ok.count() == 5
+
+
+def test_exact_jaccard_join_matches_bruteforce(spark):
+    """No-false-negatives contract: randomized corpora vs itertools
+    brute force, including pairs sitting EXACTLY on the threshold
+    (integer-arithmetic compare, no float drift)."""
+    import itertools
+    import random
+
+    from gem_data_wrangle_spark.operators.dedup import exact_jaccard_join
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(40):
+        k = rng.randint(1, 12)
+        rows.append((i, " ".join(rng.sample(vocab, k))))
+    rows.append((100, "w0 w1 w2 w3 w4"))
+    rows.append((101, "w0 w1 w2 w3 w5"))  # J = 4/6 = 0.6667
+    rows.append((102, "w0 w1 w2"))        # vs 100: J = 3/5 = 0.6 exactly
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    for t in (0.6, 0.75):
+        got = {(r["id_a"], r["id_b"]): (r["n_shared"], r["n_a"], r["n_b"])
+               for r in exact_jaccard_join(df, "text", "doc_id", t).collect()}
+        sets = {i: set(s.split()) for i, s in rows}
+        want = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if uni and inter * 10_000 >= int(round(t * 10_000)) * (uni):
+                want[(a, b)] = (inter, len(sets[a]), len(sets[b]))
+        assert got == want, f"t={t}: {got.keys() ^ want.keys()}"
+    # the exactly-on-threshold pair is present at 0.6
+    got06 = {(r["id_a"], r["id_b"])
+             for r in exact_jaccard_join(df, "text", "doc_id", 0.6).collect()}
+    assert (100, 102) in got06

@@ -65,6 +65,7 @@ CASES = {
     "host_pagerank": "PageRank (final iteration) — edges⋈ranks shuffle join + groupBy(dst) partial sum; N and dangling mass are 1-row BROADCAST frames, no driver collect",
     "rolling_event_sums": "trailing time-window sums — ONE key shuffle, native sliding RANGE frame over integer-µs ordering",
     "heavy_hitter_keys": "heavy hitters (exact-verify pass) — isin candidate filter pushed to the scan, partial-combined count over ≤pool keys",
+    "exact_jaccard_pairs": "exact Jaccard join — df pass + rarity-prefix explode + ONE prefix equi-join + set-fetch verify; no cartesian, hot tokens never join",
 }
 
 INTERESTING = (

@@ -92,6 +92,10 @@ QUERIES = [
     # heavy hitters: sketch pass (partial-combined, pool-bounded) +
     # exact recount of candidates only
     "heavy_hitter_keys",
+    # exact jaccard: prefix-token equi-join fan-out bounded by per-
+    # token df; pair OUTPUT is quadratic in near-dup clique size by
+    # definition (documented)
+    "exact_jaccard_pairs",
 ]
 
 BASE = "/root/testdata/sf0.1"
