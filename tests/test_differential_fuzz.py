@@ -307,3 +307,32 @@ def test_boilerplate_removal_matches_oracle_on_fuzzed_corpora(
     spark, tmp_path, seed
 ):
     _compare(spark, tmp_path, _corpus(seed), "boilerplate_removal")
+
+
+@pytest.mark.parametrize("seed", [7, 19, 23])
+def test_exact_jaccard_pairs_matches_oracle_on_fuzzed_corpora(
+    spark, tmp_path, seed
+):
+    """Shared spans + duplicated lines give the fuzz corpus real
+    high-Jaccard pairs; empty/single-token/unicode docs exercise the
+    prefix-length floor (p = n - ceil(t·n) + 1 at n=1)."""
+    _compare(spark, tmp_path, _corpus(seed), "exact_jaccard_pairs")
+
+
+@pytest.mark.parametrize("seed", [41, 43])
+def test_heavy_hitter_keys_matches_oracle_on_fuzzed_orders(
+    spark, tmp_path, seed
+):
+    """Random key populations move which residues clear the 0.5%%
+    floor; both sides must floor the threshold identically (int()
+    vs SQL floor())."""
+    rng = random.Random(seed)
+    rows = [
+        (rng.randint(0, 100_000), rng.randint(1, 30_000))
+        for _ in range(rng.randint(2_000, 6_000))
+    ]
+    _compare_named(
+        spark, tmp_path,
+        {"orders": (rows, "o_orderkey bigint, o_custkey bigint")},
+        "heavy_hitter_keys",
+    )
