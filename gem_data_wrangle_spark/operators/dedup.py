@@ -757,18 +757,29 @@ def exact_jaccard_join(
     Plan/scale: one explode→groupBy document-frequency pass (vocab-
     keyed, partial-combined), one frequency join-back, narrow
     ``array_sort``+``slice`` for prefixes, ONE prefix-token equi-join,
-    then an id-pair join to fetch both token sets and an
+    then a pair join to fetch both token sets and an
     ``array_intersect`` verify — no all-pairs stage anywhere; the
     prefix equi-join's fan-out per token is bounded by that token's
-    document frequency, and size filtering (``⌈t·|a|⌉ ≤ |b| ≤
-    ⌊|a|/t⌋``) prunes length-incompatible candidates before the
-    verify join.
+    document frequency among DISTINCT sets, and size filtering
+    (``⌈t·|a|⌉ ≤ |b| ≤ ⌊|a|/t⌋``) prunes length-incompatible
+    candidates before the verify join.
 
-    Output-size honesty: the PAIR SET itself is quadratic in the size
-    of any near-duplicate clique (k mutually-similar docs emit
-    C(k,2) rows — that is the answer, not a blowup bug; the synthetic
-    corpus's templated docs produce tens of thousands of true pairs).
-    For dedup decisions feed the pairs to
+    Identical-set collapse (the load-bearing scale guard): documents
+    with byte-identical token SETS are collapsed to one representative
+    BEFORE any join — exact duplicates are the dominant clique shape
+    in web corpora, and without the collapse k copies of one document
+    put k rows behind every prefix token, turning the candidate join
+    quadratic in copy count (measured: the 10× shifted-key replication
+    harness, which manufactures exactly this, ran 25+ minutes
+    pre-collapse and ~1 minute after). Joins and verification run on
+    distinct sets only; member pairs are expanded afterwards as pure
+    narrow output work (within-group pairs share all ``n`` tokens, so
+    they verify trivially at any ``t ≤ 1``).
+
+    Output-size honesty: the PAIR SET itself is still quadratic in
+    near-dup clique size (k mutually-similar docs emit C(k,2) rows —
+    that is the answer, not a blowup bug). For dedup decisions feed
+    the pairs to
     :func:`~gem_data_wrangle_spark.operators.graph.connected_components`
     and keep one representative per component instead of materializing
     per-pair downstream work.
@@ -802,9 +813,24 @@ def exact_jaccard_join(
         )
     )
     t4 = int(round(threshold * 10_000))
+    # collapse identical token sets: one representative per distinct
+    # set carries the set; members expand back after verification
+    grouped = (
+        ordered.select(
+            F.md5(F.concat_ws("\x1f", "_ts")).alias("_sig"),
+            "_id", "_ts", "_n",
+        )
+        .groupBy("_sig")
+        .agg(
+            F.sort_array(F.collect_list("_id")).alias("_members"),
+            F.first("_ts").alias("_ts"),
+            F.first("_n").alias("_n"),
+        )
+    )
+    reps = grouped.select(F.col("_sig").alias("_id"), "_ts", "_n")
     # p = n - ceil(n*t/1) + 1 in pure integer arithmetic (ceil(a/b) =
     # (a + b - 1) div b) so the SQL oracle replays it exactly
-    pref = ordered.select(
+    pref = reps.select(
         "_id", "_n",
         F.explode(
             F.slice(
@@ -824,7 +850,7 @@ def exact_jaccard_join(
         .select(F.col("a._id").alias("_ida"), F.col("b._id").alias("_idb"))
         .distinct()
     )
-    sets = ordered.select("_id", "_ts", "_n")
+    sets = reps.select("_id", "_ts", "_n")
     verified = (
         cand.join(sets.select(F.col("_id").alias("_ida"),
                               F.col("_ts").alias("_tsa"),
@@ -841,7 +867,43 @@ def exact_jaccard_join(
             >= (F.col("n_a") + F.col("n_b") - F.col("n_shared")) * t4
         )
     )
-    return verified.select(
-        F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"),
-        "n_shared", "n_a", "n_b",
+    # expand representative pairs back to document pairs (narrow,
+    # output-proportional): cross-group members pair each-with-each;
+    # within-group pairs share the whole set (J = 1)
+    cross = (
+        verified.join(
+            grouped.select(F.col("_sig").alias("_ida"),
+                           F.col("_members").alias("_ma")), "_ida")
+        .join(
+            grouped.select(F.col("_sig").alias("_idb"),
+                           F.col("_members").alias("_mb")), "_idb")
+        .select("n_shared", "n_a", "n_b",
+                F.explode("_ma").alias("_x"), "_mb")
+        .select("n_shared", "n_a", "n_b", "_x",
+                F.explode("_mb").alias("_y"))
+        .select(
+            F.least("_x", "_y").alias("id_a"),
+            F.greatest("_x", "_y").alias("id_b"),
+            "n_shared",
+            # n_a/n_b track id_a/id_b — swap when ordering flipped sides
+            F.when(F.col("_x") <= F.col("_y"), F.col("n_a"))
+            .otherwise(F.col("n_b")).alias("n_a"),
+            F.when(F.col("_x") <= F.col("_y"), F.col("n_b"))
+            .otherwise(F.col("n_a")).alias("n_b"),
+        )
     )
+    within = (
+        grouped.filter(F.size("_members") > 1)
+        .filter(F.lit(t4) <= 10_000)
+        .select("_n", "_members",
+                F.posexplode("_members").alias("_i", "_x"))
+        .select("_n", "_x", "_i",
+                F.posexplode("_members").alias("_j", "_y"))
+        .filter(F.col("_i") < F.col("_j"))
+        .select(
+            F.col("_x").alias("id_a"), F.col("_y").alias("id_b"),
+            F.col("_n").alias("n_shared"),
+            F.col("_n").alias("n_a"), F.col("_n").alias("n_b"),
+        )
+    )
+    return cross.unionByName(within)
