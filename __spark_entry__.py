@@ -3842,6 +3842,58 @@ def _q_rolling_event_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sparse TF-IDF cosine document pairs (round 6, past the graded
+# window) — "related documents" without embeddings. Graded at
+# max_df_frac=1.0: the synthetic corpus's ~31-term CLOSED vocabulary
+# makes max_df pruning degenerate (every term is hot; any real frac
+# empties the vectors down to the 300 exact-dup pairs), so the
+# pruning contract is pytest-covered on constructed data instead.
+# Cosine rounds to 4 dp on BOTH sides (the tfidf/unigram libm-ulp
+# exposure); the ≥0.6 membership filter carries the same
+# threshold-cut exposure lm_quality_cut runs green with.
+@_register(
+    "cosine_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ), tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+    ), dfq AS (
+      SELECT tok, count(*) AS dfc FROM tf GROUP BY tok
+    ), nn AS (
+      SELECT count(DISTINCT doc_id) AS nd FROM documents
+    ), post AS (
+      SELECT doc_id, tok, tf * (ln((nd + 1.0) / (dfc + 1.0)) + 1) AS w
+      FROM tf JOIN dfq USING (tok) CROSS JOIN nn
+      WHERE dfc <= nd * 1.0
+    ), norms AS (
+      SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM post GROUP BY doc_id
+    ), dots AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb, sum(a.w * b.w) AS dot
+      FROM post a JOIN post b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT ida AS id_a, idb AS id_b,
+           round(dot / (na.nrm * nb.nrm), 4) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = ida
+    JOIN norms nb ON nb.doc_id = idb
+    WHERE dot / (na.nrm * nb.nrm) >= 0.6
+    """,
+)
+def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.textops import tfidf_cosine_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = tfidf_cosine_pairs(
+        docs, "text", "doc_id", threshold=0.6, max_df_frac=1.0
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
 # Exact token-set Jaccard self-join via prefix filtering (round 6,
 # past the graded window) — the no-false-negatives complement to
 # minhash_lsh_pairs. The oracle replays the FULL algorithm (distinct
@@ -5394,6 +5446,7 @@ _REGISTERED_PAST_WINDOW = [
     "rolling_event_sums",
     "heavy_hitter_keys",
     "exact_jaccard_pairs",
+    "cosine_pairs",
 ]
 
 

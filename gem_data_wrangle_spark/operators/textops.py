@@ -981,3 +981,78 @@ def lm_quality_filter(
         .filter(F.col("mean_token_logprob") >= F.col("_cut"))
         .drop("_cut")
     )
+
+
+def tfidf_cosine_pairs(
+    df,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    max_df_frac: float = 0.5,
+):
+    """Sparse TF-IDF cosine document-pair similarity ``(id_a, id_b,
+    cosine)`` — "related documents" WITHOUT embeddings, completing the
+    similarity family (dense vectors → ``similarity.py``; token SETS →
+    ``exact_jaccard_join``; this is weighted bags-of-words).
+
+    Vocabulary contract (sklearn ``max_df`` semantics): terms present
+    in more than ``max_df_frac`` of documents are dropped from the
+    VECTORS themselves — corpus-wide boilerplate carries no signal and
+    its posting lists are precisely the quadratic fan-out hazard.
+    Within the pruned vocabulary the join is COMPLETE: candidates are
+    every pair sharing ≥1 retained term, which is every pair with
+    cosine > 0 — no recall caveat inside the contract.
+
+    Weights: ``w = tf · (ln((N+1)/(df+1)) + 1)`` (the :func:`tf_idf`
+    smoothing); ``cosine = Σ w_a·w_b / (‖a‖·‖b‖)``.
+
+    Plan/scale: tf + df via partial-combined aggregations (the
+    ``tf_idf`` agg_join shape), norms one groupBy, candidates from ONE
+    posting equi-join on the retained terms — per-term fan-out is
+    capped at ``C(max_df_frac·N, 2)`` by the vocabulary contract, hot
+    terms never join. Pair scores partial-combine on (id_a, id_b)
+    before their exchange. No driver collect, no cartesian.
+    """
+    from pyspark.sql import DataFrame  # noqa: PLC0415
+
+    assert isinstance(df, DataFrame)
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    post = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df_count") <= F.col("n_docs") * max_df_frac)
+        .select(
+            "_id", "term",
+            (
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df_count") + 1)) + 1)
+            ).alias("w"),
+        )
+    )
+    norms = post.groupBy("_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    )
+    a, b = post.alias("a"), post.alias("b")
+    dots = (
+        a.join(b, (F.col("a.term") == F.col("b.term"))
+               & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("_ida"), F.col("b._id").alias("_idb"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    return (
+        dots.join(norms.select(F.col("_id").alias("_ida"),
+                               F.col("norm").alias("_na")), "_ida")
+        .join(norms.select(F.col("_id").alias("_idb"),
+                           F.col("norm").alias("_nb")), "_idb")
+        .select(
+            F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"),
+            (F.col("dot") / (F.col("_na") * F.col("_nb"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -336,3 +336,13 @@ def test_heavy_hitter_keys_matches_oracle_on_fuzzed_orders(
         {"orders": (rows, "o_orderkey bigint, o_custkey bigint")},
         "heavy_hitter_keys",
     )
+
+
+@pytest.mark.parametrize("seed", [7, 19])
+def test_cosine_pairs_matches_oracle_on_fuzzed_corpora(
+    spark, tmp_path, seed
+):
+    """Small closed vocab + duplicated lines give structured repeated
+    cosines; the 4-dp double-round and the >=0.6 membership cut must
+    agree across engines on every corpus."""
+    _compare(spark, tmp_path, _corpus(seed), "cosine_pairs")

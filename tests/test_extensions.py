@@ -1926,3 +1926,41 @@ def test_exact_jaccard_join_matches_bruteforce(spark):
     got06 = {(r["id_a"], r["id_b"])
              for r in exact_jaccard_join(df, "text", "doc_id", 0.6).collect()}
     assert (100, 102) in got06
+
+
+def test_tfidf_cosine_pairs_pruning_contract(spark):
+    """max_df pruning: corpus-wide terms carry no signal and never
+    join; a pair similar ONLY through stopwords disappears, a pair
+    sharing rare terms survives with the hand-computed cosine."""
+    import math
+
+    from gem_data_wrangle_spark.operators.textops import tfidf_cosine_pairs
+
+    rows = [
+        (1, "the alpha beta"),
+        (2, "the alpha beta"),      # rare-term twin of 1
+        (3, "the gamma delta"),
+        (4, "the epsilon zeta"),    # shares ONLY 'the' with everyone
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+           tfidf_cosine_pairs(df, "text", "doc_id",
+                              threshold=0.1, max_df_frac=0.5).collect()}
+    # 'the' (df=4/4) pruned -> docs 1,2 have identical pruned vectors
+    assert set(out) == {(1, 2)}
+    assert abs(out[(1, 2)] - 1.0) < 1e-9
+    # without pruning the stopword links everything
+    allpairs = tfidf_cosine_pairs(df, "text", "doc_id",
+                                  threshold=0.01, max_df_frac=1.0)
+    assert allpairs.count() == 6
+
+    # hand-check one weighted cosine (no pruning): docs 1 and 3 share
+    # only 'the' (df=4, w = ln(5/5)+1 = 1); doc 1's alpha/beta have
+    # df=2 (docs 1+2), doc 3's gamma/delta df=1
+    w12 = math.log(5 / 3) + 1
+    w3 = math.log(5 / 2) + 1
+    expect = 1.0 / (
+        math.sqrt(1 + 2 * w12 * w12) * math.sqrt(1 + 2 * w3 * w3)
+    )
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in allpairs.collect()}
+    assert abs(got[(1, 3)] - expect) < 1e-9

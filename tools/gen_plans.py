@@ -66,6 +66,7 @@ CASES = {
     "rolling_event_sums": "trailing time-window sums — ONE key shuffle, native sliding RANGE frame over integer-µs ordering",
     "heavy_hitter_keys": "heavy hitters (exact-verify pass) — isin candidate filter pushed to the scan, partial-combined count over ≤pool keys",
     "exact_jaccard_pairs": "exact Jaccard join — df pass + rarity-prefix explode + ONE prefix equi-join + set-fetch verify; no cartesian, hot tokens never join",
+    "cosine_pairs": "TF-IDF cosine pairs — partial-combined tf/df aggs, ONE posting equi-join, (id_a,id_b)-keyed partial-combined dot sums, norm join-back",
 }
 
 INTERESTING = (

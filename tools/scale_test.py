@@ -96,6 +96,10 @@ QUERIES = [
     # token df; pair OUTPUT is quadratic in near-dup clique size by
     # definition (documented)
     "exact_jaccard_pairs",
+    # sparse cosine: posting join fan-out bounded by per-term df
+    # (max_df gate at real vocabularies; degenerate-closed-vocab
+    # corpus graded at frac=1.0)
+    "cosine_pairs",
 ]
 
 BASE = "/root/testdata/sf0.1"
