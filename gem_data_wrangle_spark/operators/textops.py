@@ -1006,53 +1006,108 @@ def tfidf_cosine_pairs(
     Weights: ``w = tf · (ln((N+1)/(df+1)) + 1)`` (the :func:`tf_idf`
     smoothing); ``cosine = Σ w_a·w_b / (‖a‖·‖b‖)``.
 
+    Identical-text collapse (the same scale guard as
+    ``exact_jaccard_join``): byte-identical documents collapse to one
+    representative BEFORE tokenization — k copies otherwise put k rows
+    behind every posting and the pair join grows quadratically in copy
+    count (the 10× replication harness timed out pre-collapse).
+    Semantics are UNCHANGED: document frequency and N keep original-
+    corpus multiplicities (each representative contributes its group
+    size), identical texts have identical vectors, and member pairs
+    expand back afterwards — within-group pairs are exactly
+    cosine = 1.0.
+
     Plan/scale: tf + df via partial-combined aggregations (the
     ``tf_idf`` agg_join shape), norms one groupBy, candidates from ONE
     posting equi-join on the retained terms — per-term fan-out is
-    capped at ``C(max_df_frac·N, 2)`` by the vocabulary contract, hot
-    terms never join. Pair scores partial-combine on (id_a, id_b)
-    before their exchange. No driver collect, no cartesian.
+    capped by that term's distinct-text frequency and the max_df gate,
+    hot terms never join. Pair scores partial-combine on (id_a, id_b)
+    before their exchange; member expansion is narrow output work. No
+    driver collect, no cartesian.
     """
     from pyspark.sql import DataFrame  # noqa: PLC0415
 
     assert isinstance(df, DataFrame)
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.split(F.col(text_col), r"\s+")).alias("term"),
+    grouped = (
+        df.select(F.col(id_col).alias("_mid"), F.col(text_col).alias("_text"))
+        .groupBy(F.md5(F.coalesce(F.col("_text"), F.lit("\x00null"))).alias("_sig"))
+        .agg(
+            F.sort_array(F.collect_list("_mid")).alias("_members"),
+            F.first("_text").alias("_text"),
+            F.count("*").alias("_gn"),
+        )
+    )
+    toks = grouped.select(
+        "_sig", "_gn",
+        F.explode(F.split(F.col("_text"), r"\s+")).alias("term"),
     ).filter(F.col("term") != "")
-    tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
+    tf = toks.groupBy("_sig", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("_gn").alias("_gn")
+    )
+    # document frequency over the ORIGINAL corpus: each distinct text
+    # contributes its copy count, so weights match the uncollapsed run
+    dfreq = tf.groupBy("term").agg(F.sum("_gn").alias("df_count"))
     n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
     post = (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .filter(F.col("df_count") <= F.col("n_docs") * max_df_frac)
         .select(
-            "_id", "term",
+            "_sig", "term",
             (
                 F.col("tf")
                 * (F.log((F.col("n_docs") + 1) / (F.col("df_count") + 1)) + 1)
             ).alias("w"),
         )
     )
-    norms = post.groupBy("_id").agg(
+    norms = post.groupBy("_sig").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
     )
     a, b = post.alias("a"), post.alias("b")
     dots = (
         a.join(b, (F.col("a.term") == F.col("b.term"))
-               & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("_ida"), F.col("b._id").alias("_idb"))
+               & (F.col("a._sig") < F.col("b._sig")))
+        .groupBy(F.col("a._sig").alias("_siga"), F.col("b._sig").alias("_sigb"))
         .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
     )
-    return (
-        dots.join(norms.select(F.col("_id").alias("_ida"),
-                               F.col("norm").alias("_na")), "_ida")
-        .join(norms.select(F.col("_id").alias("_idb"),
-                           F.col("norm").alias("_nb")), "_idb")
+    rep_pairs = (
+        dots.join(norms.select(F.col("_sig").alias("_siga"),
+                               F.col("norm").alias("_na")), "_siga")
+        .join(norms.select(F.col("_sig").alias("_sigb"),
+                           F.col("norm").alias("_nb")), "_sigb")
         .select(
-            F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"),
+            "_siga", "_sigb",
             (F.col("dot") / (F.col("_na") * F.col("_nb"))).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
+    cross = (
+        rep_pairs.join(
+            grouped.select(F.col("_sig").alias("_siga"),
+                           F.col("_members").alias("_ma")), "_siga")
+        .join(
+            grouped.select(F.col("_sig").alias("_sigb"),
+                           F.col("_members").alias("_mb")), "_sigb")
+        .select("cosine", F.explode("_ma").alias("_x"), "_mb")
+        .select("cosine", "_x", F.explode("_mb").alias("_y"))
+        .select(
+            F.least("_x", "_y").alias("id_a"),
+            F.greatest("_x", "_y").alias("id_b"),
+            "cosine",
+        )
+    )
+    # within-group pairs: identical non-empty vectors, cosine exactly
+    # 1.0 (token-less groups have no norm row and must not pair)
+    within = (
+        grouped.filter(F.size("_members") > 1)
+        .join(norms.filter(F.col("norm") > 0).select("_sig"), "_sig")
+        .filter(F.lit(float(threshold)) <= 1.0)
+        .select("_members", F.posexplode("_members").alias("_i", "_x"))
+        .select("_x", "_i", F.posexplode("_members").alias("_j", "_y"))
+        .filter(F.col("_i") < F.col("_j"))
+        .select(
+            F.col("_x").alias("id_a"), F.col("_y").alias("id_b"),
+            F.lit(1.0).alias("cosine"),
+        )
+    )
+    return cross.unionByName(within)
