@@ -108,3 +108,106 @@ def sessionize_with_state(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def trailing_window_totals(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Per-EVENT trailing-window sum/count over a stream — the
+    streaming twin of ``operators.asof.rolling_time_agg``: every
+    incoming event is emitted with the sum/count of its key's events
+    in ``[ts - window_seconds, ts]`` (inclusive both ends, matching
+    the batch RANGE frame). The built-in streaming windows can't
+    express this (they bucket time; this is a per-row trailing frame),
+    so it's the canonical ``applyInPandasWithState`` custom operator.
+
+    State = the per-key buffer of events younger than
+    ``max_event_time - window`` — bounded by rate × window, evicted as
+    the stream head advances, stored in the state store (RocksDB on a
+    cluster), partitioned by key. Late-data caveat (the watermark
+    analogy): an event arriving more than ``window`` behind its key's
+    stream head can no longer see evicted peers, so its trailing sum
+    covers only the surviving buffer; in-order streams match the
+    batch result exactly (asserted by the batch-equivalence test).
+
+    On a batch frame this dispatches to ``rolling_time_agg`` (same
+    columns, same frame semantics) for testability.
+    """
+    out_schema = (
+        f"{key_col} bigint, {ts_col} timestamp, {value_col} double, "
+        "rolling_sum double, rolling_count bigint"
+    )
+    state_schema = "tss array<timestamp>, vals array<double>"
+
+    import datetime as dt  # noqa: PLC0415
+
+    w = dt.timedelta(seconds=window_seconds)
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            tss, vals = state.get
+            buf = [(pd.Timestamp(t), float(v)) for t, v in zip(tss, vals)]
+        else:
+            buf = []
+        events: list[tuple] = []
+        for pdf in pdfs:
+            events.extend(
+                (pd.Timestamp(t), float(v))
+                for t, v in zip(pdf[ts_col], pdf[value_col])
+            )
+        events.sort(key=lambda e: e[0])
+        head = max((b[0] for b in buf), default=None)
+        rows = []
+        i = 0
+        while i < len(events):
+            # RANGE-frame peer semantics: insert ALL events sharing a
+            # timestamp before emitting any of them, so same-ts peers
+            # see each other (peers split across micro-batches only
+            # see previously-arrived peers — the late-data caveat)
+            j = i
+            ts = events[i][0]
+            while j < len(events) and events[j][0] == ts:
+                buf.append(events[j])
+                j += 1
+            head = ts if head is None or ts > head else head
+            horizon = head - w
+            buf = [(t, x) for t, x in buf if t >= horizon]
+            lo = ts - w
+            in_frame = [x for t, x in buf if lo <= t <= ts]
+            s, n = sum(in_frame), len(in_frame)
+            for _, v in events[i:j]:
+                rows.append((key[0], ts, v, s, n))
+            i = j
+        state.update((
+            [t.to_pydatetime() for t, _ in buf],
+            [x for _, x in buf],
+        ))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[key_col, ts_col, value_col,
+                         "rolling_sum", "rolling_count"],
+            )
+
+    if df.isStreaming:
+        return df.groupBy(key_col).applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    from gem_data_wrangle_spark.operators.asof import rolling_time_agg  # noqa: PLC0415
+
+    return rolling_time_agg(
+        df.select(key_col, ts_col, value_col),
+        key_col, ts_col, value_col, window_seconds,
+    )

@@ -316,3 +316,50 @@ def test_foreach_batch_parquet_sink(spark, tmp_path):
     back = spark.read.parquet(out_dir)
     assert back.count() == 5
     assert sorted(r.event_type for r in back.select("event_type").distinct().collect()) == ["click", "view"]
+
+
+def test_trailing_window_totals_stream_matches_batch(spark, tmp_path):
+    """Streaming trailing-window totals equal the batch RANGE frame on
+    in-order data — including an event landing EXACTLY window_seconds
+    after another (inclusive edge) and same-timestamp peers."""
+    import datetime as dt
+
+    from gem_data_wrangle_spark.operators.asof import rolling_time_agg
+    from gem_data_wrangle_spark.streaming.stateful import trailing_window_totals
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        for k, (off, v) in enumerate(
+            [(0, 1.0), (1800, 2.0), (3600, 4.0), (3601, 8.0), (3601, 16.0)]
+        ):
+            rows.append((eid, t0 + dt.timedelta(seconds=off), u, float(v)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, value double"
+    )
+    # batch twin (also exercises the batch dispatch path)
+    batch = {
+        (r["user_id"], r["ts"], r["value"]): (r["rolling_sum"], r["rolling_count"])
+        for r in trailing_window_totals(df, "user_id", "ts", "value").collect()
+    }
+    assert batch[(1, t0 + dt.timedelta(seconds=3600), 4.0)] == (7.0, 3)  # edge inclusive
+    assert batch[(1, t0 + dt.timedelta(seconds=3601), 8.0)][0] == 30.0   # peers, t0 evicted
+
+    src = str(tmp_path / "twt_src")
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, value double"
+    ).parquet(src)
+    q = (
+        trailing_window_totals(stream, "user_id", "ts", "value")
+        .writeStream.format("memory").queryName("t_twt")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (r["user_id"], r["ts"], r["value"]): (r["rolling_sum"], r["rolling_count"])
+        for r in spark.sql("SELECT * FROM t_twt").collect()
+    }
+    assert got == batch
