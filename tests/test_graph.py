@@ -116,3 +116,39 @@ def test_pagerank_parallel_edges_weight_once_per_row(spark):
     out = {r["node"]: r["rank"] for r in
            pagerank(dup, "src", "dst", iterations=2).collect()}
     assert out[2] > out[3]
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Differential vs an independent numpy implementation of the same
+    fixed-iteration update on a seeded random graph with dangling
+    nodes — every rank equal to 1e-9 at any iteration depth."""
+    import random
+
+    import numpy as np
+
+    from gem_data_wrangle_spark.operators.graph import pagerank
+
+    rng = random.Random(7)
+    edges = sorted({(rng.randint(0, 60), rng.randint(0, 80))
+                    for _ in range(150)})
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for u, _ in edges:
+        deg[idx[u]] += 1
+    r = np.full(n, 1.0 / n)
+    d = 0.85
+    for _ in range(4):
+        contrib = np.zeros(n)
+        for u, v in edges:
+            contrib[idx[v]] += r[idx[u]] / deg[idx[u]]
+        dangling = r[deg == 0].sum()
+        r = (1 - d) / n + d * (contrib + dangling / n)
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {row["node"]: row["rank"]
+           for row in pagerank(df, "src", "dst", iterations=4).collect()}
+    assert set(got) == set(nodes)
+    for node in nodes:
+        assert abs(got[node] - r[idx[node]]) < 1e-9, node
+    assert abs(sum(got.values()) - 1.0) < 1e-9
