@@ -815,9 +815,12 @@ def exact_jaccard_join(
     t4 = int(round(threshold * 10_000))
     # collapse identical token sets: one representative per distinct
     # set carries the set; members expand back after verification
+    # injective set signature: JSON-encode the ordered token array
+    # (escapes any separator byte inside a token — a \x1f-joined
+    # concat would collapse distinct sets like ['a\x1fb'] vs ['a','b'])
     grouped = (
         ordered.select(
-            F.md5(F.concat_ws("\x1f", "_ts")).alias("_sig"),
+            F.md5(F.to_json(F.struct(F.col("_ts")))).alias("_sig"),
             "_id", "_ts", "_n",
         )
         .groupBy("_sig")

@@ -818,18 +818,30 @@ def filter_blocked_domains(
     corpus-derived, so phase 2 is NOT force-broadcast: AQE broadcasts
     it when the blocked fraction is small (the normal case) and falls
     back to a keyed join when a crawl is blocklist-heavy. The row key
-    is the md5 of all columns, so duplicate rows block/survive
-    together.
+    is the md5 of the row's JSON encoding (injective — a \\x1f-joined
+    concat would collide when a value itself contains the separator),
+    so duplicate rows block/survive together and distinct rows never
+    alias.
+
+    Single-label hosts (``localhost``, hostless/malformed crawl URLs)
+    have an EMPTY parent chain — the chain deliberately excludes the
+    bare TLD (an entry ``com`` must not nuke the whole .com zone), and
+    a one-label host is its own TLD. Guarded explicitly: the naive
+    ``sequence(0, n-2)`` is DESCENDING for n=1 and makes ``slice``
+    throw at runtime, aborting the job on real crawls.
     """
-    rk = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in df.columns]))
+    rk = F.md5(F.to_json(F.struct(*[F.col(c) for c in df.columns])))
     host = url_host(F.col(url_col))
     labels = F.split(host, r"\.")
     n = F.size(labels)
     chain = (
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.array_join(F.slice(labels, i + 1, n - i), "."),
-        )
+        F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(0), n - 2),
+                lambda i: F.array_join(F.slice(labels, i + 1, n - i), "."),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
         if match_subdomains
         else F.array(host)
     )

@@ -29,7 +29,8 @@ def running_totals(
     ``applyInPandasWithState``) and, for testability, on a batch frame
     (same result computed with one aggregation).
     """
-    out_schema = out_schema or f"{key_col} bigint, n_events bigint, total double"
+    ktype = df.schema[key_col].dataType.simpleString()
+    out_schema = out_schema or f"{key_col} {ktype}, n_events bigint, total double"
     state_schema = "n bigint, total double"
 
     def update(
@@ -131,17 +132,33 @@ def trailing_window_totals(
     cluster), partitioned by key. Late-data caveat (the watermark
     analogy): an event arriving more than ``window`` behind its key's
     stream head can no longer see evicted peers, so its trailing sum
-    covers only the surviving buffer; in-order streams match the
-    batch result exactly (asserted by the batch-equivalence test).
+    covers only the surviving buffer PLUS itself and its same-ts peers
+    — the trailing RANGE frame always includes the current row, so
+    ``rolling_count ≥ 1`` unconditionally (a 0 count would break
+    downstream moving-average division); eviction runs AFTER the frame
+    is computed. In-order streams match the batch result exactly
+    (asserted by the batch-equivalence test).
+
+    Key/timestamp/value types are derived from ``df.schema`` (string
+    hosts, composite ids, TIMESTAMP_NTZ stamps, integer values all
+    work on the streaming path, not just the batch dispatch);
+    ``rolling_sum`` follows Spark's ``sum`` typing — bigint for
+    integral values, double for fractional.
 
     On a batch frame this dispatches to ``rolling_time_agg`` (same
     columns, same frame semantics) for testability.
     """
+    ktype = df.schema[key_col].dataType.simpleString()
+    ttype = df.schema[ts_col].dataType.simpleString()
+    vtype = df.schema[value_col].dataType.simpleString()
+    integral = vtype in ("tinyint", "smallint", "int", "bigint")
+    sum_type = "bigint" if integral else "double"
     out_schema = (
-        f"{key_col} bigint, {ts_col} timestamp, {value_col} double, "
-        "rolling_sum double, rolling_count bigint"
+        f"{key_col} {ktype}, {ts_col} {ttype}, {value_col} {vtype}, "
+        f"rolling_sum {sum_type}, rolling_count bigint"
     )
-    state_schema = "tss array<timestamp>, vals array<double>"
+    state_schema = f"tss array<{ttype}>, vals array<{vtype}>"
+    conv = int if integral else float
 
     import datetime as dt  # noqa: PLC0415
 
@@ -154,13 +171,13 @@ def trailing_window_totals(
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
             tss, vals = state.get
-            buf = [(pd.Timestamp(t), float(v)) for t, v in zip(tss, vals)]
+            buf = [(pd.Timestamp(t), conv(v)) for t, v in zip(tss, vals)]
         else:
             buf = []
         events: list[tuple] = []
         for pdf in pdfs:
             events.extend(
-                (pd.Timestamp(t), float(v))
+                (pd.Timestamp(t), conv(v))
                 for t, v in zip(pdf[ts_col], pdf[value_col])
             )
         events.sort(key=lambda e: e[0])
@@ -178,13 +195,15 @@ def trailing_window_totals(
                 buf.append(events[j])
                 j += 1
             head = ts if head is None or ts > head else head
-            horizon = head - w
-            buf = [(t, x) for t, x in buf if t >= horizon]
             lo = ts - w
+            # frame FIRST (always contains the current events, even
+            # when ts is already behind the eviction horizon), THEN
+            # evict against the stream head to bound state
             in_frame = [x for t, x in buf if lo <= t <= ts]
             s, n = sum(in_frame), len(in_frame)
             for _, v in events[i:j]:
                 rows.append((key[0], ts, v, s, n))
+            buf = [(t, x) for t, x in buf if t >= head - w]
             i = j
         state.update((
             [t.to_pydatetime() for t, _ in buf],

@@ -1805,21 +1805,28 @@ def test_filter_blocked_domains_subdomain_chain(spark):
         (3, "https://static.cdn.net/a"),
         (4, "ftp://blog.sub.spam.net/b"),
         (5, "https://spam.net.evil.org/c"),  # spam.net as LABELS only
+        (6, "http://localhost/x"),           # single-label host
+        (7, "https://spam/x"),               # single-label, = blocklist label
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, url string")
-    bl = spark.createDataFrame([("example.com",), ("spam.net",)], "domain string")
+    bl = spark.createDataFrame(
+        [("example.com",), ("spam.net",), ("spam",)], "domain string"
+    )
 
     kept = {r["doc_id"] for r in
             filter_blocked_domains(df, "url", bl).collect()}
     # 0: subdomain of example.com; 2: exact (case/user/port stripped);
     # 4: parent chain hits spam.net. 5 survives: evil.org, net.evil.org,
     # spam.net.evil.org are its chain — spam.net is NOT a suffix.
-    assert kept == {1, 3, 5}
+    # 6/7 survive: a one-label host has an EMPTY parent chain (it is
+    # its own TLD; pre-fix this crashed with a descending sequence).
+    assert kept == {1, 3, 5, 6, 7}
 
     exact_only = {r["doc_id"] for r in
                   filter_blocked_domains(df, "url", bl,
                                          match_subdomains=False).collect()}
-    assert exact_only == {0, 1, 3, 4, 5}
+    # exact-host mode DOES match a single-label host: 7 blocked.
+    assert exact_only == {0, 1, 3, 4, 5, 6}
 
     hosts = {r["doc_id"]: r["h"] for r in
              df.select("doc_id", url_host("url").alias("h")).collect()}
@@ -1926,6 +1933,23 @@ def test_exact_jaccard_join_matches_bruteforce(spark):
     got06 = {(r["id_a"], r["id_b"])
              for r in exact_jaccard_join(df, "text", "doc_id", 0.6).collect()}
     assert (100, 102) in got06
+
+
+def test_exact_jaccard_join_separator_in_token(spark):
+    """Regression (ADVICE r6): the identical-set collapse signature
+    must be injective even when a token CONTAINS the old \\x1f join
+    separator — ['a\\x1fb'] and ['a','b'] are distinct token sets
+    (J = 0) and must NOT collapse into one representative."""
+    from gem_data_wrangle_spark.operators.dedup import exact_jaccard_join
+
+    df = spark.createDataFrame(
+        [(0, "a\x1fb"), (1, "a b"), (2, "a b")],
+        "doc_id bigint, text string",
+    )
+    got = {(r["id_a"], r["id_b"])
+           for r in exact_jaccard_join(df, "text", "doc_id", 0.5).collect()}
+    # only the genuine duplicate pair (1,2); 0 pairs with nothing
+    assert got == {(1, 2)}
 
 
 def test_tfidf_cosine_pairs_pruning_contract(spark):

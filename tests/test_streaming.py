@@ -363,3 +363,57 @@ def test_trailing_window_totals_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM t_twt").collect()
     }
     assert got == batch
+
+
+def test_trailing_window_totals_very_late_event_and_string_key(spark, tmp_path):
+    """Regressions (ADVICE r6): (a) an event arriving more than
+    window_seconds behind its key's stream head must still count
+    ITSELF — the trailing RANGE frame always includes the current row,
+    so rolling_count >= 1 (pre-fix it was evicted before its frame was
+    computed and emitted count 0); (b) non-bigint keys and integer
+    values work on the STREAMING path — the output/state schema is
+    derived from df.schema, not hardcoded bigint/double."""
+    import datetime as dt
+    import time
+
+    from gem_data_wrangle_spark.streaming.stateful import trailing_window_totals
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "ts timestamp, host string, value bigint"
+    src = tmp_path / "twt_late_src"
+    src.mkdir()
+    # micro-batch 1: head advances to t0+2h, evicting t0 (window = 1h)
+    spark.createDataFrame(
+        [(t0, "a.example", 1), (t0 + dt.timedelta(hours=2), "a.example", 2)],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    time.sleep(1.1)  # file-source ordering is by modification time
+    # micro-batch 2: an event a full window+ behind the head
+    spark.createDataFrame(
+        [(t0 + dt.timedelta(minutes=5), "a.example", 8)], schema
+    ).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        trailing_window_totals(stream, "host", "ts", "value",
+                               window_seconds=3600)
+        .writeStream.format("memory").queryName("t_twt_late")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (r["host"], r["ts"]): (r["rolling_sum"], r["rolling_count"])
+        for r in spark.sql("SELECT * FROM t_twt_late").collect()
+    }
+    assert got[("a.example", t0)] == (1, 1)
+    assert got[("a.example", t0 + dt.timedelta(hours=2))] == (2, 1)
+    # the very-late event sees ONLY itself (peers evicted) — never 0
+    assert got[("a.example", t0 + dt.timedelta(minutes=5))] == (8, 1)
+    # integer values roll up as bigint (Spark sum typing)
+    twt_schema = dict(spark.sql("SELECT * FROM t_twt_late").dtypes)
+    assert twt_schema["rolling_sum"] == "bigint"
+    assert twt_schema["host"] == "string"
