@@ -3338,22 +3338,30 @@ def _q_warc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Content-defined chunking (LBFS/FastCDC family; round 6, past the
-# graded window). DuckDB replays the identical boundary rule (md5 of
-# each char 8-gram, prefix '0' → expected 16-char chunks on this
-# corpus) and the consecutive-starts slicing with list
+# Content-defined chunking (LBFS/FastCDC family; registered round 6,
+# rolling-hash rewrite round 7 per VERDICT r6 item 2). DuckDB replays
+# the identical Rabin-Karp boundary rule — fold h·257 + codepoint mod
+# 1e9+7 over each char 8-gram via list_reduce (list_prepend supplies
+# the 0 init), boundary at H % 16 = 0 (expected 16-char chunks on
+# this corpus) — and the consecutive-starts slicing with list
 # comprehensions; chunk text and md5 are byte-portable.
 @_register(
     "cdc_chunks",
     """
     WITH d AS (
-      SELECT doc_id, coalesce(text, '') AS t FROM documents
+      SELECT doc_id, coalesce(text, '') AS t,
+             list_transform(string_split(coalesce(text, ''), ''),
+                            ch -> CAST(ascii(ch) AS BIGINT)) AS codes
+      FROM documents
     ), b AS (
       -- ascending by construction (list_distinct would NOT preserve
       -- order); p=1 is always a start, boundary positions follow
       SELECT doc_id, t,
              [p FOR p IN range(1, greatest(len(t) - 7, 1) + 1)
-              IF p = 1 OR substr(md5(substr(t, p, 8)), 1, 1) = '0']
+              IF p = 1 OR
+                 list_reduce(list_prepend(0::BIGINT, codes[p:p+7]),
+                             (h, x) -> (h * 257 + x) % 1000000007)
+                   % 16 = 0]
                AS starts
       FROM d
     )
@@ -3373,7 +3381,7 @@ def _q_warc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return T.cdc_chunk_documents(
-        docs, "text", "doc_id", boundary_prefix="0"
+        docs, "text", "doc_id", divisor=16
     ).select(
         "doc_id", "chunk_idx",
         F.col("chunk_start").cast("int").alias("chunk_start"),

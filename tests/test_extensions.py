@@ -1625,7 +1625,7 @@ def test_cdc_chunk_documents_properties(spark):
         [(1, body), (2, "PREFIX-INSERTED-" + body), (3, ""), (4, None), (5, "tiny")],
         "doc_id bigint, text string",
     )
-    out = cdc_chunk_documents(docs, "text", "doc_id", boundary_prefix="0")
+    out = cdc_chunk_documents(docs, "text", "doc_id", divisor=16)
     rows = {}
     for r in out.collect():
         rows.setdefault(r["doc_id"], []).append(r)
@@ -1634,7 +1634,19 @@ def test_cdc_chunk_documents_properties(spark):
     # reassembly: chunks concatenate back to the full text
     assert "".join(r["chunk"] for r in rows[1]) == body
     assert "".join(r["chunk"] for r in rows[2]) == "PREFIX-INSERTED-" + body
-    assert len(rows[1]) > 5  # prefix '0' -> expected ~16-char... many chunks
+    assert len(rows[1]) > 5  # divisor 16 -> expected ~16-char... many chunks
+    # differential: boundaries match a from-scratch Python replay of
+    # the Rabin-Karp polynomial (base 257, mod 1e9+7, H % 16 == 0)
+    def _py_starts(t: str, k: int = 8) -> list:
+        starts = [1]
+        for i in range(1, max(len(t) - k + 1, 1) + 1):
+            h = 0
+            for ch in t[i - 1 : i - 1 + k]:
+                h = (h * 257 + ord(ch)) % 1_000_000_007
+            if h % 16 == 0 and i not in starts:
+                starts.append(i)
+        return starts
+    assert [r["chunk_start"] for r in rows[1]] == _py_starts(body)
     # content-defined: boundaries re-align after the edit window, so
     # almost all of doc 2's chunk hashes re-occur in doc 1 (only the
     # chunks overlapping the perturbed first k-grams may differ) and

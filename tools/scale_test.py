@@ -100,6 +100,10 @@ QUERIES = [
     # (max_df gate at real vocabularies; degenerate-closed-vocab
     # corpus graded at frac=1.0)
     "cosine_pairs",
+    # round 7: CDC after the rolling-hash rewrite — narrow mapInPandas,
+    # per-byte cost ~2 int ops; a super-linear ratio would indict the
+    # Arrow batch shape, not the hash
+    "cdc_chunks",
 ]
 
 BASE = "/root/testdata/sf0.1"
