@@ -698,6 +698,7 @@ def neardup_dedup(
     rows_per_band: int = 4,
     ngram: int = 2,
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """End-to-end near-duplicate REMOVAL — the operation a pretraining
     pipeline actually ships: MinHash/LSH candidate pairs →
@@ -712,7 +713,10 @@ def neardup_dedup(
     inner join shuffling the full corpus against itself. Candidates
     come from band equi-joins (no all-pairs), closure from
     :func:`gem_data_wrangle_spark.operators.graph.connected_components`
-    (min-label propagation, diameter-bounded).
+    (min-label propagation, diameter-bounded). ``checkpoint_dir``
+    selects the closure loop's lineage-truncation durability: None →
+    ``localCheckpoint`` (local/dev), a reliable HDFS/S3 path →
+    ``checkpoint`` that survives executor loss on a cluster.
     """
     from gem_data_wrangle_spark.operators.graph import (  # noqa: PLC0415
         connected_components,
@@ -724,6 +728,7 @@ def neardup_dedup(
     )
     comp = connected_components(
         cand, "id_a", "id_b", id_col=id_col, max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
     )
     losers = comp.filter(F.col(id_col) != F.col("component")).select(id_col)
     return df.join(losers, on=id_col, how="left_anti")

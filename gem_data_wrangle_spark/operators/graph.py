@@ -18,8 +18,12 @@ Scale notes:
   * Per iteration: one equi-join edges⋈labels (shuffle on vertex id)
     + one groupBy min — the cost profile of two grouped aggregations.
     No driver-side data; the only action is a 1-row convergence probe.
-  * ``localCheckpoint`` truncates lineage (between rounds; the last round stays lazy so the returned plan is auditable) each round — without it the
-    plan doubles per iteration and Catalyst analysis time explodes.
+  * Lineage is truncated between rounds (the last round stays lazy so
+    the returned plan is auditable) — without it the plan doubles per
+    iteration and Catalyst analysis time explodes. Default is
+    ``localCheckpoint`` (executor-block storage, zero IO — but an
+    executor loss mid-loop is fatal); pass ``checkpoint_dir=`` a
+    reliable path for durable ``checkpoint`` on a cluster.
   * This is an inherently iterative algorithm (provably not a single
     SQL query without recursion); the differential oracle uses
     DuckDB's WITH RECURSIVE reachability instead.
@@ -27,8 +31,38 @@ Scale notes:
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _checkpointer(
+    checkpoint_dir: str | None,
+) -> Callable[[DataFrame, bool], DataFrame]:
+    """Lineage-truncation strategy for the iterative loops.
+
+    ``checkpoint_dir=None`` (the default, right for local/dev runs)
+    uses ``localCheckpoint`` — blocks live on executors, zero IO, but
+    an executor loss mid-loop kills the job because the truncated
+    lineage can't be replayed. On a real cluster pass a RELIABLE
+    directory (HDFS/S3/shared FS): the loops then use
+    ``DataFrame.checkpoint``, whose files survive executor loss — the
+    standard durability/IO trade for long iterative jobs. The cluster
+    recipe is one line::
+
+        connected_components(..., checkpoint_dir="hdfs:///tmp/ckpt")
+
+    (sets ``SparkContext.setCheckpointDir`` on first use)."""
+    if checkpoint_dir is None:
+        return lambda df, eager: df.localCheckpoint(eager=eager)
+
+    def reliable(df: DataFrame, eager: bool) -> DataFrame:
+        sc = df.sparkSession.sparkContext
+        sc.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint(eager=eager)
+
+    return reliable
 
 
 def connected_components(
@@ -40,6 +74,7 @@ def connected_components(
     component_col: str = "component",
     max_iter: int = 20,
     strict: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(vertex, component) where component = min vertex id reachable
     through ``edges`` (undirected). ``vertices`` adds isolated nodes
@@ -51,7 +86,12 @@ def connected_components(
     downgrades to a warning for callers that accept partial labels.
     Near-dup graphs have tiny diameters, so the default bound is ample
     there; raise ``max_iter`` for chain-like graphs.
+
+    ``checkpoint_dir``: None → ``localCheckpoint`` (local/dev; dies
+    with an executor); a reliable path (HDFS/S3) → durable
+    ``checkpoint`` for cluster runs — see :func:`_checkpointer`.
     """
+    ckpt = _checkpointer(checkpoint_dir)
     sym = (
         edges.select(F.col(src).alias("es"), F.col(dst).alias("ed"))
         .union(edges.select(F.col(dst).alias("es"), F.col(src).alias("ed")))
@@ -59,10 +99,11 @@ def connected_components(
     )
     if vertices is None:
         vertices = sym.select(F.col("es").alias(id_col)).distinct()
-    labels = vertices.select(
-        F.col(id_col).alias("v"), F.col(id_col).alias("lbl")
-    ).localCheckpoint(eager=False)
-    sym = sym.localCheckpoint(eager=False)
+    labels = ckpt(
+        vertices.select(F.col(id_col).alias("v"), F.col(id_col).alias("lbl")),
+        False,
+    )
+    sym = ckpt(sym, False)
 
     for _ in range(max_iter):
         nbr_min = (
@@ -70,13 +111,13 @@ def connected_components(
             .groupBy("es")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
-        new_labels = (
+        new_labels = ckpt(
             labels.join(nbr_min, labels["v"] == nbr_min["es"], "left")
             .select(
                 labels["v"].alias("v"),
                 F.least(labels["lbl"], F.coalesce("nbr_lbl", labels["lbl"])).alias("lbl"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            True,
         )
         changed = (
             new_labels.alias("n")
@@ -110,6 +151,7 @@ def pagerank(
     damping: float = 0.85,
     id_col: str = "node",
     rank_col: str = "rank",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list — the
     host-graph quality signal web-corpus curation pipelines weight
@@ -131,25 +173,29 @@ def pagerank(
     the Pregel cost profile as two grouped aggregations, the same
     shape as :func:`connected_components`. The dangling term and N
     are 1-row aggregate frames attached via ``F.broadcast`` crossJoin
-    (never a driver collect); ``localCheckpoint`` truncates lineage (between rounds; the last round stays lazy so the returned plan is auditable)
-    each round so Catalyst analysis stays flat. Iteration count is
+    (never a driver collect); lineage is truncated between rounds (the
+    last round stays lazy so the returned plan is auditable)
+    so Catalyst analysis stays flat — ``localCheckpoint`` by default,
+    durable ``checkpoint`` when ``checkpoint_dir`` names a reliable
+    path (see :func:`_checkpointer`). Iteration count is
     FIXED (not convergence-probed): no per-round driver action, and
     the differential oracle can unroll the exact same algebra.
     """
+    ckpt = _checkpointer(checkpoint_dir)
     e = edges.select(F.col(src).alias("es"), F.col(dst).alias("ed"))
-    nodes = (
+    nodes = ckpt(
         e.select(F.col("es").alias("v"))
         .union(e.select(F.col("ed").alias("v")))
-        .distinct()
-        .localCheckpoint(eager=False)
+        .distinct(),
+        False,
     )
     n1 = nodes.agg(F.count("*").cast("double").alias("_n"))
     deg = e.groupBy("es").agg(F.count("*").cast("double").alias("outdeg"))
-    e = e.join(deg, "es").localCheckpoint(eager=False)
-    ranks = (
+    e = ckpt(e.join(deg, "es"), False)
+    ranks = ckpt(
         nodes.crossJoin(F.broadcast(n1))
-        .select("v", (F.lit(1.0) / F.col("_n")).alias("r"))
-        .localCheckpoint(eager=False)
+        .select("v", (F.lit(1.0) / F.col("_n")).alias("r")),
+        False,
     )
     for it in range(iterations):
         contrib = (
@@ -180,5 +226,5 @@ def pagerank(
         # .explain()/the PLANS.md audit, and the consumer's own action
         # triggers it exactly once
         if it < iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ckpt(ranks, True)
     return ranks.select(F.col("v").alias(id_col), F.col("r").alias(rank_col))

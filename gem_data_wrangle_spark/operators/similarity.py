@@ -432,18 +432,28 @@ def kmeans_assign(
 
     Scale shape: the centroid table is MODEL-sized (k rows, bounded by
     ``max_centroids``), so it is collected to the driver — the same
-    bounded-collect contract as the zipWithIndex kernel — and inlined
-    as a literal array of arrays. Assignment is then a NARROW per-row
-    argmin over that array (``transform``/``aggregate`` higher-order
-    functions): ZERO shuffles, no join, whole-stage codegen, linear in
-    corpus size — the plan that survives 100 TB. A full Lloyd
-    iteration is this + ``mean_pool_vectors`` grouped by
+    bounded-collect contract as the zipWithIndex kernel — then shipped
+    back as ONE broadcast row (a nested-array model frame joined with
+    ``F.broadcast`` cross join), NOT as expression literals: a trained
+    k=4096 × dim=768 model inlined as literals bloats the codegen'd
+    plan and every task binary (the "Broadcasting large task binary"
+    warning), while a broadcast row ships once per executor via the
+    torrent broadcast and the plan stays model-size-independent.
+    Assignment is then a NARROW per-row argmin over the broadcast
+    array column (``transform``/``aggregate`` higher-order functions):
+    ZERO shuffles (a broadcast join is not an exchange of the corpus),
+    linear in corpus size — the plan that survives 100 TB. A full
+    Lloyd iteration is this + ``mean_pool_vectors`` grouped by
     ``cluster_id`` (one keyed shuffle for the M step).
 
     Returns ``id_col``, ``cluster_id``, ``sq_dist``. Distances are
-    exact double sums in element order, so any engine replays them
-    bit-identically.
+    exact double sums in element order (identical arithmetic to the
+    former literal form), so any engine replays them bit-identically.
     """
+    from pyspark.sql.types import (  # noqa: PLC0415
+        ArrayType, DoubleType, StructField, StructType,
+    )
+
     cent_vec_col = cent_vec_col or vec_col
     cent_id_col = cent_id_col or id_col
     rows = centroids.select(cent_id_col, cent_vec_col).collect()  # bounded: k rows
@@ -456,16 +466,20 @@ def kmeans_assign(
     if not rows:
         raise ValueError("empty centroid table")
     rows.sort(key=lambda r: r[0])
-    cents = F.array(
-        *[
-            F.array(*[F.lit(float(x)).cast("double") for x in r[1]])
-            for r in rows
-        ]
+    id_type = centroids.select(cent_id_col).schema.fields[0].dataType
+    model = df.sparkSession.createDataFrame(
+        [(
+            [r[0] for r in rows],
+            [[float(x) for x in r[1]] for r in rows],
+        )],
+        StructType([
+            StructField("_cids", ArrayType(id_type)),
+            StructField("_cvs", ArrayType(ArrayType(DoubleType()))),
+        ]),
     )
-    cent_ids = F.array(*[F.lit(r[0]) for r in rows])
     v = as_double_array(vec_col)
     dists = F.transform(
-        cents,
+        F.col("_cvs"),
         lambda c: F.aggregate(
             F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),
@@ -473,9 +487,9 @@ def kmeans_assign(
         ),
     )
     best = F.array_position(dists, F.array_min(dists))  # 1-based, first min
-    return df.select(
+    return df.crossJoin(F.broadcast(model)).select(
         F.col(id_col),
-        F.element_at(cent_ids, best.cast("int")).alias("cluster_id"),
+        F.element_at(F.col("_cids"), best.cast("int")).alias("cluster_id"),
         F.element_at(dists, best.cast("int")).alias("sq_dist"),
     )
 
@@ -662,15 +676,35 @@ def pq_train(
     return codebooks
 
 
-def _sub_argmin(sub: Column, book: list[list[float]]) -> Column:
+def _books_frame(df: DataFrame, codebooks: list[list[list[float]]]) -> DataFrame:
+    """One-row model frame carrying the full PQ codebook as a nested
+    array column ``_books`` (m × ksub × sub_dim). Joined with
+    ``F.broadcast`` cross join so a trained ksub=256 × m=8 book ships
+    once per executor via torrent broadcast instead of being inlined
+    as expression literals (which bloats the codegen'd plan and every
+    task binary — VERDICT r6's "Broadcasting large task binary"
+    finding)."""
+    from pyspark.sql.types import (  # noqa: PLC0415
+        ArrayType, DoubleType, StructField, StructType,
+    )
+
+    return df.sparkSession.createDataFrame(
+        [([[ [float(x) for x in cw] for cw in book] for book in codebooks],)],
+        StructType([
+            StructField(
+                "_books", ArrayType(ArrayType(ArrayType(DoubleType())))
+            ),
+        ]),
+    )
+
+
+def _sub_argmin(sub: Column, book: Column) -> Column:
     """0-based index of the nearest codeword by squared L2 (first min
-    on ties) — the same literal-centroid narrow argmin as
-    :func:`kmeans_assign`, per subspace."""
-    cents = F.array(*[
-        F.array(*[F.lit(float(x)).cast("double") for x in cw]) for cw in book
-    ])
+    on ties) — the same broadcast-model narrow argmin as
+    :func:`kmeans_assign`, per subspace. ``book`` is a ksub × sub_dim
+    array COLUMN (one subspace of the broadcast ``_books``)."""
     dists = F.transform(
-        cents,
+        book,
         lambda c: F.aggregate(
             F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),
@@ -688,18 +722,23 @@ def pq_encode(
     out_col: str = "pq_codes",
 ) -> DataFrame:
     """Encode vectors to their PQ codes: per subspace, the 0-based
-    index of the nearest codeword. A NARROW per-row argmin over
-    literal codebooks (zero shuffles, whole-stage codegen) — encode
-    once, store the ``m``-int code column, and every later ANN scan
-    reads codes instead of raw vectors.
+    index of the nearest codeword. A NARROW per-row argmin over the
+    broadcast codebook model frame (zero corpus shuffles; the book
+    ships once per executor, never in the task binary) — encode once,
+    store the ``m``-int code column, and every later ANN scan reads
+    codes instead of raw vectors.
     """
     v = as_double_array(vec_col)
     dim = sum(len(book[0]) for book in codebooks)
     codes = [
-        _sub_argmin(F.slice(v, start, length), book)
-        for (start, length), book in zip(_pq_bounds(dim, len(codebooks)), codebooks)
+        _sub_argmin(F.slice(v, start, length), F.col("_books")[j])
+        for j, (start, length) in enumerate(_pq_bounds(dim, len(codebooks)))
     ]
-    return df.withColumn(out_col, F.array(*codes))
+    return (
+        df.crossJoin(F.broadcast(_books_frame(df, codebooks)))
+        .withColumn(out_col, F.array(*codes))
+        .drop("_books")
+    )
 
 
 def pq_topk(
@@ -721,13 +760,16 @@ def pq_topk(
     ONCE into a lookup table; each corpus row then costs ``m`` array
     lookups instead of a ``dim``-element scan.
 
-    Plan shape: the LUT is a narrow per-probe expression over literal
-    codebooks; probes broadcast (bounded probe set — the brute-force
-    contract of :func:`cosine_topk`); the corpus side streams its
-    code column only (the compression is the point: at 100 TB the
-    scan reads m bytes/vector, not dim doubles) with zero shuffles
-    before the per-probe top-k window. Distances are fixed-order
-    double sums, so any engine replays the ranking exactly.
+    Plan shape: the LUT is a narrow per-probe expression over the
+    BROADCAST codebook model frame (one torrent-shipped row — never
+    expression literals, which would bloat the plan and task binaries
+    at trained ksub=256 books); probes broadcast (bounded probe set —
+    the brute-force contract of :func:`cosine_topk`); the corpus side
+    streams its code column only (the compression is the point: at
+    100 TB the scan reads m bytes/vector, not dim doubles) with zero
+    shuffles before the per-probe top-k window. Distances are
+    fixed-order double sums, so any engine replays the ranking
+    exactly.
 
     ``rerank=R`` (R > k) is the standard ADC+R refinement (Jégou et
     al. §VI): the ADC pass keeps an R-deep shortlist per probe, then
@@ -748,16 +790,12 @@ def pq_topk(
     dim = sum(len(book[0]) for book in codebooks)
     bounds = _pq_bounds(dim, len(codebooks))
 
-    def _sub_lut(start: int, length: int, book: list[list[float]]) -> Column:
+    def _sub_lut(j: int, start: int, length: int) -> Column:
         # closure, NOT lambda default args — an extra default parameter
         # would make Spark bind the 3-arg (value, index, ...) form
         sub = F.slice(v, start, length)
-        cents = F.array(*[
-            F.array(*[F.lit(float(x)).cast("double") for x in cw])
-            for cw in book
-        ])
         return F.transform(
-            cents,
+            F.col("_books")[j],
             lambda c: F.aggregate(
                 F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0),
@@ -766,11 +804,12 @@ def pq_topk(
         )
 
     lut = F.array(*[
-        _sub_lut(start, length, book)
-        for (start, length), book in zip(bounds, codebooks)
+        _sub_lut(j, start, length)
+        for j, (start, length) in enumerate(bounds)
     ])
-    p = probes.select(
-        F.col(id_col).alias(probe_id), lut.alias("_lut")
+    p = (
+        probes.crossJoin(F.broadcast(_books_frame(probes, codebooks)))
+        .select(F.col(id_col).alias(probe_id), lut.alias("_lut"))
     )
     scored = (
         corpus_codes.select(

@@ -152,3 +152,38 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     for node in nodes:
         assert abs(got[node] - r[idx[node]]) < 1e-9, node
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_reliable_checkpoint_mode_matches_local(spark, tmp_path):
+    """VERDICT r6 item 5: the iterative loops accept a reliable
+    checkpoint_dir (cluster durability — localCheckpoint blocks die
+    with an executor); results are identical in both modes and the
+    reliable mode actually writes checkpoint files."""
+    from gem_data_wrangle_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "a bigint, b bigint"
+    )
+    ckdir = str(tmp_path / "reliable_ckpt")
+    local = {r["id"]: r["component"]
+             for r in connected_components(edges, "a", "b").collect()}
+    durable = {r["id"]: r["component"]
+               for r in connected_components(
+                   edges, "a", "b", checkpoint_dir=ckdir).collect()}
+    assert durable == local
+
+    pr_edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 1)], "src bigint, dst bigint"
+    )
+    pr_local = {r["node"]: r["rank"]
+                for r in pagerank(pr_edges, "src", "dst", iterations=3).collect()}
+    pr_durable = {r["node"]: r["rank"]
+                  for r in pagerank(pr_edges, "src", "dst", iterations=3,
+                                    checkpoint_dir=ckdir).collect()}
+    assert pr_durable == pr_local
+
+    import os
+    found = []
+    for root, _dirs, files in os.walk(ckdir):
+        found.extend(os.path.join(root, f) for f in files)
+    assert found, "reliable mode must write checkpoint files"
