@@ -381,16 +381,34 @@ def repetition_signals(
         ng = F.zip_with(
             ng, F.slice(toks, 1 + k, m), lambda a, b: F.concat(a, F.lit(" "), b)
         )
-    ngrams_ = base.select(id_col, "_chars", F.explode(ng).alias("_ng"))
-    ng_counts = ngrams_.groupBy(id_col, "_chars", "_ng").agg(
+    # _chars stays OUT of the token-proportional exchange (it is
+    # constant per doc — carrying it through the big shuffle pays
+    # 8 bytes/token and forces the second agg onto a (id, chars) key
+    # that the final id-keyed join can't reuse); the frac is computed
+    # after the join from base's own _chars.
+    ngrams_ = base.select(id_col, F.explode(ng).alias("_ng"))
+    ng_counts = ngrams_.groupBy(id_col, "_ng").agg(
         F.count(F.lit(1)).alias("_c")
     )
     per_doc_ng = (
-        ng_counts.groupBy(id_col, "_chars")
+        ng_counts.groupBy(id_col)
         .agg(F.max(F.struct(F.col("_c"), F.col("_ng"))).alias("_top"))
         .select(
             id_col,
             F.col("_top._ng").alias("top_ngram"),
+            F.col("_top._c").alias("_topc"),
+        )
+    )
+    return (
+        base.select(id_col, "_chars")
+        .join(per_doc_lines, on=id_col, how="left")
+        .join(per_doc_ng, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_lines",
+            "dup_line_frac",
+            "dup_line_char_frac",
+            "top_ngram",
             # zero-char guard: with ngram_n=1 an empty string still
             # yields one n-gram row (split('', ' ') -> ['']) with
             # _chars=0 — ANSI Spark would raise DIVIDE_BY_ZERO where
@@ -399,15 +417,10 @@ def repetition_signals(
             F.when(
                 F.col("_chars") > 0,
                 F.round(
-                    F.col("_top._c") * F.length("_top._ng") / F.col("_chars"), 4
+                    F.col("_topc") * F.length("top_ngram") / F.col("_chars"), 4
                 ),
             ).alias("top_ngram_char_frac"),
         )
-    )
-    return (
-        base.select(id_col)
-        .join(per_doc_lines, on=id_col, how="left")
-        .join(per_doc_ng, on=id_col, how="left")
     )
 
 
