@@ -797,13 +797,18 @@ def test_golden_vectors_decode_byte_exactly():
     MCU assembly → upsample → JFIF color transform) — any regression
     in entropy decoding, block layout, chroma upsampling (4:2:0 and
     4:2:2 + DRI covered) or color math breaks exact equality, not a
-    round-trip tolerance."""
+    round-trip tolerance. Round 7 adds two PROGRESSIVE (SOF2) files
+    (prog_grey, prog_rgb_420 — DC first/refine + AC band + AC
+    refinement scans); their coefficients match the baseline
+    encoder's, so the same independent reconstruction pins them."""
     import glob
     import os
 
     fixture_dir = os.path.join(os.path.dirname(__file__), "fixtures", "jpeg")
     jpgs = sorted(glob.glob(os.path.join(fixture_dir, "*.jpg")))
-    assert len(jpgs) == 4, f"expected 4 golden fixtures, found {len(jpgs)}"
+    assert len(jpgs) == 6, f"expected 6 golden fixtures, found {len(jpgs)}"
+    assert {os.path.basename(p) for p in jpgs} >= {"prog_grey.jpg",
+                                                   "prog_rgb_420.jpg"}
     for jp in jpgs:
         golden = np.load(jp[:-4] + ".npy")
         with open(jp, "rb") as f:

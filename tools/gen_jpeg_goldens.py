@@ -30,7 +30,12 @@ sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests")
 )
 
-from test_jpeg_codec import _FLAT_Q, _plane_blocks, encode_baseline_jpeg  # noqa: E402
+from test_jpeg_codec import (  # noqa: E402
+    _FLAT_Q,
+    _plane_blocks,
+    encode_baseline_jpeg,
+    encode_progressive_jpeg,
+)
 
 OUT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -175,13 +180,24 @@ def cases() -> dict[str, tuple[np.ndarray, dict]]:
         "rgb_444": (rgb, {}),
         "rgb_420": (rgb420, {"subsample_420": True}),
         "rgb_422_dri": (rgb422, {"subsample_422": True, "restart_interval": 2}),
+        # PROGRESSIVE (SOF2) fixtures, round 7 (VERDICT r6 item 6): the
+        # progressive encoder writes the SAME quantized coefficients as
+        # the baseline encoder across DC first/refine + per-component AC
+        # band + AC refinement scans, so the independent spec-math
+        # reconstruction above is the expected decode here too.
+        "prog_grey": (grad, {"progressive": True}),
+        "prog_rgb_420": (rgb420, {"subsample_420": True, "progressive": True}),
     }
 
 
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     for name, (img, kw) in cases().items():
-        payload = encode_baseline_jpeg(img, **kw)
+        progressive = kw.pop("progressive", False)
+        if progressive:
+            payload = encode_progressive_jpeg(img, **kw)
+        else:
+            payload = encode_baseline_jpeg(img, **kw)
         enc_kw = {k: v for k, v in kw.items() if k != "restart_interval"}
         golden = expected_pixels(img, **enc_kw)
         with open(os.path.join(OUT, f"{name}.jpg"), "wb") as f:
