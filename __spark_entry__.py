@@ -5234,6 +5234,237 @@ def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# round-7 additions — five new first-class operators, registered
+# directly into the graded head (this round's rotation promotes all
+# round-6 strays, so new queries get immediate driver evidence).
+# --------------------------------------------------------------------
+
+# Shannon character entropy + integer sufficient statistics. The float
+# Σ count·log2(count) folds in SORTED character order on BOTH engines
+# (Spark: run-length scan over array_sort; DuckDB: list_reduce over
+# list(... ORDER BY ch)) — identical addition order, so the 4-dp round
+# only absorbs the engines' log2 ulp. n/nd/Σcount² are hash-exact ints.
+@_register(
+    "char_entropy",
+    """
+    WITH d AS (
+      SELECT doc_id, coalesce(text, '') AS t FROM documents
+    ), ch AS (
+      SELECT doc_id, unnest(list_filter(string_split(t, ''), x -> x <> '')) AS c
+      FROM d
+    ), cnt AS (
+      SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c
+    ), agg AS (
+      SELECT doc_id,
+             sum(k) AS n,
+             count(*) AS nd,
+             sum(k * k) AS sq,
+             list(k::DOUBLE * log2(k::DOUBLE) ORDER BY c) AS fs
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(agg.n, 0)::BIGINT AS n_chars,
+           coalesce(agg.nd, 0)::BIGINT AS n_distinct_chars,
+           coalesce(agg.sq, 0)::BIGINT AS sum_sq_counts,
+           CASE WHEN agg.n > 0 THEN
+             round(log2(agg.n::DOUBLE)
+                   - list_reduce(list_prepend(0.0, fs), (a, b) -> a + b)
+                     / agg.n::DOUBLE, 4)
+           END AS char_entropy
+    FROM d LEFT JOIN agg USING (doc_id)
+    """,
+)
+def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return T.char_entropy(docs, "text", "doc_id")
+
+
+# Unicode-script composition: integer regexp_count per class (RE2 and
+# java.util.regex agree on every pattern — explicit ranges only), one
+# exact int/int division per fraction. Script variety is synthesized
+# (per doc_id mod 3: Cyrillic / CJK / digit suffixes) because the
+# corpus is ASCII-English.
+@_register(
+    "script_fractions",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             coalesce(text, '') ||
+             CASE doc_id % 3 WHEN 0 THEN ' Привет мир'
+                             WHEN 1 THEN ' 你好世界'
+                             ELSE ' 42 x' END AS t
+      FROM documents
+    ), c AS (
+      SELECT doc_id, length(t) AS n,
+             len(regexp_extract_all(t, '[A-Za-z]')) AS latin_letters_count,
+             len(regexp_extract_all(t, '[0-9]')) AS digits_count,
+             len(regexp_extract_all(t, '[ \\t\\n\\r\\f]')) AS whitespace_count,
+             len(regexp_extract_all(t, '[\\x{0400}-\\x{04ff}]')) AS cyrillic_count,
+             len(regexp_extract_all(t, '[\\x{4e00}-\\x{9fff}]')) AS cjk_count,
+             len(regexp_extract_all(t, '[\\x{0600}-\\x{06ff}]')) AS arabic_count
+      FROM d
+    )
+    SELECT doc_id, n::BIGINT AS n_chars,
+           latin_letters_count::BIGINT AS latin_letters_count,
+           CASE WHEN n > 0 THEN round(latin_letters_count::DOUBLE / n::DOUBLE, 4) END AS latin_letters_frac,
+           digits_count::BIGINT AS digits_count,
+           CASE WHEN n > 0 THEN round(digits_count::DOUBLE / n::DOUBLE, 4) END AS digits_frac,
+           whitespace_count::BIGINT AS whitespace_count,
+           CASE WHEN n > 0 THEN round(whitespace_count::DOUBLE / n::DOUBLE, 4) END AS whitespace_frac,
+           cyrillic_count::BIGINT AS cyrillic_count,
+           CASE WHEN n > 0 THEN round(cyrillic_count::DOUBLE / n::DOUBLE, 4) END AS cyrillic_frac,
+           cjk_count::BIGINT AS cjk_count,
+           CASE WHEN n > 0 THEN round(cjk_count::DOUBLE / n::DOUBLE, 4) END AS cjk_frac,
+           arabic_count::BIGINT AS arabic_count,
+           CASE WHEN n > 0 THEN round(arabic_count::DOUBLE / n::DOUBLE, 4) END AS arabic_frac,
+           (n - latin_letters_count - digits_count - whitespace_count
+              - cyrillic_count - cjk_count - arabic_count)::BIGINT AS other_count
+    FROM c
+    """,
+)
+def _q_script_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" Привет мир"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(" 你好世界"))
+        .otherwise(F.lit(" 42 x")),
+    )
+    return T.script_fractions(
+        docs.withColumn("text", synth), "text", "doc_id"
+    )
+
+
+# Token n-gram eval-overlap decontamination (GPT-3 appendix C at n=3
+# for the short synthetic docs): every 17th document IS the eval set,
+# so its exact and near duplicates in the corpus must flag. The oracle
+# replays the shingle windows with a list comprehension and the
+# overlap with a plain IN-subquery semi join on the raw n-gram string
+# (the engine joins on md5(ngram) — same pairs, cheaper shuffle).
+@_register(
+    "ngram_decontaminate",
+    """
+    WITH d AS (
+      SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents
+    ), tng AS (
+      SELECT DISTINCT doc_id, ng FROM (
+        SELECT doc_id,
+               unnest([array_to_string(ts[i:i+2], ' ')
+                       FOR i IN range(1, greatest(len(ts) - 2, 0) + 1)]) AS ng
+        FROM d)
+    ), eng AS (
+      SELECT DISTINCT ng FROM (
+        SELECT unnest([array_to_string(ts[i:i+2], ' ')
+                       FOR i IN range(1, greatest(len(ts) - 2, 0) + 1)]) AS ng
+        FROM d WHERE doc_id % 17 = 3)
+    ), hits AS (
+      SELECT doc_id, count(*) AS n_collisions
+      FROM tng WHERE ng IN (SELECT ng FROM eng) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(hits.n_collisions, 0)::BIGINT AS n_collisions,
+           coalesce(hits.n_collisions, 0) > 0 AS contaminated
+    FROM d LEFT JOIN hits USING (doc_id)
+    """,
+)
+def _q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_df = docs.filter(F.col("doc_id") % 17 == 3)
+    return D.ngram_decontaminate(docs, eval_df, "text", "doc_id", n=3).select(
+        "doc_id", "n_collisions", "contaminated"
+    )
+
+
+# Rolling z-score anomaly signal: Σx and Σx² over EXACT INTEGER cents
+# inside a 20-row trailing frame, mean/var/z derived by single IEEE
+# divisions + sqrt — bit-identical on any engine, no summation-order
+# exposure anywhere. (ts, event_id) is a total order, so the ROWS
+# frame is deterministic.
+@_register(
+    "event_zscores",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), w AS (
+      SELECT event_id, user_id, cents,
+             sum(cents) OVER w AS s1,
+             sum(cents * cents) OVER w AS s2,
+             count(*) OVER w AS n
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, n AS frame_n,
+           floor((s1::DOUBLE / n::DOUBLE) / 100 * 10000) / 10000 AS rolling_mean,
+           CASE WHEN n >= 2
+                 AND (s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE)
+                     / (n::DOUBLE - 1.0) > 0
+                THEN round(
+                  (cents::DOUBLE - s1::DOUBLE / n::DOUBLE)
+                  / sqrt((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE)
+                         / (n::DOUBLE - 1.0)), 4)
+           END AS zscore
+    FROM w
+    """,
+)
+def _q_event_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.asof import rolling_zscores
+
+    ev = _events(spark, sf_dir)
+    out = rolling_zscores(
+        ev, "user_id", "ts", "value", window_rows=20, order_tiebreak="event_id"
+    )
+    return out.select("event_id", "user_id", "frame_n", "rolling_mean", "zscore")
+
+
+# K-step ordered funnel (click → view → error) per user: exact
+# timestamp comparisons only; step timestamps format to µs strings on
+# both sides (the resample_events precedent for TIMESTAMP_NS parity).
+@_register(
+    "event_funnel",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_type FROM events
+    ), s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'click'
+      GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(ts) AS t2 FROM e JOIN s1 USING (user_id)
+      WHERE event_type = 'view' AND ts > t1 GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(ts) AS t3 FROM e JOIN s2 USING (user_id)
+      WHERE event_type = 'error' AND ts > t2 GROUP BY e.user_id
+    )
+    SELECT u.user_id,
+           strftime(t1, '%Y-%m-%d %H:%M:%S.%f') AS step1_ts,
+           strftime(t2, '%Y-%m-%d %H:%M:%S.%f') AS step2_ts,
+           strftime(t3, '%Y-%m-%d %H:%M:%S.%f') AS step3_ts,
+           (CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)::INT AS funnel_depth
+    FROM (SELECT DISTINCT user_id FROM e) u
+    LEFT JOIN s1 USING (user_id)
+    LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+    """,
+)
+def _q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = A.funnel_steps(ev, "user_id", "ts", "event_type",
+                         ["click", "view", "error"])
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id",
+        F.date_format("step1_ts", fmt).alias("step1_ts"),
+        F.date_format("step2_ts", fmt).alias("step2_ts"),
+        F.date_format("step3_ts", fmt).alias("step3_ts"),
+        "funnel_depth",
+    )
+
+
+# --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -5329,16 +5560,69 @@ _DEFER_TO_TAIL = [
     "harmonize_na_poisoning",  # r05 green; kernels.py:84 unchanged
     "ml_minhash_join_verified",  # r05 green; ml_lsh.py + jaccard_pairs unchanged
     "ml_brp_join_verified",    # r05 green; ml_lsh.py + lsh_bucket unchanged
-    "stream_running_totals",   # r05 green; streaming stateful unchanged
     "stratified_sample",       # r05 green; sampling strata path unchanged
     "sample_to_token_budget",  # r05 green; sampling budget path unchanged
     "weighted_sample",         # r05 green; sampling weighted path unchanged
-    "neardup_components",      # r05 green; graph.py + lsh_candidate_pairs unchanged
     "tfidf_top_terms",         # r05 green; textops tf_idf path unchanged
     "chunk_documents",         # r05 green; textops chunk path unchanged
     "sessionize_events",       # r05 green; aggregates sessionize unchanged
     "training_data_pipeline",  # r05 green; quality_score/fingerprint/hash_split
                                # + dedup_first_per_key window path unchanged
+    # ------------------------------------------------------------------
+    # round-7 rotation (VERDICT r6 item 1): the 30 round-6 registrations
+    # LEAVE the past-window parking list and enter the graded head (they
+    # had zero driver evidence); their head slots come from demoting the
+    # 37 r06-green queries below, each byte-stable this round
+    # (fingerprint-pinned). Two former tail entries RE-PROMOTE to the
+    # head because round 7 changed their operator paths (ledger
+    # discipline): stream_running_totals (stateful.running_totals now
+    # derives the key type from the schema) and neardup_components
+    # (graph.connected_components grew the checkpoint_dir strategy).
+    # repetition_signals also stays in the head (n-gram exchange
+    # reshape), as do the flagship agg_sum_groups and the 11
+    # reference-core pipeline/consolidation queries (kept fresh every
+    # round), plus the five round-7 registrations.
+    #
+    # tail block 3 — r6-green, byte-unchanged since:
+    "filter_isin",             # r06 green; cleaning.py unchanged
+    "cast_regex_extract",      # r06 green; cleaning.py unchanged
+    "explode_split",           # r06 green; strings.py unchanged
+    "split_ownership_strict",  # r06 green; kernels.py:31 unchanged
+    "window_count_share",      # r06 green; aggregates window path unchanged
+    "dedup_first_per_key",     # r06 green; aggregates dedup path unchanged
+    "harmonize_coordinates",   # r06 green; kernels.py:84 unchanged
+    "join_left_enrich",        # r06 green; joins.py unchanged
+    "join_left_coalesce",      # r06 green; joins.py unchanged
+    "join_fallback_chain",     # r06 green; joins.py unchanged
+    "expand_years",            # r06 green; kernels expand path unchanged
+    "surrogate_ids",           # r06 green; kernels two-phase path unchanged
+    "case_when_classify",      # r06 green; conditional.py unchanged
+    "dedup_exact",             # r06 green; dedup exact path unchanged
+    "text_fingerprint",        # r06 green; textops fingerprint unchanged
+    "text_quality",            # r06 green; textops quality path unchanged
+    "lang_id",                 # r06 green; textops lang path unchanged
+    "minhash_lsh_pairs",       # r06 green; dedup minhash path unchanged
+    "jaccard_neighbors",       # r06 green; dedup jaccard path unchanged
+    "simhash",                 # r06 green; dedup simhash path unchanged
+    "similarity_bruteforce",   # r06 green; cosine_topk unchanged
+    "similarity_lsh",          # r06 green; lsh_topk unchanged
+    "similarity_ivf",          # r06 green; ivf_topk unchanged (it does
+                               # NOT call the r7-touched kmeans_assign)
+    "stream_tumbling_window",  # r06 green; streaming windows unchanged
+    "stream_sliding_window",   # r06 green; streaming windows unchanged
+    "stream_session_window",   # r06 green; streaming windows unchanged
+    "multimodal_bytes",        # r06 green; multimodal bytes path unchanged
+    "embedding_neardup_pairs", # r06 green; similarity pair path unchanged
+    "salted_aggregation",      # r06 green; aggregates salting unchanged
+    "token_counts",            # r06 green; textops token path unchanged
+    "shared_substring_pairs",  # r06 green; dedup span fns unchanged (r7
+                               # touched exact_jaccard_join + neardup only)
+    "duplicate_spans",         # r06 green; dedup span fns unchanged
+    "cut_duplicate_spans",     # r06 green; dedup span fns unchanged
+    "gopher_quality_flags",    # r06 green; gopher path unchanged
+    "embedding_quantize_int8", # r06 green; quantize path unchanged
+    "semdedup",                # r06 green; semdedup path unchanged
+    "normalized_dedup",        # r06 green; canonicalize path unchanged
 ]
 
 
@@ -5406,56 +5690,58 @@ _DEFER_HASHES: dict[str, str] = {
     "harmonize_na_poisoning": "f26cb6280a425311",
     "ml_minhash_join_verified": "a916910067fb093c",
     "ml_brp_join_verified": "f2cb8d58723dab33",
-    "stream_running_totals": "807a5c69f29d2cb4",
     "stratified_sample": "44bfd4171f2d4e82",
     "sample_to_token_budget": "5639bb17630b5513",
     "weighted_sample": "033b26812c354655",
-    "neardup_components": "de12f0c4d5f64199",
     "tfidf_top_terms": "bb616e4cb5b2c6da",
     "chunk_documents": "c721a1b87a97166d",
     "sessionize_events": "69f3c131133093cb",
     "training_data_pipeline": "db585891fb511fca",
+    "filter_isin": "511530f2dd36c7e8",
+    "cast_regex_extract": "caf35822ececbacf",
+    "explode_split": "68ee199b5c3da537",
+    "split_ownership_strict": "88aca9a672b4b1b9",
+    "window_count_share": "2b80f335c6badb80",
+    "dedup_first_per_key": "6599421550ed8cba",
+    "harmonize_coordinates": "102448ca2061e9c3",
+    "join_left_enrich": "19d45dbe8ae4a9fc",
+    "join_left_coalesce": "b9994c429932914b",
+    "join_fallback_chain": "922fd078ac49f00d",
+    "expand_years": "3b56946da2023aaf",
+    "surrogate_ids": "83fe3102e7d61599",
+    "case_when_classify": "0a9e17b051c21a23",
+    "dedup_exact": "f49df5544fb70089",
+    "text_fingerprint": "20401cde9270e27b",
+    "text_quality": "4ef6e6d2b0182197",
+    "lang_id": "20039c0194fdf4da",
+    "minhash_lsh_pairs": "c11e3339c8cf7966",
+    "jaccard_neighbors": "f5ef3b537b9359ad",
+    "simhash": "1b747ecd35d5afd0",
+    "similarity_bruteforce": "7288f05c7eb567be",
+    "similarity_lsh": "c25557e83327f938",
+    "similarity_ivf": "8f352ffcb3ba18de",
+    "stream_tumbling_window": "44aa2eab107b3f2a",
+    "stream_sliding_window": "d95ccf75fe6b6519",
+    "stream_session_window": "f2a0c3f7ab54ad5b",
+    "multimodal_bytes": "25c4f08bb9df8ba8",
+    "embedding_neardup_pairs": "140b79379922d877",
+    "salted_aggregation": "3e00c50f3238f813",
+    "token_counts": "f224865fb01a4cee",
+    "shared_substring_pairs": "f2833d58ae9e6f92",
+    "duplicate_spans": "d8215443fcd132b1",
+    "cut_duplicate_spans": "887ff9000ae21132",
+    "gopher_quality_flags": "1a379aa526525ee1",
+    "embedding_quantize_int8": "c4a3a9970f58767f",
+    "semdedup": "54426274e71943e0",
+    "normalized_dedup": "04b35d9b9fb6d87b",
 }
 
 
-# Round-6 registrations with no prior driver evidence: they sit just
-# PAST the 50-query graded window (the established new-operator
-# pattern — pytest + their ready oracles carry them until the round-7
-# rotation). Without this list their mid-file registration positions
-# would displace semdedup / normalized_dedup / embedding_quantize_int8
-# out of the graded head, breaking this round's re-grade plan.
-_REGISTERED_PAST_WINDOW = [
-    "mixture_rebalance",
-    "dedup_lines",
-    "audio_features",
-    "c4_filters",
-    "corpus_shuffle",
-    "kmeans_assign",
-    "warc_html_extract",
-    "url_dedup",
-    "cdc_chunks",
-    "unigram_logprob",
-    "bm25_rank",
-    "kmeans_lloyd",
-    "neardup_dedup",
-    "lm_quality_cut",
-    "dsir_logweights",
-    "dsir_resample",
-    "pq_encode",
-    "pq_topk_adc",
-    "blocked_domains",
-    "boilerplate_removal",
-    "geo_radius_join",
-    "fuzzy_match",
-    "resample_events",
-    "orders_upsert",
-    "scd2_history",
-    "host_pagerank",
-    "rolling_event_sums",
-    "heavy_hitter_keys",
-    "exact_jaccard_pairs",
-    "cosine_pairs",
-]
+# Round-7: EMPTY — the 30 round-6 registrations that parked here were
+# promoted into the graded head (VERDICT r6 item 1); the mechanism
+# stays for future rounds that register more than the graded window
+# can absorb.
+_REGISTERED_PAST_WINDOW: list[str] = []
 
 
 def _rotated(d: dict) -> dict:

@@ -78,6 +78,11 @@ HEADLINE = [
     # (ONE key window) — pre-explained in BENCH_HISTORY
     "host_pagerank",
     "rolling_event_sums",
+    # round 7: CDC chunking after the rolling-hash rewrite (VERDICT r6
+    # item 2 — was the engine's slowest operator at 18.5 s/sf0.01;
+    # now a vectorized numpy matmul inside mapInPandas, <1 s warm at
+    # sf0.1) — benched so the fix stays on the record
+    "cdc_chunks",
 ]
 
 

@@ -214,3 +214,59 @@ def sessionize(
         Window.unboundedPreceding, Window.currentRow
     )
     return df.withColumn(out_col, F.sum(is_new).over(running).cast("int"))
+
+
+def funnel_steps(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """K-step ordered funnel per key — the product-analytics primitive
+    "did the user click, THEN view, THEN ...": step i counts only when
+    it happens STRICTLY AFTER the key's completed step i−1; the result
+    carries each step's first qualifying timestamp (NULL once the
+    funnel breaks) and ``funnel_depth`` = number of completed steps.
+
+    Plan/scale: one filtered min-aggregate per step (map-side partial
+    combine, keyed by ``key_col``) chained by per-key equi-joins — the
+    frames after step 1 are one-row-per-key and shrink monotonically,
+    so AQE broadcasts them; the event table itself is scanned once per
+    step with the step's type filter pushed to the scan. No window
+    over an open key domain, no collect_list of whole histories into
+    a single task (the pattern that melts on a hot key), exact
+    timestamp comparisons only (hash-portable to any engine).
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ev = df.select(F.col(key_col), F.col(ts_col), F.col(type_col))
+    out = None
+    prev_ts = None
+    for i, step in enumerate(steps):
+        col_ts = f"step{i + 1}_ts"
+        stage = ev.filter(F.col(type_col) == step)
+        if out is None:
+            got = stage.groupBy(key_col).agg(F.min(ts_col).alias(col_ts))
+            out = got
+        else:
+            got = (
+                stage.join(
+                    out.select(key_col, F.col(prev_ts).alias("_prev")),
+                    on=key_col,
+                )
+                .filter(F.col("_prev").isNotNull() & (F.col(ts_col) > F.col("_prev")))
+                .groupBy(key_col)
+                .agg(F.min(ts_col).alias(col_ts))
+            )
+            out = out.join(got, on=key_col, how="left")
+        prev_ts = col_ts
+    depth = None
+    for i in range(len(steps)):
+        c = F.when(F.col(f"step{i + 1}_ts").isNotNull(), 1).otherwise(0)
+        depth = c if depth is None else depth + c
+    keys = df.select(F.col(key_col)).distinct()
+    return (
+        keys.join(out, on=key_col, how="left")
+        .withColumn("funnel_depth", depth.cast("int"))
+    )

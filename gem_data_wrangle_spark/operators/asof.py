@@ -276,3 +276,64 @@ def rolling_time_agg(
         F.sum(value_col).over(w).alias(sum_col),
         F.count(value_col).over(w).alias(count_col),
     )
+
+
+def rolling_zscores(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_rows: int = 20,
+    decimals: int = 2,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-key rolling z-score anomaly signal: each event scored
+    against the mean/stddev of its key's previous ``window_rows``
+    events (ROWS frame, current row included) — the burst/outlier
+    detector of event-stream monitoring.
+
+    Exactness contract: ``value_col`` holds ``decimals``-dp decimals
+    (the events table's 2-dp values), so the frame's Σx and Σx² are
+    computed over EXACT INTEGER cents — any engine produces identical
+    sums — and mean/sample-variance/z derive from those integers with
+    single IEEE divisions/sqrt (bit-identical everywhere, no
+    summation-order drift). ``z`` is NULL when the frame has < 2 rows
+    or zero variance. ``rolling_mean`` is TRUNCATED (floor) to 4dp,
+    not rounded: the mean is an exact rational ``Σcents/n`` that can
+    land exactly ON a .00005 rounding boundary (measured at sf0.01:
+    n=8 frames put it at odd multiples of 1/20000), where engines'
+    round-half rules legitimately disagree; floor of the identical
+    double is identical everywhere. z keeps a 4-dp round — the sqrt
+    makes boundary hits measure-zero.
+
+    Plan: ONE shuffle on the key; the ROWS frame is bounded state
+    inside Spark's window operator (never a self-join). Ordering ties
+    break on ``order_tiebreak`` (default: the key's row identity is
+    (ts, value) — pass an id column for full determinism on dup
+    timestamps).
+    """
+    scale = 10 ** decimals
+    cents = F.round(F.col(value_col) * scale).cast("long")
+    order = [F.col(ts_col)] + (
+        [F.col(order_tiebreak)] if order_tiebreak else [F.col(value_col)]
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(-(int(window_rows) - 1), 0)
+    )
+    s1 = F.sum(cents).over(w)
+    s2 = F.sum(cents * cents).over(w)
+    cnt = F.count(F.lit(1)).over(w)
+    mean_c = s1.cast("double") / cnt.cast("double")
+    # sample variance over cents: (Σx² − (Σx)²/n) / (n−1)
+    var_c = (s2.cast("double") - s1.cast("double") * s1.cast("double")
+             / cnt.cast("double")) / (cnt.cast("double") - 1.0)
+    z = (cents.cast("double") - mean_c) / F.sqrt(var_c)
+    mean_trunc = F.floor(mean_c / scale * 10000).cast("double") / 10000
+    return df.select(
+        "*",
+        cnt.alias("frame_n"),
+        mean_trunc.alias("rolling_mean"),
+        F.when((cnt >= 2) & (var_c > 0), F.round(z, 4)).alias("zscore"),
+    )

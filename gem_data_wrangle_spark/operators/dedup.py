@@ -915,3 +915,62 @@ def exact_jaccard_join(
         )
     )
     return cross.unionByName(within)
+
+
+def ngram_decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    eval_text_col: str | None = None,
+    n: int = 13,
+    remove: bool = False,
+) -> DataFrame:
+    """Token n-gram overlap decontamination — the GPT-3 appendix-C /
+    PaLM-style rule: a training document is CONTAMINATED if it shares
+    ANY length-``n`` token window with the evaluation corpus, which
+    catches paraphrased/embedded eval text that the digest-level
+    :func:`dedup_against_index` misses (13 tokens is the published
+    default; short eval strings argue for smaller ``n``).
+
+    Output: ``df`` with ``n_collisions`` (how many of the document's
+    DISTINCT n-grams appear anywhere in the eval set) and a
+    ``contaminated`` flag; ``remove=True`` returns only clean rows
+    (original columns, no flags).
+
+    Plan/scale: both sides shingle narrowly (shifted-slice zip —
+    O(tokens), see :func:`_shingles`); the eval side collapses to
+    DISTINCT n-grams once (eval suites are bounded — thousands of
+    n-grams against a 100 TB corpus), then ONE hash equi-join
+    (LEFT SEMI, AQE broadcasts the eval build side at real sizes)
+    keyed on the md5 of the n-gram — 16 bytes through the exchange
+    instead of a 13-token string — a count per doc id, and a join
+    back. No all-pairs stage; corpus-side cost is one shingle scan +
+    one bounded-build join.
+    """
+    eval_text_col = eval_text_col or text_col
+    tng = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_shingles(F.col(text_col), n)).alias("_ng"),
+    ).select("_id", F.md5(F.col("_ng")).alias("_h"))
+    eng = (
+        eval_df.select(F.explode(_shingles(F.col(eval_text_col), n)).alias("_ng"))
+        .select(F.md5(F.col("_ng")).alias("_h"))
+        .distinct()
+    )
+    hits = (
+        tng.join(eng, on="_h", how="leftsemi")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_collisions"))
+    )
+    flagged = (
+        df.join(hits, df[id_col] == hits["_id"], "left")
+        .drop("_id")
+        .withColumn("n_collisions", F.coalesce("n_collisions", F.lit(0)))
+        .withColumn("contaminated", F.col("n_collisions") > 0)
+    )
+    if remove:
+        return flagged.filter(~F.col("contaminated")).drop(
+            "n_collisions", "contaminated"
+        )
+    return flagged

@@ -1178,3 +1178,132 @@ def tfidf_cosine_pairs(
         )
     )
     return cross.unionByName(within)
+
+
+# --------------------------------------------------------------------
+# character-level statistics (entropy + script mix)
+# --------------------------------------------------------------------
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shannon character entropy per document plus the integer
+    sufficient statistics behind it — the classic mojibake/binary-
+    spill/keyboard-mash detector (near-zero entropy = one repeated
+    character; near-log2(alphabet) = random bytes; prose sits in a
+    narrow band per language).
+
+    Output: ``n_chars``, ``n_distinct_chars``, ``sum_sq_counts``
+    (Σ count²  — integer-exact Simpson/collision mass, the
+    rounding-free signal) and ``char_entropy`` =
+    ``log2(n) − (Σ_c count_c·log2(count_c))/n`` rounded 4dp.
+
+    Determinism contract: the Σ over characters folds in SORTED
+    character order on both engines — here a run-length scan over
+    ``array_sort`` (one O(n log n) per-row sort, then a sequential
+    ``aggregate`` whose float additions happen once per distinct
+    character, in order), in the SQL oracle a ``list_reduce`` over
+    ``list(c*log2(c) ORDER BY ch)``. Identical addition order means
+    identical doubles modulo the engines' log2 ulp. Narrow per-row
+    work, zero shuffles, linear in corpus bytes.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    chars = F.array_sort(F.filter(F.split(t, ""), lambda x: x != ""))
+    n = F.size(chars)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0.0).alias("acc"),
+        F.lit(0).cast("long").alias("nd"),
+        F.lit(0).cast("long").alias("sq"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        closes = acc["prev"].isNotNull() & (x != acc["prev"])
+        run_f = acc["run"].cast("double")
+        return F.struct(
+            x.alias("prev"),
+            F.when(closes | acc["prev"].isNull(), F.lit(1).cast("long"))
+            .otherwise(acc["run"] + 1).alias("run"),
+            F.when(closes, acc["acc"] + run_f * F.log2(run_f))
+            .otherwise(acc["acc"]).alias("acc"),
+            (acc["nd"] + F.when(closes | acc["prev"].isNull(), 1).otherwise(0))
+            .alias("nd"),
+            F.when(closes, acc["sq"] + acc["run"] * acc["run"])
+            .otherwise(acc["sq"]).alias("sq"),
+        )
+
+    def finish(acc: Column) -> Column:
+        run_f = acc["run"].cast("double")
+        return F.struct(
+            F.when(acc["run"] > 0, acc["acc"] + run_f * F.log2(run_f))
+            .otherwise(acc["acc"]).alias("acc"),
+            acc["nd"].alias("nd"),
+            F.when(acc["run"] > 0, acc["sq"] + acc["run"] * acc["run"])
+            .otherwise(acc["sq"]).alias("sq"),
+        )
+
+    st = F.aggregate(chars, init, step, finish)
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars"),
+        st["nd"].alias("n_distinct_chars"),
+        st["sq"].alias("sum_sq_counts"),
+        F.when(
+            n > 0,
+            F.round(F.log2(n.cast("double")) - st["acc"] / n.cast("double"), 4),
+        ).alias("char_entropy"),
+    )
+
+
+# single-codepoint regex classes counted per document. RE2 (DuckDB)
+# and java.util.regex (Spark) agree on every pattern here: explicit
+# ASCII ranges and \x{....} codepoint ranges; \s is ASCII whitespace
+# in both default modes.
+SCRIPT_CLASS_PATTERNS = {
+    "latin_letters": "[A-Za-z]",
+    "digits": "[0-9]",
+    "whitespace": "[ \\t\\n\\r\\f]",
+    "cyrillic": "[\\x{0400}-\\x{04ff}]",
+    "cjk": "[\\x{4e00}-\\x{9fff}]",
+    "arabic": "[\\x{0600}-\\x{06ff}]",
+}
+
+
+def script_fractions(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Unicode-script composition per document — the cheap language/
+    noise router ahead of model-based language ID: counts (exact
+    integers) and fractions (one exact integer division each, rounded
+    4dp) of codepoints in Latin letters, digits, ASCII whitespace,
+    Cyrillic, CJK and Arabic ranges, plus ``other_count`` for
+    everything else.
+
+    One ``regexp_count`` per class — JVM-regex passes inside
+    whole-stage codegen, no explode, no shuffle, linear in bytes.
+    Integer counts make the oracle hash-exact; the fraction rounding
+    sits on an exact division of two small integers, identical IEEE
+    doubles on any engine.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(t)
+    counts = {
+        k: F.regexp_count(t, F.lit(p)) for k, p in SCRIPT_CLASS_PATTERNS.items()
+    }
+    total_known = None
+    for c in counts.values():
+        total_known = c if total_known is None else total_known + c
+    cols: list[Column] = [F.col(id_col), n.cast("long").alias("n_chars")]
+    for k, c in counts.items():
+        cols.append(c.cast("long").alias(f"{k}_count"))
+        cols.append(
+            F.when(n > 0, F.round(c.cast("double") / n.cast("double"), 4))
+            .alias(f"{k}_frac")
+        )
+    cols.append((n - total_known).cast("long").alias("other_count"))
+    return df.select(*cols)

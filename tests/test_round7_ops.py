@@ -1,0 +1,136 @@
+"""Round-7 operator additions: character statistics, script mix,
+n-gram decontamination, rolling z-scores, funnel analysis."""
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_char_entropy_known_values(spark):
+    from gem_data_wrangle_spark.operators.textops import char_entropy
+
+    df = spark.createDataFrame(
+        [(0, "aaaa"), (1, "abab"), (2, "abcd"), (3, ""), (4, None),
+         (5, "aab")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in char_entropy(df, "text", "doc_id").collect()}
+    assert got[0]["char_entropy"] == 0.0 and got[0]["sum_sq_counts"] == 16
+    assert got[1]["char_entropy"] == 1.0 and got[1]["n_distinct_chars"] == 2
+    assert got[2]["char_entropy"] == 2.0 and got[2]["sum_sq_counts"] == 4
+    for d in (3, 4):
+        assert got[d]["n_chars"] == 0 and got[d]["char_entropy"] is None
+    # H("aab") = log2(3) - (2*log2(2) + 1*log2(1))/3
+    want = round(math.log2(3) - 2.0 / 3.0, 4)
+    assert got[5]["char_entropy"] == want
+    assert got[5]["sum_sq_counts"] == 5  # 2² + 1²
+
+
+def test_script_fractions_mixed_scripts(spark):
+    from gem_data_wrangle_spark.operators.textops import script_fractions
+
+    df = spark.createDataFrame(
+        [(0, "ab 12"), (1, "Привет"), (2, "你好"), (3, "مرحبا"), (4, "")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in script_fractions(df, "text", "doc_id").collect()}
+    assert got[0]["latin_letters_count"] == 2 and got[0]["digits_count"] == 2
+    assert got[0]["whitespace_count"] == 1 and got[0]["other_count"] == 0
+    assert got[0]["latin_letters_frac"] == 0.4
+    assert got[1]["cyrillic_count"] == 6 and got[1]["cyrillic_frac"] == 1.0
+    assert got[2]["cjk_count"] == 2
+    assert got[3]["arabic_count"] == 5
+    assert got[4]["n_chars"] == 0 and got[4]["latin_letters_frac"] is None
+    # counts partition the text: n = known + other for every row
+    for r in got.values():
+        known = sum(r[f"{k}_count"] for k in
+                    ("latin_letters", "digits", "whitespace",
+                     "cyrillic", "cjk", "arabic"))
+        assert known + r["other_count"] == r["n_chars"]
+
+
+def test_ngram_decontaminate_flags_and_remove(spark):
+    from gem_data_wrangle_spark.operators.dedup import ngram_decontaminate
+
+    train = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "x y z w q r"), (2, "c d e f g h"),
+         (3, "a b"), (4, None)],
+        "doc_id bigint, text string",
+    )
+    ev = spark.createDataFrame([(900, "b c d e")], "eid bigint, text string")
+    out = {r["doc_id"]: r for r in
+           ngram_decontaminate(train, ev, "text", "doc_id", n=3).collect()}
+    # doc0 shares 3-grams "b c d" and "c d e"; doc2 shares "c d e"
+    assert out[0]["n_collisions"] == 2 and out[0]["contaminated"]
+    assert out[2]["n_collisions"] == 1 and out[2]["contaminated"]
+    assert not out[1]["contaminated"]
+    assert not out[3]["contaminated"]  # shorter than n tokens
+    assert not out[4]["contaminated"]  # null text
+    clean = ngram_decontaminate(train, ev, "text", "doc_id", n=3, remove=True)
+    assert {r["doc_id"] for r in clean.collect()} == {1, 3, 4}
+    assert clean.columns == train.columns  # remove drops the flags
+
+
+def test_rolling_zscores_matches_numpy(spark):
+    import numpy as np
+
+    from gem_data_wrangle_spark.operators.asof import rolling_zscores
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [1.25, 2.5, 2.5, 9.75, 0.25, 3.0, 3.0, 3.0]
+    rows = [(i, t0 + dt.timedelta(minutes=i), 7, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, value double"
+    )
+    got = {r["event_id"]: r for r in
+           rolling_zscores(df, "user_id", "ts", "value", window_rows=4,
+                           order_tiebreak="event_id").collect()}
+    cents = np.round(np.array(vals) * 100).astype(np.int64)
+    for i in range(len(vals)):
+        frame = cents[max(0, i - 3): i + 1]
+        assert got[i]["frame_n"] == len(frame)
+        mean = frame.sum() / len(frame)
+        assert got[i]["rolling_mean"] == math.floor(mean / 100 * 10000) / 10000
+        if len(frame) >= 2 and frame.std(ddof=1) > 0:
+            z = (cents[i] - mean) / frame.std(ddof=1)
+            assert abs(got[i]["zscore"] - z) < 1e-3, (i, got[i]["zscore"], z)
+        else:
+            assert got[i]["zscore"] is None  # first row / zero variance
+    # constant tail: events 5..7 all 3.0 → frame 4..7? no: frame of 7 is
+    # [0.25,3,3,3] (var > 0); verified above via the generic loop
+
+
+def test_funnel_steps_ordering_and_breaks(spark):
+    from gem_data_wrangle_spark.operators.aggregates import funnel_steps
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, minutes, user, typ):
+        return (eid, t0 + dt.timedelta(minutes=minutes), user, typ)
+
+    df = spark.createDataFrame(
+        [
+            # user 1: full funnel in order
+            ev(0, 0, 1, "click"), ev(1, 5, 1, "view"), ev(2, 9, 1, "error"),
+            # user 2: view BEFORE the first click → depth 1
+            ev(3, 0, 2, "view"), ev(4, 5, 2, "click"),
+            # user 3: click+view, error strictly BEFORE view → depth 2
+            ev(5, 0, 3, "click"), ev(6, 2, 3, "error"), ev(7, 4, 3, "view"),
+            # user 4: no click at all → depth 0
+            ev(8, 0, 4, "view"), ev(9, 1, 4, "error"),
+            # user 5: same-timestamp view as click → strict > excludes it
+            ev(10, 0, 5, "click"), (11, t0, 5, "view"),
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string",
+    )
+    got = {r["user_id"]: r for r in
+           funnel_steps(df, "user_id", "ts", "event_type",
+                        ["click", "view", "error"]).collect()}
+    assert got[1]["funnel_depth"] == 3
+    assert got[1]["step3_ts"] == t0 + dt.timedelta(minutes=9)
+    assert got[2]["funnel_depth"] == 1  # click at :05, no view after
+    assert got[2]["step2_ts"] is None
+    assert got[3]["funnel_depth"] == 2  # error precedes view → broken
+    assert got[4]["funnel_depth"] == 0 and got[4]["step1_ts"] is None
+    assert got[5]["funnel_depth"] == 1  # same-ts view not strictly after
