@@ -270,3 +270,158 @@ def funnel_steps(
         keys.join(out, on=key_col, how="left")
         .withColumn("funnel_depth", depth.cast("int"))
     )
+
+
+def rollup_aggregate(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    sum_cols: dict[str, str],
+    decimals: int = 2,
+) -> DataFrame:
+    """ROLLUP grouping-sets aggregate — every prefix of ``group_cols``
+    plus the grand total in ONE pass (the drill-down report the
+    reference builds by re-aggregating the same frame per level,
+    e.g. per-country then global capacity totals).
+
+    Output carries one ``g_<col>`` flag per grouping column
+    (``F.grouping``: 1 = the row aggregates OVER that column) so
+    subtotal rows are distinguishable from genuine NULL group values —
+    never disambiguate on the NULLed-out key itself.
+
+    Plan/scale: Spark expands rollup as a single Expand + one
+    hash-aggregate — each input row fans to len(group_cols)+1 grouping
+    sets BEFORE the exchange, but partial aggregation collapses them
+    map-side, so the shuffle carries ~(levels x groups) rows, not
+    (levels x input). One shuffle total; same count as the plain
+    groupBy it generalizes.
+    """
+    gets = [F.grouping(c).cast("int").alias(f"g_{c}") for c in group_cols]
+    aggs = [
+        F.round(F.sum(src), decimals).alias(out) for out, src in sum_cols.items()
+    ]
+    return (
+        df.rollup(*group_cols)
+        .agg(*gets, *aggs, F.count(F.lit(1)).alias("n_rows"))
+        .select(*group_cols, *[f"g_{c}" for c in group_cols],
+                *sum_cols.keys(), "n_rows")
+    )
+
+
+def pivot_aggregate(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    pivot_col: str,
+    pivot_values: Sequence[str],
+    value_col: str,
+    decimals: int = 2,
+) -> DataFrame:
+    """Long-to-wide pivot with summed cells — one output column per
+    entry of ``pivot_values`` (the reshape the reference does with R's
+    spread/pivot_wider when building per-year capacity matrices).
+
+    ``pivot_values`` is REQUIRED, not discovered: passing the value
+    list lets Spark skip the extra collect-distinct job AND bounds the
+    output width by contract — at 100 TB an unbounded pivot column is
+    a driver OOM, so the operator forces the caller to state the
+    (necessarily small) domain. Cells with no rows stay NULL, matching
+    SQL conditional aggregation.
+
+    Plan/scale: single hash-aggregate shuffle keyed on ``group_cols``
+    (pivot compiles to one conditional-sum per value, all map-side
+    partial); never a join per pivot value.
+    """
+    out = (
+        df.groupBy(*group_cols)
+        .pivot(pivot_col, list(pivot_values))
+        .agg(F.round(F.sum(value_col), decimals))
+    )
+    return out.select(*group_cols, *pivot_values)
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    percents: Sequence[int] = (25, 50, 75, 95),
+    decimals: int = 2,
+) -> DataFrame:
+    """Exact per-group percentiles (percentile_cont linear
+    interpolation), computed with ENGINE-PORTABLE integer algebra.
+
+    ``value_col`` holds ``decimals``-dp decimals, so every rank
+    position and both interpolation endpoints are exact integers
+    ("cents"): for percent p, position (n-1)*p splits into
+    lo = (n-1)*p div 100 and frac = (n-1)*p mod 100, and the result is
+    the exact integer lo_cents*100 + (hi_cents-lo_cents)*frac in
+    "cents x 100" units — ONE IEEE division at the end converts to a
+    value unit, bit-identical on any engine (contrast built-in
+    ``percentile``/``quantile_cont``, whose (n-1)*p float rounding is
+    engine-private).
+
+    Plan/scale: one shuffle — the row_number/count window hash-
+    partitions on ``group_cols`` and the finishing conditional-max
+    groupBy reuses that partitioning (no second exchange). Ties in
+    ``value_col`` are harmless: equal cents at adjacent ranks make the
+    tie order unobservable. Never collects a group into one list.
+    """
+    scale = 10 ** decimals
+    cents = F.round(F.col(value_col) * scale).cast("long")
+    wo = Window.partitionBy(*group_cols).orderBy("_c")
+    wn = Window.partitionBy(*group_cols)
+    ranked = (
+        df.select(*group_cols, cents.alias("_c"))
+        .withColumn("_rn", F.row_number().over(wo))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+    )
+    aggs = [F.max("_n").alias("_n")]
+    for p in percents:
+        lo_rank = F.floor((F.col("_n") - 1) * p / 100) + 1
+        aggs.append(F.max(F.when(F.col("_rn") == lo_rank, F.col("_c"))).alias(f"_lo{p}"))
+        aggs.append(F.max(F.when(F.col("_rn") == lo_rank + 1, F.col("_c"))).alias(f"_hi{p}"))
+    per = ranked.groupBy(*group_cols).agg(*aggs)
+    outs: list[Column] = [F.col(c) for c in group_cols]
+    outs.append(F.col("_n").cast("long").alias("n_values"))
+    for p in percents:
+        frac = ((F.col("_n") - 1) * p) % 100
+        lo, hi = F.col(f"_lo{p}"), F.coalesce(F.col(f"_hi{p}"), F.col(f"_lo{p}"))
+        exact = lo * 100 + (hi - lo) * frac
+        outs.append((exact.cast("double") / (scale * 100)).alias(f"p{p}"))
+    return per.select(*outs)
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Weekly cohort-retention matrix — keys cohorted by the ISO week
+    of their FIRST event; one row per (cohort_week, week_offset) with
+    the count of cohort members active that week (offset 0 row = the
+    cohort's size). The classic growth-analytics triangle.
+
+    Plan/scale: first-event aggregate and the distinct (key, week)
+    activity table both hash-partition on ``key_col``, so their join
+    is co-partitioned (no third shuffle); the finishing count keys on
+    (cohort, offset) — bounded by weeks^2 rows out. Distinct-per-week
+    before counting means a key active 1000x in a week costs one row
+    through the final exchange. datediff of Monday-truncated weeks is
+    an exact multiple of 7 — integer offsets, no timezone exposure
+    (caller pins the session tz; week truncation is date-level).
+    """
+    wk = F.date_trunc("week", F.col(ts_col))
+    first = df.groupBy(key_col).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("_cohort")
+    )
+    active = df.select(F.col(key_col), wk.alias("_week")).distinct()
+    return (
+        active.join(first, on=key_col)
+        .select(
+            F.to_date("_cohort").alias("cohort_week"),
+            (F.datediff(F.to_date("_week"), F.to_date("_cohort")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+            F.col(key_col),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

@@ -1,0 +1,119 @@
+"""Deterministic cardinality sketches.
+
+At 100 TB an exact ``COUNT(DISTINCT url)`` per host shuffles every
+distinct value; a HyperLogLog register table shuffles ``m`` small
+integers per group instead — constant state per group regardless of
+cardinality. The reference has no sketch surface (its scale tops out
+at data.frame workbooks); this is the engine's scale path for distinct
+counting, kept ORACLE-CHECKABLE by making every hash step explicit
+md5 algebra that any engine can replay (same discipline as
+``sampling.hash_split``) instead of Spark's opaque
+``approx_count_distinct`` HLL++ registers.
+
+Flajolet et al. 2007 (HyperLogLog: the analysis of a near-optimal
+cardinality estimation algorithm), with the standard linear-counting
+small-range correction.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# alpha_64 from the HLL paper's alpha_m = 0.7213/(1 + 1.079/m) at
+# m=64, written as a literal so the oracle replays the same constant
+# instead of both engines re-deriving it.
+_ALPHA_64 = 0.709
+_TAIL_BITS = 48  # md5 chars 3..14 — fits a signed long exactly
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    prefix: str = "hll",
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate (m=64 registers)
+    with its integer sufficient statistics.
+
+    Register math, all explicit and engine-portable:
+
+    - ``h = md5(cast(value as string))``
+    - register ``j`` = first 2 hex nibbles mod 64
+    - ``rho`` = 1-based position of the first set bit in the next 48
+      bits (nibbles 3..14), i.e. ``instr(lpad(bin(tail),48,'0'),'1')``;
+      an all-zero tail counts as 49
+    - per register keep ``M_j = max(rho)``; registers never hit have
+      ``M_j = 0``
+
+    The harmonic sum ``sum 2^-M_j`` is carried as the EXACT INTEGER
+    numerator ``sum 2^(49-M_j)`` (``<= 64*2^49 < 2^56``, bigint-safe;
+    the division by ``2^49`` happens once, in the final estimate), so
+    the only floats in the output are one literal-constant multiply +
+    divide (raw branch) or one ``ln`` (linear-counting branch), each a
+    single IEEE op on exact integers — identical on any engine, 4-dp
+    rounded. Small-range correction per the paper: when the raw
+    estimate is <= 2.5m and some register is empty, use linear
+    counting ``m * ln(m / V)``.
+
+    Plan/scale: one narrow projection computes (register, rho) per
+    row; ``groupBy(group, register) -> max`` does map-side partial
+    combine, so the exchange carries at most ``|groups| * 64`` rows no
+    matter how many distinct values exist — THE reason to sketch at
+    100 TB; the second aggregate is over <= 64 rows per group. No
+    distinct over raw values anywhere.
+    """
+    m = 64
+    h = F.md5(F.col(value_col).cast("string"))
+    reg = (F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % m).alias("_reg")
+    tail = F.conv(F.substring(h, 3, _TAIL_BITS // 4), 16, 10).cast("long")
+    rho = (
+        F.when(tail == 0, F.lit(_TAIL_BITS + 1))
+        .otherwise(F.instr(F.lpad(F.bin(tail), _TAIL_BITS, "0"), "1"))
+        .cast("int")
+        .alias("_rho")
+    )
+    gcols = [F.col(c) for c in group_cols]
+    regs = (
+        df.select(*gcols, reg, rho)
+        .groupBy(*group_cols, "_reg")
+        .agg(F.max("_rho").alias("_m"))
+    )
+    per = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("int").alias("_hit"),
+        # pyspark's shiftleft() insists on a literal bit count; the SQL
+        # form takes a column — the shift is exact long arithmetic
+        # (49 - M in [1, 49], sum <= 64 * 2^49 < 2^56).
+        F.sum(F.expr(f"shiftleft(1L, {_TAIL_BITS + 1} - _m)")).alias("_s"),
+    )
+    numerator = (
+        F.col("_s")
+        + (F.lit(m) - F.col("_hit")).cast("long") * F.lit(2 ** (_TAIL_BITS + 1)).cast("long")
+    )
+    raw = F.lit(_ALPHA_64 * m * m * float(2 ** (_TAIL_BITS + 1))) / numerator.cast(
+        "double"
+    )
+    zeros = (F.lit(m) - F.col("_hit")).cast("double")
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    est = F.when((raw <= 2.5 * m) & (F.col("_hit") < m), lc).otherwise(raw)
+    return per.select(
+        *group_cols,
+        F.col("_hit").alias(f"{prefix}_registers_hit"),
+        numerator.alias(f"{prefix}_numerator"),
+        F.round(est, 4).alias(f"{prefix}_estimate"),
+    )
+
+
+def hll_register_sql(hash_col: str = "h") -> dict[str, str]:
+    """DuckDB fragments replaying the exact register algebra above
+    over a CTE column ``hash_col`` holding ``md5(value)``. Returns
+    ``{"reg": .., "tail": ..}`` to splice into an oracle; rho is then
+    ``CASE WHEN tail = 0 THEN 49 ELSE strpos(lpad(bin(tail),48,'0'),
+    '1') END`` over the materialized tail."""
+    nib = f"(strpos('0123456789abcdef', {hash_col}[{{i}}]) - 1)"
+    reg = f"({nib.format(i=1)} * 16 + {nib.format(i=2)}) % 64"
+    tail = " + ".join(
+        f"({nib.format(i=i)}::BIGINT << {4 * (14 - i)})" for i in range(3, 15)
+    )
+    return {"reg": reg, "tail": tail}

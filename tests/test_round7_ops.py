@@ -134,3 +134,105 @@ def test_funnel_steps_ordering_and_breaks(spark):
     assert got[3]["funnel_depth"] == 2  # error precedes view → broken
     assert got[4]["funnel_depth"] == 0 and got[4]["step1_ts"] is None
     assert got[5]["funnel_depth"] == 1  # same-ts view not strictly after
+
+
+def test_rollup_aggregate_levels(spark):
+    from gem_data_wrangle_spark.operators.aggregates import rollup_aggregate
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 4.0), ("a", None, 8.0)],
+        "k1 string, k2 string, v double",
+    )
+    out = rollup_aggregate(df, ["k1", "k2"], {"sv": "v"}).collect()
+    rows = {(r["k1"], r["k2"], r["g_k1"], r["g_k2"]): (r["sv"], r["n_rows"])
+            for r in out}
+    assert rows[("a", "x", 0, 0)] == (1.0, 1)
+    # genuine NULL group value vs subtotal: distinguished by the flag
+    assert rows[("a", None, 0, 0)] == (8.0, 1)   # real NULL key
+    assert rows[("a", None, 0, 1)] == (11.0, 3)  # k1=a subtotal
+    assert rows[(None, None, 1, 1)] == (15.0, 4)  # grand total
+    assert len(out) == 4 + 2 + 1  # leaves + per-k1 + grand
+
+
+def test_pivot_aggregate_stated_domain(spark):
+    from gem_data_wrangle_spark.operators.aggregates import pivot_aggregate
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (1, "a", 2.5), (1, "b", 3.0), (2, "b", 4.0),
+         (2, "zzz", 9.0)],  # outside the stated domain -> dropped
+        "k bigint, t string, v double",
+    )
+    out = {r["k"]: r for r in
+           pivot_aggregate(df, ["k"], "t", ["a", "b", "c"], "v").collect()}
+    assert out[1]["a"] == 4.0 and out[1]["b"] == 3.0 and out[1]["c"] is None
+    assert out[2]["a"] is None and out[2]["b"] == 4.0
+    assert list(out[1].asDict()) == ["k", "a", "b", "c"]
+
+
+def test_group_quantiles_matches_numpy(spark):
+    import numpy as np
+
+    from gem_data_wrangle_spark.operators.aggregates import group_quantiles
+
+    vals = [1.25, 9.5, 3.75, 2.0, 7.25, 0.5, 4.0]
+    df = spark.createDataFrame(
+        [(1, v) for v in vals] + [(2, 5.0)],  # single-value group
+        "k bigint, v double",
+    )
+    got = {r["k"]: r for r in
+           group_quantiles(df, ["k"], "v", percents=(50, 95)).collect()}
+    for p in (50, 95):
+        want = float(np.percentile(np.array(vals), p))  # linear interp
+        assert abs(got[1][f"p{p}"] - want) < 1e-9, (p, got[1][f"p{p}"], want)
+    assert got[2]["p50"] == 5.0 and got[2]["p95"] == 5.0
+    assert got[1]["n_values"] == 7
+
+
+def test_cohort_retention_triangle(spark):
+    import datetime as dt
+
+    from gem_data_wrangle_spark.operators.aggregates import cohort_retention
+
+    mon = dt.datetime(2024, 1, 1)  # a Monday
+
+    def at(days, user):
+        return (user, mon + dt.timedelta(days=days))
+
+    df = spark.createDataFrame(
+        # u1 first week0, active weeks 0,1,2; u2 first week0, week0 only
+        # (twice in one week -> counted once); u3 first week1, weeks 1,3
+        [at(0, 1), at(8, 1), at(15, 1), at(2, 2), at(3, 2), at(9, 3),
+         at(22, 3)],
+        "user_id bigint, ts timestamp",
+    )
+    got = {(str(r["cohort_week"]), r["week_offset"]): r["n_active"]
+           for r in cohort_retention(df, "user_id", "ts").collect()}
+    assert got[("2024-01-01", 0)] == 2
+    assert got[("2024-01-01", 1)] == 1
+    assert got[("2024-01-01", 2)] == 1
+    assert got[("2024-01-08", 0)] == 1
+    assert got[("2024-01-08", 2)] == 1  # u3: week1 -> week3 is offset 2
+    assert len(got) == 5
+
+
+def test_hll_distinct_accuracy_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from gem_data_wrangle_spark.operators.sketches import hll_distinct
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 2).alias("g"),
+        # group 0: 2500 distinct values; group 1: 10 distinct values
+        F.when(F.col("id") % 2 == 0, F.col("id"))
+        .otherwise(F.col("id") % 20).alias("v"),
+    )
+    got = {r["g"]: r for r in hll_distinct(df, ["g"], "v").collect()}
+    # raw-harmonic branch: within 3 sigma of 1.04/sqrt(64) = 13%
+    assert abs(got[0]["hll_estimate"] - 2500) / 2500 < 0.39
+    # linear-counting branch: small cardinalities are near-exact
+    assert abs(got[1]["hll_estimate"] - 10) <= 2
+    assert got[1]["hll_registers_hit"] <= 10
+    # numerator is the exact integer harmonic state: re-run identical
+    again = {r["g"]: r for r in hll_distinct(df, ["g"], "v").collect()}
+    assert {k: v["hll_numerator"] for k, v in got.items()} == \
+           {k: v["hll_numerator"] for k, v in again.items()}
