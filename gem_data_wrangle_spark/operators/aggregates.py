@@ -320,22 +320,26 @@ def pivot_aggregate(
     spread/pivot_wider when building per-year capacity matrices).
 
     ``pivot_values`` is REQUIRED, not discovered: passing the value
-    list lets Spark skip the extra collect-distinct job AND bounds the
-    output width by contract — at 100 TB an unbounded pivot column is
-    a driver OOM, so the operator forces the caller to state the
-    (necessarily small) domain. Cells with no rows stay NULL, matching
-    SQL conditional aggregation.
+    list bounds the output width by contract — at 100 TB an unbounded
+    pivot column is a driver OOM, so the operator forces the caller to
+    state the (necessarily small) domain. Cells with no rows stay
+    NULL, matching SQL conditional aggregation.
 
-    Plan/scale: single hash-aggregate shuffle keyed on ``group_cols``
-    (pivot compiles to one conditional-sum per value, all map-side
-    partial); never a join per pivot value.
+    Plan/scale: compiled as one conditional ``sum(when(pivot=v))`` per
+    value inside a SINGLE hash aggregate — one shuffle keyed on
+    ``group_cols``, all map-side partial. Deliberately NOT
+    ``RelationalGroupedDataset.pivot``, which Catalyst lowers to TWO
+    aggregates (per-(group, pivot) sums, then a pivotfirst regroup) =
+    two exchanges (verified on the physical plan); the conditional
+    form halves the shuffles and mirrors the SQL oracle exactly.
     """
-    out = (
-        df.groupBy(*group_cols)
-        .pivot(pivot_col, list(pivot_values))
-        .agg(F.round(F.sum(value_col), decimals))
-    )
-    return out.select(*group_cols, *pivot_values)
+    aggs = [
+        F.round(
+            F.sum(F.when(F.col(pivot_col) == v, F.col(value_col))), decimals
+        ).alias(v)
+        for v in pivot_values
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)
 
 
 def group_quantiles(
