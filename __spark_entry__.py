@@ -5658,6 +5658,64 @@ def _q_hll_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return users.join(evs, on="event_type")
 
 
+# HLL mergeability — the reason sketches are aggregation STATE: the
+# per-event-type register tables re-aggregate (max per register) into
+# the global sketch without rescanning values, and the merged estimate
+# is IDENTICAL to sketching the union directly. One row per event_type
+# + one 'ALL' row from the merge. The oracle replays the same two-level
+# register algebra (the 'ALL' registers are max-over-types of the
+# per-type registers == registers over all rows).
+@_register(
+    "hll_union_rollup",
+    f"""
+    WITH hu AS (
+      SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+    ), ru AS (
+      SELECT event_type,
+             {{reg}} AS reg,
+             {{tail}} AS tail
+      FROM hu
+    ), mu AS (
+      SELECT event_type, reg,
+             max(CASE WHEN tail = 0 THEN 49
+                      ELSE strpos(lpad(bin(tail), 48, '0'), '1') END) AS m
+      FROM ru GROUP BY event_type, reg
+    ), both_lvls AS (
+      SELECT event_type, reg, m FROM mu
+      UNION ALL
+      SELECT 'ALL' AS event_type, reg, max(m) AS m FROM mu GROUP BY reg
+    ), g AS (
+      SELECT event_type, count(*)::INT AS hit,
+             (sum(1::BIGINT << (49 - m))
+              + (64 - count(*)) * (1::BIGINT << 49))::BIGINT AS numerator
+      FROM both_lvls GROUP BY event_type
+    )
+    SELECT event_type,
+           hit AS users_registers_hit,
+           numerator AS users_numerator,
+           round(CASE WHEN 0.709::DOUBLE * 4096 * 562949953421312.0 / numerator <= 160
+                       AND hit < 64
+                      THEN 64.0 * ln(64.0 / (64 - hit))
+                      ELSE 0.709::DOUBLE * 4096 * 562949953421312.0 / numerator END,
+                 4) AS users_estimate
+    FROM g
+    """.format(**SK.hll_register_sql()),
+)
+def _q_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = _events(spark, sf_dir)
+    regs = hll_registers(ev, ["event_type"], "user_id")
+    merged = hll_merge(
+        regs.withColumn("event_type", F.lit("ALL")), ["event_type"]
+    )
+    return hll_estimate(regs.unionByName(merged), ["event_type"], prefix="users")
+
+
 # --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------

@@ -64,6 +64,19 @@ def hll_distinct(
     100 TB; the second aggregate is over <= 64 rows per group. No
     distinct over raw values anywhere.
     """
+    regs = hll_registers(df, group_cols, value_col)
+    return hll_estimate(regs, group_cols, prefix=prefix)
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """The sketch STATE: per (group, register) max-rho rows — at most
+    64 per group. This is the re-aggregable representation: registers
+    for a coarser grouping (or another partition of the data) merge by
+    ``max``, never by rescanning values (see :func:`hll_merge`)."""
     m = 64
     h = F.md5(F.col(value_col).cast("string"))
     reg = (F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % m).alias("_reg")
@@ -75,11 +88,37 @@ def hll_distinct(
         .alias("_rho")
     )
     gcols = [F.col(c) for c in group_cols]
-    regs = (
+    return (
         df.select(*gcols, reg, rho)
         .groupBy(*group_cols, "_reg")
         .agg(F.max("_rho").alias("_m"))
     )
+
+
+def hll_merge(
+    regs: DataFrame,
+    group_cols: Sequence[str],
+) -> DataFrame:
+    """Merge register tables down to a coarser grouping — the HLL
+    union: ``max`` per register. Estimating distinct users per type
+    AND globally costs ONE scan of the data plus this <=64-rows-per-
+    group re-aggregate; the merged estimate is IDENTICAL to sketching
+    the union directly (max is associative/commutative/idempotent),
+    which is the whole point of sketch-typed aggregation state at
+    100 TB (partial combines, speculative retries and re-rollups are
+    all safe)."""
+    return regs.groupBy(*group_cols, "_reg").agg(F.max("_m").alias("_m"))
+
+
+def hll_estimate(
+    regs: DataFrame,
+    group_cols: Sequence[str],
+    prefix: str = "hll",
+) -> DataFrame:
+    """Finish a register table into (registers_hit, exact integer
+    numerator, 4-dp estimate) per group — see :func:`hll_distinct` for
+    the branch math."""
+    m = 64
     per = regs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("int").alias("_hit"),
         # pyspark's shiftleft() insists on a literal bit count; the SQL

@@ -236,3 +236,28 @@ def test_hll_distinct_accuracy_and_determinism(spark):
     again = {r["g"]: r for r in hll_distinct(df, ["g"], "v").collect()}
     assert {k: v["hll_numerator"] for k, v in got.items()} == \
            {k: v["hll_numerator"] for k, v in again.items()}
+
+
+def test_hll_merge_equals_direct_union_sketch(spark):
+    from pyspark.sql import functions as F
+
+    from gem_data_wrangle_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 700).alias("v")
+    )
+    regs = hll_registers(df, ["g"], "v")
+    merged = hll_merge(regs.withColumn("g", F.lit(-1)), ["g"])
+    via_merge = hll_estimate(merged, ["g"]).collect()[0]
+    direct = hll_estimate(
+        hll_registers(df.withColumn("g", F.lit(-1)), ["g"], "v"), ["g"]
+    ).collect()[0]
+    # merge(max per register) must equal sketching the union directly —
+    # identical integer state, not merely a close estimate
+    assert via_merge["hll_numerator"] == direct["hll_numerator"]
+    assert via_merge["hll_estimate"] == direct["hll_estimate"]
+    assert abs(via_merge["hll_estimate"] - 700) / 700 < 0.39
