@@ -5716,6 +5716,73 @@ def _q_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(regs.unionByName(merged), ["event_type"], prefix="users")
 
 
+# MP4/ISO-BMFF container demux probe: each doc_id synthesizes a real
+# box tree (ftyp+moov[mvhd,trak...]+mdat via build_mp4 — the audio
+# WAV-synthesis precedent) with parameters derived from doc_id; every
+# 13th (mod 5) doc is junk bytes, every 11th (mod 7) is cut mid-moov.
+# The probe must recover the parameters by PARSING the bytes; the
+# oracle states them independently from the same doc_id arithmetic —
+# a round-trip proof the walker inverts the builder, plus the
+# malformed-row quarantine contract in the graded row.
+@_register(
+    "mp4_probe",
+    """
+    SELECT doc_id AS id,
+      CASE WHEN doc_id % 13 = 5 THEN 'not_mp4'
+           WHEN doc_id % 11 = 7 THEN 'truncated'
+           ELSE 'ok' END AS probe_status,
+      CASE WHEN doc_id % 13 = 5 OR doc_id % 11 = 7 THEN NULL
+           ELSE 'isom' END AS brand,
+      CASE WHEN doc_id % 13 = 5 OR doc_id % 11 = 7 THEN NULL
+           ELSE round((doc_id % 9000 + 500) / 1000.0, 3) END AS duration_s,
+      CASE WHEN doc_id % 13 = 5 OR doc_id % 11 = 7 THEN NULL
+           WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END::INT AS n_tracks,
+      CASE WHEN doc_id % 13 = 5 OR doc_id % 11 = 7 THEN NULL
+           ELSE ['avc1', 'hev1', 'vp09'][doc_id % 3 + 1] END AS video_codec,
+      CASE WHEN doc_id % 13 = 5 OR doc_id % 11 = 7 THEN NULL
+           ELSE 16 * (doc_id % 40 + 4) END::INT AS width,
+      CASE WHEN doc_id % 13 = 5 OR doc_id % 11 = 7 THEN NULL
+           ELSE 16 * (doc_id % 30 + 3) END::INT AS height,
+      CASE WHEN doc_id % 13 = 5 OR doc_id % 11 = 7 OR doc_id % 2 = 1
+           THEN NULL ELSE 'mp4a' END AS audio_codec,
+      CASE WHEN doc_id % 13 = 5 OR doc_id % 11 = 7 THEN NULL
+           ELSE doc_id % 250 + 1
+                + CASE WHEN doc_id % 2 = 0 THEN doc_id % 97 + 1 ELSE 0 END
+      END::BIGINT AS n_samples
+    FROM documents
+    """,
+)
+def _q_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: PLC0415
+
+    from gem_data_wrangle_spark.operators.mp4 import build_mp4, mp4_probe
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 13 == 5:
+                    payloads.append(b"JUNKJUNKJUNKJUNK")
+                    continue
+                buf = build_mp4(
+                    width=16 * (did % 40 + 4),
+                    height=16 * (did % 30 + 3),
+                    duration_ms=did % 9000 + 500,
+                    video_codec=[b"avc1", b"hev1", b"vp09"][did % 3],
+                    video_samples=did % 250 + 1,
+                    audio_codec=b"mp4a" if did % 2 == 0 else None,
+                    audio_samples=did % 97 + 1,
+                )
+                payloads.append(buf[: len(buf) // 2] if did % 11 == 7 else buf)
+            yield pd.DataFrame({"id": pdf["doc_id"], "media": payloads})
+
+    media = docs.mapInPandas(synth, "id bigint, media binary")
+    return mp4_probe(media)
+
+
 # --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------

@@ -261,3 +261,46 @@ def test_hll_merge_equals_direct_union_sketch(spark):
     assert via_merge["hll_numerator"] == direct["hll_numerator"]
     assert via_merge["hll_estimate"] == direct["hll_estimate"]
     assert abs(via_merge["hll_estimate"] - 700) / 700 < 0.39
+
+
+def test_mp4_probe_parses_built_containers(spark):
+    from gem_data_wrangle_spark.operators.mp4 import (
+        build_mp4,
+        mp4_probe,
+        probe_mp4_bytes,
+    )
+
+    full = build_mp4(640, 360, 5400, b"avc1", 30, b"mp4a", 43)
+    got = probe_mp4_bytes(full)
+    assert got == {
+        "probe_status": "ok", "brand": "isom", "duration_s": 5.4,
+        "n_tracks": 2, "video_codec": "avc1", "width": 640, "height": 360,
+        "audio_codec": "mp4a", "n_samples": 73,
+    }
+    # video-only, odd codec
+    solo = probe_mp4_bytes(build_mp4(1920, 1080, 99, b"hev1", 7, None))
+    assert solo["video_codec"] == "hev1" and solo["audio_codec"] is None
+    assert solo["n_tracks"] == 1 and solo["duration_s"] == 0.099
+    # malformed rows degrade, never throw
+    assert probe_mp4_bytes(full[: len(full) // 2])["probe_status"] == "truncated"
+    assert probe_mp4_bytes(b"JUNK" * 4)["probe_status"] == "not_mp4"
+    assert probe_mp4_bytes(b"")["probe_status"] == "not_mp4"
+    # 64-bit largesize box header (size==1 + 8-byte size) parses
+    ftyp = full[:24]
+    inner = full[24:]
+    large = (
+        (1).to_bytes(4, "big") + b"moov"
+        + (16 + len(inner) - 8).to_bytes(8, "big") + inner[8:]
+    )
+    assert probe_mp4_bytes(ftyp + large)["probe_status"] == "ok"
+    # size==0 (extends to EOF) on the final box
+    tail0 = ftyp + (0).to_bytes(4, "big") + inner[4:]
+    assert probe_mp4_bytes(tail0)["probe_status"] == "ok"
+
+    # the Spark path: schema + NULL media row survives
+    df = spark.createDataFrame(
+        [(1, bytearray(full)), (2, None)], "id bigint, media binary"
+    )
+    rows = {r["id"]: r for r in mp4_probe(df).collect()}
+    assert rows[1]["video_codec"] == "avc1" and rows[1]["n_samples"] == 73
+    assert rows[2]["probe_status"] == "not_mp4"
