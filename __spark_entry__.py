@@ -5716,6 +5716,80 @@ def _q_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(regs.unionByName(merged), ["event_type"], prefix="users")
 
 
+# Morton/Z-order clustering key (the OPTIMIZE ZORDER BY primitive):
+# min/max normalization in exact integer arithmetic, then a 16-bit
+# interleave of (user_id, value-cents) — the write-time layout that
+# makes multi-column predicates prunable from parquet footer stats
+# (tests assert the row-group-width tightening; this query oracles the
+# key algebra itself).
+@_register(
+    "zorder_keys",
+    """
+    WITH e AS (
+      SELECT event_id, user_id::BIGINT AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ), s AS (
+      SELECT min(x) AS xmin, max(x) AS xmax,
+             min(y) AS ymin, max(y) AS ymax FROM e
+    ), n AS (
+      SELECT event_id,
+        CASE WHEN xmax > xmin
+             THEN ((x - xmin) * 65535) // (xmax - xmin) ELSE 0 END AS nx,
+        CASE WHEN ymax > ymin
+             THEN ((y - ymin) * 65535) // (ymax - ymin) ELSE 0 END AS ny
+      FROM e CROSS JOIN s
+    )
+    SELECT event_id,
+      (list_sum([((nx >> i) & 1) << (2 * i) FOR i IN range(0, 16)])
+       + list_sum([((ny >> i) & 1) << (2 * i + 1) FOR i IN range(0, 16)])
+      )::BIGINT AS zkey
+    FROM n
+    """,
+)
+def _q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.sources.bucketing import zorder_key
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").cast("long").alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    return zorder_key(ev, ["x", "y"], bits=16, out_col="zkey").select(
+        "event_id", "zkey"
+    )
+
+
+# First-order Markov transition matrix over per-user event sequences:
+# transition counts are exact integers; the probability is emitted as
+# prob_ppm = floor(count*1e6/total) — pure integer division on both
+# engines (a rounded double ratio can sit ON a half boundary, e.g.
+# 1/128; integer floor never does).
+@_register(
+    "event_transitions",
+    """
+    WITH p AS (
+      SELECT lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+             event_type AS next_type
+      FROM events
+    ), c AS (
+      SELECT prev_type, next_type, count(*) AS n_transitions
+      FROM p WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n_transitions,
+           (n_transitions * 1000000)
+             // sum(n_transitions) OVER (PARTITION BY prev_type) AS prob_ppm
+    FROM c
+    """,
+)
+def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return A.event_transition_matrix(
+        ev, "user_id", "ts", "event_type", order_tiebreak="event_id"
+    )
+
+
 # MP4/ISO-BMFF container demux probe: each doc_id synthesizes a real
 # box tree (ftyp+moov[mvhd,trak...]+mdat via build_mp4 — the audio
 # WAV-synthesis precedent) with parameters derived from doc_id; every

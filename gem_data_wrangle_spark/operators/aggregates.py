@@ -429,3 +429,56 @@ def cohort_retention(
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+def event_transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: for every observed (prev_type, next_type) pair, the
+    global transition count and probability — the sequence-mining
+    primitive behind "what do users do after X" and synthetic-session
+    generators.
+
+    Probability is emitted as ``prob_ppm`` = floor(count * 1e6 /
+    row_total) — EXACT integer division on both engines, sidestepping
+    the round-half hazard of emitting count/total as a double (exact
+    rationals like 1/128 sit ON the 6-dp half boundary where rounding
+    modes disagree; integer floor never does). Consumers wanting a
+    float divide by 1e6.
+
+    Plan/scale: one key-window (lag) shuffle, then a (prev, next)
+    groupBy — |types|² rows — and a window over ``prev`` for row
+    totals on that tiny frame. The per-key sequence is never
+    collected; a hot key costs window state of ONE row (lag-1).
+    """
+    order = [F.col(ts_col)] + (
+        [F.col(order_tiebreak)] if order_tiebreak else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    pairs = (
+        df.select(
+            F.lag(type_col).over(w).alias("prev_type"),
+            F.col(type_col).alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    row_total = F.sum("n_transitions").over(Window.partitionBy("prev_type"))
+    return (
+        pairs.withColumn("_tot", row_total)
+        # `div` keeps the whole computation in long arithmetic — a
+        # double division could round up across an integer boundary
+        # before the floor and disagree with exact integer division.
+        .select(
+            "prev_type",
+            "next_type",
+            "n_transitions",
+            F.expr("(n_transitions * 1000000) div _tot").alias("prob_ppm"),
+        )
+    )

@@ -304,3 +304,92 @@ def test_mp4_probe_parses_built_containers(spark):
     rows = {r["id"]: r for r in mp4_probe(df).collect()}
     assert rows[1]["video_codec"] == "avc1" and rows[1]["n_samples"] == 73
     assert rows[2]["probe_status"] == "not_mp4"
+
+
+def test_event_transition_matrix(spark):
+    import datetime as dt
+
+    from gem_data_wrangle_spark.operators.aggregates import (
+        event_transition_matrix,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: a -> b -> a -> c ; user 2: a -> b (sequences never
+        # cross users: u2's first event contributes no transition)
+        (0, t0, 1, "a"), (1, t0 + dt.timedelta(minutes=1), 1, "b"),
+        (2, t0 + dt.timedelta(minutes=2), 1, "a"),
+        (3, t0 + dt.timedelta(minutes=3), 1, "c"),
+        (4, t0, 2, "a"), (5, t0 + dt.timedelta(minutes=1), 2, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    got = {(r["prev_type"], r["next_type"]): r for r in
+           event_transition_matrix(df, "user_id", "ts", "event_type",
+                                   order_tiebreak="event_id").collect()}
+    assert got[("a", "b")]["n_transitions"] == 2
+    assert got[("a", "c")]["n_transitions"] == 1
+    assert got[("b", "a")]["n_transitions"] == 1
+    assert len(got) == 3
+    # a -> {b: 2/3, c: 1/3} as exact integer ppm floors
+    assert got[("a", "b")]["prob_ppm"] == 666666
+    assert got[("a", "c")]["prob_ppm"] == 333333
+    assert got[("b", "a")]["prob_ppm"] == 1000000
+
+
+def test_zorder_write_tightens_rowgroup_stats(spark, tmp_path):
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from gem_data_wrangle_spark.sources.bucketing import zorder_write
+
+    df = spark.range(0, 40000).select(
+        (F.col("id") % 200).alias("x"),
+        ((F.col("id") * 7919) % 200).alias("y"),
+    )
+    zp, pp = str(tmp_path / "zord"), str(tmp_path / "plain")
+    zorder_write(df, zp, ["x", "y"], num_files=16)
+    df.repartition(16).write.mode("overwrite").parquet(pp)
+
+    def mean_width(path):
+        import glob
+        import os
+
+        widths = []
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in ("x", "y") and col.statistics is not None:
+                        widths.append(
+                            (col.statistics.max - col.statistics.min) / 199.0
+                        )
+        return sum(widths) / len(widths)
+
+    zw, pw = mean_width(zp), mean_width(pp)
+    # plain random-layout row groups span nearly the full domain on
+    # both columns; z-ordered ones are tight rectangles
+    assert pw > 0.8, pw
+    assert zw < 0.5 * pw, (zw, pw)
+    # and the data survives the round trip
+    assert spark.read.parquet(zp).count() == 40000
+
+
+def test_zorder_key_is_exact_bit_interleave(spark):
+    from pyspark.sql import functions as F
+
+    from gem_data_wrangle_spark.sources.bucketing import zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 0, 0), (1, 3, 0), (2, 0, 3), (3, 3, 3)], "id bigint, x long, y long"
+    )
+    got = {r["id"]: r["_zorder"] for r in
+           zorder_key(df, ["x", "y"], bits=2).collect()}
+    # min=0 max=3 -> norm == value; interleave x:even bits, y:odd bits
+    assert got[0] == 0b0000
+    assert got[1] == 0b0101   # x=3 -> bits 0,2
+    assert got[2] == 0b1010   # y=3 -> bits 1,3
+    assert got[3] == 0b1111
