@@ -5716,6 +5716,79 @@ def _q_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(regs.unionByName(merged), ["event_type"], prefix="users")
 
 
+# Per-type Pearson corr + covariance of (value-cents, hour-of-day) via
+# EXACT integer sufficient statistics (six hash-verifiable longs per
+# group) and a fixed IEEE derivation — built-in corr/covar accumulate
+# float moments in partition order and are not even run-to-run
+# reproducible at the ulp.
+@_register(
+    "pairwise_corr",
+    """
+    WITH e AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x,
+             hour(ts)::BIGINT AS y
+      FROM events
+    ), g AS (
+      SELECT event_type, count(*) AS n,
+             sum(x) AS sum_x, sum(y) AS sum_y,
+             sum(x * x) AS sum_xx, sum(y * y) AS sum_yy,
+             sum(x * y) AS sum_xy
+      FROM e GROUP BY event_type
+    )
+    SELECT event_type, n, sum_x, sum_y, sum_xx, sum_yy, sum_xy,
+      CASE WHEN n >= 2 THEN
+        round((n::DOUBLE * sum_xy::DOUBLE - sum_x::DOUBLE * sum_y::DOUBLE)
+              / (n::DOUBLE * (n::DOUBLE - 1)), 6) END AS covar_samp,
+      CASE WHEN n >= 2
+            AND n::DOUBLE * sum_xx::DOUBLE - sum_x::DOUBLE * sum_x::DOUBLE > 0
+            AND n::DOUBLE * sum_yy::DOUBLE - sum_y::DOUBLE * sum_y::DOUBLE > 0
+           THEN
+        round((n::DOUBLE * sum_xy::DOUBLE - sum_x::DOUBLE * sum_y::DOUBLE)
+              / (sqrt(n::DOUBLE * sum_xx::DOUBLE - sum_x::DOUBLE * sum_x::DOUBLE)
+                 * sqrt(n::DOUBLE * sum_yy::DOUBLE - sum_y::DOUBLE * sum_y::DOUBLE)),
+              6) END AS corr
+    FROM g
+    """,
+)
+def _q_pairwise_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.stats import integer_pair_stats
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+        F.hour("ts").cast("long").alias("y"),
+    )
+    return integer_pair_stats(ev, ["event_type"], "x", "y")
+
+
+# Equal-width histogram with a caller-stated integer domain — bin
+# edges by exact integer division, one pass, no min/max pre-scan;
+# out-of-domain rows clamp into the edge bins.
+@_register(
+    "value_histogram",
+    """
+    WITH e AS (
+      SELECT event_type,
+             least(greatest((CAST(round(value * 100) AS BIGINT) * 20)
+                            // 50000, 0), 19)::INT AS bin_idx
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, bin_idx, count(*) AS n_rows,
+           (bin_idx * 2500)::BIGINT AS bin_lo
+    FROM e GROUP BY event_type, bin_idx
+    """,
+)
+def _q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.stats import equal_width_histogram
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
+    )
+    return equal_width_histogram(
+        ev, ["event_type"], "v", n_bins=20, lo=0, hi=50000
+    )
+
+
 # Morton/Z-order clustering key (the OPTIMIZE ZORDER BY primitive):
 # min/max normalization in exact integer arithmetic, then a 16-bit
 # interleave of (user_id, value-cents) — the write-time layout that

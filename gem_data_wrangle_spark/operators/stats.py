@@ -1,0 +1,111 @@
+"""Deterministic statistical profiling operators.
+
+Spark's ``corr``/``covar_samp`` (and DuckDB's) accumulate float
+moments in partition order — the result differs run to run and engine
+to engine at the ulp level, which fails value-hash verification and,
+worse, makes pipeline regressions undetectable. These operators carry
+the SUFFICIENT STATISTICS as exact integers (the inputs are
+integer-valued by contract — cents, counts, hours) and derive the
+float moments at the END with a fixed, engine-portable sequence of
+IEEE operations. Extension surface (the reference computes no second
+moments anywhere); same discipline as ``asof.rolling_zscores``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def integer_pair_stats(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group Pearson correlation + sample covariance over two
+    INTEGER-VALUED columns, via exact integer sums.
+
+    Output: ``n``, the five integer sums (Σx Σy Σx² Σy² Σxy — exact
+    longs, hash-verifiable), and ``covar_samp``/``corr`` derived as
+    ``(nΣxy − ΣxΣy) / (n(n−1))`` and ``(nΣxy − ΣxΣy) /
+    (sqrt(nΣx²−(Σx)²)·sqrt(nΣy²−(Σy)²))``, each a short fixed chain
+    of IEEE ops on exact integers — deterministic across engines,
+    rounded to ``decimals``. ``corr`` is NULL when either variance is
+    zero or n < 2.
+
+    Plan/scale: ONE hash aggregate with map-side partial combine —
+    the shuffle carries six longs per (partition, group). Contrast
+    ``F.corr``, whose float accumulators are partition-order-
+    sensitive (non-reproducible at the ulp level).
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    per = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sum_x"),
+        F.sum(y).alias("sum_y"),
+        F.sum(x * x).alias("sum_xx"),
+        F.sum(y * y).alias("sum_yy"),
+        F.sum(x * y).alias("sum_xy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sum_x").cast("double"), F.col("sum_y").cast("double")
+    sxx, syy = F.col("sum_xx").cast("double"), F.col("sum_yy").cast("double")
+    sxy = F.col("sum_xy").cast("double")
+    num = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    covar = F.when(F.col("n") >= 2, F.round(num / (n * (n - 1)), decimals))
+    corr = F.when(
+        (F.col("n") >= 2) & (vx > 0) & (vy > 0),
+        F.round(num / (F.sqrt(vx) * F.sqrt(vy)), decimals),
+    )
+    return per.select(
+        *group_cols,
+        "n",
+        "sum_x",
+        "sum_y",
+        "sum_xx",
+        "sum_yy",
+        "sum_xy",
+        covar.alias("covar_samp"),
+        corr.alias("corr"),
+    )
+
+
+def equal_width_histogram(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    n_bins: int,
+    lo: int,
+    hi: int,
+) -> DataFrame:
+    """Equal-width histogram over an INTEGER-VALUED column with a
+    CALLER-STATED domain [lo, hi) — bin edges derived by exact integer
+    arithmetic (``bin = ((v - lo) * n_bins) div (hi - lo)``, clamped
+    into range), counts exact. Stating the domain keeps the operator
+    one-pass (no min/max pre-scan) and the bin edges stable across
+    partitions/engines/reruns — the profiling contract a drift monitor
+    needs. ``hi - lo`` must divide evenly into ``n_bins`` so bin edges
+    are integers (no float edge ever enters the output). One hash
+    aggregate, map-side combined; output bounded by
+    ``|groups| × n_bins``.
+    """
+    if (hi - lo) % n_bins != 0:
+        raise ValueError("hi - lo must be a multiple of n_bins")
+    width = (hi - lo) // n_bins
+    v = F.col(value_col).cast("long")
+    raw = F.expr(f"(({value_col} - {lo}) * {n_bins}) div {hi - lo}")
+    bin_idx = F.least(
+        F.greatest(raw, F.lit(0).cast("long")), F.lit(n_bins - 1).cast("long")
+    ).cast("int")
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(*group_cols, bin_idx.alias("bin_idx"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("bin_lo", (F.lit(lo) + F.col("bin_idx") * width).cast("long"))
+    )

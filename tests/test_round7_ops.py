@@ -393,3 +393,44 @@ def test_zorder_key_is_exact_bit_interleave(spark):
     assert got[1] == 0b0101   # x=3 -> bits 0,2
     assert got[2] == 0b1010   # y=3 -> bits 1,3
     assert got[3] == 0b1111
+
+
+def test_integer_pair_stats_matches_numpy(spark):
+    import numpy as np
+
+    from gem_data_wrangle_spark.operators.stats import integer_pair_stats
+
+    xs = [1, 5, 3, 9, 7, 2]
+    ys = [2, 11, 5, 17, 15, 3]
+    df = spark.createDataFrame(
+        [(1, x, y) for x, y in zip(xs, ys)] + [(2, 4, 4), (2, 6, 4)],
+        "g bigint, x long, y long",
+    )
+    got = {r["g"]: r for r in integer_pair_stats(df, ["g"], "x", "y").collect()}
+    assert got[1]["sum_xy"] == sum(a * b for a, b in zip(xs, ys))
+    want_corr = float(np.corrcoef(xs, ys)[0, 1])
+    assert abs(got[1]["corr"] - want_corr) < 1e-6
+    want_cov = float(np.cov(xs, ys, ddof=1)[0, 1])
+    assert abs(got[1]["covar_samp"] - want_cov) < 1e-6
+    # zero variance on y -> corr NULL, covariance still defined
+    assert got[2]["corr"] is None and got[2]["covar_samp"] == 0.0
+
+
+def test_equal_width_histogram_edges_and_clamp(spark):
+    import pytest as _pytest
+
+    from gem_data_wrangle_spark.operators.stats import equal_width_histogram
+
+    df = spark.createDataFrame(
+        [(1, -5), (1, 0), (1, 9), (1, 10), (1, 99), (1, 100), (1, 250)],
+        "g bigint, v long",
+    )
+    got = {r["bin_idx"]: r for r in
+           equal_width_histogram(df, ["g"], "v", n_bins=10, lo=0, hi=100)
+           .collect()}
+    assert got[0]["n_rows"] == 3  # -5 clamps in, 0 and 9 land
+    assert got[1]["n_rows"] == 1  # 10
+    assert got[9]["n_rows"] == 3  # 99 lands, 100 and 250 clamp
+    assert got[9]["bin_lo"] == 90
+    with _pytest.raises(ValueError):
+        equal_width_histogram(df, ["g"], "v", n_bins=7, lo=0, hi=100)
