@@ -5716,6 +5716,96 @@ def _q_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(regs.unionByName(merged), ["event_type"], prefix="users")
 
 
+# Group-median NULL imputation (every 19th event's value is NULLed,
+# then filled with its type's exact median from the integer-algebra
+# quantile path; an untouched value passes through bit-identically).
+@_register(
+    "impute_median",
+    """
+    WITH e AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 19 = 4 THEN NULL ELSE value END AS value
+      FROM events
+    ), c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      FROM e WHERE value IS NOT NULL
+    ), r AS (
+      SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+             count(*)    OVER (PARTITION BY event_type)             AS n
+      FROM c
+    ), g AS (
+      SELECT event_type, max(n) AS n,
+             max(CASE WHEN rn = ((n-1)*50)//100 + 1 THEN c END) AS lo50,
+             max(CASE WHEN rn = ((n-1)*50)//100 + 2 THEN c END) AS hi50
+      FROM r GROUP BY event_type
+    ), m AS (
+      SELECT event_type,
+             (lo50*100 + (coalesce(hi50,lo50)-lo50) * (((n-1)*50) % 100)
+             )::DOUBLE / 10000 AS p50
+      FROM g
+    )
+    SELECT e.event_id, coalesce(e.value, m.p50) AS value
+    FROM e LEFT JOIN m USING (event_type)
+    """,
+)
+def _q_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 19 == 4, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("value"),
+    )
+    return A.impute_group_median(ev, ["event_type"], "value").select(
+        "event_id", "value"
+    )
+
+
+# Winsorization: clamp values into the type's exact [p5, p95] band —
+# outlier treatment that keeps row count; clamp bounds come from the
+# integer-exact percentile interpolation so the comparisons are
+# between bit-identical doubles.
+@_register(
+    "winsorized_values",
+    """
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ), r AS (
+      SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+             count(*)    OVER (PARTITION BY event_type)             AS n
+      FROM c
+    ), g AS (
+      SELECT event_type, max(n) AS n,
+             max(CASE WHEN rn = ((n-1)*5)//100 + 1 THEN c END) AS lo5,
+             max(CASE WHEN rn = ((n-1)*5)//100 + 2 THEN c END) AS hi5,
+             max(CASE WHEN rn = ((n-1)*95)//100 + 1 THEN c END) AS lo95,
+             max(CASE WHEN rn = ((n-1)*95)//100 + 2 THEN c END) AS hi95
+      FROM r GROUP BY event_type
+    ), q AS (
+      SELECT event_type,
+             (lo5*100 + (coalesce(hi5,lo5)-lo5) * (((n-1)*5) % 100)
+             )::DOUBLE / 10000 AS plo,
+             (lo95*100 + (coalesce(hi95,lo95)-lo95) * (((n-1)*95) % 100)
+             )::DOUBLE / 10000 AS phi
+      FROM g
+    )
+    SELECT e.event_id,
+           CASE WHEN e.value IS NOT NULL
+                THEN least(greatest(e.value, q.plo), q.phi) END AS value_w
+    FROM events e LEFT JOIN q USING (event_type)
+    """,
+)
+def _q_winsorized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return A.winsorize(
+        ev, ["event_type"], "value", lower_pct=5, upper_pct=95,
+        out_col="value_w",
+    ).select("event_id", "value_w")
+
+
 # Per-type Pearson corr + covariance of (value-cents, hour-of-day) via
 # EXACT integer sufficient statistics (six hash-verifiable longs per
 # group) and a fixed IEEE derivation — built-in corr/covar accumulate

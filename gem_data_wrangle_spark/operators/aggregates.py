@@ -373,7 +373,11 @@ def group_quantiles(
     wo = Window.partitionBy(*group_cols).orderBy("_c")
     wn = Window.partitionBy(*group_cols)
     ranked = (
+        # NULL values are excluded from the population (standard
+        # percentile semantics); without this filter they'd rank first
+        # and shift every index
         df.select(*group_cols, cents.alias("_c"))
+        .filter(F.col("_c").isNotNull())
         .withColumn("_rn", F.row_number().over(wo))
         .withColumn("_n", F.count(F.lit(1)).over(wn))
     )
@@ -481,4 +485,71 @@ def event_transition_matrix(
             "n_transitions",
             F.expr("(n_transitions * 1000000) div _tot").alias("prob_ppm"),
         )
+    )
+
+
+def impute_group_median(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    decimals: int = 2,
+) -> DataFrame:
+    """NULL imputation by the group's exact median — the
+    :func:`group_quantiles` machinery applied to the reference's
+    impute-by-group pattern (``case_when_impute_year`` imputes a
+    constant; real numeric columns want the group's center instead).
+    NULLs are excluded from the median population, then filled with
+    it; a group that is ALL NULL stays NULL.
+
+    Plan/scale: the median frame is one row per group — AQE broadcasts
+    the join back; the quantile pass itself is the single-exchange
+    window+groupBy shape documented on :func:`group_quantiles`.
+    """
+    med = group_quantiles(
+        df, group_cols, value_col, percents=(50,), decimals=decimals
+    ).select(*group_cols, F.col("p50").alias("_p50"))
+    return (
+        df.join(med, on=list(group_cols), how="left")
+        .withColumn(value_col, F.coalesce(F.col(value_col), F.col("_p50")))
+        .drop("_p50")
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lower_pct: int = 5,
+    upper_pct: int = 95,
+    decimals: int = 2,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorization: clamp each value into its group's
+    [p_lower, p_upper] exact-percentile band — the standard outlier
+    treatment that keeps row count (unlike filtering) and bounds
+    influence (unlike leaving the tail in). Clamp bounds come from
+    :func:`group_quantiles`' integer-exact interpolation, so the
+    comparison is between bit-identical doubles on any engine.
+
+    Plan/scale: quantile pass (one exchange) + broadcast-sized join
+    back (one row per group) + narrow clamp. NULL values pass through
+    untouched.
+    """
+    out_col = out_col or value_col
+    q = group_quantiles(
+        df, group_cols, value_col, percents=(lower_pct, upper_pct),
+        decimals=decimals,
+    ).select(
+        *group_cols,
+        F.col(f"p{lower_pct}").alias("_plo"),
+        F.col(f"p{upper_pct}").alias("_phi"),
+    )
+    clamped = F.when(
+        F.col(value_col).isNotNull(),
+        F.least(F.greatest(F.col(value_col), F.col("_plo")), F.col("_phi")),
+    )
+    return (
+        df.join(q, on=list(group_cols), how="left")
+        .withColumn(out_col, clamped)
+        .drop("_plo", "_phi")
     )

@@ -434,3 +434,32 @@ def test_equal_width_histogram_edges_and_clamp(spark):
     assert got[9]["bin_lo"] == 90
     with _pytest.raises(ValueError):
         equal_width_histogram(df, ["g"], "v", n_bins=7, lo=0, hi=100)
+
+
+def test_impute_group_median_and_winsorize(spark):
+    from gem_data_wrangle_spark.operators.aggregates import (
+        impute_group_median,
+        winsorize,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a", 1.0), (1, "a", 3.0), (2, "a", None), (3, "a", 100.0),
+         (4, "b", None), (5, "b", None)],  # group b: ALL NULL
+        "id bigint, g string, v double",
+    )
+    imp = {r["id"]: r["v"] for r in
+           impute_group_median(df, ["g"], "v").collect()}
+    assert imp[2] == 3.0       # median of {1, 3, 100}
+    assert imp[0] == 1.0 and imp[3] == 100.0  # untouched
+    assert imp[4] is None and imp[5] is None  # all-NULL group stays NULL
+
+    w = spark.createDataFrame(
+        [(i, "a", float(i)) for i in range(1, 21)] + [(99, "a", None)],
+        "id bigint, g string, v double",
+    )
+    got = {r["id"]: r["vw"] for r in
+           winsorize(w, ["g"], "v", 5, 95, out_col="vw").collect()}
+    # p5 of 1..20 = 1.95, p95 = 19.05 (linear interpolation)
+    assert got[1] == 1.95 and got[20] == 19.05
+    assert got[10] == 10.0     # interior values untouched
+    assert got[99] is None     # NULL passes through
