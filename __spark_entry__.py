@@ -5716,6 +5716,71 @@ def _q_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(regs.unionByName(merged), ["event_type"], prefix="users")
 
 
+# Hybrid retrieval via Reciprocal Rank Fusion: a dense ranking (full
+# cosine ordering of the corpus vs probe vector 0) fused with a
+# lexical ranking (query-term overlap count, the boolean-retrieval
+# signal) — terms folded dense-then-lex as an explicit two-term IEEE
+# sum of exact-integer reciprocals (never a sum() aggregate, whose
+# accumulation order is partition-dependent).
+@_register(
+    "rrf_hybrid_rank",
+    """
+    WITH p AS (
+      SELECT embedding::DOUBLE[] AS pv FROM embeddings WHERE vec_id = 0
+    ), dense AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (
+               ORDER BY list_cosine_similarity(pv, embedding::DOUBLE[]) DESC,
+                        vec_id) AS rank_dense
+      FROM embeddings CROSS JOIN p WHERE vec_id <> 0
+    ), lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY ov DESC, doc_id) AS rank_lex
+      FROM (
+        SELECT doc_id,
+               len(list_intersect(list_distinct(string_split(text, ' ')),
+                                  ['spark', 'join', 'window', 'hash'])) AS ov
+        FROM documents)
+    )
+    SELECT coalesce(dense.doc_id, lex.doc_id) AS doc_id,
+           rank_dense, rank_lex,
+           round(
+             (CASE WHEN rank_dense IS NOT NULL
+                   THEN 1.0 / (60 + rank_dense) ELSE 0.0 END)
+             + (CASE WHEN rank_lex IS NOT NULL
+                     THEN 1.0 / (60 + rank_lex) ELSE 0.0 END), 6) AS rrf_score
+    FROM dense FULL JOIN lex ON dense.doc_id = lex.doc_id
+    """,
+)
+def _q_rrf_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.similarity import rrf_fuse
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dense = V.cosine_topk(
+        emb, emb.filter(F.col("vec_id") == 0), "embedding", "vec_id",
+        k=10**9,
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    docs = _t(spark, sf_dir, "documents")
+    ov = docs.select(
+        "doc_id",
+        F.size(
+            F.array_intersect(
+                F.array_distinct(F.split(F.col("text"), " ")),
+                F.array(*[F.lit(t) for t in ("spark", "join", "window", "hash")]),
+            )
+        ).alias("_ov"),
+    )
+    lex = ov.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("_ov"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    return rrf_fuse({"dense": dense, "lex": lex}, "doc_id").select(
+        "doc_id", "rank_dense", "rank_lex", "rrf_score"
+    )
+
+
 # Group-median NULL imputation (every 19th event's value is NULLed,
 # then filled with its type's exact median from the integer-algebra
 # quantile path; an untouched value passes through bit-identically).

@@ -867,3 +867,45 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select(probe_id, "neighbor_id", "rank")
     )
+
+
+def rrf_fuse(
+    rankings: dict[str, DataFrame],
+    id_col: str,
+    rank_col: str = "rank",
+    k: int = 60,
+    decimals: int = 6,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al., SIGIR'09) — the
+    standard hybrid-retrieval combiner: each system contributes
+    ``1/(k + rank)`` and the sums re-rank the union, which needs no
+    score calibration between lexical and dense systems (only ranks).
+
+    Determinism contract: the per-system terms are single IEEE
+    divisions of exact integers, and the fuse folds them in SORTED
+    system-name order as an explicit ``t1 + t2 + …`` expression — NOT
+    a ``sum()`` aggregate, whose accumulation order is partition-
+    dependent. Identical doubles on any engine; an id absent from a
+    system contributes exactly 0.
+
+    Plan/scale: full-outer equi-joins on the id (each ranking is
+    already small — a top-k list or one row per candidate), then a
+    narrow projection. No shuffle beyond the joins; with top-k inputs
+    AQE broadcasts every side.
+    """
+    out = None
+    names = sorted(rankings)
+    for name in names:
+        r = rankings[name].select(
+            F.col(id_col), F.col(rank_col).alias(f"rank_{name}")
+        )
+        out = r if out is None else out.join(r, on=id_col, how="full")
+    score = None
+    for name in names:
+        term = F.when(
+            F.col(f"rank_{name}").isNotNull(),
+            F.lit(1.0) / (F.lit(k) + F.col(f"rank_{name}")).cast("double"),
+        ).otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    assert out is not None
+    return out.withColumn("rrf_score", F.round(score, decimals))

@@ -12,6 +12,7 @@ Parquet — the only sane format at 100 TB.
 from __future__ import annotations
 
 import os
+from typing import cast
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
@@ -357,3 +358,61 @@ def with_provenance(df: DataFrame, col_name: str = "_source_file") -> DataFrame:
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     return df.withColumn(col_name, F.input_file_name())
+
+
+def scan_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON-lines scan — the de-facto LLM-corpus interchange format
+    (C4/Pile/RefinedWeb dumps ship as .jsonl[.gz]). Extension beyond
+    the reference's xlsx/csv surface, same schema discipline as
+    :func:`scan_csv`: pass an explicit schema — inference costs a full
+    extra pass and silently unions drifting shapes at 100 TB.
+
+    PERMISSIVE mode with an explicit ``corrupt_col``: a malformed line
+    in a billion must neither kill the job (FAILFAST) nor vanish
+    (DROPMALFORMED — silent data loss); it lands with its raw text in
+    ``corrupt_col`` so the pipeline can count/quarantine it (the
+    multimodal decode_status discipline applied to text ingest).
+    Spark requires the corrupt column declared in the schema —
+    appended here so callers pass only their data schema.
+    """
+    from pyspark.sql.types import StringType, StructField  # noqa: PLC0415
+
+    reader = spark.read.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", corrupt_col
+    )
+    if schema is not None:
+        if isinstance(schema, str):
+            schema = cast(StructType, _parse_ddl(spark, schema))
+        if corrupt_col not in schema.fieldNames():
+            schema = StructType(
+                list(schema.fields) + [StructField(corrupt_col, StringType())]
+            )
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def _parse_ddl(spark: SparkSession, ddl: str) -> StructType:
+    from pyspark.sql.types import _parse_datatype_string  # noqa: PLC0415
+
+    return _parse_datatype_string(ddl)
+
+
+def sink_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = "gzip",
+) -> None:
+    """JSON-lines sink, gzip by default (corpus dumps travel
+    compressed; gzip splits per FILE not per block, so pair with a
+    sensible file count upstream — repartition before calling when the
+    input is a single huge partition)."""
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)

@@ -218,3 +218,30 @@ def test_with_provenance_names_source_file(spark, tmp_path):
     out = with_provenance(spark.read.parquet(p))
     files = {r["_source_file"] for r in out.collect()}
     assert files and all("prov" in f and f.endswith(".parquet") for f in files)
+
+
+def test_scan_jsonl_permissive_corrupt_capture(spark, tmp_path):
+    from gem_data_wrangle_spark.sources.io import scan_jsonl, sink_jsonl
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"id": 1, "text": "hello"}\n'
+        "NOT JSON AT ALL\n"
+        '{"id": 2, "text": "world", "extra": true}\n'
+        '{"id": 3}\n'
+    )
+    df = scan_jsonl(spark, str(p), "id bigint, text string")
+    rows = df.collect()
+    good = {r["id"]: r["text"] for r in rows if r["id"] is not None}
+    assert good == {1: "hello", 2: "world", 3: None}
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    # the malformed line survives WITH its raw text (quarantinable),
+    # it neither kills the read nor silently vanishes
+    assert len(bad) == 1 and bad[0]["_corrupt_record"] == "NOT JSON AT ALL"
+
+    out = tmp_path / "out"
+    sink_jsonl(
+        df.filter("id is not null").select("id", "text"), str(out),
+        compression=None,
+    )
+    assert spark.read.json(str(out)).count() == 3

@@ -463,3 +463,21 @@ def test_impute_group_median_and_winsorize(spark):
     assert got[1] == 1.95 and got[20] == 19.05
     assert got[10] == 10.0     # interior values untouched
     assert got[99] is None     # NULL passes through
+
+
+def test_rrf_fuse_fixed_order_and_absent_ids(spark):
+    from gem_data_wrangle_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "id bigint, rank int")
+    b = spark.createDataFrame([(3, 1), (4, 2)], "id bigint, rank int")
+    got = {r["id"]: r for r in
+           rrf_fuse({"a": a, "b": b}, "id", k=60).collect()}
+    assert got[3]["rrf_score"] == round(1.0 / 63 + 1.0 / 61, 6)
+    # id absent from a system contributes exactly 0, never NULL
+    assert got[1]["rrf_score"] == round(1.0 / 61, 6)
+    assert got[4]["rrf_score"] == round(1.0 / 62, 6)
+    assert got[4]["rank_a"] is None and got[4]["rank_b"] == 2
+    assert set(got) == {1, 2, 3, 4}  # full outer union of both lists
+    # the shared id outranks every single-system id
+    best = max(got.values(), key=lambda r: r["rrf_score"])
+    assert best["id"] == 3

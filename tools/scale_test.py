@@ -104,6 +104,29 @@ QUERIES = [
     # per-byte cost ~2 int ops; a super-linear ratio would indict the
     # Arrow batch shape, not the hash
     "cdc_chunks",
+    # round 7 additions: char stats + decontam (narrow/semi-join),
+    # event analytics (bounded-frame windows under hot-group growth),
+    # OLAP batch (single-exchange aggregates), sketches (bounded
+    # register exchanges), MP4 probe (mdat-independent), cleaning
+    # (quantile pass + broadcast join-back)
+    "char_entropy",
+    "script_fractions",
+    "ngram_decontaminate",
+    "event_zscores",
+    "event_funnel",
+    "event_transitions",
+    "rollup_sum_groups",
+    "pivot_event_values",
+    "group_value_quantiles",
+    "cohort_retention",
+    "hll_distinct_counts",
+    "hll_union_rollup",
+    "mp4_probe",
+    "zorder_keys",
+    "pairwise_corr",
+    "value_histogram",
+    "impute_median",
+    "winsorized_values",
 ]
 
 BASE = "/root/testdata/sf0.1"
