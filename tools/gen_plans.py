@@ -67,6 +67,24 @@ CASES = {
     "heavy_hitter_keys": "heavy hitters (exact-verify pass) — isin candidate filter pushed to the scan, partial-combined count over ≤pool keys",
     "exact_jaccard_pairs": "exact Jaccard join — df pass + rarity-prefix explode + ONE prefix equi-join + set-fetch verify; no cartesian, hot tokens never join",
     "cosine_pairs": "TF-IDF cosine pairs — partial-combined tf/df aggs, ONE posting equi-join, (id_a,id_b)-keyed partial-combined dot sums, norm join-back",
+    # round 7
+    "cdc_chunks": "CDC chunking — Rabin-Karp rolling hash in vectorized numpy inside ONE narrow mapInPandas; zero exchanges before the sink",
+    "char_entropy": "char entropy — per-row array_sort + run-length aggregate fold; ZERO exchanges, linear in corpus bytes",
+    "ngram_decontaminate": "decontamination — shingle scans both sides, eval side DISTINCT + broadcastable, md5-keyed LEFT SEMI + per-doc count + join-back",
+    "event_zscores": "rolling z-scores — ONE key shuffle; 20-row ROWS frame is bounded window state, sums over exact integer cents",
+    "event_funnel": "K-step funnel — per-step filtered min-aggregates chained by shrinking per-key joins (AQE broadcasts them); no per-key history collection",
+    "rollup_sum_groups": "ROLLUP — single Expand + ONE hash aggregate with map-side partials; subtotals cost no extra exchange",
+    "pivot_event_values": "stated-domain pivot — one conditional sum per value inside a SINGLE hash aggregate (not RelationalGroupedDataset.pivot's two)",
+    "group_value_quantiles": "exact group percentiles — rank window and finishing conditional-max groupBy REUSE one hash partitioning; single exchange total",
+    "cohort_retention": "cohort triangle — first-event agg and distinct activity co-partition on the key; join broadcasts; bounded weeks² output",
+    "hll_distinct_counts": "HLL sketch — (group, register)-keyed max with map-side combine: ≤64 rows/group through the exchange regardless of cardinality",
+    "event_transitions": "Markov transitions — lag-1 window (one row of state), |types|² pair aggregate, prev-total window on the tiny frame",
+    "zorder_keys": "Z-order keys — bounded min/max agg broadcast back, static 32-term shift/and/or interleave; narrow, codegen",
+    "pairwise_corr": "deterministic corr — ONE hash aggregate, six exact longs per (partition, group) through the exchange",
+    "impute_median": "median imputation — quantile pass (one exchange) + BROADCAST join-back of the one-row-per-group medians",
+    "winsorized_values": "winsorization — same single-exchange quantile pass + broadcast clamp bounds",
+    "mp4_probe": "MP4 probe — ONE narrow mapInPandas box-tree walk; cost independent of mdat size",
+    "rrf_hybrid_rank": "RRF fusion — two rank windows + full-outer id join; fixed-order two-term reciprocal sum, no aggregate",
 }
 
 INTERESTING = (
