@@ -77,16 +77,7 @@ def hll_registers(
     64 per group. This is the re-aggregable representation: registers
     for a coarser grouping (or another partition of the data) merge by
     ``max``, never by rescanning values (see :func:`hll_merge`)."""
-    m = 64
-    h = F.md5(F.col(value_col).cast("string"))
-    reg = (F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % m).alias("_reg")
-    tail = F.conv(F.substring(h, 3, _TAIL_BITS // 4), 16, 10).cast("long")
-    rho = (
-        F.when(tail == 0, F.lit(_TAIL_BITS + 1))
-        .otherwise(F.instr(F.lpad(F.bin(tail), _TAIL_BITS, "0"), "1"))
-        .cast("int")
-        .alias("_rho")
-    )
+    reg, rho = hll_register_cols(value_col)
     gcols = [F.col(c) for c in group_cols]
     return (
         df.select(*gcols, reg, rho)
@@ -156,3 +147,63 @@ def hll_register_sql(hash_col: str = "h") -> dict[str, str]:
         f"({nib.format(i=i)}::BIGINT << {4 * (14 - i)})" for i in range(3, 15)
     )
     return {"reg": reg, "tail": tail}
+
+
+def hll_register_cols(value_col: str) -> tuple[Column, Column]:
+    """The (register, rho) projection as reusable columns — shared by
+    the batch and streaming register builders."""
+    m = 64
+    h = F.md5(F.col(value_col).cast("string"))
+    reg = (F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % m).alias("_reg")
+    tail = F.conv(F.substring(h, 3, _TAIL_BITS // 4), 16, 10).cast("long")
+    rho = (
+        F.when(tail == 0, F.lit(_TAIL_BITS + 1))
+        .otherwise(F.instr(F.lpad(F.bin(tail), _TAIL_BITS, "0"), "1"))
+        .cast("int")
+        .alias("_rho")
+    )
+    return reg, rho
+
+
+def hll_window_registers(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    group_cols: Sequence[str],
+    value_col: str,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Time-windowed HLL register table, STREAMING-SAFE: works
+    identically on a batch frame and a ``readStream`` source, because
+    max-per-register is exactly the kind of commutative/idempotent
+    aggregate Structured Streaming's incremental state model wants.
+
+    This is the production answer to "distinct users per window" on an
+    unbounded stream: exact ``approx_count_distinct``-free distinct
+    needs per-value state (unbounded); the register table's state is
+    ``windows x groups x 64`` SMALL integers, evicted by the
+    watermark. Each micro-batch folds into the state by ``max`` — the
+    same merge :func:`hll_merge` proves equal to sketching the union
+    directly, so the streamed sketch is IDENTICAL to a batch sketch
+    over the same rows (asserted in the streaming test). Finish the
+    output with :func:`hll_estimate` (grouping on window_start +
+    groups) in the sink/foreachBatch — keeping the finish out of the
+    stream avoids a second stateful operator.
+    """
+    src = df
+    if watermark and df.isStreaming:
+        src = df.withWatermark(ts_col, watermark)
+    reg, rho = hll_register_cols(value_col)
+    return (
+        src.select(
+            F.window(ts_col, duration).alias("_w"),
+            *[F.col(c) for c in group_cols],
+            reg,
+            rho,
+        )
+        .groupBy("_w", *group_cols, "_reg")
+        .agg(F.max("_rho").alias("_m"))
+        .withColumn("window_start", F.col("_w.start"))
+        .withColumn("window_end", F.col("_w.end"))
+        .drop("_w")
+    )

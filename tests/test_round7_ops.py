@@ -481,3 +481,63 @@ def test_rrf_fuse_fixed_order_and_absent_ids(spark):
     # the shared id outranks every single-system id
     best = max(got.values(), key=lambda r: r["rrf_score"])
     assert best["id"] == 3
+
+
+def test_stream_hll_equals_batch_sketch(spark, tmp_path):
+    """readStream → windowed HLL registers → memory sink across
+    multiple micro-batches must yield the IDENTICAL register table (and
+    therefore estimate) as batch-sketching the same rows — the
+    max-merge streaming-state property."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from gem_data_wrangle_spark.operators.sketches import (
+        hll_estimate,
+        hll_window_registers,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows1 = [(t0 + dt.timedelta(seconds=i), "a", i % 37) for i in range(200)]
+    rows2 = [(t0 + dt.timedelta(seconds=i), "a", i % 53) for i in range(200)]
+    schema = "ts timestamp, g string, v bigint"
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).json(str(src / "b1"))
+
+    stream = spark.readStream.schema(schema).json(str(src / "*"))
+    regs = hll_window_registers(
+        stream, "ts", "10 minutes", ["g"], "v", watermark="1 minute"
+    )
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("hllregs")
+        .outputMode("complete")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).json(str(src / "b2"))
+        q.processAllAvailable()
+        streamed = spark.sql("SELECT * FROM hllregs")
+        batch = hll_window_registers(
+            spark.createDataFrame(rows1 + rows2, schema),
+            "ts", "10 minutes", ["g"], "v",
+        )
+        s_regs = {(r["_reg"]): r["_m"] for r in streamed.collect()}
+        b_regs = {(r["_reg"]): r["_m"] for r in batch.collect()}
+        assert s_regs == b_regs and len(s_regs) > 0
+        est_s = hll_estimate(streamed, ["window_start", "g"]).collect()[0]
+        est_b = hll_estimate(batch, ["window_start", "g"]).collect()[0]
+        assert est_s["hll_numerator"] == est_b["hll_numerator"]
+        # 53 distinct values; LC branch keeps small counts near-exact
+        assert abs(est_s["hll_estimate"] - 53) / 53 < 0.30
+    finally:
+        q.stop()
