@@ -346,3 +346,71 @@ def test_cosine_pairs_matches_oracle_on_fuzzed_corpora(
     cosines; the 4-dp double-round and the >=0.6 membership cut must
     agree across engines on every corpus."""
     _compare(spark, tmp_path, _corpus(seed), "cosine_pairs")
+
+
+# ------------------------------------------------------------------
+# round 7: event-family + document-family fuzz for the new operators
+# ------------------------------------------------------------------
+
+_EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, "
+    "event_type string, value double"
+)
+
+
+def _typed_events_rows(seed: int):
+    """Adversarial typed event streams for the round-7 analytics
+    family: duplicated (user, ts) peers (tiebreak stress), values
+    landing on exact cent boundaries (rounding stress), multi-week
+    spread (cohort offsets), and per-user type sequences with
+    same-timestamp funnel steps (strictly-after stress)."""
+    import datetime as dt
+
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 1, 1)  # a Monday
+    types = ["click", "view", "error", "purchase", "signup"]
+    rows = []
+    eid = 0
+    for user in range(8):
+        t = base + dt.timedelta(days=rng.randint(0, 3))
+        for _ in range(40):
+            t = t + dt.timedelta(
+                hours=rng.choice([0, 1, 6, 24, 24 * 7]),
+                seconds=rng.randint(0, 3600),
+            )
+            # exact 2-dp values, many on .x5 / .00 boundaries
+            val = rng.choice([0.05, 1.25, 2.5, 10.0, 99.99, 0.01,
+                              round(rng.uniform(0, 100), 2)])
+            typ = rng.choice(types)
+            rows.append((eid, t, user, typ, val)); eid += 1
+            if rng.random() < 0.25:  # same-ts peer, maybe same type
+                rows.append((eid, t, user, rng.choice(types), val))
+                eid += 1
+    return rows
+
+
+@pytest.mark.parametrize("seed", [2, 17, 41])
+@pytest.mark.parametrize("qname", [
+    "event_zscores", "event_funnel", "event_transitions",
+    "group_value_quantiles", "impute_median", "winsorized_values",
+    "value_histogram", "pairwise_corr", "cohort_retention",
+    "hll_distinct_counts", "hll_union_rollup", "zorder_keys",
+])
+def test_round7_event_queries_match_oracles_on_fuzzed_streams(
+    spark, tmp_path, qname, seed
+):
+    _compare_named(
+        spark, tmp_path,
+        {"events": (_typed_events_rows(seed), _EVENTS_SCHEMA)},
+        qname,
+    )
+
+
+@pytest.mark.parametrize("seed", [7, 19, 23])
+@pytest.mark.parametrize("qname", [
+    "char_entropy", "script_fractions", "ngram_decontaminate",
+])
+def test_round7_text_queries_match_oracles_on_fuzzed_corpora(
+    spark, tmp_path, qname, seed
+):
+    _compare(spark, tmp_path, _corpus(seed), qname)
