@@ -5716,6 +5716,29 @@ def _q_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(regs.unionByName(merged), ["event_type"], prefix="users")
 
 
+# Skew-safe salted join: events (hot user keys after upstream
+# transforms) joined to the customer dim on a salted composite key.
+# The salt is a pure routing artifact — the oracle is the PLAIN join,
+# which is the semantic claim (identical results, spread reducers).
+# AQE's broadcast is disabled for nothing here: the query's value is
+# the equality proof, the plan notes the cost model.
+@_register(
+    "salted_enrich",
+    """
+    SELECT e.event_id, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def _q_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.skew import salted_join
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return salted_join(ev, cust, "user_id", "c_custkey", num_salts=8).select(
+        "event_id", "c_mktsegment"
+    )
+
+
 # Hybrid retrieval via Reciprocal Rank Fusion: a dense ranking (full
 # cosine ordering of the corpus vs probe vector 0) fused with a
 # lexical ranking (query-term overlap count, the boolean-retrieval

@@ -124,3 +124,37 @@ def heavy_hitters(
         .filter(F.col("count") >= min_count)
     )
     return exact
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join for when a hot key would funnel through one
+    reducer AND the small side is too big to broadcast: every big-side
+    row gets a salt from a hash of its full row, the small side
+    replicates ``num_salts``× via a narrow ``explode(sequence)``, and
+    the join keys on (key, salt) — the hot key's probe rows spread
+    over ``num_salts`` reducers.
+
+    Semantics identical to the plain join (the salt is a pure routing
+    artifact, dropped on output; replication multiplies no results
+    because each big row carries exactly ONE salt). Prefer AQE's
+    automatic skew-join split where it fires — this operator is for
+    the cases it can't see (skew materializing after a transformation,
+    or non-shuffle-file inputs) and as the explicit, plan-stable form.
+    Cost: small side ships num_salts× through its exchange — bounded
+    and chosen by the caller.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(num_salts))
+    b = big.withColumn("_salt", salt)
+    s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("bigint"))
+    cond = (b[big_key] == s[small_key]) & (b["_salt"] == s["_salt"])
+    out = b.join(s, cond, how)
+    return out.drop(b["_salt"]).drop(s["_salt"]).drop(s[small_key])

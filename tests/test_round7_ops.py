@@ -541,3 +541,29 @@ def test_stream_hll_equals_batch_sketch(spark, tmp_path):
         assert abs(est_s["hll_estimate"] - 53) / 53 < 0.30
     finally:
         q.stop()
+
+
+def test_salted_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from gem_data_wrangle_spark.operators.skew import salted_join
+
+    # hot key: 90% of big-side rows share key 1
+    big = spark.range(0, 2000).select(
+        F.col("id").alias("rid"),
+        F.when(F.col("id") % 10 < 9, 1).otherwise(F.col("id") % 50).alias("k"),
+    )
+    small = spark.range(0, 50).select(
+        F.col("id").alias("sk"), (F.col("id") * 7).alias("payload")
+    )
+    salted = salted_join(big, small, "k", "sk", num_salts=8)
+    plain = big.join(small, big["k"] == small["sk"]).drop("sk")
+    assert sorted(salted.columns) == sorted(plain.columns)
+    s = {tuple(r) for r in salted.collect()}
+    p = {tuple(r) for r in plain.collect()}
+    assert s == p and len(s) == 2000  # every big row matched exactly once
+    # left-join variant keeps unmatched rows
+    big2 = big.union(spark.createDataFrame([(9999, 999)], "rid bigint, k bigint"))
+    lj = salted_join(big2, small, "k", "sk", num_salts=4, how="left")
+    rows = {r["rid"]: r["payload"] for r in lj.collect()}
+    assert rows[9999] is None and len(rows) == 2001
