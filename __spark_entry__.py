@@ -5716,6 +5716,64 @@ def _q_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(regs.unionByName(merged), ["event_type"], prefix="users")
 
 
+# CUBE grouping sets — all 2^k groupings in one Expand + one
+# aggregate (completes the grouping-set family next to ROLLUP).
+@_register(
+    "cube_sum_groups",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag)::INT   AS g_l_returnflag,
+           GROUPING(l_linestatus)::INT   AS g_l_linestatus,
+           round(sum(l_quantity), 2)      AS sum_qty,
+           count(*)                       AS n_rows
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def _q_cube_sum_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return A.cube_aggregate(
+        li, ["l_returnflag", "l_linestatus"], {"sum_qty": "l_quantity"}
+    )
+
+
+# Order-insensitive whole-table checksum (anti-entropy / migration
+# verification): Σ of 48-bit md5 prefixes over injectively
+# length-prefixed rows, exact DECIMAL sum — the "is the copy the same
+# table" primitive; both engines replay the identical integer.
+@_register(
+    "table_checksum",
+    f"""
+    WITH r AS (
+      SELECT md5(
+        length(CAST(l_orderkey AS VARCHAR))::VARCHAR || ':'
+          || CAST(l_orderkey AS VARCHAR)
+        || length(CAST(l_linenumber AS VARCHAR))::VARCHAR || ':'
+          || CAST(l_linenumber AS VARCHAR)
+        || length(l_returnflag)::VARCHAR || ':' || l_returnflag
+        || length(l_linestatus)::VARCHAR || ':' || l_linestatus
+        || length(CAST(CAST(round(l_quantity * 100) AS BIGINT) AS VARCHAR))::VARCHAR
+          || ':' || CAST(CAST(round(l_quantity * 100) AS BIGINT) AS VARCHAR)
+      ) AS h FROM lineitem
+    )
+    SELECT count(*) AS n_rows,
+           sum({_md5_nibble_sum_sql('h', 12)})::DECIMAL(38,0) AS checksum
+    FROM r
+    """,
+)
+def _q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.quality import table_fingerprint
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty_cents"),
+    )
+    return table_fingerprint(li)
+
+
 # Skew-safe salted join: events (hot user keys after upstream
 # transforms) joined to the customer dim on a salted composite key.
 # The salt is a pure routing artifact — the oracle is the PLAIN join,

@@ -553,3 +553,32 @@ def winsorize(
         .withColumn(out_col, clamped)
         .drop("_plo", "_phi")
     )
+
+
+def cube_aggregate(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    sum_cols: dict[str, str],
+    decimals: int = 2,
+) -> DataFrame:
+    """CUBE grouping sets — ALL 2^k groupings of ``group_cols`` in one
+    pass (ROLLUP's prefixes plus the cross-cuts, e.g. per-linestatus
+    totals regardless of returnflag). Same output contract as
+    :func:`rollup_aggregate`: ``g_<col>`` flags disambiguate subtotal
+    NULLs from genuine NULL keys.
+
+    Plan/scale: one Expand (2^k fan-out) + ONE map-side-combined hash
+    aggregate — keep k small (the fan-out is per input row before the
+    partial agg collapses it); the shuffle carries ~2^k × |groups|
+    rows.
+    """
+    gets = [F.grouping(c).cast("int").alias(f"g_{c}") for c in group_cols]
+    aggs = [
+        F.round(F.sum(src), decimals).alias(out) for out, src in sum_cols.items()
+    ]
+    return (
+        df.cube(*group_cols)
+        .agg(*gets, *aggs, F.count(F.lit(1)).alias("n_rows"))
+        .select(*group_cols, *[f"g_{c}" for c in group_cols],
+                *sum_cols.keys(), "n_rows")
+    )

@@ -567,3 +567,43 @@ def test_salted_join_equals_plain_join(spark):
     lj = salted_join(big2, small, "k", "sk", num_salts=4, how="left")
     rows = {r["rid"]: r["payload"] for r in lj.collect()}
     assert rows[9999] is None and len(rows) == 2001
+
+
+def test_cube_aggregate_cross_cuts(spark):
+    from gem_data_wrangle_spark.operators.aggregates import cube_aggregate
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 4.0)],
+        "k1 string, k2 string, v double",
+    )
+    rows = {(r["k1"], r["k2"], r["g_k1"], r["g_k2"]): (r["sv"], r["n_rows"])
+            for r in cube_aggregate(df, ["k1", "k2"], {"sv": "v"}).collect()}
+    assert rows[(None, "x", 1, 0)] == (5.0, 2)   # per-k2 cut ROLLUP lacks
+    assert rows[("a", None, 0, 1)] == (3.0, 2)
+    assert rows[(None, None, 1, 1)] == (7.0, 3)
+    assert len(rows) == 3 + 2 + 2 + 1  # leaves + k1 cuts + k2 cuts + total
+
+
+def test_table_fingerprint_order_insensitive_and_injective(spark):
+    from gem_data_wrangle_spark.operators.quality import table_fingerprint
+
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, None)], "id bigint, s string"
+    )
+    b = spark.createDataFrame(
+        [(3, None), (1, "x"), (2, "y")], "id bigint, s string"
+    )
+    fa = table_fingerprint(a).collect()[0]
+    fb = table_fingerprint(b).collect()[0]
+    assert fa["n_rows"] == 3 and (fa["n_rows"], fa["checksum"]) == \
+           (fb["n_rows"], fb["checksum"])
+    # a single changed cell changes the checksum
+    c = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "")], "id bigint, s string"  # NULL -> ""
+    )
+    assert table_fingerprint(c).collect()[0]["checksum"] != fa["checksum"]
+    # injectivity: shifting a character across the field boundary
+    d1 = spark.createDataFrame([("ab", "c")], "x string, y string")
+    d2 = spark.createDataFrame([("a", "bc")], "x string, y string")
+    assert table_fingerprint(d1).collect()[0]["checksum"] != \
+           table_fingerprint(d2).collect()[0]["checksum"]
