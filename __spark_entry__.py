@@ -6285,12 +6285,13 @@ _DEFER_TO_TAIL = [
     # reference-core pipeline/consolidation queries (kept fresh every
     # round), plus the five round-7 registrations.
     #
-    # The 14 LATER round-7 registrations (rollup_sum_groups,
+    # The 17 LATER round-7 registrations (rollup_sum_groups,
     # pivot_event_values, group_value_quantiles, cohort_retention,
     # hll_distinct_counts, hll_union_rollup, rrf_hybrid_rank,
     # impute_median, winsorized_values, pairwise_corr,
-    # value_histogram, zorder_keys, event_transitions, mp4_probe —
-    # batches 2-5 of the round) sit just PAST the graded window in
+    # value_histogram, zorder_keys, event_transitions, mp4_probe,
+    # salted_enrich, cube_sum_groups, table_checksum —
+    # batches 2-6 of the round) sit just PAST the graded window in
     # registration order: pytest + their ready oracles (all green in
     # the local full-registry sweep at sf0.001 and targeted sf0.01)
     # carry them until the round-8 rotation, the same new-operator

@@ -414,3 +414,57 @@ def test_round7_text_queries_match_oracles_on_fuzzed_corpora(
     spark, tmp_path, qname, seed
 ):
     _compare(spark, tmp_path, _corpus(seed), qname)
+
+
+def _lineitem_rows(seed: int):
+    """Adversarial lineitems for grouping-set/checksum canonicalization:
+    quantities on exact .x5 cent boundaries, flag/status values with
+    shared prefixes (injectivity stress for the length-prefix row
+    encoding), and duplicate full rows (the checksum must count them)."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(300):
+        qty = rng.choice([0.05, 12.25, 49.5, 0.01, round(rng.uniform(0, 50), 2)])
+        flag = rng.choice(["A", "AB", "N", ""])
+        status = rng.choice(["B", "BF", "F", ""])
+        rows.append((i, rng.randint(1, 4), qty, 1.0, 0.0, 0.0, flag, status))
+        if rng.random() < 0.1:  # exact duplicate row
+            rows.append(rows[-1])
+    return rows
+
+
+_LINEITEM_SCHEMA = (
+    "l_orderkey bigint, l_linenumber int, l_quantity double, "
+    "l_extendedprice double, l_discount double, l_tax double, "
+    "l_returnflag string, l_linestatus string"
+)
+
+
+@pytest.mark.parametrize("seed", [3, 13, 37])
+@pytest.mark.parametrize("qname", [
+    "rollup_sum_groups", "cube_sum_groups", "table_checksum",
+])
+def test_round7_lineitem_queries_match_oracles_on_fuzzed_rows(
+    spark, tmp_path, qname, seed
+):
+    _compare_named(
+        spark, tmp_path,
+        {"lineitem": (_lineitem_rows(seed), _LINEITEM_SCHEMA)},
+        qname,
+    )
+
+
+@pytest.mark.parametrize("seed", [2, 17])
+def test_salted_enrich_matches_plain_join_on_fuzzed_streams(
+    spark, tmp_path, seed
+):
+    rng = random.Random(seed)
+    cust = [(u, rng.choice(["AUTO", "BUILD", ""])) for u in range(0, 6)]
+    _compare_named(
+        spark, tmp_path,
+        {
+            "events": (_typed_events_rows(seed), _EVENTS_SCHEMA),
+            "customer": (cust, "c_custkey bigint, c_mktsegment string"),
+        },
+        "salted_enrich",
+    )

@@ -85,6 +85,9 @@ CASES = {
     "winsorized_values": "winsorization — same single-exchange quantile pass + broadcast clamp bounds",
     "mp4_probe": "MP4 probe — ONE narrow mapInPandas box-tree walk; cost independent of mdat size",
     "rrf_hybrid_rank": "RRF fusion — two rank windows + full-outer id join; fixed-order two-term reciprocal sum, no aggregate",
+    "salted_enrich": "salted join — full-row-hash salt on the probe side, num_salts× replicated build side, (key, salt) equi-join",
+    "cube_sum_groups": "CUBE — single Expand (2^k fan-out collapses in the partial agg) + ONE exchange",
+    "table_checksum": "table checksum — md5 prefix sum with map-side partials; the exchange carries ONE partial per partition",
 }
 
 INTERESTING = (

@@ -127,6 +127,10 @@ QUERIES = [
     "value_histogram",
     "impute_median",
     "winsorized_values",
+    "rrf_hybrid_rank",
+    "salted_enrich",
+    "cube_sum_groups",
+    "table_checksum",
 ]
 
 BASE = "/root/testdata/sf0.1"
