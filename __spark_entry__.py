@@ -5774,6 +5774,117 @@ def _q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_fingerprint(li)
 
 
+# Chunk→doc mean pooling: embeddings grouped as synthetic 5-chunk
+# documents (doc = vec_id % 100, order = vec_id); element-wise float
+# sums fold in SORTED chunk order on both engines (collect+sort then
+# sequential aggregate vs list(... ORDER BY) + list_reduce) — same
+# floats, same order, identical doubles.
+@_register(
+    "mean_pool_embeddings",
+    """
+    WITH g AS (
+      SELECT vec_id % 100 AS doc_id,
+             list(embedding::DOUBLE[] ORDER BY vec_id) AS vs,
+             count(*) AS n_chunks
+      FROM embeddings GROUP BY vec_id % 100
+    )
+    SELECT doc_id, n_chunks,
+           [round(x / n_chunks, 6) + 0.0 FOR x IN
+            list_reduce(vs, (acc, v) ->
+              [acc[i] + v[i] FOR i IN range(1, len(acc) + 1)])]
+             AS mean_embedding
+    FROM g
+    """,
+)
+def _q_mean_pool_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.similarity import (
+        mean_pool_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 100).alias("doc_id"),
+        F.col("vec_id").alias("chunk_order"),
+        "embedding",
+    )
+    return mean_pool_embeddings(emb, "doc_id", "chunk_order", "embedding")
+
+
+# Keyed table diff (the checksum's companion): orders vs a mutated
+# copy — every 31st order's totalprice shifts (changed), every 43rd is
+# dropped (removed), synthetic high-key rows appear (added). Digests
+# travel through the join, not whole rows.
+@_register(
+    "orders_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      ), new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 31 = 2 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 43 <> 3
+      UNION ALL
+      SELECT o_orderkey + 90000000, 'X', 1.0 FROM orders
+      WHERE o_orderkey % 97 = 5
+    ), oh AS (
+      SELECT o_orderkey, md5(
+        length(o_orderstatus)::VARCHAR || ':' || o_orderstatus ||
+        length(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR))::VARCHAR
+          || ':' || CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+      ) AS h FROM old
+    ), nh AS (
+      SELECT o_orderkey, md5(
+        length(o_orderstatus)::VARCHAR || ':' || o_orderstatus ||
+        length(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR))::VARCHAR
+          || ':' || CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+      ) AS h FROM new
+    )
+    SELECT coalesce(oh.o_orderkey, nh.o_orderkey) AS o_orderkey,
+           CASE WHEN oh.h IS NULL THEN 'added'
+                WHEN nh.h IS NULL THEN 'removed'
+                WHEN oh.h <> nh.h THEN 'changed'
+                ELSE 'unchanged' END AS diff_status
+    FROM oh FULL JOIN nh ON oh.o_orderkey = nh.o_orderkey
+    """,
+)
+def _q_orders_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.quality import table_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    old = orders.select(
+        "o_orderkey", "o_orderstatus", cents.alias("price_cents")
+    )
+    mutated = (
+        orders.filter(F.col("o_orderkey") % 43 != 3)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(
+                (
+                    F.when(
+                        F.col("o_orderkey") % 31 == 2,
+                        F.col("o_totalprice") + 1.0,
+                    ).otherwise(F.col("o_totalprice"))
+                )
+                * 100
+            )
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    added = (
+        orders.filter(F.col("o_orderkey") % 97 == 5)
+        .select(
+            (F.col("o_orderkey") + 90000000).alias("o_orderkey"),
+            F.lit("X").alias("o_orderstatus"),
+            F.lit(100).cast("long").alias("price_cents"),
+        )
+    )
+    new = mutated.unionByName(added)
+    return table_diff(old, new, ["o_orderkey"])
+
+
 # Skew-safe salted join: events (hot user keys after upstream
 # transforms) joined to the customer dim on a salted composite key.
 # The salt is a pure routing artifact — the oracle is the PLAIN join,
@@ -6285,13 +6396,14 @@ _DEFER_TO_TAIL = [
     # reference-core pipeline/consolidation queries (kept fresh every
     # round), plus the five round-7 registrations.
     #
-    # The 17 LATER round-7 registrations (rollup_sum_groups,
+    # The 19 LATER round-7 registrations (rollup_sum_groups,
     # pivot_event_values, group_value_quantiles, cohort_retention,
     # hll_distinct_counts, hll_union_rollup, rrf_hybrid_rank,
     # impute_median, winsorized_values, pairwise_corr,
     # value_histogram, zorder_keys, event_transitions, mp4_probe,
-    # salted_enrich, cube_sum_groups, table_checksum —
-    # batches 2-6 of the round) sit just PAST the graded window in
+    # salted_enrich, cube_sum_groups, table_checksum, orders_diff,
+    # mean_pool_embeddings — batches 2-7 of the round; 19 in all) sit
+    # just PAST the graded window in
     # registration order: pytest + their ready oracles (all green in
     # the local full-registry sweep at sf0.001 and targeted sf0.01)
     # carry them until the round-8 rotation, the same new-operator

@@ -157,3 +157,46 @@ def table_fingerprint(df: DataFrame, cols: Sequence[str] | None = None) -> DataF
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(h48.cast("decimal(38,0)")).alias("checksum"),
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Keyed diff of two table versions — the companion to
+    :func:`table_fingerprint` when the checksums DISAGREE and you need
+    to know why: one row per key present in either version, with
+    ``diff_status`` in {added, removed, changed, unchanged} (changed =
+    same key, different md5 over the injectively length-prefixed
+    compare columns).
+
+    Plan/scale: each side collapses to (key, row-digest) BEFORE the
+    full-outer join — 16-byte digests through both exchanges instead
+    of whole rows; the join is key-partitioned, AQE-sized. Keys are
+    assumed unique per side (pre-aggregate with dedup_first_per_key
+    otherwise).
+    """
+    def digest(df: DataFrame) -> Column:
+        cols = list(compare_cols or [c for c in df.columns if c not in key_cols])
+        parts: list[Column] = []
+        for c in cols:
+            sc = F.col(c).cast("string")
+            parts.append(
+                F.when(F.col(c).isNull(), F.lit("N:")).otherwise(
+                    F.concat(F.length(sc).cast("string"), F.lit(":"), sc)
+                )
+            )
+        return F.md5(F.concat(*parts))
+
+    o = old.select(*key_cols, digest(old).alias("_oh"))
+    n = new.select(*key_cols, digest(new).alias("_nh"))
+    joined = o.join(n, on=list(key_cols), how="full")
+    status = (
+        F.when(F.col("_oh").isNull(), F.lit("added"))
+        .when(F.col("_nh").isNull(), F.lit("removed"))
+        .when(F.col("_oh") != F.col("_nh"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(*key_cols, status.alias("diff_status"))

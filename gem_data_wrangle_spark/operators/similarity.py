@@ -909,3 +909,43 @@ def rrf_fuse(
         score = term if score is None else score + term
     assert out is not None
     return out.withColumn("rrf_score", F.round(score, decimals))
+
+
+def mean_pool_embeddings(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    vec_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Mean-pool chunk embeddings into one vector per document — the
+    standard chunk→doc reduction after per-chunk embedding (RAG
+    indexing, doc-level dedup over chunked encoders).
+
+    Determinism contract: element-wise float sums are order-sensitive,
+    so the chunks are collected and SORTED by ``order_col`` before a
+    sequential ``aggregate`` fold — every engine adds the same floats
+    in the same order. The per-doc collect is bounded by chunks/doc
+    (tens — a document's own chunk count, never corpus-scale); for
+    corpora where that bound doesn't hold, pre-combine pages first.
+    One shuffle on ``group_col``. Output rounded to ``decimals``.
+    """
+    pair = F.struct(
+        F.col(order_col).alias("o"), as_double_array(vec_col).alias("v")
+    )
+    per = df.groupBy(group_col).agg(
+        F.sort_array(F.collect_list(pair)).alias("_ps"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+    vs = F.col("_ps.v")
+    first = F.element_at(vs, 1)
+    summed = F.aggregate(
+        F.slice(vs, 2, F.greatest(F.size(vs) - 1, F.lit(0))),
+        first,
+        lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+    )
+    n = F.col("n_chunks").cast("double")
+    # + 0.0 normalizes IEEE negative zero (-0.0 renders differently
+    # from 0.0 in value comparisons; -0.0 + 0.0 == +0.0 exactly)
+    mean = F.transform(summed, lambda x: F.round(x / n, decimals) + 0.0)
+    return per.select(group_col, "n_chunks", mean.alias("mean_embedding"))

@@ -607,3 +607,36 @@ def test_table_fingerprint_order_insensitive_and_injective(spark):
     d2 = spark.createDataFrame([("a", "bc")], "x string, y string")
     assert table_fingerprint(d1).collect()[0]["checksum"] != \
            table_fingerprint(d2).collect()[0]["checksum"]
+
+
+def test_table_diff_statuses(spark):
+    from gem_data_wrangle_spark.operators.quality import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k bigint, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 99), (4, None, 40), (5, "e", 50)],
+        "k bigint, s string, v long",
+    )
+    got = {r["k"]: r["diff_status"] for r in table_diff(old, new, ["k"]).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "unchanged", 5: "added"}
+
+
+def test_mean_pool_embeddings_ordered_fold(spark):
+    from gem_data_wrangle_spark.operators.similarity import (
+        mean_pool_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2, [1.0, 5.0]), (1, 1, [3.0, 1.0]), (1, 3, [2.0, 0.0]),
+         (2, 1, [4.0, 4.0])],
+        "doc bigint, o int, embedding array<float>",
+    )
+    got = {r["doc"]: r for r in
+           mean_pool_embeddings(df, "doc", "o", "embedding").collect()}
+    assert got[1]["n_chunks"] == 3
+    assert got[1]["mean_embedding"] == [2.0, 2.0]
+    assert got[2]["mean_embedding"] == [4.0, 4.0]
