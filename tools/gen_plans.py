@@ -88,6 +88,8 @@ CASES = {
     "salted_enrich": "salted join — full-row-hash salt on the probe side, num_salts× replicated build side, (key, salt) equi-join",
     "cube_sum_groups": "CUBE — single Expand (2^k fan-out collapses in the partial agg) + ONE exchange",
     "table_checksum": "table checksum — md5 prefix sum with map-side partials; the exchange carries ONE partial per partition",
+    "orders_diff": "keyed diff — digest-only full-outer join; 16-byte digests through both exchanges, never whole rows",
+    "mean_pool_embeddings": "chunk mean-pool — ONE group shuffle; collect bounded by chunks/doc, ordered sequential fold",
 }
 
 INTERESTING = (

@@ -131,6 +131,8 @@ QUERIES = [
     "salted_enrich",
     "cube_sum_groups",
     "table_checksum",
+    "orders_diff",
+    "mean_pool_embeddings",
 ]
 
 BASE = "/root/testdata/sf0.1"
