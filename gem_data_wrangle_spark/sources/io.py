@@ -232,7 +232,7 @@ def load_testdata(spark: SparkSession, sf_dir: str, register_views: bool = True)
 def scan_jsonl(
     spark: SparkSession,
     path: str,
-    schema: str | None = None,
+    schema: StructType | str | None = None,
     corrupt_col: str | None = None,
 ) -> DataFrame:
     """Read JSON-lines (the de-facto interchange format for text
@@ -242,23 +242,51 @@ def scan_jsonl(
 
     ``corrupt_col``: web-scale corpora always contain malformed lines;
     naming a column here keeps the scan in PERMISSIVE mode and lands
-    each unparseable line's raw text there (add ``<col> STRING`` to the
-    schema) instead of failing the job — quarantine with
-    ``df.filter(col(corrupt_col).isNotNull())``."""
+    each unparseable line's raw text there instead of failing the job
+    (FAILFAST) or silently dropping it (DROPMALFORMED) — quarantine
+    with ``df.filter(col(corrupt_col).isNotNull())``. Spark requires
+    the corrupt column declared in the schema, so it is auto-appended
+    here — callers pass only their data schema."""
     reader = spark.read
-    if schema is not None:
-        reader = reader.schema(schema)
     if corrupt_col is not None:
         reader = reader.option("mode", "PERMISSIVE").option(
             "columnNameOfCorruptRecord", corrupt_col
         )
+        if schema is not None:
+            if isinstance(schema, str):
+                from pyspark.sql.types import (  # noqa: PLC0415
+                    _parse_datatype_string,
+                )
+
+                schema = cast(StructType, _parse_datatype_string(schema))
+            if corrupt_col not in schema.fieldNames():
+                from pyspark.sql.types import (  # noqa: PLC0415
+                    StringType,
+                    StructField,
+                )
+
+                schema = StructType(
+                    list(schema.fields) + [StructField(corrupt_col, StringType())]
+                )
+    if schema is not None:
+        reader = reader.schema(schema)
     return reader.json(path)
 
 
-def sink_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+def sink_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = None,
+) -> None:
     """Write JSON-lines, one object per row, partitioned like any
-    distributed sink."""
-    df.write.mode(mode).json(path)
+    distributed sink; pass ``compression="gzip"`` for the compressed
+    corpus-dump convention (gzip splits per FILE, so set a sensible
+    partition count upstream)."""
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
 
 
 def sink_parquet_replace_partitions(
@@ -359,60 +387,3 @@ def with_provenance(df: DataFrame, col_name: str = "_source_file") -> DataFrame:
 
     return df.withColumn(col_name, F.input_file_name())
 
-
-def scan_jsonl(
-    spark: SparkSession,
-    path: str,
-    schema: StructType | str | None = None,
-    corrupt_col: str = "_corrupt_record",
-) -> DataFrame:
-    """JSON-lines scan — the de-facto LLM-corpus interchange format
-    (C4/Pile/RefinedWeb dumps ship as .jsonl[.gz]). Extension beyond
-    the reference's xlsx/csv surface, same schema discipline as
-    :func:`scan_csv`: pass an explicit schema — inference costs a full
-    extra pass and silently unions drifting shapes at 100 TB.
-
-    PERMISSIVE mode with an explicit ``corrupt_col``: a malformed line
-    in a billion must neither kill the job (FAILFAST) nor vanish
-    (DROPMALFORMED — silent data loss); it lands with its raw text in
-    ``corrupt_col`` so the pipeline can count/quarantine it (the
-    multimodal decode_status discipline applied to text ingest).
-    Spark requires the corrupt column declared in the schema —
-    appended here so callers pass only their data schema.
-    """
-    from pyspark.sql.types import StringType, StructField  # noqa: PLC0415
-
-    reader = spark.read.option("mode", "PERMISSIVE").option(
-        "columnNameOfCorruptRecord", corrupt_col
-    )
-    if schema is not None:
-        if isinstance(schema, str):
-            schema = cast(StructType, _parse_ddl(spark, schema))
-        if corrupt_col not in schema.fieldNames():
-            schema = StructType(
-                list(schema.fields) + [StructField(corrupt_col, StringType())]
-            )
-        reader = reader.schema(schema)
-    return reader.json(path)
-
-
-def _parse_ddl(spark: SparkSession, ddl: str) -> StructType:
-    from pyspark.sql.types import _parse_datatype_string  # noqa: PLC0415
-
-    return _parse_datatype_string(ddl)
-
-
-def sink_jsonl(
-    df: DataFrame,
-    path: str,
-    mode: str = "overwrite",
-    compression: str | None = "gzip",
-) -> None:
-    """JSON-lines sink, gzip by default (corpus dumps travel
-    compressed; gzip splits per FILE not per block, so pair with a
-    sensible file count upstream — repartition before calling when the
-    input is a single huge partition)."""
-    writer = df.write.mode(mode)
-    if compression:
-        writer = writer.option("compression", compression)
-    writer.json(path)

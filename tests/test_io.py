@@ -230,7 +230,8 @@ def test_scan_jsonl_permissive_corrupt_capture(spark, tmp_path):
         '{"id": 2, "text": "world", "extra": true}\n'
         '{"id": 3}\n'
     )
-    df = scan_jsonl(spark, str(p), "id bigint, text string")
+    df = scan_jsonl(spark, str(p), "id bigint, text string",
+                    corrupt_col="_corrupt_record")
     rows = df.collect()
     good = {r["id"]: r["text"] for r in rows if r["id"] is not None}
     assert good == {1: "hello", 2: "world", 3: None}
@@ -242,6 +243,6 @@ def test_scan_jsonl_permissive_corrupt_capture(spark, tmp_path):
     out = tmp_path / "out"
     sink_jsonl(
         df.filter("id is not null").select("id", "text"), str(out),
-        compression=None,
+        compression="gzip",
     )
     assert spark.read.json(str(out)).count() == 3
