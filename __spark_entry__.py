@@ -5774,6 +5774,69 @@ def _q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_fingerprint(li)
 
 
+# Funnel conversion latency: time-to-convert (step1→step3 seconds,
+# exact integer microseconds ÷ 1e6) for completed funnels, summarized
+# with the exact-quantile machinery — a pure COMPOSITION of
+# funnel_steps + group_quantiles (the operators are designed to
+# chain; no new primitive). Latency lands in a constant group.
+@_register(
+    "funnel_latency",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_type FROM events
+    ), s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'click'
+      GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(ts) AS t2 FROM e JOIN s1 USING (user_id)
+      WHERE event_type = 'view' AND ts > t1 GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(ts) AS t3 FROM e JOIN s2 USING (user_id)
+      WHERE event_type = 'error' AND ts > t2 GROUP BY e.user_id
+    ), lat AS (
+      -- centiseconds: exact integers for the quantile algebra
+      SELECT ((epoch_us(t3) - epoch_us(t1)) // 10000)::BIGINT AS cs
+      FROM s3 JOIN s1 USING (user_id)
+    ), r AS (
+      SELECT cs, row_number() OVER (ORDER BY cs) AS rn,
+             count(*) OVER () AS n
+      FROM lat
+    ), g AS (
+      SELECT max(n) AS n,
+             max(CASE WHEN rn = ((n-1)*50)//100 + 1 THEN cs END) AS lo50,
+             max(CASE WHEN rn = ((n-1)*50)//100 + 2 THEN cs END) AS hi50,
+             max(CASE WHEN rn = ((n-1)*95)//100 + 1 THEN cs END) AS lo95,
+             max(CASE WHEN rn = ((n-1)*95)//100 + 2 THEN cs END) AS hi95
+      FROM r
+    )
+    SELECT n::BIGINT AS n_values,
+      (lo50*100 + (coalesce(hi50,lo50)-lo50) * (((n-1)*50) % 100))::DOUBLE / 10000 AS p50,
+      (lo95*100 + (coalesce(hi95,lo95)-lo95) * (((n-1)*95) % 100))::DOUBLE / 10000 AS p95
+    FROM g
+    """,
+)
+def _q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    fn = A.funnel_steps(ev, "user_id", "ts", "event_type",
+                        ["click", "view", "error"])
+    lat = fn.filter(F.col("step3_ts").isNotNull()).select(
+        F.lit(1).alias("_g"),
+        # `div` keeps the division in long arithmetic (a double
+        # quotient can round up across the floor boundary)
+        F.expr(
+            "(unix_micros(cast(step3_ts as timestamp)) - "
+            "unix_micros(cast(step1_ts as timestamp))) div 10000"
+        ).alias("latency_cs"),
+    )
+    # latency_cs holds exact centisecond integers -> decimals=2 cents
+    # algebra reads them as a "2-dp latency in seconds x 100"
+    out = A.group_quantiles(
+        lat.select("_g", (F.col("latency_cs") / 100.0).alias("v")),
+        ["_g"], "v", percents=(50, 95),
+    )
+    return out.select("n_values", "p50", "p95")
+
+
 # Chunk→doc mean pooling: embeddings grouped as synthetic 5-chunk
 # documents (doc = vec_id % 100, order = vec_id); element-wise float
 # sums fold in SORTED chunk order on both engines (collect+sort then
@@ -6396,14 +6459,14 @@ _DEFER_TO_TAIL = [
     # reference-core pipeline/consolidation queries (kept fresh every
     # round), plus the five round-7 registrations.
     #
-    # The 19 LATER round-7 registrations (rollup_sum_groups,
+    # The 20 LATER round-7 registrations (rollup_sum_groups,
     # pivot_event_values, group_value_quantiles, cohort_retention,
     # hll_distinct_counts, hll_union_rollup, rrf_hybrid_rank,
     # impute_median, winsorized_values, pairwise_corr,
     # value_histogram, zorder_keys, event_transitions, mp4_probe,
     # salted_enrich, cube_sum_groups, table_checksum, orders_diff,
-    # mean_pool_embeddings — batches 2-7 of the round; 19 in all) sit
-    # just PAST the graded window in
+    # mean_pool_embeddings, funnel_latency — batches 2-7 of the round;
+    # 20 in all) sit just PAST the graded window in
     # registration order: pytest + their ready oracles (all green in
     # the local full-registry sweep at sf0.001 and targeted sf0.01)
     # carry them until the round-8 rotation, the same new-operator
