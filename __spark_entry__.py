@@ -4150,10 +4150,15 @@ _PQ_ASSIGN_SQL = """
 """
 
 
+# Graded projection is '-'-joined codes, NOT the raw list column: the
+# driver canonicalizer sorts with pandas and a LIST column is
+# unhashable there (CORRECTNESS_r07 err row). The operator still
+# returns array<int>; only the graded view flattens.
 @_register(
     "pq_encode",
     _PQ_ASSIGN_SQL + """
-    SELECT vec_id, list(code ORDER BY s) AS pq_codes
+    SELECT vec_id, string_agg(CAST(code AS VARCHAR), '-' ORDER BY s)
+             AS pq_code_str
     FROM assign GROUP BY vec_id
     """,
 )
@@ -4161,7 +4166,10 @@ def _q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     books = _pq_seed_codebooks(emb)
     return V.pq_encode(emb, books, "embedding", "vec_id").select(
-        "vec_id", "pq_codes"
+        "vec_id",
+        F.concat_ws("-", F.col("pq_codes").cast("array<string>")).alias(
+            "pq_code_str"
+        ),
     )
 
 
@@ -4405,10 +4413,12 @@ def _md5_nibble_sum_sql(hx: str, nibbles: int) -> str:
 # graded window): target = the corpus's English slice, raw = the full
 # corpus; every raw doc scored by sum of hashed-unigram+bigram
 # log-ratios lambda_b = log p_b - log q_b (4096 md5 buckets, Laplace
-# smoothing). lambda AND the per-doc weighted sum round to 6 dp on
-# both sides: integer-weighted 6-dp terms sum to the CENTER of a 1e-6
-# rounding bucket (ulp-proof), while 4 dp sat exactly on half
-# boundaries and flipped 3/500 docs in local parity.
+# smoothing). Float discipline (fixed after the CORRECTNESS_r07 hash
+# FAIL): lambda rounds to 6 dp (cross-engine stable), is scaled to
+# exact BIGINT micro-units lam_u = round(lam*1e6), and the per-doc
+# score is the EXACT integer sum(c*lam_u) divided by 1e6 ONCE — a
+# double F.sum fold was order-sensitive once the accumulator ulp
+# exceeded 1e-6, flipping the final 6-dp round between engines.
 _DSIR_GRAMS_SQL = """
     rt AS (
       SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
@@ -4434,13 +4444,16 @@ _DSIR_GRAMS_SQL = """
       SELECT (SELECT sum(qn_b) FROM qc) AS qn, (SELECT sum(pn_b) FROM pc) AS pn
     ), lam AS (
       SELECT b,
-             round((ln(coalesce(pn_b, 0) + 1.0) - ln(pn + 4096.0))
-                   - (ln(qn_b + 1.0) - ln(qn + 4096.0)), 6) AS lam
+             CAST(round(round((ln(coalesce(pn_b, 0) + 1.0) - ln(pn + 4096.0))
+                              - (ln(qn_b + 1.0) - ln(qn + 4096.0)), 6)
+                        * 1000000.0, 0) AS BIGINT) AS lam_u
       FROM qc LEFT JOIN pc USING (b) CROSS JOIN tot
     ), db AS (
       SELECT doc_id, b, count(*) AS c FROM rb GROUP BY doc_id, b
     ), w AS (
-      SELECT doc_id, round(sum(c * lam), 6) AS log_importance,
+      SELECT doc_id,
+             round(CAST(sum(c * lam_u) AS DOUBLE) / 1000000.0, 6)
+               AS log_importance,
              sum(c) AS n_features
       FROM db JOIN lam USING (b) GROUP BY doc_id
     )

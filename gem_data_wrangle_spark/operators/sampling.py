@@ -383,11 +383,16 @@ def dsir_logweights(
     the same explode shuffle; the λ join is a broadcast hash join and
     the final per-doc sum is the only other shuffle. Zero UDFs; the
     md5-nibble bucket is the package's portable hash, so any engine
-    replays the weights exactly (λ — and the weighted sum — round to
-    6 decimals: the sum of integer-weighted 6-dp terms sits at the
-    CENTER of a 1e-6 rounding bucket, so cross-engine summation-order
-    ulps cannot flip it, whereas any coarser rounding puts it exactly
-    on a half boundary).
+    replays the weights exactly. Float discipline (the repo's
+    oracle-float rule — exact integer sufficient statistics, one
+    final IEEE division): λ rounds to 6 dp (proven cross-engine
+    stable) and is then carried as LONG micro-units λ_u = round(λ·1e6),
+    so the per-doc score is an EXACT 64-bit ``Σ c·λ_u`` — immune to
+    partition fold order, unlike a double ``F.sum`` whose accumulator
+    ulp exceeds 1e-6 once the running sum is large — divided by 1e6
+    exactly once at the end (CORRECTNESS_r07 flagged the double-fold
+    variant: DuckDB's sequential fold and Spark's partial-merge fold
+    landed on opposite sides of the 6-dp half boundary).
 
     Returns ``(id_col, log_importance, n_features)`` for every raw
     document (empty-text docs score on their single empty token).
@@ -412,13 +417,19 @@ def dsir_logweights(
         .crossJoin(F.broadcast(ptot))
         .select(
             "_b",
+            # 6-dp λ scaled to exact LONG micro-units: round(λ,6) is a
+            # double within ~1e-10 of k/1e6, so round(·*1e6) recovers
+            # the integer k identically in any IEEE-754 engine.
             F.round(
-                (F.log(F.coalesce(F.col("_pc"), F.lit(0)) + F.lit(smoothing))
-                 - F.log(F.coalesce(F.col("_pn"), F.lit(0)) + F.lit(smoothing * buckets)))
-                - (F.log(F.col("_qc") + F.lit(smoothing))
-                   - F.log(F.col("_qn") + F.lit(smoothing * buckets))),
-                6,
-            ).alias("_lam"),
+                F.round(
+                    (F.log(F.coalesce(F.col("_pc"), F.lit(0)) + F.lit(smoothing))
+                     - F.log(F.coalesce(F.col("_pn"), F.lit(0)) + F.lit(smoothing * buckets)))
+                    - (F.log(F.col("_qc") + F.lit(smoothing))
+                       - F.log(F.col("_qn") + F.lit(smoothing * buckets))),
+                    6,
+                ) * F.lit(1e6),
+                0,
+            ).cast("long").alias("_lam_u"),
         )
     )
 
@@ -427,7 +438,11 @@ def dsir_logweights(
         docb.join(F.broadcast(lam), on="_b")
         .groupBy(id_col)
         .agg(
-            F.round(F.sum(F.col("_c") * F.col("_lam")), 6).alias("log_importance"),
+            # exact 64-bit integer sum, ONE final division — fold-order-proof
+            F.round(
+                F.sum(F.col("_c") * F.col("_lam_u")).cast("double") / F.lit(1e6),
+                6,
+            ).alias("log_importance"),
             F.sum("_c").alias("n_features"),
         )
     )
