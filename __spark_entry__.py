@@ -5833,7 +5833,6 @@ def _q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     fn = A.funnel_steps(ev, "user_id", "ts", "event_type",
                         ["click", "view", "error"])
     lat = fn.filter(F.col("step3_ts").isNotNull()).select(
-        F.lit(1).alias("_g"),
         # `div` keeps the division in long arithmetic (a double
         # quotient can round up across the floor boundary)
         F.expr(
@@ -5842,10 +5841,13 @@ def _q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("latency_cs"),
     )
     # latency_cs holds exact centisecond integers -> decimals=2 cents
-    # algebra reads them as a "2-dp latency in seconds x 100"
-    out = A.group_quantiles(
-        lat.select("_g", (F.col("latency_cs") / 100.0).alias("v")),
-        ["_g"], "v", percents=(50, 95),
+    # algebra reads them as a "2-dp latency in seconds x 100". The
+    # GLOBAL summary uses global_quantiles' two-phase ranks — the old
+    # constant-group group_quantiles folded to an empty window spec,
+    # i.e. an Exchange SinglePartition over every converted user.
+    out = A.global_quantiles(
+        lat.select((F.col("latency_cs") / 100.0).alias("v")),
+        "v", percents=(50, 95),
     )
     return out.select("n_values", "p50", "p95")
 
@@ -5984,31 +5986,45 @@ def _q_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Hybrid retrieval via Reciprocal Rank Fusion: a dense ranking (full
-# cosine ordering of the corpus vs probe vector 0) fused with a
+# Hybrid retrieval via Reciprocal Rank Fusion: the TOP-100 of a dense
+# ranking (cosine vs probe vector 0) fused with the TOP-100 of a
 # lexical ranking (query-term overlap count, the boolean-retrieval
-# signal) — terms folded dense-then-lex as an explicit two-term IEEE
+# signal). RRF semantics only need each system's head, so both legs
+# truncate BEFORE fusing via ranked_top_k — orderBy().limit(k) plans
+# as TakeOrderedAndProject (per-partition heaps, driver merge) and the
+# ranking window rides its single-partition k-row output with NO
+# exchange, killing the round-7 global-window scale anti-pattern
+# (the old shape ranked the whole corpus through an Exchange
+# SinglePartition; tests/test_plans.py now sweeps the whole registry
+# for that). Terms fold dense-then-lex as an explicit two-term IEEE
 # sum of exact-integer reciprocals (never a sum() aggregate, whose
 # accumulation order is partition-dependent).
+_RRF_LEG_K = 100
+
+
 @_register(
     "rrf_hybrid_rank",
-    """
+    f"""
     WITH p AS (
       SELECT embedding::DOUBLE[] AS pv FROM embeddings WHERE vec_id = 0
     ), dense AS (
-      SELECT vec_id AS doc_id,
-             row_number() OVER (
-               ORDER BY list_cosine_similarity(pv, embedding::DOUBLE[]) DESC,
-                        vec_id) AS rank_dense
-      FROM embeddings CROSS JOIN p WHERE vec_id <> 0
+      SELECT doc_id, rank_dense FROM (
+        SELECT vec_id AS doc_id,
+               row_number() OVER (
+                 ORDER BY list_cosine_similarity(pv, embedding::DOUBLE[]) DESC,
+                          vec_id) AS rank_dense
+        FROM embeddings CROSS JOIN p WHERE vec_id <> 0
+      ) WHERE rank_dense <= {_RRF_LEG_K}
     ), lex AS (
-      SELECT doc_id,
-             row_number() OVER (ORDER BY ov DESC, doc_id) AS rank_lex
-      FROM (
+      SELECT doc_id, rank_lex FROM (
         SELECT doc_id,
-               len(list_intersect(list_distinct(string_split(text, ' ')),
-                                  ['spark', 'join', 'window', 'hash'])) AS ov
-        FROM documents)
+               row_number() OVER (ORDER BY ov DESC, doc_id) AS rank_lex
+        FROM (
+          SELECT doc_id,
+                 len(list_intersect(list_distinct(string_split(text, ' ')),
+                                    ['spark', 'join', 'window', 'hash'])) AS ov
+          FROM documents)
+      ) WHERE rank_lex <= {_RRF_LEG_K}
     )
     SELECT coalesce(dense.doc_id, lex.doc_id) AS doc_id,
            rank_dense, rank_lex,
@@ -6021,13 +6037,38 @@ def _q_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def _q_rrf_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gem_data_wrangle_spark.operators.similarity import rrf_fuse
+    from gem_data_wrangle_spark.operators.aggregates import ranked_top_k
+    from gem_data_wrangle_spark.operators.similarity import (
+        as_double_array,
+        dot,
+        norm,
+        rrf_fuse,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    dense = V.cosine_topk(
-        emb, emb.filter(F.col("vec_id") == 0), "embedding", "vec_id",
-        k=10**9,
-    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        as_double_array("embedding").alias("_pv")
+    ).withColumn("_pn", norm(F.col("_pv")))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            as_double_array("embedding").alias("_cv"),
+        )
+        .withColumn("_cn", norm(F.col("_cv")))
+        .crossJoin(F.broadcast(probe))
+        .withColumn(
+            "_cos",
+            F.when(
+                (F.col("_cn") > 0) & (F.col("_pn") > 0),
+                dot(F.col("_pv"), F.col("_cv")) / (F.col("_cn") * F.col("_pn")),
+            ),
+        )
+        .filter(F.col("_cos").isNotNull())
+    )
+    dense = ranked_top_k(
+        scored, [F.desc("_cos"), F.asc("doc_id")], _RRF_LEG_K
+    ).select("doc_id", "rank")
     docs = _t(spark, sf_dir, "documents")
     ov = docs.select(
         "doc_id",
@@ -6038,12 +6079,9 @@ def _q_rrf_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("_ov"),
     )
-    lex = ov.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.desc("_ov"), F.asc("doc_id")))
-        .alias("rank"),
-    )
+    lex = ranked_top_k(
+        ov, [F.desc("_ov"), F.asc("doc_id")], _RRF_LEG_K
+    ).select("doc_id", "rank")
     return rrf_fuse({"dense": dense, "lex": lex}, "doc_id").select(
         "doc_id", "rank_dense", "rank_lex", "rrf_score"
     )

@@ -171,6 +171,33 @@ def top_k(df: DataFrame, order_cols: Sequence[Column | str], k: int) -> DataFram
     return df.orderBy(*order_cols).limit(k)
 
 
+def ranked_top_k(
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Global top-k WITH dense 1..k ranks, scale-safe: the naive
+    ``row_number().over(Window.orderBy(...))`` is an ``Exchange
+    SinglePartition`` over the WHOLE input (the scale-killer
+    ``surrogate_ids`` was rewritten to avoid). Here the limit runs
+    first — ``orderBy().limit(k)`` plans as ``TakeOrderedAndProject``
+    (per-partition heaps of k, driver merge, no full-sort shuffle) —
+    and the ranking window then sits on an already-single-partition
+    k-row child, so planning inserts NO exchange at all (the window's
+    required distribution is satisfied by ``TakeOrderedAndProject``'s
+    ``SinglePartition`` output; asserted in ``tests/test_plans.py``).
+
+    Use this to truncate a retrieval leg to its head before rank
+    fusion (RRF needs only each system's top-K) or for any bounded
+    leaderboard. ``order_cols`` must be a total order (include a
+    tiebreak id) for deterministic ranks.
+    """
+    top = df.orderBy(*order_cols).limit(k)
+    w = Window.orderBy(*order_cols)
+    return top.withColumn(rank_col, F.row_number().over(w))
+
+
 def sessionize(
     df: DataFrame,
     key_col: str,
@@ -393,6 +420,80 @@ def group_quantiles(
         frac = ((F.col("_n") - 1) * p) % 100
         lo, hi = F.col(f"_lo{p}"), F.coalesce(F.col(f"_hi{p}"), F.col(f"_lo{p}"))
         exact = lo * 100 + (hi - lo) * frac
+        outs.append((exact.cast("double") / (scale * 100)).alias(f"p{p}"))
+    return per.select(*outs)
+
+
+def global_quantiles(
+    df: DataFrame,
+    value_col: str,
+    percents: Sequence[int] = (25, 50, 75, 95),
+    decimals: int = 2,
+) -> DataFrame:
+    """Exact WHOLE-TABLE percentiles with :func:`group_quantiles`'
+    integer algebra but none of its window: a constant group folds the
+    per-group window spec to empty and plans an ``Exchange
+    SinglePartition`` over every row (the r7-verdict funnel_latency
+    finding), so the global case instead computes ranks with the
+    ``surrogate_ids`` two-phase pattern — range-partition by value,
+    number each partition locally, collect the per-partition counts
+    (one bounded action over ``|shuffle partitions|`` rows, the
+    module's documented driver-boundary contract) and add exclusive
+    prefix-sum offsets. With the total known driver-side, only the
+    ≤2·|percents| rows AT the needed ranks survive the filter, and the
+    finishing aggregate's single-partition exchange moves one partial
+    row per partition. Every shuffle is distributed.
+
+    Returns ONE row ``(n_values, p<p>…)``; interpolation is the same
+    exact ``lo·100 + (hi−lo)·frac`` cents×100 integer with one final
+    IEEE division, so any engine replays it bit-identically.
+    """
+    scale = 10 ** decimals
+    cents = F.round(F.col(value_col) * scale).cast("long")
+    vals = df.select(cents.alias("_c")).filter(F.col("_c").isNotNull())
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = vals.repartitionByRange(n_parts, F.col("_c").asc()).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "_rn", F.row_number().over(Window.partitionBy("_pid").orderBy("_c"))
+    )
+    counts = {
+        r["_pid"]: r["_cnt"]
+        for r in local.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect()
+    }
+    total, offsets = 0, {}
+    for pid in sorted(counts):
+        offsets[pid] = total
+        total += counts[pid]
+    if total == 0:
+        row = [F.lit(0).cast("long").alias("n_values")]
+        row += [F.lit(None).cast("double").alias(f"p{p}") for p in percents]
+        return spark.range(1).select(*row)
+    off_map = F.create_map(
+        *[lit for pid, off in offsets.items() for lit in (F.lit(pid), F.lit(off))]
+    )
+    ranked = local.withColumn(
+        "_grn", F.element_at(off_map, F.col("_pid")) + F.col("_rn")
+    )
+    needed: dict[int, int] = {}
+    for p in percents:
+        needed[p] = (total - 1) * p // 100 + 1
+    want = sorted({r for lo in needed.values() for r in (lo, lo + 1)})
+    aggs = []
+    for p in percents:
+        lo = needed[p]
+        aggs.append(F.max(F.when(F.col("_grn") == lo, F.col("_c"))).alias(f"_lo{p}"))
+        aggs.append(
+            F.max(F.when(F.col("_grn") == lo + 1, F.col("_c"))).alias(f"_hi{p}")
+        )
+    per = ranked.filter(F.col("_grn").isin(want)).agg(*aggs)
+    outs: list[Column] = [F.lit(total).cast("long").alias("n_values")]
+    for p in percents:
+        frac = (total - 1) * p % 100
+        lo, hi = F.col(f"_lo{p}"), F.coalesce(F.col(f"_hi{p}"), F.col(f"_lo{p}"))
+        exact = lo * 100 + (hi - lo) * F.lit(frac)
         outs.append((exact.cast("double") / (scale * 100)).alias(f"p{p}"))
     return per.select(*outs)
 

@@ -118,6 +118,56 @@ def test_surrogate_ids_has_no_single_partition_exchange(spark, sf_dir):
     assert "Window" not in plan or "PartitionBy: []" not in plan
 
 
+_BOUNDED_EXCHANGE_CHILDREN = (
+    # partial aggregate: the exchange moves one row per partition
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    # limit family: the exchange moves <= k rows per partition
+    "LocalLimit",
+    "TakeOrderedAndProject",
+    "CollectLimit",
+)
+
+
+def _single_partition_violations(plan: str) -> list[str]:
+    """Lines where an ``Exchange SinglePartition`` funnels UNBOUNDED
+    data into one partition. A single-partition exchange is fine when
+    its direct child provably bounds the rows per input partition
+    (partial aggregate → 1 row, limit → k rows); anything else — a
+    global Window over raw rows being the classic case — is the
+    scale-killer ``surrogate_ids`` was rewritten to avoid."""
+    lines = plan.splitlines()
+    bad = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        if not any(tok in child for tok in _BOUNDED_EXCHANGE_CHILDREN):
+            bad.append(f"{line.strip()}  <-  {child.strip()}")
+    return bad
+
+
+def test_registry_has_no_unbounded_single_partition_exchange(spark, sf_dir):
+    """Sweep EVERY registered query's physical plan (r7 verdict item 4:
+    rrf_hybrid_rank shipped a whole-corpus row_number over an empty
+    window spec — nothing guarded entry-level queries). Global ranks
+    must ride a bounded child: ranked_top_k's TakeOrderedAndProject,
+    the surrogate_ids two-phase offsets, or a partial aggregate."""
+    failures = {}
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        bad = _single_partition_violations(plan)
+        if bad:
+            failures[name] = bad
+    assert not failures, failures
+
+
 def test_chunk_documents_is_map_only(spark, sf_dir):
     plan = _plan(spark, "chunk_documents", sf_dir)
     assert "Generate explode(sequence" in plan

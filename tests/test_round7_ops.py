@@ -188,6 +188,47 @@ def test_group_quantiles_matches_numpy(spark):
     assert got[1]["n_values"] == 7
 
 
+def test_global_quantiles_matches_group_constant(spark):
+    """global_quantiles (two-phase ranks, no global window) must agree
+    with numpy's linear interpolation and report the population size;
+    an all-NULL input degrades to the (0, NULL...) row."""
+    import numpy as np
+
+    from gem_data_wrangle_spark.operators.aggregates import global_quantiles
+
+    vals = [1.25, 9.5, 3.75, 2.0, 7.25, 0.5, 4.0, 6.25, 8.0]
+    df = spark.createDataFrame([(v,) for v in vals] + [(None,)], "v double")
+    row = global_quantiles(df, "v", percents=(25, 50, 95)).collect()[0]
+    assert row["n_values"] == 9
+    for p in (25, 50, 95):
+        want = float(np.percentile(np.array(vals), p))
+        assert abs(row[f"p{p}"] - want) < 1e-9, (p, row[f"p{p}"], want)
+    empty = global_quantiles(
+        spark.createDataFrame([(None,)], "v double"), "v", percents=(50,)
+    ).collect()[0]
+    assert empty["n_values"] == 0 and empty["p50"] is None
+
+
+def test_ranked_top_k_plans_without_exchange(spark):
+    """ranked_top_k must rank via TakeOrderedAndProject — the window
+    rides its single-partition k-row output with NO exchange at all."""
+    from pyspark.sql import functions as F
+
+    from gem_data_wrangle_spark.operators.aggregates import ranked_top_k
+
+    df = spark.range(5000).select(
+        F.col("id"), (F.col("id") % 97).alias("score")
+    )
+    out = ranked_top_k(df, [F.desc("score"), F.asc("id")], 10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    rows = out.orderBy("rank").collect()
+    assert [r["rank"] for r in rows] == list(range(1, 11))
+    assert all(r["score"] == 96 for r in rows)  # top score block
+    assert [r["id"] for r in rows] == sorted(r["id"] for r in rows)
+
+
 def test_cohort_retention_triangle(spark):
     import datetime as dt
 
