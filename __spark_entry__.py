@@ -6190,10 +6190,12 @@ def _q_winsorized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
              hour(ts)::BIGINT AS y
       FROM events
     ), g AS (
+      -- HUGEINT products: mirrors the Spark side's decimal(38,0)
+      -- sums (BIGINT x*x would raise on overflow here, wrap there)
       SELECT event_type, count(*) AS n,
              sum(x) AS sum_x, sum(y) AS sum_y,
-             sum(x * x) AS sum_xx, sum(y * y) AS sum_yy,
-             sum(x * y) AS sum_xy
+             sum(x::HUGEINT * x) AS sum_xx, sum(y::HUGEINT * y) AS sum_yy,
+             sum(x::HUGEINT * y) AS sum_xy
       FROM e GROUP BY event_type
     )
     SELECT event_type, n, sum_x, sum_y, sum_xx, sum_yy, sum_xy,

@@ -299,6 +299,23 @@ def funnel_steps(
     )
 
 
+def _check_grouping_set_names(
+    group_cols: Sequence[str], sum_cols: dict[str, str]
+) -> None:
+    """Output-name collision guard for rollup/cube (ADVICE r7): a sum
+    output named like a grouping column makes the finishing select
+    resolve ambiguously (or silently pick the wrong one); the ``g_``
+    flags and ``n_rows`` are likewise reserved."""
+    reserved = set(group_cols) | {f"g_{c}" for c in group_cols} | {"n_rows"}
+    clash = reserved & set(sum_cols)
+    if clash:
+        raise ValueError(
+            f"sum_cols output names collide with reserved output "
+            f"columns: {sorted(clash)} (grouping cols, their g_ flags, "
+            "and n_rows are taken)"
+        )
+
+
 def rollup_aggregate(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -322,6 +339,7 @@ def rollup_aggregate(
     (levels x input). One shuffle total; same count as the plain
     groupBy it generalizes.
     """
+    _check_grouping_set_names(group_cols, sum_cols)
     gets = [F.grouping(c).cast("int").alias(f"g_{c}") for c in group_cols]
     aggs = [
         F.round(F.sum(src), decimals).alias(out) for out, src in sum_cols.items()
@@ -673,6 +691,7 @@ def cube_aggregate(
     partial agg collapses it); the shuffle carries ~2^k × |groups|
     rows.
     """
+    _check_grouping_set_names(group_cols, sum_cols)
     gets = [F.grouping(c).cast("int").alias(f"g_{c}") for c in group_cols]
     aggs = [
         F.round(F.sum(src), decimals).alias(out) for out, src in sum_cols.items()

@@ -76,7 +76,7 @@ def probe_mp4_bytes(buf: bytes) -> dict:
     }
     try:
         top = list(_boxes(buf, 0, len(buf)))
-    except ValueError:
+    except (ValueError, IndexError):
         # can't even read the first header chain: if it LOOKS like an
         # mp4 (ftyp fourcc in slot one) call it truncated, else junk
         if len(buf) >= 8 and buf[4:8] == b"ftyp":
@@ -92,22 +92,28 @@ def probe_mp4_bytes(buf: bytes) -> dict:
         saw_stsz = False
         for path, a, b in _walk(buf, 0, len(buf)):
             typ = path[-1]
+            plen = b - a
             if typ == b"mvhd":
-                ver = buf[a]
-                if ver == 1:
+                # bounds-check the full-box payload BEFORE indexing: an
+                # empty mvhd ending at EOF made buf[a] raise IndexError
+                # (ADVICE r7) — the contract is degrade, never throw
+                if plen >= 1 and buf[a] == 1 and plen >= 32:
                     ts = int.from_bytes(buf[a + 20 : a + 24], "big")
                     dur = int.from_bytes(buf[a + 24 : a + 32], "big")
-                else:
+                elif plen >= 20 and buf[a] != 1:
                     ts = int.from_bytes(buf[a + 12 : a + 16], "big")
                     dur = int.from_bytes(buf[a + 16 : a + 20], "big")
+                else:
+                    ts = dur = 0
                 if ts:
                     out["duration_s"] = round(dur / ts, 3)
             elif typ == b"trak":
                 cur = {}
                 tracks.append(cur)
-            elif typ == b"tkhd":
+            elif typ == b"tkhd" and plen >= 8:
                 # width/height: 16.16 fixed, LAST 8 payload bytes in
-                # both v0 and v1 layouts
+                # both v0 and v1 layouts; a shorter payload would read
+                # the box's own header bytes as dims — skip it
                 cur["width"] = int.from_bytes(buf[b - 8 : b - 4], "big") >> 16
                 cur["height"] = int.from_bytes(buf[b - 4 : b], "big") >> 16
             elif typ == b"hdlr":
@@ -130,7 +136,7 @@ def probe_mp4_bytes(buf: bytes) -> dict:
                 out["audio_codec"] = t.get("codec")
         out["n_samples"] = n_samples if saw_stsz else None
         out["probe_status"] = "ok"
-    except ValueError:
+    except (ValueError, IndexError):
         return {**{k: None for k in out}, "probe_status": "truncated"}
     return out
 

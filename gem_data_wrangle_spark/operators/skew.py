@@ -143,13 +143,27 @@ def salted_join(
 
     Semantics identical to the plain join (the salt is a pure routing
     artifact, dropped on output; replication multiplies no results
-    because each big row carries exactly ONE salt). Prefer AQE's
-    automatic skew-join split where it fires — this operator is for
-    the cases it can't see (skew materializing after a transformation,
-    or non-shuffle-file inputs) and as the explicit, plan-stable form.
-    Cost: small side ships num_salts× through its exchange — bounded
-    and chosen by the caller.
+    because each big row carries exactly ONE salt) — for the
+    big-side-preserving join types only, which is why ``how`` is
+    validated: with ``right``/``full``/``right_semi`` each UNMATCHED
+    small-side replica would emit its own null-extended (or semi) row,
+    duplicating output ``num_salts``× vs the plain join (ADVICE r7).
+    Salt the other side instead for a right-preserving variant.
+    Prefer AQE's automatic skew-join split where it fires — this
+    operator is for the cases it can't see (skew materializing after a
+    transformation, or non-shuffle-file inputs) and as the explicit,
+    plan-stable form. Cost: small side ships num_salts× through its
+    exchange — bounded and chosen by the caller.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "cross",
+               "semi", "left_semi", "leftsemi", "anti", "left_anti",
+               "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not big-side-preserving; "
+            "unmatched small-side replicas would duplicate rows "
+            f"num_salts x (allowed: {sorted(allowed)})"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(num_salts))
     b = big.withColumn("_salt", salt)
     s = small.withColumn(

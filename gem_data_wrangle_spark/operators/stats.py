@@ -29,27 +29,36 @@ def integer_pair_stats(
     INTEGER-VALUED columns, via exact integer sums.
 
     Output: ``n``, the five integer sums (Σx Σy Σx² Σy² Σxy — exact
-    longs, hash-verifiable), and ``covar_samp``/``corr`` derived as
-    ``(nΣxy − ΣxΣy) / (n(n−1))`` and ``(nΣxy − ΣxΣy) /
+    ``decimal(38,0)``, hash-verifiable), and ``covar_samp``/``corr``
+    derived as ``(nΣxy − ΣxΣy) / (n(n−1))`` and ``(nΣxy − ΣxΣy) /
     (sqrt(nΣx²−(Σx)²)·sqrt(nΣy²−(Σy)²))``, each a short fixed chain
     of IEEE ops on exact integers — deterministic across engines,
     rounded to ``decimals``. ``corr`` is NULL when either variance is
     zero or n < 2.
 
+    Overflow discipline (ADVICE r7; the same rule as
+    ``quality.table_fingerprint``): the squared/product terms
+    accumulate as ``decimal(38,0)``, NOT long — Spark longs WRAP
+    silently in non-ANSI mode and ~1e7 rows of 1e6-cent values already
+    push Σx² past int64, exactly where the determinism pitch matters —
+    while the DuckDB mirror promotes to HUGEINT. |x|,|y| < 1e19 keeps
+    every product inside the 38-digit cap (Spark then NULLs, loudly
+    failing parity, rather than wrapping).
+
     Plan/scale: ONE hash aggregate with map-side partial combine —
-    the shuffle carries six longs per (partition, group). Contrast
-    ``F.corr``, whose float accumulators are partition-order-
+    the shuffle carries six fixed-width values per (partition, group).
+    Contrast ``F.corr``, whose float accumulators are partition-order-
     sensitive (non-reproducible at the ulp level).
     """
-    x = F.col(x_col).cast("long")
-    y = F.col(y_col).cast("long")
+    x = F.col(x_col).cast("decimal(38,0)")
+    y = F.col(y_col).cast("decimal(38,0)")
     per = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(x).alias("sum_x"),
-        F.sum(y).alias("sum_y"),
-        F.sum(x * x).alias("sum_xx"),
-        F.sum(y * y).alias("sum_yy"),
-        F.sum(x * y).alias("sum_xy"),
+        F.sum(x).cast("decimal(38,0)").alias("sum_x"),
+        F.sum(y).cast("decimal(38,0)").alias("sum_y"),
+        F.sum(x * x).cast("decimal(38,0)").alias("sum_xx"),
+        F.sum(y * y).cast("decimal(38,0)").alias("sum_yy"),
+        F.sum(x * y).cast("decimal(38,0)").alias("sum_xy"),
     )
     n = F.col("n").cast("double")
     sx, sy = F.col("sum_x").cast("double"), F.col("sum_y").cast("double")
@@ -99,7 +108,14 @@ def equal_width_histogram(
         raise ValueError("hi - lo must be a multiple of n_bins")
     width = (hi - lo) // n_bins
     v = F.col(value_col).cast("long")
-    raw = F.expr(f"(({value_col} - {lo}) * {n_bins}) div {hi - lo}")
+    # backtick-quoted identifier: a column name with spaces/hyphens/
+    # reserved words must survive the expr fragment (ADVICE r7); the
+    # numeric operands are validated ints, `div` keeps the division in
+    # long arithmetic (a double quotient can cross the floor boundary)
+    raw = F.expr(
+        f"((`{value_col.replace('`', '``')}` - {int(lo)}) * {int(n_bins)})"
+        f" div {int(hi) - int(lo)}"
+    )
     bin_idx = F.least(
         F.greatest(raw, F.lit(0).cast("long")), F.lit(n_bins - 1).cast("long")
     ).cast("int")

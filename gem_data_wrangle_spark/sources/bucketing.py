@@ -78,8 +78,13 @@ def zorder_key(
     top = (1 << bits) - 1
     for ci, c in enumerate(int_cols):
         rng = F.col(f"_zmax_{c}") - F.col(f"_zmin_{c}")
+        # every identifier in the fragment is backtick-quoted so a
+        # source column named with spaces/reserved words parses (the
+        # derived _zmin/_zmax names inherit whatever c contains)
+        bq = c.replace("`", "``")
         norm = F.when(rng > 0, F.expr(
-            f"(({c} - _zmin_{c}) * {top}) div (_zmax_{c} - _zmin_{c})"
+            f"((`{bq}` - `_zmin_{bq}`) * {top})"
+            f" div (`_zmax_{bq}` - `_zmin_{bq}`)"
         )).otherwise(F.lit(0).cast("long"))
         j = j.withColumn(f"_znorm_{ci}", norm)
         for b in range(bits):

@@ -347,6 +347,36 @@ def test_mp4_probe_parses_built_containers(spark):
     assert rows[2]["probe_status"] == "not_mp4"
 
 
+def test_mp4_probe_degrades_on_crafted_short_boxes():
+    """ADVICE r7: an empty mvhd ending at EOF raised IndexError through
+    the batch; a short tkhd read its own header bytes as dims. Both
+    must degrade per the malformed-input contract, never throw."""
+    from gem_data_wrangle_spark.operators.mp4 import build_mp4, probe_mp4_bytes
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return (8 + len(payload)).to_bytes(4, "big") + typ + payload
+
+    ftyp = box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isom")
+    # moov whose only child is an EMPTY mvhd (payload ends at EOF)
+    empty_mvhd = ftyp + box(b"moov", box(b"mvhd", b""))
+    got = probe_mp4_bytes(empty_mvhd)
+    assert got["probe_status"] == "ok" and got["duration_s"] is None
+    # mvhd shorter than the v0 fixed fields
+    short_mvhd = ftyp + box(b"moov", box(b"mvhd", b"\x00" * 6))
+    assert probe_mp4_bytes(short_mvhd)["duration_s"] is None
+    # trak with a 4-byte tkhd: too short for the trailing dims — the
+    # track must surface with NULL width/height, not header garbage
+    trk = box(b"trak", box(b"tkhd", b"\x00" * 4)
+              + box(b"mdia", box(b"hdlr", (0).to_bytes(4, "big") * 2
+                                 + b"vide" + b"\x00")))
+    short_tkhd = ftyp + box(b"moov", trk)
+    got = probe_mp4_bytes(short_tkhd)
+    assert got["probe_status"] == "ok"
+    assert got["width"] is None and got["height"] is None
+    # control: a well-formed buffer still probes fully
+    assert probe_mp4_bytes(build_mp4(64, 48, 1000))["width"] == 64
+
+
 def test_event_transition_matrix(spark):
     import datetime as dt
 
@@ -455,6 +485,67 @@ def test_integer_pair_stats_matches_numpy(spark):
     assert abs(got[1]["covar_samp"] - want_cov) < 1e-6
     # zero variance on y -> corr NULL, covariance still defined
     assert got[2]["corr"] is None and got[2]["covar_samp"] == 0.0
+
+
+def test_integer_pair_stats_survives_int64_overflow(spark):
+    """ADVICE r7: sum(x*x) as a Spark long wraps silently past int64;
+    the decimal(38,0) sums must carry the exact value (mirroring the
+    DuckDB oracle's HUGEINT promotion)."""
+    from gem_data_wrangle_spark.operators.stats import integer_pair_stats
+
+    big = 10 ** 9  # x*x = 1e18 each; 20 rows -> 2e19 > int64 max
+    df = spark.createDataFrame(
+        [(1, big, 1)] * 20, "g bigint, x long, y long"
+    )
+    row = integer_pair_stats(df, ["g"], "x", "y").collect()[0]
+    assert int(row["sum_xx"]) == 20 * big * big  # exact, not wrapped
+    assert int(row["sum_x"]) == 20 * big
+    assert row["corr"] is None  # zero variance both sides
+
+
+def test_equal_width_histogram_quoted_column_name(spark):
+    """ADVICE r7: a column name needing backticks (space/hyphen) must
+    survive the expr fragment."""
+    from gem_data_wrangle_spark.operators.stats import equal_width_histogram
+
+    df = spark.createDataFrame([(1, 5), (1, 95)], ["g", "odd name"])
+    got = {r["bin_idx"]: r["n_rows"] for r in
+           equal_width_histogram(df, ["g"], "odd name",
+                                 n_bins=10, lo=0, hi=100).collect()}
+    assert got == {0: 1, 9: 1}
+
+
+def test_salted_join_rejects_small_side_preserving_how(spark):
+    """ADVICE r7: how='right'/'full' would emit one null-extended row
+    per unmatched small-side REPLICA (num_salts duplicates)."""
+    import pytest as _pytest
+
+    from gem_data_wrangle_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "x")], "k bigint, v string")
+    small = spark.createDataFrame([(2, "y")], "k2 bigint, w string")
+    for how in ("right", "full", "outer", "right_outer"):
+        with _pytest.raises(ValueError, match="big-side-preserving"):
+            salted_join(big, small, "k", "k2", num_salts=4, how=how)
+    # left: the unmatched BIG row survives exactly once
+    out = salted_join(big, small, "k", "k2", num_salts=4, how="left").collect()
+    assert len(out) == 1 and out[0]["w"] is None
+
+
+def test_rollup_cube_reject_colliding_output_names(spark):
+    import pytest as _pytest
+
+    from gem_data_wrangle_spark.operators.aggregates import (
+        cube_aggregate,
+        rollup_aggregate,
+    )
+
+    df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    for fn in (rollup_aggregate, cube_aggregate):
+        for bad in ("k", "g_k", "n_rows"):
+            with _pytest.raises(ValueError, match="collide"):
+                fn(df, ["k"], {bad: "v"})
+    assert rollup_aggregate(df, ["k"], {"total_v": "v"}).count() == 2
 
 
 def test_equal_width_histogram_edges_and_clamp(spark):
