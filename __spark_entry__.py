@@ -2590,8 +2590,21 @@ def _all8_fuel_frames(spark: SparkSession, sf_dir: str):
         run_gasoil_pipeline,
     )
 
+    from pyspark import StorageLevel
+
     dim = country_dim(spark)
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    # ONE scan feeds all 8 fuels (VERDICT r7 item 6): every synth
+    # derives solely from (o_orderkey, o_custkey), so bind the view to
+    # a pruned, spread, CACHED 2-long-column base instead of letting
+    # each pipeline rescan the parquet and re-shuffle its synth output
+    # independently (8 scans + 8 repartition exchanges before). At
+    # 100 TB the cached slice is 16 B/row of the fact table — the
+    # standard share-the-scan projection; MEMORY_AND_DISK so an
+    # undersized cache degrades to spill, never recompute-per-fuel.
+    base = _spread(
+        spark, _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    base.createOrReplaceTempView("orders")
     y3 = [2024, 2035, 2050]
     frames = []
     for synth, cfg, years in (
@@ -2603,15 +2616,13 @@ def _all8_fuel_frames(spark: SparkSession, sf_dir: str):
         (_BIO_SYNTH, BIOENERGY, y3),
         (_GEO_SYNTH, GEOTHERMAL, y3),
     ):
-        units = _spread(spark, spark.sql(synth))
         frames.append(
-            run_fuel_pipeline(units, cfg, dim).filter(
+            run_fuel_pipeline(spark.sql(synth), cfg, dim).filter(
                 F.col("production_year").isin(years)
             )
         )
-    units = _spread(spark, spark.sql(_GASOIL_SYNTH_SPARK))
     frames.append(
-        run_gasoil_pipeline(units, dim).filter(
+        run_gasoil_pipeline(spark.sql(_GASOIL_SYNTH_SPARK), dim).filter(
             F.col("production_year").isin([2024, 2040])
         )
     )
@@ -6391,6 +6402,83 @@ def _q_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(synth, "id bigint, media binary")
     return mp4_probe(media)
+
+
+# MP4 sample-table demux (VERDICT r7 item 7): beyond the probe, walk
+# stts/stsz/stsc/stco/stss and reconstruct every video sample's byte
+# span, chunk, decode tick and keyframe flag — the index a frame
+# puller consumes. Each doc synthesizes a container whose VIDEO track
+# carries a real sample table (ragged chunks, 4-byte inter-chunk gaps
+# so stco is load-bearing: offsets are NOT inferable from sizes);
+# every 13th (mod 5) doc is junk and must contribute ZERO rows. The
+# graded projection uses offsets RELATIVE to the track's first sample
+# (absolute mdat position depends on header byte lengths the oracle
+# can't replay; pytest proves absolute offsets by slicing the sample
+# bytes back out and comparing content).
+@_register(
+    "mp4_sample_offsets",
+    """
+    WITH d AS (
+      SELECT doc_id FROM documents WHERE doc_id % 13 <> 5
+    ), s AS (
+      SELECT doc_id, unnest(range(0, doc_id % 40 + 3)) AS j FROM d
+    ), z AS (
+      SELECT doc_id, j::INT AS sample_idx,
+             (20 + ((doc_id + j) % 13))::INT AS size,
+             (j // (doc_id % 6 + 2))::INT AS chunk_idx,
+             (j * (100 + doc_id % 50))::BIGINT AS dt_ticks,
+             (CASE WHEN j % (doc_id % 5 + 2) = 0 THEN 1 ELSE 0 END)::INT
+               AS is_sync
+      FROM s
+    )
+    SELECT doc_id AS id, sample_idx, chunk_idx,
+           (chunk_idx * 4
+            + coalesce(sum(size) OVER (PARTITION BY doc_id ORDER BY sample_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           )::BIGINT AS rel_offset,
+           size, dt_ticks, is_sync
+    FROM z
+    """,
+)
+def _q_mp4_sample_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: PLC0415
+
+    from gem_data_wrangle_spark.operators.mp4 import build_mp4, mp4_sample_offsets
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 13 == 5:
+                    payloads.append(b"NOT AN ISO BMFF BUFFER")
+                    continue
+                n = did % 40 + 3
+                payloads.append(
+                    build_mp4(
+                        width=64, height=48, duration_ms=1000,
+                        video_sample_sizes=[
+                            20 + ((did + j) % 13) for j in range(n)
+                        ],
+                        samples_per_chunk=did % 6 + 2,
+                        chunk_gap=4,
+                        sample_delta=100 + did % 50,
+                        sync_every=did % 5 + 2,
+                    )
+                )
+            yield pd.DataFrame({"id": pdf["doc_id"], "media": payloads})
+
+    media = docs.mapInPandas(synth, "id bigint, media binary")
+    w = Window.partitionBy("id")
+    return mp4_sample_offsets(media).select(
+        "id", "sample_idx", "chunk_idx",
+        (F.col("file_offset") - F.min("file_offset").over(w))
+        .alias("rel_offset"),
+        "size", "dt_ticks",
+        F.col("is_sync").cast("int").alias("is_sync"),
+    )
 
 
 # --------------------------------------------------------------------

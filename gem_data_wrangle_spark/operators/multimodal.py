@@ -123,8 +123,15 @@ PIXEL_FEATURE_SCHEMA = (
 
 def _sniff_format(payload: bytes) -> str:
     """Container format from the header bytes, 'unknown' if none of
-    the known signatures match — used to label quarantined rows."""
+    the known signatures match — used to label quarantined rows. WebP
+    is refined to its bitstream subtype (webp-vp8l / webp-vp8 /
+    webp-anim) so the capability audit reports the decodable-lossless
+    vs quarantined-lossy SHARES, not one blended 'webp' bucket."""
     fmt = _parse_dimensions(payload)[0]
+    if fmt == "webp":
+        from gem_data_wrangle_spark.operators.webp_codec import webp_subtype
+
+        return webp_subtype(payload) or "webp"
     if fmt is None:
         fmt = _parse_media_meta(payload)[0]
     return fmt or "unknown"

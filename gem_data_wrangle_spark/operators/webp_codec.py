@@ -594,6 +594,33 @@ def vp8l_decode(data: bytes) -> tuple[int, int, int, bytes]:
     return width, height, 4, bytes(out)
 
 
+def webp_subtype(payload: bytes) -> str | None:
+    """Bitstream subtype of a WebP container, for quarantine
+    accounting (VERDICT r7 item 8): the VP8L codec here decodes
+    LOSSLESS streams only, and corpus WebP is mostly lossy — an audit
+    that lumps both under 'webp' hides which share the worker can
+    actually process. Returns ``'webp-vp8l'`` (lossless — decodable),
+    ``'webp-vp8'`` (lossy — quarantined; a DC-level RFC 6386 decode
+    needs the spec's probability tables, unavailable offline),
+    ``'webp-anim'`` (animated), ``'webp'`` (VP8X/ICC wrapper whose
+    image chunk never appears — truncated or exotic), or ``None`` if
+    the buffer is not RIFF/WEBP at all."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        return None
+    off = 12
+    while off + 8 <= len(payload):
+        fourcc = payload[off : off + 4]
+        size = int.from_bytes(payload[off + 4 : off + 8], "little")
+        if fourcc == b"VP8L":
+            return "webp-vp8l"
+        if fourcc == b"VP8 ":
+            return "webp-vp8"
+        if fourcc in (b"ANIM", b"ANMF"):
+            return "webp-anim"
+        off += 8 + size + (size & 1)
+    return "webp"
+
+
 def webp_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode a WebP file → ``(width, height, 4, RGBA bytes)``.
 

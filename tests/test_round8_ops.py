@@ -1,0 +1,112 @@
+"""Round-8 operators: MP4 sample-table demux + frame extraction."""
+
+import pytest
+
+from gem_data_wrangle_spark.operators.mp4 import (
+    build_mp4,
+    mp4_frame_samples,
+    mp4_sample_offsets,
+    mp4_video_sample_table,
+    probe_mp4_bytes,
+)
+
+
+def _fixture_buf():
+    sizes = [20 + (i % 13) for i in range(23)]
+    return sizes, build_mp4(
+        64, 48, 2000,
+        video_sample_sizes=sizes, samples_per_chunk=5, chunk_gap=4,
+        sample_delta=512, sync_every=3,
+    )
+
+
+def test_sample_table_round_trips_builder_layout():
+    """Absolute offsets are proven by slicing each sample's payload
+    back out of the buffer: builder writes byte (j % 251) repeated
+    sizes[j] times, so a correct stco+stsc+stsz reconstruction is the
+    only way to land on those spans (chunk gaps break prefix-sum-only
+    guesses)."""
+    sizes, buf = _fixture_buf()
+    tbl = mp4_video_sample_table(buf)
+    assert len(tbl) == 23
+    for s in tbl:
+        j = s["sample_idx"]
+        assert s["size"] == sizes[j]
+        assert s["dt_ticks"] == 512 * j
+        assert s["chunk_idx"] == j // 5
+        assert s["is_sync"] == (j % 3 == 0)
+        frag = buf[s["file_offset"] : s["file_offset"] + s["size"]]
+        assert frag == bytes([j % 251]) * sizes[j]
+
+
+def test_sample_table_degrades_on_malformed():
+    _, buf = _fixture_buf()
+    assert mp4_video_sample_table(b"JUNK" * 16) == []
+    assert mp4_video_sample_table(buf[: len(buf) // 3]) == []
+    # legacy builder (no sample tables) parses but yields no samples;
+    # probe still works on both shapes
+    legacy = build_mp4(64, 48, 2000)
+    assert mp4_video_sample_table(legacy) == []
+    assert probe_mp4_bytes(legacy)["probe_status"] == "ok"
+    assert probe_mp4_bytes(buf)["probe_status"] == "ok"
+
+
+def test_sample_table_ragged_and_uniform_chunks():
+    b2 = build_mp4(
+        32, 32, 1000, video_sample_sizes=[10, 11, 12], samples_per_chunk=8
+    )
+    t2 = mp4_video_sample_table(b2)
+    assert [s["chunk_idx"] for s in t2] == [0, 0, 0]
+    assert [s["size"] for s in t2] == [10, 11, 12]
+    # no stss box => every sample is sync
+    assert all(s["is_sync"] for s in t2)
+
+
+def test_mp4_sample_offsets_spark(spark):
+    import pandas as pd
+
+    sizes, buf = _fixture_buf()
+    src = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2], "media": [buf, b"garbage"]}),
+    )
+    rows = mp4_sample_offsets(src).orderBy("id", "sample_idx").collect()
+    assert len(rows) == 23  # junk row contributes nothing
+    assert {r["id"] for r in rows} == {1}
+    assert rows[7]["size"] == sizes[7] and rows[7]["dt_ticks"] == 512 * 7
+    sync = mp4_sample_offsets(src, sync_only=True).collect()
+    assert {r["sample_idx"] for r in sync} == set(range(0, 23, 3))
+
+
+def test_mp4_frame_samples_extracts_real_payloads(spark):
+    import pandas as pd
+
+    sizes, buf = _fixture_buf()
+    # truncate AFTER the header but inside mdat: samples whose span
+    # escapes the shorter buffer must be skipped, not mis-sliced
+    cut = buf[: len(buf) - sum(sizes[-4:])]
+    src = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2], "media": [buf, cut]})
+    )
+    out = mp4_frame_samples(src, sync_only=True).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(r)
+    assert [r["frame_idx"] for r in sorted(by_id[1], key=lambda r: r["frame_idx"])] == list(range(0, 23, 3))
+    for r in by_id[1]:
+        j = r["frame_idx"]
+        assert bytes(r["frame"]) == bytes([j % 251]) * sizes[j]
+        assert r["n_bytes"] == sizes[j]
+    assert max(r["frame_idx"] for r in by_id[2]) < 19  # truncated tail skipped
+    with pytest.raises(ValueError):
+        mp4_frame_samples(src, every_n=0)
+
+
+def test_mp4_frame_samples_every_n(spark):
+    import pandas as pd
+
+    sizes, buf = _fixture_buf()
+    src = spark.createDataFrame(pd.DataFrame({"id": [9], "media": [buf]}))
+    out = sorted(
+        r["frame_idx"] for r in mp4_frame_samples(src, every_n=4).collect()
+    )
+    assert out == list(range(0, 23, 4))

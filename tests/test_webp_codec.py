@@ -957,8 +957,48 @@ def test_decode_image_routes_webp_and_audit_reports_ok(spark):
         (r["format"], r["decode_status"]): r["n"]
         for r in M.decode_capability_audit(df).collect()
     }
-    assert audit[("webp", "ok")] == 1
-    assert audit[("webp", "undecodable")] == 1
+    # subtype-refined labels (VERDICT r7 item 8): the decodable
+    # lossless share and the quarantined lossy share are separate rows
+    assert audit[("webp-vp8l", "ok")] == 1
+    assert audit[("webp-vp8", "undecodable")] == 1
+
+
+def test_audit_splits_webp_subtypes(spark):
+    """Fixture-backed quarantine shares: lossless decodes, lossy and
+    animated quarantine under their own labels."""
+    from gem_data_wrangle_spark.operators import multimodal as M
+    from gem_data_wrangle_spark.operators.webp_codec import webp_subtype
+
+    lossless = encode_webp(5, 4, _gradient_image(5, 4))
+    lossy = (
+        b"RIFF" + (24).to_bytes(4, "little") + b"WEBP"
+        + b"VP8 " + (12).to_bytes(4, "little")
+        + bytes(3) + b"\x9d\x01\x2a" + (64).to_bytes(2, "little")
+        + (48).to_bytes(2, "little") + bytes(2)
+    )
+    anim = (
+        b"RIFF" + (46).to_bytes(4, "little") + b"WEBP"
+        + b"VP8X" + (10).to_bytes(4, "little")
+        + bytes([0x02]) + bytes(3)          # ANIM flag
+        + (63).to_bytes(3, "little") + (47).to_bytes(3, "little")
+        + b"ANIM" + (6).to_bytes(4, "little") + bytes(6)
+    )
+    assert webp_subtype(lossless) == "webp-vp8l"
+    assert webp_subtype(lossy) == "webp-vp8"
+    assert webp_subtype(anim) == "webp-anim"
+    assert webp_subtype(b"\x89PNG\r\n\x1a\n") is None
+
+    df = spark.createDataFrame(
+        [(1, bytearray(lossless)), (2, bytearray(lossy)), (3, bytearray(anim))],
+        "id int, media binary",
+    )
+    audit = {
+        (r["format"], r["decode_status"]): r["n"]
+        for r in M.decode_capability_audit(df).collect()
+    }
+    assert audit[("webp-vp8l", "ok")] == 1
+    assert audit[("webp-vp8", "undecodable")] == 1
+    assert audit[("webp-anim", "undecodable")] == 1
 
 
 def test_extract_pixel_features_decodes_webp_corpus(spark):
