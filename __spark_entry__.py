@@ -6481,6 +6481,34 @@ def _q_mp4_sample_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bloom-prefiltered join (scale hardening, like salted_aggregation):
+# exact plain-join semantics — the oracle IS the plain join — with the
+# fact side pruned by a word-packed broadcast bitset before it ever
+# reaches the exchange. The selective dimension (p_size = 1 keeps
+# ~2% of parts) is the shape where runtime bloom pruning pays at
+# 100 TB.
+@_register(
+    "bloom_pruned_join",
+    """
+    SELECT p.p_brand, count(*) AS n_rows,
+           round(sum(l.l_quantity), 2) AS sum_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size = 1
+    GROUP BY p.p_brand
+    """,
+)
+def _q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.joins import bloom_prune_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part").filter(F.col("p_size") == 1)
+    j = bloom_prune_join(li, pt, "l_partkey", "p_partkey", num_bits=1 << 16)
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
 # --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------

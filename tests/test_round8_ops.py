@@ -110,3 +110,73 @@ def test_mp4_frame_samples_every_n(spark):
         r["frame_idx"] for r in mp4_frame_samples(src, every_n=4).collect()
     )
     assert out == list(range(0, 23, 4))
+
+
+# --------------------------------------------------------------------
+# bloom_prune_join
+# --------------------------------------------------------------------
+
+def _bloom_frames(spark):
+    import pyspark.sql.functions as F
+
+    big = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    small = spark.range(0, 5000, 37).select(
+        F.col("id").alias("k2"), F.lit("x").alias("w")
+    )
+    return big, small
+
+
+def test_bloom_prune_join_matches_plain_join_all_modes(spark):
+    from gem_data_wrangle_spark.operators.joins import bloom_prune_join
+
+    big, small = _bloom_frames(spark)
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        ours = sorted(
+            tuple(r)
+            for r in bloom_prune_join(
+                big, small, "k", "k2", num_bits=1 << 14, how=how
+            ).collect()
+        )
+        plain = sorted(
+            tuple(r)
+            for r in big.join(small, big["k"] == small["k2"], how).collect()
+        )
+        assert ours == plain, how
+
+
+def test_bloom_prune_join_tiny_filter_still_exact(spark):
+    """A deliberately undersized bitset (high fpp) must only cost
+    wasted probe rows, never wrong results — no false negatives."""
+    from gem_data_wrangle_spark.operators.joins import bloom_prune_join
+
+    big, small = _bloom_frames(spark)
+    ours = bloom_prune_join(
+        big, small, "k", "k2", num_bits=64, num_hashes=1, how="inner"
+    ).count()
+    assert ours == big.join(small, big["k"] == small["k2"]).count()
+
+
+def test_bloom_prune_join_rejects_right_preserving(spark):
+    from gem_data_wrangle_spark.operators.joins import bloom_prune_join
+
+    big, small = _bloom_frames(spark)
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="bloom_prune_join"):
+            bloom_prune_join(big, small, "k", "k2", how=how)
+    with pytest.raises(ValueError, match="num_hashes"):
+        bloom_prune_join(big, small, "k", "k2", num_hashes=0)
+
+
+def test_bloom_prune_probe_side_has_no_exchange_before_filter(spark):
+    """The probe phase must be broadcast joins only: no Exchange on
+    the fact side until the final shuffle join."""
+    from gem_data_wrangle_spark.operators.joins import bloom_prune_join
+
+    big, small = _bloom_frames(spark)
+    plan = (
+        bloom_prune_join(big, small, "k", "k2", how="left_semi")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
