@@ -2573,7 +2573,7 @@ def _q_unique_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-fuel oracles as CTEs — so a drift in ANY fuel's config knobs or
 # in the consolidation now breaks a hash, not just the fuel's own row.
 # --------------------------------------------------------------------
-def _all8_fuel_frames(spark: SparkSession, sf_dir: str):
+def _all8_fuel_frames(spark: SparkSession, sf_dir: str, share_base: bool = False):
     """All 8 per-fuel synthetic pipelines, each filtered to the same
     production years its individually-graded query checks (the embedded
     oracles carry those exact year predicates)."""
@@ -2590,21 +2590,28 @@ def _all8_fuel_frames(spark: SparkSession, sf_dir: str):
         run_gasoil_pipeline,
     )
 
-    from pyspark import StorageLevel
-
     dim = country_dim(spark)
-    # ONE scan feeds all 8 fuels (VERDICT r7 item 6): every synth
-    # derives solely from (o_orderkey, o_custkey), so bind the view to
-    # a pruned, spread, CACHED 2-long-column base instead of letting
-    # each pipeline rescan the parquet and re-shuffle its synth output
-    # independently (8 scans + 8 repartition exchanges before). At
-    # 100 TB the cached slice is 16 B/row of the fact table — the
-    # standard share-the-scan projection; MEMORY_AND_DISK so an
-    # undersized cache degrades to spill, never recompute-per-fuel.
-    base = _spread(
-        spark, _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    base.createOrReplaceTempView("orders")
+    # VERDICT r7 item 6 asked for ONE shared scan feeding all 8 fuels
+    # (every synth derives solely from o_orderkey/o_custkey). Built,
+    # measured, REJECTED as the default: the interleaved same-session
+    # A/B at sf0.1 (BENCH_HISTORY round 8) has the cached-base variant
+    # at 33.4-39.0 s vs 30.2-33.2 s for direct scans — the cache
+    # materialization barrier serializes the 8 subtrees' critical path
+    # and the InMemoryRelation boundary breaks scan→synth codegen
+    # fusion, while 8 pruned scans of a small parquet are nearly free.
+    # On a genuinely fat fact table the trade inverts (8× the scan I/O
+    # dominates), so the shared base stays available:
+    if share_base:
+        from pyspark import StorageLevel
+
+        base = _spread(
+            spark, _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        base.createOrReplaceTempView("orders")
+        spread = lambda df: df  # noqa: E731 — base already spread
+    else:
+        _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+        spread = lambda df: _spread(spark, df)  # noqa: E731
     y3 = [2024, 2035, 2050]
     frames = []
     for synth, cfg, years in (
@@ -2617,12 +2624,12 @@ def _all8_fuel_frames(spark: SparkSession, sf_dir: str):
         (_GEO_SYNTH, GEOTHERMAL, y3),
     ):
         frames.append(
-            run_fuel_pipeline(spark.sql(synth), cfg, dim).filter(
+            run_fuel_pipeline(spread(spark.sql(synth)), cfg, dim).filter(
                 F.col("production_year").isin(years)
             )
         )
     frames.append(
-        run_gasoil_pipeline(spark.sql(_GASOIL_SYNTH_SPARK), dim).filter(
+        run_gasoil_pipeline(spread(spark.sql(_GASOIL_SYNTH_SPARK)), dim).filter(
             F.col("production_year").isin([2024, 2040])
         )
     )
