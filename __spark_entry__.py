@@ -6722,6 +6722,15 @@ _DEFER_TO_TAIL = [
     "kmeans_lloyd",            # r07 green; similarity lloyd unchanged
     "unigram_logprob",         # r07 green; textops unigram unchanged
     "char_entropy",            # r07 green; textops entropy unchanged
+    # ------------------------------------------------------------------
+    # round-8 mid-round promotion: the two round-8 registrations
+    # (mp4_sample_offsets, bloom_pruned_join) take head slots 49-50 so
+    # they get driver evidence THIS round instead of parking; the two
+    # demotions below are r07-green and their operator paths are
+    # byte-untouched in round 8 (script_fractions: textops script
+    # tables; event_zscores: asof.rolling_zscores).
+    "script_fractions",        # r07 green; textops script path unchanged
+    "event_zscores",           # r07 green; asof zscores path unchanged
 ]
 
 
@@ -6853,6 +6862,8 @@ _DEFER_HASHES: dict[str, str] = {
     "kmeans_lloyd": "f515bf844f15167e",
     "unigram_logprob": "4f08ba2fd892d53b",
     "char_entropy": "fa742c81c635a692",
+    "script_fractions": "cd88eb613b5f1404",
+    "event_zscores": "84863b9d1f8c20a9",
 }
 
 

@@ -106,27 +106,29 @@ def connected_components(
     sym = ckpt(sym, False)
 
     for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym["ed"] == labels["v"])
-            .groupBy("es")
-            .agg(F.min("lbl").alias("nbr_lbl"))
+        # one join + one union-groupBy per round (r8 reshape — was
+        # join + groupBy + join-back + a SEPARATE probe join per
+        # round): neighbor candidates union the vertex's own label,
+        # min-aggregate once, and the convergence flag rides the SAME
+        # aggregate (own label is unique per v, so min(own lbl)
+        # recovers it) — the probe is then a filter over the already-
+        # checkpointed frame, not another join job.
+        cand = sym.join(labels, sym["ed"] == labels["v"]).select(
+            F.col("es").alias("v"), "lbl", F.lit(False).alias("own")
         )
         new_labels = ckpt(
-            labels.join(nbr_min, labels["v"] == nbr_min["es"], "left")
-            .select(
-                labels["v"].alias("v"),
-                F.least(labels["lbl"], F.coalesce("nbr_lbl", labels["lbl"])).alias("lbl"),
-            ),
+            labels.select("v", "lbl", F.lit(True).alias("own"))
+            .unionByName(cand)
+            .groupBy("v")
+            .agg(
+                F.min("lbl").alias("lbl"),
+                F.min(F.when(F.col("own"), F.col("lbl"))).alias("_old"),
+            )
+            .select("v", "lbl", (F.col("lbl") != F.col("_old")).alias("_chg")),
             True,
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("_chg").limit(1).count()
+        labels = new_labels.select("v", "lbl")
         if changed == 0:
             break
     else:
