@@ -6516,6 +6516,94 @@ def _q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Key-skew diagnostic: top-20 heaviest lineitem part keys with exact
+# ppm shares — the evidence a planner reads before salting. Exact
+# decimal floor-division on both engines ((a - a%b)/b vs HUGEINT //).
+@_register(
+    "key_skew_profile",
+    """
+    WITH c AS (
+      SELECT l_partkey, count(*) AS n_rows FROM lineitem GROUP BY l_partkey
+    ), t AS (
+      SELECT sum(n_rows)::HUGEINT AS tot FROM c
+    ), r AS (
+      SELECT l_partkey, n_rows,
+             row_number() OVER (ORDER BY n_rows DESC, l_partkey) AS rank
+      FROM c QUALIFY rank <= 20
+    )
+    SELECT l_partkey, n_rows, rank,
+           ((n_rows::HUGEINT * 1000000) // tot)::BIGINT AS share_ppm,
+           ((sum(n_rows) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW)::HUGEINT * 1000000) // tot)::BIGINT
+             AS cum_ppm
+    FROM r, t
+    """,
+)
+def _q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.skew import key_skew_profile
+
+    return key_skew_profile(_t(spark, sf_dir, "lineitem"), ["l_partkey"], 20)
+
+
+# Temperature-scaled mixture targets (Conneau & Lample XLM §3.1):
+# p_d ∝ n_d^0.5 over document sources, exact integer floor targets
+# under a 10k budget. sqrt is IEEE correctly rounded → the micro-unit
+# weights are bit-identical cross-engine; products ride decimal(38,0)
+# vs HUGEINT.
+@_register(
+    "temperature_mixture",
+    """
+    WITH c AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, n_docs,
+             CAST(round(sqrt(n_docs) * 1000000) AS BIGINT) AS weight_u
+      FROM c
+    ), t AS (
+      SELECT sum(weight_u)::HUGEINT AS tot FROM w
+    )
+    SELECT source, n_docs, weight_u,
+           ((weight_u::HUGEINT * 10000) // tot)::BIGINT AS target_docs
+    FROM w, t
+    """,
+)
+def _q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.sampling import temperature_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_weights(docs, "source", budget=10_000)
+
+
+# The applied resample, graded on its per-domain REALIZED counts: the
+# deterministic hash-order take keeps exactly min(n_docs, target)
+# rows per source — the xxhash64 order itself is engine-specific, so
+# the oracle checks the contract the order must satisfy.
+@_register(
+    "temperature_resample_counts",
+    """
+    WITH c AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, n_docs,
+             CAST(round(sqrt(n_docs) * 1000000) AS BIGINT) AS weight_u
+      FROM c
+    ), t AS (
+      SELECT sum(weight_u)::HUGEINT AS tot FROM w
+    )
+    SELECT source,
+           least(n_docs, ((weight_u::HUGEINT * 10000) // tot)::BIGINT)
+             AS n_kept
+    FROM w, t
+    """,
+)
+def _q_temperature_resample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.sampling import temperature_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = temperature_resample(docs, "source", "doc_id", budget=10_000)
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
 # --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------

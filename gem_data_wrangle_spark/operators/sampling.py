@@ -9,7 +9,7 @@ test split actually needs. Bucket granularity is one hex nibble
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -491,4 +491,80 @@ def dsir_resample(
         w.withColumn("sample_key", F.round(F.col("log_importance") + gumbel, 4))
         .orderBy(F.desc("sample_key"), F.col(id_col))
         .limit(k)
+    )
+
+
+def temperature_weights(
+    df: DataFrame,
+    domain_col: str,
+    budget: int,
+    temperature: float = 0.5,
+    weight_scale: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled mixture targets — the multilingual-corpus
+    rebalancing rule (Conneau & Lample 2019, XLM §3.1: sample domain d
+    with p_d ∝ n_d^τ, τ < 1 up-weighting low-resource domains): per
+    domain, the scaled weight and an exact integer row target summing
+    to ≤ ``budget`` by floor allocation.
+
+    Determinism contract (the repo's oracle-float rule): τ defaults to
+    0.5 because ``sqrt`` is IEEE correctly rounded — the micro-unit
+    weight ``round(sqrt(n_d)·1e6)`` is bit-identical on every engine —
+    and everything after is exact integer arithmetic: products as
+    ``decimal(38,0)`` (the overflow discipline; long would wrap at
+    n_d ~ 1e12 × budget 1e9), one floor division at the end. Other τ
+    route through ``pow``, which libm does NOT promise to the last
+    ulp — supported, but keep those columns out of hash-compared
+    oracles.
+
+    Plan: one grouped count with map-side partial aggregation, then a
+    1-row total broadcast-joined back — no unbounded single-partition
+    stage, no driver collect.
+    """
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    if temperature == 0.5:
+        raw = F.sqrt(F.col("n_docs"))
+    else:
+        raw = F.pow(F.col("n_docs"), F.lit(float(temperature)))
+    wt = counts.withColumn(
+        "weight_u", F.round(raw * weight_scale).cast("long")
+    )
+    tot = wt.agg(F.sum("weight_u").cast("decimal(38,0)").alias("_tot"))
+    scaled = (
+        F.col("weight_u").cast("decimal(38,0)") * F.lit(int(budget))
+    ).cast("decimal(38,0)")
+    return (
+        wt.crossJoin(F.broadcast(tot))
+        .select(
+            domain_col,
+            "n_docs",
+            "weight_u",
+            F.floor(scaled / F.col("_tot")).cast("long").alias("target_docs"),
+        )
+    )
+
+
+def temperature_resample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    budget: int,
+    temperature: float = 0.5,
+) -> DataFrame:
+    """Apply :func:`temperature_weights`: keep each domain's first
+    ``target_docs`` rows in deterministic hash order — a seeded
+    uniform draw within the domain, reproducible across runs and
+    engines. The ranking window partitions BY DOMAIN (bounded state
+    per partition); a pathologically hot domain is the salted-agg
+    story, not this one's."""
+    targets = temperature_weights(df, domain_col, budget, temperature)
+    w = Window.partitionBy(domain_col).orderBy(
+        F.xxhash64(F.col(id_col)), F.col(id_col)
+    )
+    ranked = df.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(targets.select(domain_col, "target_docs")),
+                    on=domain_col)
+        .filter(F.col("_rn") <= F.col("target_docs"))
+        .drop("_rn", "target_docs")
     )

@@ -172,3 +172,52 @@ def salted_join(
     cond = (b[big_key] == s[small_key]) & (b["_salt"] == s["_salt"])
     out = b.join(s, cond, how)
     return out.drop(b["_salt"]).drop(s["_salt"]).drop(s[small_key])
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    top_n: int = 20,
+) -> DataFrame:
+    """Skew diagnostic for shuffle planning: the ``top_n`` heaviest
+    keys with exact count, dense 1..k rank, share of all rows in ppm
+    (integer floor — hash-stable), and cumulative ppm. This is the
+    evidence read before reaching for ``salted_join``/``salted_sum``
+    or a broadcast: a top key at 300000 ppm says one reducer owns
+    30 % of the shuffle.
+
+    Exactness: the ppm numerators are ``decimal(38,0)`` products and
+    the floor division is computed as ``(a - a % b) / b`` — both
+    operands exact, the quotient an exactly-representable integer —
+    so no float rounding can flip a boundary (the dsir_logweights
+    lesson). Plan: one grouped count (map-side partial combine), a
+    1-row total broadcast back, then :func:`ranked_top_k` for the
+    head — ranking and the cumulative window run on an already-k-row
+    single-partition child, so no unbounded single-partition exchange
+    exists anywhere.
+    """
+    from pyspark.sql import Window
+
+    from gem_data_wrangle_spark.operators.aggregates import ranked_top_k
+
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = counts.agg(F.sum("n_rows").cast("decimal(38,0)").alias("_tot"))
+    top = ranked_top_k(
+        counts,
+        [F.col("n_rows").desc(), *[F.col(c) for c in key_cols]],
+        top_n,
+    )
+    w = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+
+    def ppm_floor(n):
+        a = (n.cast("decimal(38,0)") * 1_000_000).cast("decimal(38,0)")
+        b = F.col("_tot")
+        return ((a - a % b) / b).cast("long")
+
+    return top.crossJoin(F.broadcast(tot)).select(
+        *key_cols,
+        "n_rows",
+        "rank",
+        ppm_floor(F.col("n_rows")).alias("share_ppm"),
+        ppm_floor(F.sum("n_rows").over(w)).alias("cum_ppm"),
+    )

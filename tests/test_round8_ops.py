@@ -180,3 +180,79 @@ def test_bloom_prune_probe_side_has_no_exchange_before_filter(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+# --------------------------------------------------------------------
+# key_skew_profile / temperature mixing
+# --------------------------------------------------------------------
+
+def test_key_skew_profile_exact_ppm(spark):
+    import pyspark.sql.functions as F
+
+    from gem_data_wrangle_spark.operators.skew import key_skew_profile
+
+    # 600 rows of 'a', 300 of 'b', 100 of 'c'
+    df = spark.range(0, 1000).select(
+        F.when(F.col("id") < 600, "a")
+        .when(F.col("id") < 900, "b")
+        .otherwise("c").alias("k")
+    )
+    rows = {r["k"]: r for r in key_skew_profile(df, ["k"], top_n=2).collect()}
+    assert set(rows) == {"a", "b"}  # top-2 only
+    assert rows["a"]["rank"] == 1 and rows["a"]["share_ppm"] == 600_000
+    assert rows["b"]["rank"] == 2 and rows["b"]["share_ppm"] == 300_000
+    assert rows["b"]["cum_ppm"] == 900_000
+
+
+def test_temperature_weights_flattens_distribution(spark):
+    import math
+
+    import pyspark.sql.functions as F
+
+    from gem_data_wrangle_spark.operators.sampling import temperature_weights
+
+    # 900 docs of 'big', 100 of 'small': raw shares 90/10, sqrt-
+    # tempered shares 30:10 -> 75/25
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        F.when(F.col("id") < 900, "big").otherwise("small").alias("d"),
+    )
+    got = {r["d"]: r for r in temperature_weights(df, "d", budget=1000).collect()}
+    assert got["big"]["weight_u"] == round(math.sqrt(900) * 1e6)
+    assert got["small"]["weight_u"] == round(math.sqrt(100) * 1e6)
+    assert got["big"]["target_docs"] == 750
+    assert got["small"]["target_docs"] == 250
+
+
+def test_temperature_resample_respects_targets_and_is_deterministic(spark):
+    import pyspark.sql.functions as F
+
+    from gem_data_wrangle_spark.operators.sampling import temperature_resample
+
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        F.when(F.col("id") < 900, "big").otherwise("small").alias("d"),
+    )
+    a = sorted(r["id"] for r in temperature_resample(df, "d", "id", 100).collect())
+    b = sorted(r["id"] for r in temperature_resample(df, "d", "id", 100).collect())
+    assert a == b  # seeded hash order, reproducible
+    kept = temperature_resample(df, "d", "id", 100).groupBy("d").count()
+    got = {r["d"]: r["count"] for r in kept.collect()}
+    assert got == {"big": 75, "small": 25}
+
+
+def test_temperature_weights_target_never_exceeds_domain(spark):
+    """A tiny domain with a huge weight share must still be capped by
+    the resampler at its own size (floor allocation can exceed n_docs
+    only when budget > corpus; the resample takes min)."""
+    import pyspark.sql.functions as F
+
+    from gem_data_wrangle_spark.operators.sampling import temperature_resample
+
+    df = spark.range(0, 20).select(
+        F.col("id"),
+        F.when(F.col("id") < 16, "x").otherwise("y").alias("d"),
+    )
+    kept = temperature_resample(df, "d", "id", budget=100)
+    got = {r["d"]: r["count"] for r in kept.groupBy("d").count().collect()}
+    assert got["x"] <= 16 and got["y"] <= 4
