@@ -6604,6 +6604,33 @@ def _q_temperature_resample_counts(spark: SparkSession, sf_dir: str) -> DataFram
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+# Quality-aware near-dup survivor rule: same LSH candidates + closure
+# as neardup_dedup, but each cluster keeps its HIGHEST-n_chars member
+# (tie → lower id) instead of the lowest id — what curation actually
+# wants. The oracle replays the closure then picks the same argmax.
+@_register(
+    "neardup_keep_best",
+    _neardup_components_oracle(
+        final_select="""
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+    FROM documents d JOIN (
+      SELECT comp.node AS doc_id
+      FROM (SELECT node, min(root) AS component FROM reach GROUP BY node) comp
+      JOIN documents dd ON dd.doc_id = comp.node
+      QUALIFY row_number() OVER (PARTITION BY comp.component
+                                 ORDER BY dd.n_chars DESC, comp.node ASC) = 1
+    ) keepers USING (doc_id)
+    """
+    ),
+)
+def _q_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.neardup_keep_best(
+        docs, "text", "doc_id", score_col="n_chars",
+        num_bands=4, rows_per_band=4, ngram=2,
+    )
+
+
 # --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------

@@ -974,3 +974,56 @@ def ngram_decontaminate(
             "n_collisions", "contaminated"
         )
     return flagged
+
+
+def neardup_keep_best(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    score_col: str,
+    num_bands: int = 4,
+    rows_per_band: int = 4,
+    ngram: int = 2,
+    max_iter: int = 20,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """:func:`neardup_dedup` with a QUALITY-aware survivor rule: keep
+    the highest-``score_col`` document per near-dup cluster instead of
+    the lowest id — what a curation pipeline actually wants (drop the
+    boilerplate-laden mirror, keep the clean original). Ties break on
+    the lower id, so the winner is deterministic.
+
+    Shape: candidates and closure are identical to
+    :func:`neardup_dedup`; the survivor pick is one ``max_by``
+    aggregate over (component → (score, −id)) on the CLUSTERED subset
+    only (cluster members are the small minority of a crawl), then the
+    same LEFT ANTI finish against the loser ids. No extra pass over
+    the full corpus.
+    """
+    from gem_data_wrangle_spark.operators.graph import (  # noqa: PLC0415
+        connected_components,
+    )
+
+    cand = lsh_candidate_pairs(
+        df, text_col, id_col,
+        num_bands=num_bands, rows_per_band=rows_per_band, ngram=ngram,
+    )
+    comp = connected_components(
+        cand, "id_a", "id_b", id_col=id_col, max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+    )
+    members = comp.join(
+        df.select(id_col, score_col), on=id_col, how="inner"
+    )
+    winners = members.groupBy("component").agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(F.col(score_col), -F.col(id_col)),
+        ).alias("_winner")
+    )
+    losers = (
+        members.join(F.broadcast(winners), on="component")
+        .filter(F.col(id_col) != F.col("_winner"))
+        .select(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

@@ -387,3 +387,34 @@ def with_provenance(df: DataFrame, col_name: str = "_source_file") -> DataFrame:
 
     return df.withColumn(col_name, F.input_file_name())
 
+
+
+def scan_orc(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """ORC source (Spark built-in, no extra package): columnar like
+    parquet, with the same pushdown properties — predicate filters and
+    the ``columns`` projection reach the ORC reader (PushedFilters /
+    selected-column pruning in the scan node), so a 2-column read of a
+    wide table touches 2 streams. Interchange format for
+    Hive-ecosystem corpora."""
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df
+
+
+def sink_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str = "zstd",
+) -> None:
+    """ORC sink with zstd (Spark-bundled) compression; optional
+    hive-style partition directories for downstream partition
+    pruning, same contract as the parquet writer."""
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

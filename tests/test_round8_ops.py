@@ -256,3 +256,29 @@ def test_temperature_weights_target_never_exceeds_domain(spark):
     kept = temperature_resample(df, "d", "id", budget=100)
     got = {r["d"]: r["count"] for r in kept.groupBy("d").count().collect()}
     assert got["x"] <= 16 and got["y"] <= 4
+
+
+def test_orc_roundtrip_with_pruning_and_partitioning(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from gem_data_wrangle_spark.sources.io import scan_orc, sink_orc
+
+    df = spark.range(0, 100).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("part"),
+        (F.col("id") * 2).alias("v"),
+        F.lit("padpadpad").alias("w"),
+    )
+    path = str(tmp_path / "orc")
+    sink_orc(df, path, partition_by=["part"])
+    back = scan_orc(spark, path, columns=["id", "v"])
+    assert back.columns == ["id", "v"]
+    assert back.count() == 100
+    assert sorted(r["v"] for r in back.filter("id < 3").collect()) == [0, 2, 4]
+    # partition pruning: the filter on the partition column reaches
+    # the scan (only one directory read)
+    plan = (
+        scan_orc(spark, path).filter("part = '1'")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "part" in plan
