@@ -90,6 +90,13 @@ CASES = {
     "table_checksum": "table checksum — md5 prefix sum with map-side partials; the exchange carries ONE partial per partition",
     "orders_diff": "keyed diff — digest-only full-outer join; 16-byte digests through both exchanges, never whole rows",
     "mean_pool_embeddings": "chunk mean-pool — ONE group shuffle; collect bounded by chunks/doc, ordered sequential fold",
+    # round 8
+    "mp4_sample_offsets": "MP4 sample-table demux — ONE narrow mapInPandas stbl walk, per-id min-offset window partitioned BY ID (bounded state)",
+    "bloom_pruned_join": "bloom-pruned join — word-packed bitset built small-side, k BROADCAST probes (no fact exchange), exact join only on bit-survivors",
+    "key_skew_profile": "skew profile — partial-combined key counts, 1-row total broadcast, TakeOrderedAndProject head; no unbounded single-partition stage",
+    "temperature_mixture": "temperature mixture targets — one grouped count + 1-row total broadcast; sqrt/decimal integer algebra, no window",
+    "temperature_resample_counts": "applied temperature resample — per-DOMAIN rank window (bounded partitions) + broadcast target join + count",
+    "neardup_keep_best": "quality-aware near-dup survivor — LSH candidates + closure + max_by per component on the clustered MINORITY, LEFT ANTI finish",
 }
 
 INTERESTING = (
