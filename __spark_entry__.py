@@ -6631,6 +6631,61 @@ def _q_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CIDR longest-prefix-match enrichment: synthetic IPv4s from customer
+# keys, a deduped prefix table at /8 /16 /24 from every 97th customer,
+# inner LPM join — most-specific route wins. Bounded fan-out (3
+# lengths), equi-joins only; the oracle replays the same shift masks.
+@_register(
+    "ip_prefix_enrich",
+    """
+    WITH f AS (
+      SELECT c_custkey AS fid,
+             (c_custkey * 2654435761) % 4294967296 AS ip
+      FROM customer
+    ), s AS (
+      SELECT fid AS dim_id, ip,
+             (8 + 8 * (fid % 3))::INT AS prefix_len
+      FROM f WHERE fid % 97 = 0
+    ), d AS (
+      SELECT ((ip >> (32 - prefix_len)) << (32 - prefix_len)) AS prefix,
+             prefix_len, min(dim_id) AS dim_id
+      FROM s GROUP BY 1, 2
+    ), cand AS (
+      SELECT f.fid, f.ip, d.prefix_len, d.dim_id
+      FROM f JOIN d
+        ON ((f.ip >> (32 - d.prefix_len)) << (32 - d.prefix_len)) = d.prefix
+    )
+    SELECT fid, ip, max(prefix_len)::INT AS matched_len,
+           arg_max(dim_id, prefix_len) AS dim_id
+    FROM cand GROUP BY fid, ip
+    """,
+)
+def _q_ip_prefix_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.joins import longest_prefix_join
+
+    f = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("fid"),
+        ((F.col("c_custkey") * 2654435761) % 4294967296).alias("ip"),
+    )
+    samp = f.filter(F.col("fid") % 97 == 0).select(
+        F.col("fid").alias("dim_id"),
+        "ip",
+        (8 + 8 * (F.col("fid") % 3)).cast("int").alias("prefix_len"),
+    )
+    dims = (
+        samp.withColumn(
+            "prefix",
+            F.expr(
+                "shiftleft(shiftrightunsigned(ip, 32 - prefix_len),"
+                " 32 - prefix_len)"
+            ),
+        )
+        .groupBy("prefix", "prefix_len")
+        .agg(F.min("dim_id").alias("dim_id"))
+    )
+    return longest_prefix_join(f, dims, "fid", "ip")
+
+
 # --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------

@@ -282,3 +282,49 @@ def test_orc_roundtrip_with_pruning_and_partitioning(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "part" in plan
+
+
+def test_longest_prefix_join_most_specific_wins(spark):
+    from gem_data_wrangle_spark.operators.joins import longest_prefix_join
+
+    facts = spark.createDataFrame(
+        [(1, 0x0A000001), (2, 0x0A000101), (3, 0x0B000001), (4, 0x7F000001)],
+        "fid bigint, ip long",
+    )
+    # 10.0.0.0/8 -> A ; 10.0.1.0/24 -> B (more specific); 11.0.0.0/8 -> C
+    dims = spark.createDataFrame(
+        [(0x0A000000, 8, "A"), (0x0A000100, 24, "B"), (0x0B000000, 8, "C")],
+        "prefix long, prefix_len int, tag string",
+    )
+    inner = {r["fid"]: (r["matched_len"], r["tag"]) for r in
+             longest_prefix_join(facts, dims, "fid", "ip").collect()}
+    assert inner == {1: (8, "A"), 2: (24, "B"), 3: (8, "C")}
+    left = longest_prefix_join(facts, dims, "fid", "ip", how="left").collect()
+    assert len(left) == 4
+    assert {r["fid"]: r["tag"] for r in left}[4] is None
+    with pytest.raises(ValueError, match="longest_prefix_join"):
+        longest_prefix_join(facts, dims, "fid", "ip", how="full")
+
+
+def test_longest_prefix_join_dims_join_is_hash_not_theta(spark):
+    """The DIMS lookup must be an equi hash join on (masked, len) —
+    the failure mode this operator exists to avoid is a theta/range
+    join planning as a nested loop over the ROUTING TABLE. The only
+    nested loop allowed is the bounded cross fan-out against the
+    ≤33-row distinct-lengths frame."""
+    from gem_data_wrangle_spark.operators.joins import longest_prefix_join
+
+    facts = spark.range(100).selectExpr("id AS fid", "id * 7 AS ip")
+    dims = spark.createDataFrame(
+        [(0, 8, "x")], "prefix long, prefix_len int, tag string"
+    )
+    plan = (
+        longest_prefix_join(facts, dims, "fid", "ip")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin [_masked" in plan
+    # any nested loop present must be the lens cross fan-out, never
+    # a join carrying the dims' prefix column
+    for line in plan.splitlines():
+        if "NestedLoop" in line:
+            assert "Cross" in line and "prefix" not in line
