@@ -230,3 +230,108 @@ def trailing_window_totals(
         df.select(key_col, ts_col, value_col),
         key_col, ts_col, value_col, window_seconds,
     )
+
+
+def streaming_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    capacity: int = 64,
+    num_shards: int = 16,
+) -> DataFrame:
+    """Bounded-memory frequent-items over an unbounded stream —
+    mergeable Misra–Gries summaries (Agarwal et al., PODS 2012) kept
+    in per-SHARD state via ``applyInPandasWithState``.
+
+    Heavy hitters is a GLOBAL question but stream state must partition
+    by key, so keys hash into ``num_shards`` shards and each shard
+    maintains one MG summary of at most ``capacity`` counters:
+    per micro-batch, batch counts merge into the summary; when it
+    exceeds capacity, the (capacity+1)-th largest count m is
+    subtracted from every counter and non-positive ones drop — the
+    standard mergeable-summary compaction. ``err`` accumulates the
+    per-shard total decrement, giving the frequency bracket
+    ``count ≤ true freq ≤ count + err`` for every surviving key; any
+    key with true shard frequency > err is GUARANTEED present
+    (no false negatives above the bound).
+
+    State per shard is ≤ capacity (key, count) pairs + one error
+    counter — the store holds ``num_shards × capacity`` entries
+    FOREVER-bounded regardless of stream length or key cardinality.
+    Output (update mode): per batch, each shard re-emits its summary
+    rows ``(shard, key, count, err)``; a downstream batch merge sums
+    counts/errs per key for the global view.
+
+    Batch frames take the exact path: true per-key counts, top
+    ``capacity`` per shard, ``err = 0`` — the superset the streaming
+    summary approximates.
+    """
+    if capacity < 1 or num_shards < 1:
+        raise ValueError("capacity and num_shards must be >= 1")
+
+    out_schema = f"shard int, {key_col} string, count bigint, err bigint"
+    state_schema = "keys array<string>, counts array<long>, err bigint"
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            keys, counts, err = state.get
+            summary = dict(zip(keys, counts))
+        else:
+            summary, err = {}, 0
+        for pdf in pdfs:
+            for k, c in pdf[key_col].astype(str).value_counts().items():
+                summary[k] = summary.get(k, 0) + int(c)
+        if len(summary) > capacity:
+            m = sorted(summary.values(), reverse=True)[capacity]
+            err += m
+            summary = {k: v - m for k, v in summary.items() if v > m}
+        state.update((list(summary), [summary[k] for k in summary], err))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(summary),
+                key_col: list(summary),
+                "count": list(summary.values()),
+                "err": [err] * len(summary),
+            }
+        )
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    shard = F.pmod(F.xxhash64(F.col(key_col).cast("string")), num_shards).cast(
+        "int"
+    )
+    if df.isStreaming:
+        return (
+            df.withColumn("shard", shard)
+            .groupBy("shard")
+            .applyInPandasWithState(
+                update,
+                outputStructType=out_schema,
+                stateStructType=state_schema,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    counts = (
+        df.withColumn("shard", shard)
+        .groupBy("shard", key_col)
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("count").desc(), F.col(key_col)
+    )
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= capacity)
+        .select(
+            "shard",
+            F.col(key_col).cast("string").alias(key_col),
+            "count",
+            F.lit(0).cast("bigint").alias("err"),
+        )
+    )

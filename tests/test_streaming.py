@@ -577,3 +577,41 @@ def test_kafka_source_gates_with_actionable_error(spark):
 
     with _pytest.raises(RuntimeError, match="spark-sql-kafka"):
         read_kafka_topic(spark, "localhost:9092", "events")
+
+
+def test_streaming_heavy_hitters_bounds_and_no_false_negatives(spark, tmp_path):
+    """MG guarantee under state-bounded streaming: every key whose
+    true frequency exceeds the shard's accumulated error survives,
+    and count <= true <= count + err for survivors."""
+    from gem_data_wrangle_spark.streaming.stateful import streaming_heavy_hitters
+
+    # skewed stream: 'hot' 500x, 'warm' 80x, 60 singletons
+    rows = (
+        [("hot",)] * 500 + [("warm",)] * 80
+        + [(f"cold{i}",) for i in range(60)]
+    )
+    src = spark.createDataFrame(rows, "k string")
+    src_dir = str(tmp_path / "hh_src")
+    src.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema("k string").parquet(src_dir)
+    out = streaming_heavy_hitters(stream, "k", capacity=4, num_shards=2)
+    q = (
+        out.writeStream.format("memory").queryName("t_hh")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    got = {r["k"]: r for r in spark.sql("SELECT * FROM t_hh").collect()}
+    true = {"hot": 500, "warm": 80}
+    for k, n in true.items():
+        assert k in got, k  # frequency >> err: must survive
+        assert got[k]["count"] <= n <= got[k]["count"] + got[k]["err"]
+    # state boundedness: each shard emits at most capacity rows
+    import collections
+
+    per_shard = collections.Counter(r["shard"] for r in got.values())
+    assert all(v <= 4 for v in per_shard.values())
+
+    # batch path: exact counts, superset of the stream's heavy keys
+    exact = {r["k"]: r["count"] for r in
+             streaming_heavy_hitters(src, "k", capacity=4, num_shards=2).collect()}
+    assert exact["hot"] == 500 and exact["warm"] == 80
