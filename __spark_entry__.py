@@ -6686,6 +6686,40 @@ def _q_ip_prefix_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return longest_prefix_join(f, dims, "fid", "ip")
 
 
+# Exact integer Gram matrix over int8-quantized embeddings — the
+# sufficient statistic for PCA/OPQ rotation learning. Per-partition
+# numpy Q^T·Q partials (d(d+1)/2 rows each) through one grouped exact
+# sum; the oracle replays quantization + pairwise products in SQL.
+@_register(
+    "embedding_gram",
+    """
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS ma
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id,
+             CASE WHEN ma > 0
+                  THEN list_transform(e, x -> CAST(round(x * 127 / ma) AS BIGINT))
+                  ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS qv
+      FROM b
+    ), u AS (
+      SELECT vec_id, g.i AS i, qv[g.i] AS v
+      FROM q, LATERAL (SELECT unnest(range(1, len(qv) + 1)) AS i) g
+    )
+    SELECT (a.i - 1)::INT AS i, (b.i - 1)::INT AS j,
+           sum(a.v * b.v)::HUGEINT AS g
+    FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2
+    """,
+)
+def _q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.similarity import gram_matrix_int
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return gram_matrix_int(emb, "embedding")
+
+
 # --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------

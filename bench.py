@@ -83,6 +83,13 @@ HEADLINE = [
     # now a vectorized numpy matmul inside mapInPandas, <1 s warm at
     # sf0.1) — benched so the fix stays on the record
     "cdc_chunks",
+    # round 8: the two new join families — bloom-pruned join (word-
+    # packed broadcast bitset + k broadcast probes) and CIDR longest-
+    # prefix enrichment (bounded fan-out + equi-join) — plus the
+    # MP4 sample-table demux (narrow mapInPandas stbl walk)
+    "bloom_pruned_join",
+    "ip_prefix_enrich",
+    "mp4_sample_offsets",
 ]
 
 

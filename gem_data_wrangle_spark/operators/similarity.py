@@ -949,3 +949,113 @@ def mean_pool_embeddings(
     # from 0.0 in value comparisons; -0.0 + 0.0 == +0.0 exactly)
     mean = F.transform(summed, lambda x: F.round(x / n, decimals) + 0.0)
     return per.select(group_col, "n_chunks", mean.alias("mean_embedding"))
+
+
+def gram_matrix_int(
+    df: DataFrame,
+    vec_col: str,
+    quantized: bool = False,
+) -> DataFrame:
+    """EXACT integer Gram matrix ``G[i,j] = Σ_rows q_i·q_j`` over
+    int8-quantized embeddings — the sufficient statistic for PCA /
+    OPQ rotation learning, computed with the engine's determinism
+    rules: quantization first (so products are small integers), then
+    per-PARTITION numpy ``Qᵀ·Q`` partials in one Arrow batch pass,
+    then a grouped exact sum. Rows: ``(i, j, g)`` for the upper
+    triangle ``i ≤ j``, ``g`` as ``decimal(38,0)``.
+
+    Scale: the shuffle carries ``partitions × d(d+1)/2`` partial rows
+    (d=64 → 2080/partition), NEVER ``n·d²``; per-partition math is a
+    single int64 matmul. Overflow: |q| ≤ 127 ⇒ a partition holds
+    ~5·10¹⁴ rows before an int64 partial could wrap — far past any
+    real partition size; the cross-partition sum rides decimal(38,0).
+
+    ``quantized=True`` skips the int8 step when ``vec_col`` already
+    holds integer arrays.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    src = df if quantized else quantize_embeddings(
+        df.withColumn("_gid", F.monotonically_increasing_id()),
+        vec_col, "_gid", out_col="_q",
+    )
+    qcol = vec_col if quantized else "_q"
+
+    def partials(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            Q = np.array(list(pdf[qcol]), dtype=np.int64)
+            G = Q.T @ Q
+            d = G.shape[0]
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {"i": iu.astype("int32"), "j": ju.astype("int32"),
+                 "g": G[iu, ju]}
+            )
+
+    part = src.select(qcol).mapInPandas(partials, "i int, j int, g long")
+    return part.groupBy("i", "j").agg(
+        F.sum(F.col("g").cast("decimal(38,0)")).cast("decimal(38,0)").alias("g")
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """PCA projection of the (quantized) embedding space onto its top
+    ``k`` principal components — the dimensionality-reduction step
+    before PQ/IVF (OPQ-lite). The distributed work is
+    :func:`gram_matrix_int` plus exact integer component sums; the
+    driver solves the d×d eigenproblem (BOUNDED model-size state, the
+    kmeans/bpe driver-boundary contract — d=64 ⇒ a 32 KiB matrix,
+    independent of corpus size) and the eigenbasis re-enters the plan
+    as a d×k literal for a narrow zip_with/aggregate projection — no
+    shuffle after the two stat aggregations.
+
+    Covariance uses the quantized ints: C = G/n − μμᵀ with μ = s/n
+    from exact sums. Eigenvector SIGNS are normalized (largest-|.|
+    component positive) so the projection is deterministic across
+    LAPACK builds. Returns (id_col, pc array<double> length k),
+    components ordered by descending eigenvalue.
+    """
+    q = quantize_embeddings(df, vec_col, id_col, out_col="_q")
+    gram = gram_matrix_int(q, "_q", quantized=True)
+    sums = q.select(
+        F.posexplode("_q").alias("i", "v")
+    ).groupBy("i").agg(F.sum("v").alias("s"))
+    n = q.count()
+    g_rows = gram.collect()  # d(d+1)/2 rows — model-sized
+    s_rows = sums.collect()  # d rows
+    d = max(r["i"] for r in s_rows) + 1
+    G = np.zeros((d, d))
+    for r in g_rows:
+        G[r["i"], r["j"]] = G[r["j"], r["i"]] = float(r["g"])
+    mu = np.zeros(d)
+    for r in s_rows:
+        mu[r["i"]] = float(r["s"]) / n
+    C = G / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:k]
+    basis = vecs[:, order]  # d × k
+    # deterministic sign: make each component's largest-|.| entry > 0
+    for c in range(basis.shape[1]):
+        m = np.argmax(np.abs(basis[:, c]))
+        if basis[m, c] < 0:
+            basis[:, c] = -basis[:, c]
+    cols = [
+        F.aggregate(
+            F.zip_with(
+                F.col("_q").cast("array<double>"),
+                F.lit(basis[:, c].tolist()),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for c in range(basis.shape[1])
+    ]
+    return q.select(id_col, F.array(*cols).alias("pc"))

@@ -328,3 +328,71 @@ def test_longest_prefix_join_dims_join_is_hash_not_theta(spark):
     for line in plan.splitlines():
         if "NestedLoop" in line:
             assert "Cross" in line and "prefix" not in line
+
+
+# --------------------------------------------------------------------
+# gram matrix / PCA
+# --------------------------------------------------------------------
+
+def test_gram_matrix_exact_vs_numpy(spark):
+    import numpy as np
+
+    from gem_data_wrangle_spark.operators.similarity import (
+        gram_matrix_int,
+        quantize_embeddings,
+    )
+
+    rng = np.random.RandomState(7)
+    X = rng.randn(120, 12) * 3
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(120)],
+        "vid bigint, emb array<double>",
+    ).repartition(5)
+    Q = np.array(
+        [r["q"] for r in quantize_embeddings(df, "emb", "vid", out_col="q")
+         .orderBy("vid").select("q").collect()],
+        dtype=np.int64,
+    )
+    G = Q.T @ Q
+    got = {(r["i"], r["j"]): int(r["g"])
+           for r in gram_matrix_int(df, "emb").collect()}
+    assert all(got[(i, j)] == G[i, j] for i in range(12) for j in range(i, 12))
+    assert len(got) == 12 * 13 // 2  # upper triangle only
+
+
+def test_pca_project_matches_numpy_eigh(spark):
+    import numpy as np
+
+    from gem_data_wrangle_spark.operators.similarity import (
+        pca_project,
+        quantize_embeddings,
+    )
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(150, 10) * np.array([6, 5, 4] + [0.3] * 7)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(150)],
+        "vid bigint, emb array<double>",
+    ).repartition(4)
+    pc = {r["vid"]: r["pc"] for r in pca_project(df, "emb", "vid", k=3).collect()}
+    Q = np.array(
+        [r["q"] for r in quantize_embeddings(df, "emb", "vid", out_col="q")
+         .orderBy("vid").select("q").collect()],
+        dtype=np.int64,
+    )
+    mu = Q.mean(axis=0)
+    C = (Q.T @ Q) / len(Q) - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(C)
+    B = vecs[:, np.argsort(vals)[::-1][:3]]
+    for c in range(3):
+        m = np.argmax(np.abs(B[:, c]))
+        if B[m, c] < 0:
+            B[:, c] = -B[:, c]
+    P = Q @ B
+    err = max(
+        abs(pc[i][c] - P[i, c]) for i in range(150) for c in range(3)
+    )
+    assert err < 1e-9
+    # energy ordering: first component carries the most variance
+    var = [float(np.var(P[:, c])) for c in range(3)]
+    assert var[0] >= var[1] >= var[2]
