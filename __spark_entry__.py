@@ -4472,7 +4472,12 @@ _DSIR_GRAMS_SQL = """
       SELECT doc_id,
              round(CAST(sum(c * lam_u) AS DOUBLE) / 1000000.0, 6)
                AS log_importance,
-             sum(c) AS n_features
+             -- graded-output type contract (VERDICT r8): DuckDB
+             -- sum(BIGINT) is HUGEINT, which pandas renders float64
+             -- while Spark yields int64 — cast to BIGINT (fits: Σ of
+             -- per-doc n-gram counts) so both engines hand pandas
+             -- the same integer dtype.
+             sum(c)::BIGINT AS n_features
       FROM db JOIN lam USING (b) GROUP BY doc_id
     )
 """.format(bucket=_md5_nibble_sum_sql("hx", 3))
@@ -5788,7 +5793,11 @@ def _q_cube_sum_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) AS h FROM lineitem
     )
     SELECT count(*) AS n_rows,
-           sum({_md5_nibble_sum_sql('h', 12)})::DECIMAL(38,0) AS checksum
+           -- type contract: the Σ exceeds int64 at sf0.1 and DECIMAL
+           -- lands in pandas as float64 (losing integer precision
+           -- entirely); VARCHAR is the only safe carrier
+           sum({_md5_nibble_sum_sql('h', 12)})::DECIMAL(38,0)::VARCHAR
+             AS checksum
     FROM r
     """,
 )
@@ -5802,7 +5811,11 @@ def _q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linestatus",
         F.round(F.col("l_quantity") * 100).cast("long").alias("qty_cents"),
     )
-    return table_fingerprint(li)
+    # graded projection: decimal(38,0) → string (the exact integer
+    # exceeds int64 at sf0.1; pandas would float64-mangle a Decimal)
+    return table_fingerprint(li).select(
+        "n_rows", F.col("checksum").cast("string").alias("checksum")
+    )
 
 
 # Funnel conversion latency: time-to-convert (step1→step3 seconds,
@@ -5883,13 +5896,20 @@ def _q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
              list(embedding::DOUBLE[] ORDER BY vec_id) AS vs,
              count(*) AS n_chunks
       FROM embeddings GROUP BY vec_id % 100
+    ), m AS (
+      SELECT doc_id, n_chunks,
+             [round(x / n_chunks, 6) + 0.0 FOR x IN
+              list_reduce(vs, (acc, v) ->
+                [acc[i] + v[i] FOR i IN range(1, len(acc) + 1)])]
+               AS mean_embedding
+      FROM g
     )
-    SELECT doc_id, n_chunks,
-           [round(x / n_chunks, 6) + 0.0 FOR x IN
-            list_reduce(vs, (acc, v) ->
-              [acc[i] + v[i] FOR i IN range(1, len(acc) + 1)])]
-             AS mean_embedding
-    FROM g
+    -- type contract (VERDICT r8 #1): an ARRAY column crashes the
+    -- driver canonicalizer (unhashable list) — grade the pooled
+    -- vector as (doc_id, idx, val) element rows instead
+    SELECT doc_id, n_chunks, i.i - 1 AS idx,
+           mean_embedding[i.i] + 0.0 AS val
+    FROM m, LATERAL (SELECT unnest(range(1, len(mean_embedding) + 1)) AS i) i
     """,
 )
 def _q_mean_pool_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5902,7 +5922,19 @@ def _q_mean_pool_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("chunk_order"),
         "embedding",
     )
-    return mean_pool_embeddings(emb, "doc_id", "chunk_order", "embedding")
+    pooled = mean_pool_embeddings(emb, "doc_id", "chunk_order", "embedding")
+    # graded projection: posexplode the vector to scalar rows (arrays
+    # are outside the graded-output type contract)
+    return pooled.select(
+        "doc_id",
+        "n_chunks",
+        F.posexplode("mean_embedding").alias("idx", "val"),
+    ).select(
+        "doc_id",
+        "n_chunks",
+        F.col("idx").cast("long").alias("idx"),
+        (F.col("val") + 0.0).alias("val"),
+    )
 
 
 # Keyed table diff (the checksum's companion): orders vs a mutated
@@ -6216,7 +6248,13 @@ def _q_winsorized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(x::HUGEINT * y) AS sum_xy
       FROM e GROUP BY event_type
     )
-    SELECT event_type, n, sum_x, sum_y, sum_xx, sum_yy, sum_xy,
+    SELECT event_type, n,
+      -- type contract: the five exact sums exceed/involve HUGEINT
+      -- (pandas float64, losing integer precision); VARCHAR is the
+      -- lossless carrier both engines render identically
+      sum_x::VARCHAR AS sum_x, sum_y::VARCHAR AS sum_y,
+      sum_xx::VARCHAR AS sum_xx, sum_yy::VARCHAR AS sum_yy,
+      sum_xy::VARCHAR AS sum_xy,
       CASE WHEN n >= 2 THEN
         round((n::DOUBLE * sum_xy::DOUBLE - sum_x::DOUBLE * sum_y::DOUBLE)
               / (n::DOUBLE * (n::DOUBLE - 1)), 6) END AS covar_samp,
@@ -6239,7 +6277,19 @@ def _q_pairwise_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("x"),
         F.hour("ts").cast("long").alias("y"),
     )
-    return integer_pair_stats(ev, ["event_type"], "x", "y")
+    out = integer_pair_stats(ev, ["event_type"], "x", "y")
+    # graded projection type contract: the operator's exact
+    # decimal(38,0) sums reach pandas as Decimal objects while the
+    # DuckDB mirror's HUGEINTs reach it as float64 — carry them as
+    # strings on BOTH engines (lossless, identical rendering).
+    return out.select(
+        "event_type",
+        "n",
+        *[F.col(c).cast("string").alias(c)
+          for c in ("sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy")],
+        "covar_samp",
+        "corr",
+    )
 
 
 # Equal-width histogram with a caller-stated integer domain — bin
@@ -6332,8 +6382,11 @@ def _q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM p WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type
     )
     SELECT prev_type, next_type, n_transitions,
-           (n_transitions * 1000000)
-             // sum(n_transitions) OVER (PARTITION BY prev_type) AS prob_ppm
+           -- type contract: // by a HUGEINT window sum yields HUGEINT
+           -- (float64 in pandas); ppm always fits BIGINT
+           ((n_transitions * 1000000)
+             // sum(n_transitions) OVER (PARTITION BY prev_type)
+           )::BIGINT AS prob_ppm
     FROM c
     """,
 )
@@ -6707,8 +6760,10 @@ def _q_ip_prefix_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, g.i AS i, qv[g.i] AS v
       FROM q, LATERAL (SELECT unnest(range(1, len(qv) + 1)) AS i) g
     )
+    -- type contract: g ≤ n·127² fits BIGINT comfortably; HUGEINT
+    -- would reach pandas as float64 while Spark hands int64
     SELECT (a.i - 1)::INT AS i, (b.i - 1)::INT AS j,
-           sum(a.v * b.v)::HUGEINT AS g
+           sum(a.v * b.v)::BIGINT AS g
     FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
     GROUP BY 1, 2
     """,
@@ -6717,7 +6772,10 @@ def _q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gem_data_wrangle_spark.operators.similarity import gram_matrix_int
 
     emb = _t(spark, sf_dir, "embeddings")
-    return gram_matrix_int(emb, "embedding")
+    out = gram_matrix_int(emb, "embedding")
+    # graded projection: the operator's overflow-safe decimal(38,0)
+    # sum is cast long here (|g| ≤ n·127² ≪ 2⁶³ at any graded sf)
+    return out.select("i", "j", F.col("g").cast("long").alias("g"))
 
 
 # --------------------------------------------------------------------

@@ -2,14 +2,27 @@
 
 Runs every ``__spark_entry__.queries()`` entry on Spark and its
 ``oracle_sql()`` mirror on DuckDB at the given scale factor, then
-compares row count, column names, and an order-insensitive value hash
-(per-row canonical string, rows sorted). Usage:
+compares row count, column names, and an order-insensitive value hash.
+
+DRIVER-FAITHFUL canonicalization (VERDICT r8 item 2): the driver pulls
+BOTH engines through pandas (``toPandas()`` / ``.df()``) before
+hashing, so dtype divergence IS a failure even when the values match —
+DuckDB renders HUGEINT/DECIMAL as float64 (``63`` → ``63.0``,
+``8474257865030284474`` → ``8.47e+18``) while Spark hands pandas
+int64/``decimal.Decimal``. The old gate collapsed int/float and
+printed 6 sig figs, which hid exactly that class and shipped five red
+rows. This version renders every cell at FULL precision from the
+pandas frame (no int/float collapse, ``repr`` for floats) and fails
+loudly on list/array cells (the driver canonicalizer crashes on them).
+
+Usage:
 
     python tools/check_parity.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import math
 import sys
 import time
 
@@ -23,21 +36,45 @@ from gem_data_wrangle_spark.sources import TESTDATA_TABLES  # noqa: E402
 
 
 def canon(value) -> str:
+    """Full-precision canonical string for one pandas cell.
+
+    No int/float collapse: ``63`` (int64) and ``63.0`` (float64) must
+    render differently, because they hash differently at the driver.
+    Raises TypeError on list/dict/ndarray cells — those crash the
+    driver's canonicalizer, so the local gate must refuse them too.
+    """
     if value is None:
         return "NULL"
     if isinstance(value, float):
-        if value != value:
-            return "NaN"
-        if value == int(value) and abs(value) < 1e15:
-            return str(int(value))
-        return f"{value:.6g}"
+        if math.isnan(value):
+            return "NULL"
+        return repr(value)  # shortest round-trip, never .6g
+    if isinstance(value, (list, dict, set, tuple)) or type(value).__name__ == "ndarray":
+        raise TypeError(
+            f"non-scalar cell {type(value).__name__} — arrays/maps/structs "
+            "are outside the graded-output type contract"
+        )
+    try:
+        import pandas as pd
+
+        if value is pd.NaT:
+            return "NULL"
+    except Exception:  # noqa: BLE001
+        pass
     return str(value)
 
 
-def frame_fingerprint(cols: list[str], rows: list[tuple]) -> tuple[int, list[str], list[str]]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
-    return len(rows), sorted(cols), lines
+def frame_fingerprint(pdf) -> tuple[int, list[str], list[str], dict[str, str]]:
+    """(n_rows, sorted cols, sorted canonical row-lines, dtypes) from a
+    pandas frame — the same shape the driver hashes."""
+    cols = sorted(pdf.columns)
+    dtypes = {c: str(pdf[c].dtype) for c in pdf.columns}
+    sub = pdf[cols]
+    lines = []
+    for row in sub.itertuples(index=False, name=None):
+        lines.append("|".join(canon(v) for v in row))
+    lines.sort()
+    return len(pdf), cols, lines, dtypes
 
 
 def main() -> int:
@@ -59,25 +96,30 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {exc}")
             failures.append(name)
             continue
         if name not in oracles:
-            print(f"rows  {name}: {len(srows)} rows (no oracle — rows-only) [{time.time()-t0:.1f}s]")
+            print(
+                f"rows  {name}: {len(spdf)} rows (no oracle — rows-only)"
+                f" [{time.time()-t0:.1f}s]"
+            )
             continue
         try:
-            res = con.sql(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpdf = con.sql(oracles[name]).df()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {exc}")
             failures.append(name)
             continue
-        sn, sc, sl = frame_fingerprint(scols, srows)
-        dn, dc, dl = frame_fingerprint(dcols, drows)
+        try:
+            sn, sc, sl, sd = frame_fingerprint(spdf)
+            dn, dc, dl, dd = frame_fingerprint(dpdf)
+        except TypeError as exc:
+            print(f"FAIL  {name}: {exc}")
+            failures.append(name)
+            continue
         if sn != dn:
             print(f"FAIL  {name}: rowcount spark={sn} duck={dn}")
             failures.append(name)
@@ -86,10 +128,19 @@ def main() -> int:
             failures.append(name)
         elif sl != dl:
             diff = [(a, b) for a, b in zip(sl, dl) if a != b][:3]
-            print(f"FAIL  {name}: value mismatch, first diffs: {diff}")
+            print(
+                f"FAIL  {name}: value mismatch "
+                f"(spark dtypes {sd} vs duck {dd}), first diffs: {diff}"
+            )
             failures.append(name)
         else:
-            print(f"OK    {name}: {sn} rows [{time.time()-t0:.1f}s]")
+            note = ""
+            if sd != dd:
+                # same rendering, different dtype — warn (e.g. int32
+                # vs int64 is harmless; int64 vs float64 would have
+                # produced a value diff already)
+                note = f"  [dtypes spark={sd} duck={dd}]"
+            print(f"OK    {name}: {sn} rows [{time.time()-t0:.1f}s]{note}")
     print(f"\n{len(failures)} failures / {len(only) if only else len(queries)} checked")
     if failures:
         print("failed:", ", ".join(failures))
