@@ -477,43 +477,64 @@ def global_quantiles(
     local = ranged.withColumn(
         "_rn", F.row_number().over(Window.partitionBy("_pid").orderBy("_c"))
     )
-    counts = {
-        r["_pid"]: r["_cnt"]
-        for r in local.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect()
-    }
-    total, offsets = 0, {}
-    for pid in sorted(counts):
-        offsets[pid] = total
-        total += counts[pid]
-    if total == 0:
-        row = [F.lit(0).cast("long").alias("n_values")]
-        row += [F.lit(None).cast("double").alias(f"p{p}") for p in percents]
-        return spark.range(1).select(*row)
-    off_map = F.create_map(
-        *[lit for pid, off in offsets.items() for lit in (F.lit(pid), F.lit(off))]
-    )
-    ranked = local.withColumn(
-        "_grn", F.element_at(off_map, F.col("_pid")) + F.col("_rn")
-    )
-    needed: dict[int, int] = {}
-    for p in percents:
-        needed[p] = (total - 1) * p // 100 + 1
-    want = sorted({r for lo in needed.values() for r in (lo, lo + 1)})
-    aggs = []
-    for p in percents:
-        lo = needed[p]
-        aggs.append(F.max(F.when(F.col("_grn") == lo, F.col("_c"))).alias(f"_lo{p}"))
-        aggs.append(
-            F.max(F.when(F.col("_grn") == lo + 1, F.col("_c"))).alias(f"_hi{p}")
+    # persist BEFORE any action (ADVICE r8): RangePartitioner samples
+    # split points per-execution, so a second un-persisted pass could
+    # place rows differently than the counted one — stale offsets,
+    # silently wrong percentiles. Pinning the RDD makes the rank
+    # filter below read the exact partitions the counts described;
+    # both actions finish inside this call, so the cache is released
+    # before returning.
+    local = local.persist()
+    try:
+        counts = {
+            r["_pid"]: r["_cnt"]
+            for r in local.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect()
+        }
+        total, offsets = 0, {}
+        for pid in sorted(counts):
+            offsets[pid] = total
+            total += counts[pid]
+        if total == 0:
+            row = [F.lit(0).cast("long").alias("n_values")]
+            row += [F.lit(None).cast("double").alias(f"p{p}") for p in percents]
+            return spark.range(1).select(*row)
+        off_map = F.create_map(
+            *[lit for pid, off in offsets.items() for lit in (F.lit(pid), F.lit(off))]
         )
-    per = ranked.filter(F.col("_grn").isin(want)).agg(*aggs)
-    outs: list[Column] = [F.lit(total).cast("long").alias("n_values")]
+        ranked = local.withColumn(
+            "_grn", F.element_at(off_map, F.col("_pid")) + F.col("_rn")
+        )
+        needed: dict[int, int] = {}
+        for p in percents:
+            needed[p] = (total - 1) * p // 100 + 1
+        want = sorted({r for lo in needed.values() for r in (lo, lo + 1)})
+        aggs = []
+        for p in percents:
+            lo = needed[p]
+            aggs.append(
+                F.max(F.when(F.col("_grn") == lo, F.col("_c"))).alias(f"_lo{p}")
+            )
+            aggs.append(
+                F.max(F.when(F.col("_grn") == lo + 1, F.col("_c"))).alias(f"_hi{p}")
+            )
+        # ≤ 2·|percents| rows survive the filter; finishing the one
+        # output row driver-side keeps BOTH actions on the pinned
+        # cache (the bounded driver-boundary contract, same as the
+        # counts) and lets the cache be released before return.
+        hit = ranked.filter(F.col("_grn").isin(want)).agg(*aggs).collect()[0]
+    finally:
+        local.unpersist()
+    row = [F.lit(total).cast("long").alias("n_values")]
     for p in percents:
         frac = (total - 1) * p % 100
-        lo, hi = F.col(f"_lo{p}"), F.coalesce(F.col(f"_hi{p}"), F.col(f"_lo{p}"))
-        exact = lo * 100 + (hi - lo) * F.lit(frac)
-        outs.append((exact.cast("double") / (scale * 100)).alias(f"p{p}"))
-    return per.select(*outs)
+        lo = hit[f"_lo{p}"]
+        hi = hit[f"_hi{p}"] if hit[f"_hi{p}"] is not None else lo
+        # the same exact integer algebra + ONE final IEEE division the
+        # distributed expression performed (Python float division IS
+        # float64 division — bit-identical)
+        exact = lo * 100 + (hi - lo) * frac
+        row.append(F.lit(exact / (scale * 100.0)).alias(f"p{p}"))
+    return spark.range(1).select(*row)
 
 
 def cohort_retention(

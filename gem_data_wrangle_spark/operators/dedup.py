@@ -994,11 +994,16 @@ def neardup_keep_best(
     the lower id, so the winner is deterministic.
 
     Shape: candidates and closure are identical to
-    :func:`neardup_dedup`; the survivor pick is one ``max_by``
-    aggregate over (component → (score, −id)) on the CLUSTERED subset
-    only (cluster members are the small minority of a crawl), then the
-    same LEFT ANTI finish against the loser ids. No extra pass over
-    the full corpus.
+    :func:`neardup_dedup`; the survivor pick is ONE window rank over
+    the CLUSTERED subset only (cluster members are the small minority
+    of a crawl) — rows ranked past 1 within their component ARE the
+    loser ids, so no winners frame exists to join back (the r8-flagged
+    forced broadcast of an unbounded one-row-per-component frame is
+    structurally gone), then the same LEFT ANTI finish. Window state
+    is bounded by cluster size; ``(score DESC, id ASC)`` ordering
+    breaks ties on the lower id for ANY orderable id type (the old
+    ``−id`` struct trick returned NULL on string ids — ADVICE r8).
+    No extra pass over the full corpus.
     """
     from gem_data_wrangle_spark.operators.graph import (  # noqa: PLC0415
         connected_components,
@@ -1012,18 +1017,17 @@ def neardup_keep_best(
         cand, "id_a", "id_b", id_col=id_col, max_iter=max_iter,
         checkpoint_dir=checkpoint_dir,
     )
+    from pyspark.sql import Window  # noqa: PLC0415
+
     members = comp.join(
         df.select(id_col, score_col), on=id_col, how="inner"
     )
-    winners = members.groupBy("component").agg(
-        F.max_by(
-            F.col(id_col),
-            F.struct(F.col(score_col), -F.col(id_col)),
-        ).alias("_winner")
+    w = Window.partitionBy("component").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
     )
     losers = (
-        members.join(F.broadcast(winners), on="component")
-        .filter(F.col(id_col) != F.col("_winner"))
+        members.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
         .select(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")

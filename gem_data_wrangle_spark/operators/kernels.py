@@ -243,6 +243,14 @@ def surrogate_ids(
     local = ranged.withColumn(
         "_rn", F.row_number().over(Window.partitionBy("_pid").orderBy(name_col))
     )
+    # persist BEFORE the counts action (ADVICE r8): RangePartitioner
+    # samples boundaries per-execution, so without pinning, the join
+    # below would re-run the range shuffle with potentially different
+    # placement than the counted one — a stale offsets map and
+    # silently wrong/duplicate ids. The cache pins the physical RDD
+    # (fixed boundaries); even eviction-recompute replays it. Stays
+    # cached for the session — |distinct names| rows, dim-sized.
+    local = local.persist()
     counts = {
         r["_pid"]: r["_cnt"]
         for r in local.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect()

@@ -533,13 +533,20 @@ def temperature_weights(
     scaled = (
         F.col("weight_u").cast("decimal(38,0)") * F.lit(int(budget))
     ).cast("decimal(38,0)")
+    # EXACT floor, not floor-of-rounded-quotient (ADVICE r8): Spark's
+    # decimal division rounds HALF_UP to a finite scale before floor,
+    # so a true quotient with fractional part ≥ 1 − 5e-7 would floor
+    # one higher than exact integer division. (a − a mod b) / b stays
+    # in decimal integer arithmetic throughout — the key_skew_profile
+    # precedent.
+    exact_floor = (scaled - scaled % F.col("_tot")) / F.col("_tot")
     return (
         wt.crossJoin(F.broadcast(tot))
         .select(
             domain_col,
             "n_docs",
             "weight_u",
-            F.floor(scaled / F.col("_tot")).cast("long").alias("target_docs"),
+            exact_floor.cast("long").alias("target_docs"),
         )
     )
 

@@ -306,24 +306,6 @@ def sink_parquet_replace_partitions(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
-def scan_orc(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
-    """Read ORC (Spark's other built-in columnar format; common when
-    interoperating with Hive warehouses). Same pushdown properties as
-    parquet: predicate pushdown + column pruning reach the ORC reader."""
-    reader = spark.read
-    if schema is not None:
-        reader = reader.schema(schema)
-    return reader.orc(path)
-
-
-def sink_orc(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
-    """Write ORC, optionally hive-partitioned by column values."""
-    w = df.write.mode(mode)
-    if partition_by:
-        w = w.partitionBy(*partition_by)
-    w.orc(path)
-
-
 def sink_parquet_clustered(
     df: DataFrame,
     path: str,
@@ -393,14 +375,19 @@ def scan_orc(
     spark: SparkSession,
     path: str,
     columns: list[str] | None = None,
+    schema: StructType | None = None,
 ) -> DataFrame:
     """ORC source (Spark built-in, no extra package): columnar like
     parquet, with the same pushdown properties — predicate filters and
     the ``columns`` projection reach the ORC reader (PushedFilters /
     selected-column pruning in the scan node), so a 2-column read of a
-    wide table touches 2 streams. Interchange format for
-    Hive-ecosystem corpora."""
-    df = spark.read.orc(path)
+    wide table touches 2 streams. ``schema`` skips footer inference
+    (and enforces types) the same way the typed scanners do.
+    Interchange format for Hive-ecosystem corpora."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.orc(path)
     return df.select(*columns) if columns else df
 
 

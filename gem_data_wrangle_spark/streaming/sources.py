@@ -54,8 +54,10 @@ def read_socket_json(
     names a string column to cast to timestamp for event-time ops."""
     raw = read_socket_lines(spark, host, port)
     parsed = raw.select(F.from_json("value", schema).alias("_r")).select("_r.*")
-    first = parsed.columns[0]
-    out = parsed.dropna(how="all", subset=[first])
+    # corrupt-record quarantine = ALL columns null (the from_json
+    # failure shape). Checking only the first column (ADVICE r8) would
+    # silently drop valid records whose first field happens to be null.
+    out = parsed.dropna(how="all", subset=parsed.columns)
     if ts_col is not None:
         out = out.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return out

@@ -127,21 +127,6 @@ def test_sink_parquet_replace_partitions(spark, tmp_path):
     assert got == {(1, "2024"), (2, "2024"), (99, "2025")}
 
 
-def test_orc_roundtrip_partitioned(spark, tmp_path):
-    from gem_data_wrangle_spark.sources.io import scan_orc, sink_orc
-
-    df = spark.createDataFrame(
-        [(1, "a", "x"), (2, "b", "x"), (3, "c", "y")], "id bigint, v string, part string"
-    )
-    path = str(tmp_path / "orc_tbl")
-    sink_orc(df, path, partition_by=["part"])
-    back = scan_orc(spark, path)
-    assert sorted((r.id, r.v) for r in back.collect()) == [(1, "a"), (2, "b"), (3, "c")]
-    # partition pruning: filtering the partition column reads one dir
-    pruned = back.filter(back.part == "y")
-    assert pruned.count() == 1
-
-
 def test_jsonl_corrupt_record_quarantine(spark, tmp_path):
     from gem_data_wrangle_spark.sources.io import scan_jsonl
 
