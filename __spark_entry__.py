@@ -6778,6 +6778,119 @@ def _q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("i", "j", F.col("g").cast("long").alias("g"))
 
 
+# Streaming heavy hitters, exact BATCH path (VERDICT r8 item 7): the
+# Misra-Gries shard state's batch mirror — true per-key counts, top
+# `capacity` per shard (count DESC, key ASC), err = 0. The graded run
+# injects an md5-derived shard via the operator's shard_expr hook so
+# DuckDB replays the exact shard assignment (xxhash64 is
+# Spark-private); pytest covers the streaming path + MG error
+# brackets (streaming/stateful.py:250).
+@_register(
+    "heavy_hitters_batch",
+    """
+    WITH e AS (
+      SELECT CAST(user_id AS VARCHAR) AS user_id FROM events
+    ), h AS (
+      SELECT user_id, md5(user_id) AS hx FROM e
+    ), s AS (
+      SELECT user_id, CAST(({shard}) % 16 AS INT) AS shard FROM h
+    ), c AS (
+      SELECT shard, user_id, count(*) AS n FROM s GROUP BY shard, user_id
+    ), r AS (
+      SELECT shard, user_id, n,
+             row_number() OVER (PARTITION BY shard
+                                ORDER BY n DESC, user_id) AS rn
+      FROM c
+    )
+    SELECT shard, user_id, n::BIGINT AS "count", 0::BIGINT AS err
+    FROM r WHERE rn <= 8
+    """.format(shard=_md5_nibble_sum_sql("hx", 3)),
+)
+def _q_heavy_hitters_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.streaming.stateful import (
+        streaming_heavy_hitters,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("user_id")
+    )
+    shard = F.pmod(
+        F.conv(F.substring(F.md5("user_id"), 1, 3), 16, 10).cast("long"),
+        F.lit(16),
+    )
+    return streaming_heavy_hitters(
+        ev, "user_id", capacity=8, num_shards=16, shard_expr=shard
+    )
+
+
+# Socket-JSON tumbling aggregation, batch mirror (VERDICT r8 item 7):
+# the same parse_json_lines + tumbling_window_agg composition
+# read_socket_json feeds from a live TCP stream (tested end-to-end in
+# tests/test_streaming.py), replayed over deterministic JSON lines.
+# Every 13th line is junk (quarantined: all-NULL parse shape); every
+# 7th OMITS user_id — a valid record with a null FIRST field that the
+# pre-ADVICE-r8 quarantine silently dropped and this row now proves
+# survives (n_null_user counts them per window).
+@_register(
+    "socket_json_tumbling",
+    """
+    WITH e AS (
+      SELECT event_id, ts, round(value, 2) AS value FROM events
+      WHERE event_id % 13 <> 0
+    )
+    SELECT strftime(time_bucket(INTERVAL '6 hours', ts),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           (count(*) FILTER (WHERE event_id % 7 = 0))::BIGINT AS n_null_user
+    FROM e GROUP BY 1
+    """,
+)
+def _q_socket_json_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.streaming.sources import parse_json_lines
+    from gem_data_wrangle_spark.streaming.windows import tumbling_window_agg
+
+    _utc(spark)  # window bucketing + formatting are session-TZ-dependent
+    ev = _events(spark, sf_dir)
+    body = F.struct(
+        F.col("user_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.round("value", 2).alias("value"),
+    )
+    no_user = F.struct(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.round("value", 2).alias("value"),
+    )
+    lines = ev.select(
+        F.when(F.col("event_id") % 13 == 0, F.lit("{not json"))
+        .when(F.col("event_id") % 7 == 0, F.to_json(no_user))
+        .otherwise(F.to_json(body))
+        .alias("value")
+    )
+    parsed = parse_json_lines(
+        lines, "user_id bigint, ts string, value double", ts_col="ts"
+    )
+    out = tumbling_window_agg(
+        parsed,
+        "ts",
+        "6 hours",
+        [],
+        {
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.round(F.sum("value"), 2),
+            "n_null_user": F.count(F.when(F.col("user_id").isNull(), 1)),
+        },
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "n_events",
+        "sum_value",
+        "n_null_user",
+    )
+
+
 # --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------
@@ -6922,7 +7035,9 @@ _DEFER_TO_TAIL = [
     "join_left_coalesce",      # r06 green; joins.py unchanged
     "join_fallback_chain",     # r06 green; joins.py unchanged
     "expand_years",            # r06 green; kernels expand path unchanged
-    "surrogate_ids",           # r06 green; kernels two-phase path unchanged
+    # surrogate_ids RE-PROMOTED round 9: kernels.surrogate_ids gained
+    # the persist() pin (ADVICE r9 high — two-action range-partition
+    # consistency), so its green needs refreshing.
     "case_when_classify",      # r06 green; conditional.py unchanged
     "dedup_exact",             # r06 green; dedup exact path unchanged
     "text_fingerprint",        # r06 green; textops fingerprint unchanged
@@ -6993,6 +7108,55 @@ _DEFER_TO_TAIL = [
     # tables; event_zscores: asof.rolling_zscores).
     "script_fractions",        # r07 green; textops script path unchanged
     "event_zscores",           # r07 green; asof zscores path unchanged
+    # ------------------------------------------------------------------
+    # round-9 rotation (VERDICT r8 item 4): the 30 r8-green rows below
+    # demote under fingerprints; their slots go to the six round-8
+    # registrations (embedding_gram, ip_prefix_enrich,
+    # key_skew_profile, neardup_keep_best, temperature_mixture,
+    # temperature_resample_counts), the two new streaming mirrors
+    # (heavy_hitters_batch, socket_json_tumbling), re-promoted
+    # surrogate_ids, and this round's new registrations. Kept in the
+    # head besides those: flagship + the 11 reference-core rows
+    # (every round) and the queries whose graded projections or
+    # operator paths CHANGED in round 9 — dsir_logweights +
+    # dsir_resample (shared-SQL n_features cast), table_checksum,
+    # mean_pool_embeddings, pairwise_corr, event_transitions (type
+    # contract), funnel_latency (global_quantiles persist + driver
+    # finish), bloom_pruned_join (hash-type widening).
+    #
+    # tail block 5 — r8-green, byte-unchanged since:
+    "stream_running_totals",   # r08 green; stateful running_totals unchanged
+    "cdc_chunks",              # r08 green; dedup cdc path unchanged
+    "host_pagerank",           # r08 green; graph pagerank unchanged
+    "exact_jaccard_pairs",     # r08 green; dedup ppjoin path unchanged
+    "pq_encode",               # r08 green; similarity pq path unchanged
+    "pq_topk_adc",             # r08 green; similarity adc path unchanged
+    "audio_features",          # r08 green; multimodal wav path unchanged
+    "bm25_rank",               # r08 green; textops bm25 unchanged
+    "lm_quality_cut",          # r08 green; textops unigram-lm unchanged
+    "neardup_components",      # r08 green; graph closure unchanged (the
+                               # r9 dedup.py change is keep_best-only)
+    "neardup_dedup",           # r08 green; dedup minhash closure unchanged
+    "repetition_signals",      # r08 green; textops repetition unchanged
+    "ngram_decontaminate",     # r08 green; dedup ngram path unchanged
+    "event_funnel",            # r08 green; aggregates funnel_steps unchanged
+    "rollup_sum_groups",       # r08 green; aggregates rollup unchanged
+    "pivot_event_values",      # r08 green; aggregates pivot unchanged
+    "group_value_quantiles",   # r08 green; group_quantiles unchanged (the
+                               # r9 quantile fix is global_quantiles-only)
+    "cohort_retention",        # r08 green; aggregates cohort unchanged
+    "hll_distinct_counts",     # r08 green; aggregates hll unchanged
+    "hll_union_rollup",        # r08 green; aggregates hll merge unchanged
+    "cube_sum_groups",         # r08 green; aggregates cube unchanged
+    "orders_diff",             # r08 green; quality table_diff unchanged
+    "salted_enrich",           # r08 green; joins salted path unchanged
+    "rrf_hybrid_rank",         # r08 green; ranked_top_k fuse unchanged
+    "impute_median",           # r08 green; impute_group_median unchanged
+    "winsorized_values",       # r08 green; winsorize unchanged
+    "value_histogram",         # r08 green; stats histogram unchanged
+    "zorder_keys",             # r08 green; bucketing zorder unchanged
+    "mp4_probe",               # r08 green; mp4 probe walk unchanged
+    "mp4_sample_offsets",      # r08 green; mp4 sample table unchanged
 ]
 
 
@@ -7078,7 +7242,6 @@ _DEFER_HASHES: dict[str, str] = {
     "join_left_coalesce": "b9994c429932914b",
     "join_fallback_chain": "922fd078ac49f00d",
     "expand_years": "3b56946da2023aaf",
-    "surrogate_ids": "83fe3102e7d61599",
     "case_when_classify": "0a9e17b051c21a23",
     "dedup_exact": "f49df5544fb70089",
     "text_fingerprint": "20401cde9270e27b",
@@ -7126,6 +7289,36 @@ _DEFER_HASHES: dict[str, str] = {
     "char_entropy": "fa742c81c635a692",
     "script_fractions": "cd88eb613b5f1404",
     "event_zscores": "84863b9d1f8c20a9",
+    "stream_running_totals": "807a5c69f29d2cb4",
+    "cdc_chunks": "c560bf74472dedb9",
+    "host_pagerank": "5719a32790ed687a",
+    "exact_jaccard_pairs": "9dc493c25d0a3592",
+    "pq_encode": "92520dd38ba0f7f4",
+    "pq_topk_adc": "cf462f62836494d9",
+    "audio_features": "a247fccdc49eb868",
+    "bm25_rank": "f3efe262fab2b30f",
+    "lm_quality_cut": "3f00f63c7e5d0059",
+    "neardup_components": "de12f0c4d5f64199",
+    "neardup_dedup": "8b406174e0fc5035",
+    "repetition_signals": "ca33c6a05316216c",
+    "ngram_decontaminate": "cb1045ab17d25aa6",
+    "event_funnel": "51a9088efcd6bd51",
+    "rollup_sum_groups": "f0b9c84f2162f978",
+    "pivot_event_values": "8ae435e67eaa6ca9",
+    "group_value_quantiles": "ce15719932afd467",
+    "cohort_retention": "d62e7982606e8d41",
+    "hll_distinct_counts": "83c39be6f677a492",
+    "hll_union_rollup": "988da0536049b7a8",
+    "cube_sum_groups": "86597b37d33f11ca",
+    "orders_diff": "b3d032bb93945d89",
+    "salted_enrich": "afc4ca6466942d49",
+    "rrf_hybrid_rank": "b073978240fd0a6b",
+    "impute_median": "2d39e248a6626737",
+    "winsorized_values": "6f5ed7de24c0f889",
+    "value_histogram": "aeb0ca2580b1fa91",
+    "zorder_keys": "b1231593075ab8d4",
+    "mp4_probe": "f16a3127fb854d73",
+    "mp4_sample_offsets": "3aec9826b94924ff",
 }
 
 

@@ -41,6 +41,26 @@ def read_socket_lines(
     )
 
 
+def parse_json_lines(
+    lines: DataFrame, schema: str, ts_col: str | None = None
+) -> DataFrame:
+    """Parse a ``value: string`` frame of JSON lines into ``schema``
+    (a DDL string) with the corrupt-record quarantine contract:
+    unparseable lines become ALL-NULL rows (the ``from_json`` failure
+    shape) and only those are dropped — a valid record whose first
+    field is legitimately null survives (ADVICE r8). ``ts_col`` names
+    a string column cast to timestamp for event-time ops.
+
+    Pure column algebra over either a batch or a streaming frame —
+    the batch form is the replayable mirror tests and oracles grade;
+    :func:`read_socket_json` is this over a live socket."""
+    parsed = lines.select(F.from_json("value", schema).alias("_r")).select("_r.*")
+    out = parsed.dropna(how="all", subset=parsed.columns)
+    if ts_col is not None:
+        out = out.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return out
+
+
 def read_socket_json(
     spark: SparkSession,
     schema: str,
@@ -48,19 +68,10 @@ def read_socket_json(
     port: int = 9999,
     ts_col: str | None = None,
 ) -> DataFrame:
-    """JSON-lines over a socket, parsed to ``schema`` (a DDL string).
-    Unparseable lines become all-NULL rows and are dropped (corrupt-
-    record quarantine, matching scan_jsonl's contract). ``ts_col``
-    names a string column to cast to timestamp for event-time ops."""
-    raw = read_socket_lines(spark, host, port)
-    parsed = raw.select(F.from_json("value", schema).alias("_r")).select("_r.*")
-    # corrupt-record quarantine = ALL columns null (the from_json
-    # failure shape). Checking only the first column (ADVICE r8) would
-    # silently drop valid records whose first field happens to be null.
-    out = parsed.dropna(how="all", subset=parsed.columns)
-    if ts_col is not None:
-        out = out.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-    return out
+    """JSON-lines over a socket, parsed to ``schema`` (a DDL string)
+    via :func:`parse_json_lines` — unparseable lines are quarantined
+    (all-NULL shape), valid rows with null leading fields are kept."""
+    return parse_json_lines(read_socket_lines(spark, host, port), schema, ts_col)
 
 
 def read_kafka_topic(

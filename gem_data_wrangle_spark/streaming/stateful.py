@@ -237,6 +237,7 @@ def streaming_heavy_hitters(
     key_col: str,
     capacity: int = 64,
     num_shards: int = 16,
+    shard_expr: Any | None = None,
 ) -> DataFrame:
     """Bounded-memory frequent-items over an unbounded stream —
     mergeable Misra–Gries summaries (Agarwal et al., PODS 2012) kept
@@ -267,6 +268,11 @@ def streaming_heavy_hitters(
     """
     if capacity < 1 or num_shards < 1:
         raise ValueError("capacity and num_shards must be >= 1")
+    # ``shard_expr`` overrides the default xxhash64 sharding with a
+    # caller-supplied int Column (e.g. an md5-derived shard) — the
+    # hook that lets an external system (or a cross-engine oracle)
+    # replay the exact shard assignment; correctness only needs the
+    # expr to be deterministic in the key.
 
     out_schema = f"shard int, {key_col} string, count bigint, err bigint"
     state_schema = "keys array<string>, counts array<long>, err bigint"
@@ -300,9 +306,12 @@ def streaming_heavy_hitters(
 
     from pyspark.sql import functions as F  # noqa: PLC0415
 
-    shard = F.pmod(F.xxhash64(F.col(key_col).cast("string")), num_shards).cast(
-        "int"
-    )
+    if shard_expr is not None:
+        shard = shard_expr.cast("int")
+    else:
+        shard = F.pmod(
+            F.xxhash64(F.col(key_col).cast("string")), num_shards
+        ).cast("int")
     if df.isStreaming:
         return (
             df.withColumn("shard", shard)
