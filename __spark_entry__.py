@@ -6891,6 +6891,261 @@ def _q_socket_json_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-node triangle participation over a synthetic host graph (round
+# 9): degree-ordered orientation (Suri-Vassilvitskii MapReduce
+# formulation — out-degree bounded O(sqrt m), total work O(m^1.5))
+# on the Spark side; the oracle enumerates a<b<c adjacency directly,
+# so a miscounted orientation cannot agree with it. Graph: overlap-
+# ping node ranges so triangles exist (a bipartite split would
+# vacuously emit zero).
+@_register(
+    "host_triangles",
+    """
+    WITH raw AS (
+      SELECT o_custkey % 100 AS src, o_orderkey % 150 AS dst FROM orders
+    ), e AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst
+    ), t AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), n AS (
+      SELECT x AS node FROM t
+      UNION ALL SELECT y FROM t
+      UNION ALL SELECT z FROM t
+    )
+    SELECT node, count(*) AS n_triangles FROM n GROUP BY node
+    """,
+)
+def _q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.graph import triangle_count
+
+    edges = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 100).alias("src"),
+        (F.col("o_orderkey") % 150).alias("dst"),
+    )
+    return triangle_count(edges)
+
+
+# Mergeable histogram-quantile sketch (round 9): same 20-bin cents
+# domain as value_histogram, but finished into guaranteed-width
+# quantile BRACKETS — the summable approximate-quantile path for
+# shard/day merging where group_quantiles' exact ranks would re-rank
+# raw rows. Both engines replay the identical integer bin/rank
+# algebra; only comparisons touch the wide cumulative sums, so no
+# HUGEINT reaches the projection.
+@_register(
+    "sketch_quantiles",
+    """
+    WITH e AS (
+      SELECT event_type,
+             least(greatest((CAST(round(value * 100) AS BIGINT) * 20)
+                            // 50000, 0), 19) AS bin
+      FROM events WHERE value IS NOT NULL
+    ), c AS (
+      SELECT event_type, bin, count(*) AS n FROM e GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type, bin, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(n) OVER (PARTITION BY event_type) AS tot
+      FROM c
+    )
+    SELECT event_type, max(tot)::BIGINT AS n_values,
+      min(CASE WHEN cum >= ((tot - 1) * 50) // 100 + 1
+               THEN bin * 2500 END)::BIGINT AS p50_lo,
+      (min(CASE WHEN cum >= ((tot - 1) * 50) // 100 + 1
+                THEN bin * 2500 END) + 2500)::BIGINT AS p50_hi,
+      min(CASE WHEN cum >= ((tot - 1) * 95) // 100 + 1
+               THEN bin * 2500 END)::BIGINT AS p95_lo,
+      (min(CASE WHEN cum >= ((tot - 1) * 95) // 100 + 1
+                THEN bin * 2500 END) + 2500)::BIGINT AS p95_hi
+    FROM s GROUP BY event_type
+    """,
+)
+def _q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.sketches import histogram_quantiles
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
+    )
+    return histogram_quantiles(
+        ev, ["event_type"], "v", n_bins=20, lo=0, hi=50000, percents=(50, 95)
+    )
+
+
+# Declarative constraint validation (round 9): orders deterministically
+# DIRTIED (nulled clerks, negated prices, bogus statuses/priorities,
+# broken FKs, duplicated keys) then validated — every rule must count
+# its planted violations exactly. Row-local rules fuse into one scan;
+# unique/fk cost their inherent aggregate/anti-join.
+_DIRTY_ORDERS_SQL = """
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 31 = 0 THEN NULL
+             ELSE o_orderdate END AS o_orderdate,
+        CASE WHEN o_orderkey % 23 = 0 THEN -o_totalprice
+             ELSE o_totalprice END AS o_totalprice,
+        CASE WHEN o_orderkey % 41 = 0 THEN 'X'
+             ELSE o_orderstatus END AS o_orderstatus,
+        CASE WHEN o_orderkey % 37 = 0 THEN 'bogus'
+             ELSE o_orderpriority END AS o_orderpriority,
+        CASE WHEN o_orderkey % 53 = 0 THEN o_custkey + 100000000
+             ELSE o_custkey END AS o_custkey
+      FROM orders
+"""
+
+
+@_register(
+    "constraint_report",
+    f"""
+    WITH m AS ({_DIRTY_ORDERS_SQL}),
+    t AS (
+      SELECT * FROM m
+      UNION ALL SELECT * FROM m WHERE o_orderkey % 97 = 0
+    ), nr AS (SELECT count(*) AS n FROM t)
+    SELECT 'r0' AS rule_id, 'not_null' AS rule, 'o_orderdate' AS "column",
+           nr.n::BIGINT AS n_rows,
+           (SELECT count(*) FROM t WHERE o_orderdate IS NULL)::BIGINT
+             AS n_violations FROM nr
+    UNION ALL
+    SELECT 'r1', 'in_range', 'o_totalprice', nr.n::BIGINT,
+           (SELECT count(*) FROM t
+            WHERE o_totalprice IS NOT NULL
+              AND (o_totalprice < 0 OR o_totalprice > 600000))::BIGINT
+    FROM nr
+    UNION ALL
+    SELECT 'r2', 'in_set', 'o_orderstatus', nr.n::BIGINT,
+           (SELECT count(*) FROM t
+            WHERE o_orderstatus IS NOT NULL
+              AND o_orderstatus NOT IN ('O', 'F', 'P'))::BIGINT
+    FROM nr
+    UNION ALL
+    SELECT 'r3', 'regex', 'o_orderpriority', nr.n::BIGINT,
+           (SELECT count(*) FROM t
+            WHERE o_orderpriority IS NOT NULL
+              AND NOT regexp_matches(o_orderpriority, '^[1-5]-'))::BIGINT
+    FROM nr
+    UNION ALL
+    SELECT 'r4', 'unique', 'o_orderkey', nr.n::BIGINT,
+           ((SELECT count(*) FROM t)
+            - (SELECT count(DISTINCT o_orderkey) FROM t))::BIGINT
+    FROM nr
+    UNION ALL
+    SELECT 'r5', 'foreign_key', 'o_custkey', nr.n::BIGINT,
+           (SELECT count(*) FROM t
+            WHERE o_custkey IS NOT NULL
+              AND o_custkey NOT IN (SELECT c_custkey FROM customer))::BIGINT
+    FROM nr
+    """,
+)
+def _q_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.quality import validate_constraints
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    m = o.select(
+        k.alias("o_orderkey"),
+        F.when(k % 31 == 0, F.lit(None).cast("date"))
+        .otherwise(F.col("o_orderdate"))
+        .alias("o_orderdate"),
+        F.when(k % 23 == 0, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(k % 41 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(k % 37 == 0, F.lit("bogus"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+        F.when(k % 53 == 0, F.col("o_custkey") + 100000000)
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+    )
+    t = m.unionAll(m.filter(k % 97 == 0))
+    cust = _t(spark, sf_dir, "customer")
+    rules = [
+        {"rule": "not_null", "column": "o_orderdate"},
+        {"rule": "in_range", "column": "o_totalprice", "lo": 0, "hi": 600000},
+        {"rule": "in_set", "column": "o_orderstatus", "values": ["O", "F", "P"]},
+        {"rule": "regex", "column": "o_orderpriority", "pattern": "^[1-5]-"},
+        {"rule": "unique", "columns": ["o_orderkey"]},
+        {
+            "rule": "foreign_key",
+            "column": "o_custkey",
+            "ref": cust,
+            "ref_column": "c_custkey",
+        },
+    ]
+    return validate_constraints(t, rules)
+
+
+# Exact windowed distinct (round 9): unique users per 6-hour window
+# per event type — the dedup-then-count composition whose streaming
+# form chains two bounded stateful operators (plan-analysis-tested);
+# this is its batch mirror.
+@_register(
+    "windowed_distinct_users",
+    """
+    SELECT strftime(time_bucket(INTERVAL '6 hours', ts),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY 1, 2
+    """,
+)
+def _q_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.streaming.windows import (
+        windowed_distinct_count,
+    )
+
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    out = windowed_distinct_count(
+        ev, "ts", "6 hours", "user_id", group_cols=["event_type"]
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "n_distinct",
+    )
+
+
+# Event-type co-occurrence lift (round 9): association mining over
+# per-user presence sets — exact integer counts, one IEEE division.
+@_register(
+    "event_cooccurrence",
+    """
+    WITH p AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), nk AS (
+      SELECT count(DISTINCT user_id) AS n FROM p
+    ), m AS (
+      SELECT event_type, count(*) AS ni FROM p GROUP BY 1
+    ), pr AS (
+      SELECT a.event_type AS item_a, b.event_type AS item_b,
+             count(*) AS n_both
+      FROM p a JOIN p b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, n_both, ma.ni AS n_a, mb.ni AS n_b,
+           round((nk.n::DOUBLE * n_both::DOUBLE)
+                 / (ma.ni::DOUBLE * mb.ni::DOUBLE), 6) AS lift
+    FROM pr
+    JOIN m ma ON pr.item_a = ma.event_type
+    JOIN m mb ON pr.item_b = mb.event_type
+    CROSS JOIN nk
+    """,
+)
+def _q_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.stats import cooccurrence_lift
+
+    ev = _events(spark, sf_dir)
+    return cooccurrence_lift(ev, "user_id", "event_type")
+
+
 # --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------

@@ -230,3 +230,83 @@ def pagerank(
         if it < iterations - 1:
             ranks = ckpt(ranks, True)
     return ranks.select(F.col("v").alias(id_col), F.col("r").alias(rank_col))
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    out_col: str = "n_triangles",
+) -> DataFrame:
+    """Per-node triangle participation counts over an UNDIRECTED graph
+    — the clustering-coefficient numerator and the standard
+    link-spam / community-density signal for host-graph curation
+    (complements :func:`pagerank` and :func:`connected_components`).
+
+    Algorithm: degree-ordered edge orientation (the MapReduce-classic
+    Cohen / Suri-Vassilvitskii formulation). Edges canonicalize to
+    ``a < b`` (self-loops and duplicates dropped), every endpoint gets
+    its degree, and each edge is oriented from its LOWER-rank endpoint
+    to its higher, where rank = (degree, node) — a total order. Every
+    triangle then has exactly ONE wedge rooted at its lowest-rank
+    vertex, so the wedge self-join ``(u→v) ⋈ (u→w), rank(v)<rank(w)``
+    followed by the closing-edge join ``(v→w)`` enumerates each
+    triangle once.
+
+    Scale: orientation bounds every node's OUT-degree by O(√m) — the
+    celebrity node with 10⁸ followers contributes wedges only through
+    edges where it is the HIGHER-rank endpoint, so the wedge join's
+    per-key fan-out is √m instead of degree² (total work O(m^1.5),
+    the best known for exact counting). Three hash-partitioned
+    equi-joins (wedge root u, then closing edge on (v, w)), one
+    explode of 3 rows per triangle, one count aggregate — no driver
+    data, no unbounded broadcast.
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("_a").alias("_n"))
+        .unionAll(e.select(F.col("_b").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    da = deg.select(F.col("_n").alias("_a"), F.col("_d").alias("_da"))
+    db = deg.select(F.col("_n").alias("_b"), F.col("_d").alias("_db"))
+    ranked = e.join(da, "_a").join(db, "_b")
+    lower_first = F.struct(F.col("_da"), F.col("_a")) < F.struct(
+        F.col("_db"), F.col("_b")
+    )
+    o = ranked.select(
+        F.when(lower_first, F.col("_a")).otherwise(F.col("_b")).alias("_u"),
+        F.when(lower_first, F.col("_b")).otherwise(F.col("_a")).alias("_v"),
+        F.when(lower_first, F.col("_db")).otherwise(F.col("_da")).alias("_dv"),
+    )
+    e1 = o.select(
+        F.col("_u"), F.col("_v").alias("_v1"), F.col("_dv").alias("_dv1")
+    )
+    e2 = o.select(
+        F.col("_u"), F.col("_v").alias("_v2"), F.col("_dv").alias("_dv2")
+    )
+    wedges = e1.join(e2, "_u").filter(
+        F.struct(F.col("_dv1"), F.col("_v1"))
+        < F.struct(F.col("_dv2"), F.col("_v2"))
+    )
+    closing = o.select(F.col("_u").alias("_cu"), F.col("_v").alias("_cv"))
+    tri = wedges.join(
+        closing,
+        (F.col("_cu") == F.col("_v1")) & (F.col("_cv") == F.col("_v2")),
+    ).select("_u", "_v1", "_v2")
+    return (
+        tri.select(
+            F.explode(F.array(F.col("_u"), F.col("_v1"), F.col("_v2"))).alias(
+                node_col
+            )
+        )
+        .groupBy(node_col)
+        .agg(F.count(F.lit(1)).alias(out_col))
+    )

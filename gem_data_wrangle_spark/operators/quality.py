@@ -200,3 +200,116 @@ def table_diff(
         .otherwise(F.lit("unchanged"))
     )
     return joined.select(*key_cols, status.alias("diff_status"))
+
+
+def validate_constraints(
+    df: DataFrame,
+    rules: Sequence[dict],
+) -> DataFrame:
+    """Declarative constraint validation — the expectations engine
+    (Deequ / Great-Expectations shape) a production table runs before
+    anything trains on it. Each rule is a dict:
+
+    - ``{"rule": "not_null", "column": c}``
+    - ``{"rule": "in_range", "column": c, "lo": x, "hi": y}`` —
+      violations are non-null values outside ``[lo, hi]``
+    - ``{"rule": "in_set", "column": c, "values": [...]}``
+    - ``{"rule": "regex", "column": c, "pattern": r"..."}`` — non-null
+      values NOT fully matching
+    - ``{"rule": "unique", "columns": [c, ...]}`` — violations =
+      surplus copies (``n_rows − n_distinct_keys``)
+    - ``{"rule": "foreign_key", "column": c, "ref": DataFrame,
+      "ref_column": rc}`` — non-null values absent from the reference
+
+    Returns one row per rule: ``(rule_id, rule, column, n_rows,
+    n_violations)`` — data, not exceptions, so a scheduler can gate on
+    thresholds and a dashboard can trend them.
+
+    Plan/scale: ALL row-local rules (not_null / in_range / in_set /
+    regex) fuse into a SINGLE scan + aggregate — one pass over the
+    100 TB table no matter how many such rules. ``unique`` costs one
+    hash aggregate per distinct key-set; ``foreign_key`` one
+    anti-join counted (AQE broadcasts the reference while it fits).
+    The result is a union of 1-row aggregates — bounded by |rules|.
+    """
+    row_local: list[tuple[str, str, str, Column]] = []
+    frames: dict[str, DataFrame] = {}
+    order: list[str] = []
+    for i, r in enumerate(rules):
+        kind = r["rule"]
+        rid = f"r{i}"
+        order.append(rid)
+        if kind == "not_null":
+            c = F.col(r["column"])
+            row_local.append((rid, kind, r["column"], c.isNull()))
+        elif kind == "in_range":
+            c = F.col(r["column"])
+            bad = c.isNotNull() & ((c < F.lit(r["lo"])) | (c > F.lit(r["hi"])))
+            row_local.append((rid, kind, r["column"], bad))
+        elif kind == "in_set":
+            c = F.col(r["column"])
+            bad = c.isNotNull() & ~c.isin(list(r["values"]))
+            row_local.append((rid, kind, r["column"], bad))
+        elif kind == "regex":
+            c = F.col(r["column"])
+            bad = c.isNotNull() & ~c.rlike(r["pattern"])
+            row_local.append((rid, kind, r["column"], bad))
+        elif kind == "unique":
+            cols = list(r["columns"])
+            per_key = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("_c"))
+            frames[rid] = per_key.agg(
+                F.lit(rid).alias("rule_id"),
+                F.lit(kind).alias("rule"),
+                F.lit(",".join(cols)).alias("column"),
+                F.sum("_c").cast("long").alias("n_rows"),
+                (F.sum("_c") - F.count(F.lit(1)))
+                .cast("long")
+                .alias("n_violations"),
+            )
+        elif kind == "foreign_key":
+            c, ref, rc = r["column"], r["ref"], r["ref_column"]
+            missing = (
+                df.select(F.col(c).alias("_k"))
+                .filter(F.col("_k").isNotNull())
+                .join(
+                    ref.select(F.col(rc).alias("_k")).distinct(),
+                    on="_k",
+                    how="left_anti",
+                )
+            )
+            n_rows = df.agg(F.count(F.lit(1)).alias("_n"))
+            frames[rid] = (
+                missing.agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+                .crossJoin(F.broadcast(n_rows))
+                .select(
+                    F.lit(rid).alias("rule_id"),
+                    F.lit(kind).alias("rule"),
+                    F.lit(c).alias("column"),
+                    F.col("_n").cast("long").alias("n_rows"),
+                    "n_violations",
+                )
+            )
+        else:
+            raise ValueError(f"unknown rule kind: {kind!r}")
+    if row_local:
+        aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+        for rid, _, _, bad in row_local:
+            aggs.append(
+                F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias(f"_v_{rid}")
+            )
+        one = df.agg(*aggs)
+        for rid, kind, col, _ in row_local:
+            frames[rid] = one.select(
+                F.lit(rid).alias("rule_id"),
+                F.lit(kind).alias("rule"),
+                F.lit(col).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_v_{rid}").alias("n_violations"),
+            )
+    if not frames:
+        raise ValueError("validate_constraints: no rules given")
+    ordered = [frames[rid] for rid in order]
+    out = ordered[0]
+    for f in ordered[1:]:
+        out = out.unionByName(f)
+    return out

@@ -207,3 +207,75 @@ def hll_window_registers(
         .withColumn("window_end", F.col("_w.end"))
         .drop("_w")
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    n_bins: int,
+    lo: int,
+    hi: int,
+    percents: Sequence[int] = (50, 95),
+) -> DataFrame:
+    """Mergeable fixed-bin quantile SKETCH over an integer-valued
+    column with a caller-stated domain ``[lo, hi)`` — per group, the
+    exact count plus a ``[p_lo, p_hi)`` BIN BRACKET guaranteed to
+    contain the exact rank-``p`` value, error ≤ one bin width by
+    construction.
+
+    Where :func:`aggregates.group_quantiles` ranks every row (exact
+    but one window pass over the full data per group) and
+    ``approx_percentile`` gives an engine-private KLL-style estimate
+    (not replayable cross-engine), this is the MERGEABLE middle:
+    the summary is just bin counts — shards/engines/days sum their
+    histograms and the bracket query runs on the merged summary, the
+    same additivity as the HLL register table above. Deterministic by
+    construction (exact integer bin edges, exact counts, exact
+    ranks), so the bracket is hash-verifiable cross-engine.
+
+    Rank convention matches group_quantiles: ``r_p = (n−1)·p div 100
+    + 1``; the bracket is the FIRST bin whose cumulative count
+    reaches ``r_p``. Values outside the stated domain clamp into the
+    edge bins (their brackets then conservatively include the edge).
+
+    Plan/scale: one hash aggregate (map-side combined) down to
+    ``|groups| × n_bins`` rows, a cumulative-sum window whose
+    partitions are ≤ ``n_bins`` rows (bounded state — never row
+    count), one finishing aggregate. The raw data is touched once.
+    """
+    if (hi - lo) % n_bins != 0:
+        raise ValueError("hi - lo must be a multiple of n_bins")
+    from gem_data_wrangle_spark.operators.stats import (  # noqa: PLC0415
+        equal_width_histogram,
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    width = (hi - lo) // n_bins
+    counts = equal_width_histogram(df, group_cols, value_col, n_bins, lo, hi)
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*group_cols)
+    cum = counts.withColumn("_cum", F.sum("n_rows").over(wcum)).withColumn(
+        "_n", F.sum("n_rows").over(wall)
+    )
+    aggs = [F.max("_n").cast("long").alias("n_values")]
+    for p in percents:
+        rank = F.expr(f"((_n - 1) * {int(p)}) div 100 + 1")
+        aggs.append(
+            F.min(F.when(F.col("_cum") >= rank, F.col("bin_lo")))
+            .cast("long")
+            .alias(f"p{p}_lo")
+        )
+    out = cum.groupBy(*group_cols).agg(*aggs)
+    for p in percents:
+        out = out.withColumn(
+            f"p{p}_hi", (F.col(f"p{p}_lo") + F.lit(width)).cast("long")
+        )
+    cols = list(group_cols) + ["n_values"]
+    for p in percents:
+        cols += [f"p{p}_lo", f"p{p}_hi"]
+    return out.select(*cols)

@@ -125,3 +125,66 @@ def equal_width_histogram(
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .withColumn("bin_lo", (F.lit(lo) + F.col("bin_idx") * width).cast("long"))
     )
+
+
+def cooccurrence_lift(
+    df: DataFrame,
+    key_col: str,
+    item_col: str,
+    min_both: int = 1,
+    decimals: int = 6,
+) -> DataFrame:
+    """Item co-occurrence with lift — for every unordered item pair
+    ``(a < b)`` that appears together under at least ``min_both``
+    keys: the exact co-occurrence/marginal counts and
+    ``lift = n_keys·n_both / (n_a·n_b)`` (> 1 ⇔ positive
+    association). The association-mining primitive behind "users who
+    X also Y" and token-collocation scoring.
+
+    Determinism: all four counts are exact integers from hash
+    aggregates; lift is ONE IEEE division of exact products, rounded
+    to ``decimals`` — cross-engine stable (the integer-sufficient-
+    statistics rule, same as ``integer_pair_stats``).
+
+    Plan/scale: presence set = one distinct on (key, item); the pair
+    self-join is per-key, so fan-out per key is C(items-per-key, 2) —
+    bounded by the ITEM VOCABULARY per key, not the corpus (a key
+    with 40 distinct items emits 780 pairs; a key seen 10⁶ times
+    still emits 780). Marginals ride a broadcast-sized |items| frame;
+    the 1-row key count broadcasts. For long-tailed item sets cap
+    items-per-key upstream (top-k per key) — the standard
+    market-basket guard.
+    """
+    present = df.select(key_col, item_col).distinct()
+    n_keys = present.select(key_col).distinct().agg(
+        F.count(F.lit(1)).alias("_nk")
+    )
+    marg = present.groupBy(item_col).agg(F.count(F.lit(1)).alias("_ni"))
+    a = present.select(F.col(key_col).alias("_k"), F.col(item_col).alias("item_a"))
+    b = present.select(F.col(key_col).alias("_k"), F.col(item_col).alias("item_b"))
+    pairs = (
+        a.join(b, "_k")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= min_both)
+    )
+    ma = marg.select(F.col(item_col).alias("item_a"), F.col("_ni").alias("n_a"))
+    mb = marg.select(F.col(item_col).alias("item_b"), F.col("_ni").alias("n_b"))
+    return (
+        pairs.join(ma, "item_a")
+        .join(mb, "item_b")
+        .crossJoin(F.broadcast(n_keys))
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                (F.col("_nk").cast("double") * F.col("n_both").cast("double"))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                decimals,
+            ).alias("lift"),
+        )
+    )

@@ -148,3 +148,46 @@ def stream_static_enrich(
     Left/inner only: stream-static right/full joins are unsupported by
     Structured Streaming."""
     return stream.join(dim, on=on, how=how)
+
+
+def windowed_distinct_count(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+    watermark: str | None = None,
+) -> DataFrame:
+    """EXACT distinct keys per tumbling window (per group) — "unique
+    users per hour", the counting question HLL answers approximately
+    and this answers exactly where exactness is required (billing,
+    dedup audits).
+
+    Shape: assign the window, then ``dropDuplicates`` on
+    ``(window, groups, key)``, then a plain count — the first
+    stateful op holds one row per distinct (window, group, key), the
+    second one counter per (window, group). In streaming mode the
+    watermark bounds both states: the window column carries event
+    time, so state for closed windows is evicted (chained stateful
+    operators in append mode — Spark 3.4+). The batch form is the
+    identical plan minus state, and is what the oracle replays.
+
+    Scale: both shuffles key on the window+group (+key for the
+    dedup); a hot window/group pair still distributes across the
+    dedup's key dimension first, so no single reducer sees a whole
+    window unless one (window, group, key) triple does — which is one
+    row. Contrast ``groupBy(window).agg(countDistinct(key))``, which
+    builds the full distinct set per reducer row.
+    """
+    src = _maybe_watermark(df, ts_col, watermark)
+    win = src.select(
+        F.window(ts_col, duration).alias("window"), *group_cols, key_col
+    )
+    dedup = win.dropDuplicates(["window", *group_cols, key_col])
+    return (
+        dedup.groupBy("window", *group_cols)
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+        .withColumn("window_start", F.col("window.start"))
+        .withColumn("window_end", F.col("window.end"))
+        .drop("window")
+    )
