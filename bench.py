@@ -90,6 +90,14 @@ HEADLINE = [
     "bloom_pruned_join",
     "ip_prefix_enrich",
     "mp4_sample_offsets",
+    # round 9: the new graph/sketch/quality families — degree-oriented
+    # triangle counting (three hash joins over an oriented edge list),
+    # the mergeable histogram-quantile sketch (one scan + bounded
+    # window), and the fused constraint validator (row-local rules in
+    # ONE aggregate + unique/fk shuffles)
+    "host_triangles",
+    "sketch_quantiles",
+    "constraint_report",
 ]
 
 

@@ -96,7 +96,14 @@ CASES = {
     "key_skew_profile": "skew profile — partial-combined key counts, 1-row total broadcast, TakeOrderedAndProject head; no unbounded single-partition stage",
     "temperature_mixture": "temperature mixture targets — one grouped count + 1-row total broadcast; sqrt/decimal integer algebra, no window",
     "temperature_resample_counts": "applied temperature resample — per-DOMAIN rank window (bounded partitions) + broadcast target join + count",
-    "neardup_keep_best": "quality-aware near-dup survivor — LSH candidates + closure + max_by per component on the clustered MINORITY, LEFT ANTI finish",
+    "neardup_keep_best": "quality-aware near-dup survivor — LSH candidates + closure + per-component rank window on the clustered MINORITY (no winners frame, no forced broadcast), LEFT ANTI finish",
+    # round 9
+    "host_triangles": "triangle counting — degree-ordered orientation caps out-degree at O(sqrt m); wedge + closing-edge hash joins, 3-row explode, ONE count aggregate",
+    "sketch_quantiles": "histogram-quantile sketch — one scan to |groups|x n_bins counts, cumulative window over <=n_bins-row partitions, finishing aggregate",
+    "constraint_report": "constraint validation — ALL row-local rules in ONE scan+aggregate; unique adds a key aggregate, foreign_key one counted anti-join",
+    "windowed_distinct_users": "windowed distinct — window-assign + dropDuplicates + count: two shuffles keyed on (window, group[, key]), no per-reducer distinct sets",
+    "event_cooccurrence": "co-occurrence lift — per-key pair self-join (fan-out = items-per-key choose 2), marginals join, 1-row key-count broadcast",
+    "heavy_hitters_batch": "heavy hitters batch mirror — shard expr + partial-combined counts + per-shard rank window over bounded partitions",
 }
 
 INTERESTING = (
