@@ -7146,6 +7146,214 @@ def _q_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cooccurrence_lift(ev, "user_id", "event_type")
 
 
+# Incremental aggregate maintenance (round 9): events split into two
+# disjoint partials (even/odd day) that MERGE back — the graded
+# identity is finish(merge(partial(A), partial(B))) ==
+# full-recompute, which the oracle states as the direct aggregate.
+# The sum column is exact integer cents (mergeability demands exact
+# partials); the mean is one IEEE division at finish time.
+@_register(
+    "incremental_daily_totals",
+    """
+    WITH e AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+             event_id
+      FROM events
+    )
+    SELECT event_type, count(*) AS n_rows,
+           sum(cents)::BIGINT AS sum_cents,
+           min(event_id) AS min_event_id, max(event_id) AS max_event_id,
+           round(sum(cents)::DOUBLE / count(*)::DOUBLE, 6) AS mean_cents
+    FROM e GROUP BY event_type
+    """,
+)
+def _q_incremental_daily_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.incremental import (
+        finish_aggregates,
+        merge_partial_aggregates,
+        partial_aggregates,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+        F.dayofmonth("ts").alias("_day"),
+    )
+    parts = [
+        partial_aggregates(
+            ev.filter(F.col("_day") % 2 == par).drop("_day"),
+            ["event_type"],
+            sum_cols=["cents"],
+            min_cols=["event_id"],
+            max_cols=["event_id"],
+        )
+        for par in (0, 1)
+    ]
+    merged = merge_partial_aggregates(parts, ["event_type"])
+    return finish_aggregates(merged, mean_of=["cents"])
+
+
+# TIFF/EXIF metadata probe (round 9): per-doc synthesized TIFFs —
+# BOTH byte orders (doc_id parity), real IFD walk with indirected
+# ASCII values and the ExifIFD sub-directory; junk docs quarantine as
+# not_tiff, half-cut docs as truncated (the cut always lands inside
+# IFD0, so bounds checking is load-bearing). Oracle restates every
+# field from the same doc_id arithmetic — a round-trip proof the
+# walker inverts the builder (the mp4_probe pattern).
+@_register(
+    "exif_probe",
+    """
+    SELECT doc_id AS id,
+      CASE WHEN doc_id % 13 = 5 THEN 'not_tiff'
+           WHEN doc_id % 11 = 7 THEN 'truncated'
+           ELSE 'ok' END AS probe_status,
+      CASE WHEN doc_id % 13 = 5 THEN NULL
+           WHEN doc_id % 2 = 1 THEN 'MM' ELSE 'II' END AS byte_order,
+      CASE WHEN doc_id % 13 = 5 OR doc_id % 11 = 7 THEN NULL
+           ELSE 16 * (doc_id % 50 + 1) END::INT AS width,
+      CASE WHEN doc_id % 13 = 5 OR doc_id % 11 = 7 THEN NULL
+           ELSE 8 * (doc_id % 40 + 2) END::INT AS height,
+      CASE WHEN doc_id % 13 = 5 OR doc_id % 11 = 7 THEN NULL
+           ELSE doc_id % 8 + 1 END::INT AS orientation,
+      CASE WHEN doc_id % 13 = 5 OR doc_id % 11 = 7 THEN NULL
+           ELSE 'Maker' || CAST(doc_id % 5 AS VARCHAR) END AS make,
+      CASE WHEN doc_id % 13 = 5 OR doc_id % 11 = 7 THEN NULL
+           ELSE 'Cam' || CAST(doc_id % 9 AS VARCHAR) END AS model,
+      CASE WHEN doc_id % 13 = 5 OR doc_id % 11 = 7 THEN NULL
+           ELSE printf('%04d:%02d:%02d 00:00:00',
+                       2000 + doc_id % 20, doc_id % 12 + 1,
+                       doc_id % 28 + 1) END AS datetime,
+      CASE WHEN doc_id % 13 = 5 OR doc_id % 11 = 7 THEN NULL
+           ELSE 100 * (doc_id % 32 + 1) END::INT AS iso,
+      CASE WHEN doc_id % 13 = 5 OR doc_id % 11 = 7 THEN NULL
+           ELSE 7 END::INT AS n_ifd0_entries
+    FROM documents
+    """,
+)
+def _q_exif_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: PLC0415
+
+    from gem_data_wrangle_spark.operators.tiff_exif import (
+        build_tiff,
+        tiff_probe,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 13 == 5:
+                    payloads.append(b"JUNKJUNKJUNK")
+                    continue
+                buf = build_tiff(
+                    width=16 * (did % 50 + 1),
+                    height=8 * (did % 40 + 2),
+                    orientation=did % 8 + 1,
+                    make=f"Maker{did % 5}",
+                    model=f"Cam{did % 9}",
+                    datetime_str=(
+                        f"{2000 + did % 20:04d}:{did % 12 + 1:02d}:"
+                        f"{did % 28 + 1:02d} 00:00:00"
+                    ),
+                    iso=100 * (did % 32 + 1),
+                    big_endian=bool(did % 2),
+                )
+                payloads.append(buf[: len(buf) // 2] if did % 11 == 7 else buf)
+            yield pd.DataFrame({"id": pdf["doc_id"], "media": payloads})
+
+    media = docs.mapInPandas(synth, "id bigint, media binary")
+    return tiff_probe(media)
+
+
+# k-anonymity audit (round 9): customers bucketed on
+# (nation, segment, coarse balance) quasi-identifiers — small buckets
+# ARE re-identifiable, so the violation counts are non-trivial. The
+# balance bucket shifts cents positive before integer division so
+# Spark's truncating div and DuckDB's flooring // agree.
+@_register(
+    "privacy_audit",
+    """
+    WITH q AS (
+      SELECT c_nationkey, c_mktsegment,
+             (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000
+               AS bal_bucket
+      FROM customer
+    ), g AS (
+      SELECT c_nationkey, c_mktsegment, bal_bucket, count(*) AS c
+      FROM q GROUP BY 1, 2, 3
+    )
+    SELECT 5::INT AS k, sum(c)::BIGINT AS n_rows,
+           count(*)::BIGINT AS n_groups,
+           sum(CASE WHEN c < 5 THEN 1 ELSE 0 END)::BIGINT
+             AS n_violating_groups,
+           sum(CASE WHEN c < 5 THEN c ELSE 0 END)::BIGINT
+             AS n_rows_at_risk,
+           ((sum(CASE WHEN c < 5 THEN c ELSE 0 END) * 1000000)
+            // sum(c))::BIGINT AS at_risk_ppm
+    FROM g
+    """,
+)
+def _q_privacy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.quality import k_anonymity
+
+    q = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            "(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 100000"
+        ).alias("bal_bucket"),
+    )
+    return k_anonymity(q, ["c_nationkey", "c_mktsegment", "bal_bucket"], k=5)
+
+
+# Golden-record survivorship (round 9): per-user profile where each
+# field independently keeps its latest NON-NULL value (field-level
+# survivorship — a newer row's null must NOT clobber an older fact).
+# Fields are sparse by construction (each present on a disjoint
+# event_id residue class), ordered by the globally-unique event_id.
+@_register(
+    "golden_user_profile",
+    """
+    WITH e AS (
+      SELECT user_id, event_id,
+             CASE WHEN event_id % 3 = 0
+                  THEN 'em_' || CAST(event_id AS VARCHAR) END AS email,
+             CASE WHEN event_id % 4 = 1
+                  THEN 'ph_' || CAST(event_id AS VARCHAR) END AS phone
+      FROM events
+    )
+    SELECT user_id,
+           arg_max(email, event_id) FILTER (WHERE email IS NOT NULL)
+             AS email,
+           arg_max(phone, event_id) FILTER (WHERE phone IS NOT NULL)
+             AS phone,
+           count(*) AS n_versions,
+           max(event_id) AS last_event_id
+    FROM e GROUP BY user_id
+    """,
+)
+def _q_golden_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.quality import golden_record
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(F.lit("em_"), F.col("event_id").cast("string")),
+        ).alias("email"),
+        F.when(
+            F.col("event_id") % 4 == 1,
+            F.concat(F.lit("ph_"), F.col("event_id").cast("string")),
+        ).alias("phone"),
+    )
+    return golden_record(ev, ["user_id"], "event_id", ["email", "phone"])
+
+
 # --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------

@@ -313,3 +313,83 @@ def validate_constraints(
     for f in ordered[1:]:
         out = out.unionByName(f)
     return out
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination — the
+    re-identification risk gate a training corpus carrying user
+    attributes runs before release (Sweeney 2002). A row is AT RISK
+    when its quasi-identifier tuple is shared by fewer than ``k``
+    rows.
+
+    Returns ONE summary row: ``(k, n_rows, n_groups,
+    n_violating_groups, n_rows_at_risk, at_risk_ppm)`` — ppm as exact
+    integer floor division (the engine's no-half-boundary rule).
+    Suppressing the at-risk rows (an anti-join on the violating
+    tuples) yields a k-anonymous table; this operator measures, the
+    caller decides.
+
+    Plan/scale: ONE hash aggregate to |quasi tuples| rows (map-side
+    combined), one bounded finishing aggregate. The raw table is
+    scanned once; nothing key-sized reaches the driver.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    per = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("_c"))
+    return per.agg(
+        F.lit(k).cast("int").alias("k"),
+        F.sum("_c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("_c") < k, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violating_groups"),
+        F.sum(F.when(F.col("_c") < k, F.col("_c")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+    ).withColumn(
+        "at_risk_ppm",
+        F.expr("(n_rows_at_risk * 1000000) div n_rows").cast("long"),
+    )
+
+
+def golden_record(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_cols: Sequence[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Survivorship merge (the MDM "golden record"): one row per key
+    where each field independently takes its MOST RECENT NON-NULL
+    value by ``order_col`` — sparse updates coalesce into a complete
+    profile instead of the newest row's nulls clobbering older facts
+    (which is what ``dedup_first_per_key`` on recency gives you).
+
+    Determinism: ``max_by(value, IF(value IS NOT NULL, order))`` —
+    the ordering expression is NULL exactly where the value is, and
+    max_by ignores null orderings, so each field picks its own latest
+    non-null independently. Ties on ``order_col`` break on
+    ``tiebreak_col`` (pass one whenever order values can repeat —
+    max_by on tied orderings is otherwise engine-arbitrary).
+
+    Plan/scale: ONE hash aggregate with map-side partial combine —
+    per key and field, only the current (value, order) champion
+    crosses the shuffle, never the row history. Contrast the window
+    formulation (full history shuffled, then filtered).
+    """
+    order = F.col(order_col)
+    if tiebreak_col is not None:
+        order = F.struct(F.col(order_col), F.col(tiebreak_col))
+    aggs = [
+        F.max_by(
+            F.col(c), F.when(F.col(c).isNotNull(), order)
+        ).alias(c)
+        for c in value_cols
+    ]
+    aggs.append(F.count(F.lit(1)).cast("long").alias("n_versions"))
+    aggs.append(F.max(order_col).alias(f"last_{order_col}"))
+    return df.groupBy(*key_cols).agg(*aggs)
