@@ -7354,6 +7354,202 @@ def _q_golden_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return golden_record(ev, ["user_id"], "event_id", ["email", "phone"])
 
 
+# GIF container metadata (round 9): per-doc synthesized GIF89a —
+# frame count, summed Graphic-Control delays, NETSCAPE loop count,
+# GCT flag — recovered by PARSING the block stream; the oracle
+# restates the parameters from doc_id arithmetic (round-trip proof,
+# the mp4/exif pattern). Junk docs quarantine as not_gif; half-cut
+# docs as truncated WITH their header fields (the Logical Screen
+# Descriptor always survives the cut).
+@_register(
+    "gif_metadata",
+    """
+    SELECT doc_id AS id,
+      CASE WHEN doc_id % 13 = 5 THEN 'not_gif'
+           WHEN doc_id % 11 = 7 THEN 'truncated'
+           ELSE 'ok' END AS probe_status,
+      CASE WHEN doc_id % 13 = 5 THEN NULL ELSE '89a' END AS version,
+      CASE WHEN doc_id % 13 = 5 THEN NULL
+           ELSE 8 * (doc_id % 60 + 2) END::INT AS width,
+      CASE WHEN doc_id % 13 = 5 THEN NULL
+           ELSE 4 * (doc_id % 60 + 3) END::INT AS height,
+      CASE WHEN doc_id % 13 = 5 OR doc_id % 11 = 7 THEN NULL
+           ELSE doc_id % 12 + 1 END::INT AS n_frames,
+      CASE WHEN doc_id % 13 = 5 OR doc_id % 11 = 7 THEN NULL
+           ELSE (doc_id % 12 + 1) * (doc_id % 30 + 2) END::INT
+        AS total_delay_cs,
+      CASE WHEN doc_id % 13 = 5 OR doc_id % 11 = 7 OR doc_id % 4 <> 0
+           THEN NULL ELSE doc_id % 10 END::INT AS loop_count,
+      CASE WHEN doc_id % 13 = 5 THEN NULL
+           ELSE (doc_id % 3 <> 0)::INT END::INT AS has_gct,
+      CASE WHEN doc_id % 13 = 5 OR doc_id % 11 = 7 THEN NULL
+           ELSE (doc_id % 12 + 1)
+                + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
+      END::INT AS n_extensions
+    FROM documents
+    """,
+)
+def _q_gif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: PLC0415
+
+    from gem_data_wrangle_spark.operators.gif_codec import (
+        build_gif,
+        gif_probe,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 13 == 5:
+                    payloads.append(b"JUNKJUNK")
+                    continue
+                buf = build_gif(
+                    width=8 * (did % 60 + 2),
+                    height=4 * (did % 60 + 3),
+                    n_frames=did % 12 + 1,
+                    delay_cs=did % 30 + 2,
+                    loop_count=(did % 10) if did % 4 == 0 else None,
+                    gct=did % 3 != 0,
+                )
+                payloads.append(buf[: len(buf) // 2] if did % 11 == 7 else buf)
+            yield pd.DataFrame({"id": pdf["doc_id"], "media": payloads})
+
+    media = docs.mapInPandas(synth, "id bigint, media binary")
+    out = gif_probe(media)
+    # graded projection: nullable boolean reaches pandas as object
+    # NA — carry the flag as int (0/1) on both engines instead
+    return out.select(
+        "id", "probe_status", "version", "width", "height", "n_frames",
+        "total_delay_cs", "loop_count",
+        F.col("has_gct").cast("int").alias("has_gct"), "n_extensions",
+    )
+
+
+# Readability scoring (round 9): exact integer word/sentence/vowel-
+# group counts plus EXACT milli-unit Flesch / FK-grade scores — the
+# graded projection carries only the integers (the float score
+# columns are consumer surface; their 4-dp rounding can land on
+# terminating-decimal ties that Spark's decimal-repr HALF_UP and
+# C-library rounding resolve differently — the kn-LM lesson).
+@_register(
+    "doc_readability",
+    """
+    WITH r AS (
+      SELECT doc_id,
+        len(regexp_extract_all(text, '[^\\s]+'))::BIGINT AS n_words,
+        greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT
+          AS n_sentences,
+        len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+          AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+      CASE WHEN n_words > 0 THEN
+        ((206835 * n_sentences * n_words - 1015 * n_words * n_words
+          - 84600 * n_syllables * n_sentences
+          + 10000000000 * n_sentences * n_words)
+         // (n_sentences * n_words) - 10000000000)::BIGINT
+      END AS flesch_milli,
+      CASE WHEN n_words > 0 THEN
+        ((390 * n_words * n_words + 11800 * n_syllables * n_sentences
+          - 15590 * n_sentences * n_words
+          + 10000000000 * n_sentences * n_words)
+         // (n_sentences * n_words) - 10000000000)::BIGINT
+      END AS fk_milli
+    FROM r
+    """,
+)
+def _q_doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.readability import (
+        readability_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = readability_scores(docs, "text")
+    return out.select(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        "flesch_milli", "fk_milli",
+    )
+
+
+# Kneser-Ney bigram LM (round 9): model trained on the corpus itself,
+# every document scored — the oracle replays tokenization, bigram
+# counts, continuation counts, absolute discounting, backoff and the
+# unseen floor entirely in SQL. Per-doc scores are EXACT integer
+# micro-unit sums divided once by 1e6 (no tie-prone means).
+@_register(
+    "kn_doc_scores",
+    """
+    WITH tk AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ), bgl AS (
+      SELECT doc_id, toks[g.i] AS w1, toks[g.i + 1] AS w2
+      FROM tk, LATERAL (SELECT unnest(range(1, len(toks))) AS i) g
+      WHERE len(toks) >= 2
+    ), dbg AS (
+      SELECT doc_id, w1, w2, count(*) AS c_doc FROM bgl GROUP BY 1, 2, 3
+    ), cnt AS (
+      SELECT w1, w2, sum(c_doc)::BIGINT AS c12 FROM dbg GROUP BY 1, 2
+    ), l AS (
+      SELECT w1, sum(c12)::BIGINT AS c1, count(*)::BIGINT AS n1p_left
+      FROM cnt GROUP BY 1
+    ), r AS (
+      SELECT w2, count(*)::BIGINT AS n1p_right FROM cnt GROUP BY 1
+    ), ty AS (
+      SELECT count(*)::BIGINT AS n_types FROM cnt
+    ), mdl AS (
+      SELECT w1, w2,
+        CAST(round(round(log2(
+          greatest(c12::DOUBLE - 0.75, 0.0) / c1::DOUBLE
+          + 0.75 * n1p_left::DOUBLE / c1::DOUBLE
+            * (n1p_right::DOUBLE / n_types::DOUBLE)), 6) * 1000000, 0)
+          AS BIGINT) AS lp_u
+      FROM cnt JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN ty
+    ), cm AS (
+      SELECT w2,
+        CAST(round(round(log2(n1p_right::DOUBLE / n_types::DOUBLE), 6)
+                   * 1000000, 0) AS BIGINT) AS cont_lp_u
+      FROM r CROSS JOIN ty
+    ), fl AS (
+      SELECT CAST(round(round(log2(1.0 / (n_types + 1)), 6) * 1000000, 0)
+                  AS BIGINT) AS floor_u
+      FROM ty
+    ), sc AS (
+      SELECT doc_id, c_doc,
+             coalesce(lp_u, cont_lp_u, floor_u) AS lp
+      FROM dbg
+      LEFT JOIN mdl USING (w1, w2)
+      LEFT JOIN cm USING (w2)
+      CROSS JOIN fl
+    )
+    SELECT doc_id, sum(c_doc)::BIGINT AS n_bigrams,
+           round(sum(c_doc * lp)::DOUBLE / 1000000.0, 6) AS logprob_total
+    FROM sc GROUP BY doc_id
+    """,
+)
+def _q_kn_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.lm import (
+        kn_bigram_model,
+        kn_continuation_model,
+        kn_score_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    model = kn_bigram_model(docs, "text", "doc_id")
+    cont = kn_continuation_model(docs, "text", "doc_id")
+    # one bounded driver action: the distinct-bigram-type count (a
+    # single long — the kmeans/bpe model-sized boundary contract)
+    n_types = model.count()
+    return kn_score_documents(
+        docs, model, cont, "text", "doc_id", n_types=n_types
+    )
+
+
 # --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------

@@ -98,6 +98,10 @@ HEADLINE = [
     "host_triangles",
     "sketch_quantiles",
     "constraint_report",
+    # round 9 batch 3: the KN bigram LM (two explode-count aggregates
+    # + model join-back) and readability (pure narrow regex algebra)
+    "kn_doc_scores",
+    "doc_readability",
 ]
 
 

@@ -1,0 +1,216 @@
+"""GIF container demux — a real block walker (GIF89a spec).
+
+Animated GIFs are a large share of crawled image bytes; curation needs
+frame counts, timing, loop metadata and dimensions WITHOUT decoding
+pixels. This module walks the actual byte structure: header
+(``GIF87a``/``GIF89a``), Logical Screen Descriptor (dims, GCT flag →
+skip the global color table), then the block stream — extensions
+(Graphic Control: per-frame delay & transparency; Application:
+NETSCAPE2.0 loop count; Comment/Plain-Text: skipped via their
+length-prefixed sub-block chains) and Image Descriptors (frame
+geometry, LCT skip, LZW-min-code byte, data sub-block chain) — to the
+0x3B trailer.
+
+Engineering contract identical to ``mp4.py`` / ``tiff_exif.py``:
+Arrow-batched ``mapInPandas``, every read bounds-checked, junk bytes
+→ ``not_gif``, a mid-stream cut → ``truncated``; ``build_gif``
+synthesizes spec-shaped files so the probe round-trip-proves the
+walker against known parameters.
+
+Plan/scale: metadata+structure walk touches each byte once and the
+operator is map-only — no shuffle, no state, cost linear in container
+bytes (sub-block SKIPS jump, they don't copy).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+GIF_PROBE_SCHEMA = (
+    "id bigint, probe_status string, version string, width int, "
+    "height int, n_frames int, total_delay_cs int, loop_count int, "
+    "has_gct boolean, n_extensions int"
+)
+
+
+def _subblocks(payload_lens: list[int]) -> bytes:
+    """Length-prefixed sub-block chain + terminator, deterministic
+    filler bytes."""
+    out = b""
+    for n in payload_lens:
+        out += bytes([n]) + bytes((i * 7 + 3) % 256 for i in range(n))
+    return out + b"\0"
+
+
+def build_gif(
+    width: int,
+    height: int,
+    n_frames: int = 1,
+    delay_cs: int = 10,
+    loop_count: int | None = None,
+    gct: bool = True,
+    version: bytes = b"89a",
+) -> bytes:
+    """Synthesize a spec-valid GIF: LSD (+ optional 4-entry GCT),
+    optional NETSCAPE loop extension, per frame a Graphic Control
+    extension + Image Descriptor + LZW data sub-blocks, trailer."""
+    packed = (0x80 | 0x01) if gct else 0x00  # GCT flag + size bits (2 entries? use size field 1 -> 4 entries)
+    buf = b"GIF" + version + struct.pack("<HHBBB", width, height, packed, 0, 0)
+    if gct:
+        buf += bytes(3 * 4)  # 2^(1+1)=4 RGB entries
+    if loop_count is not None:
+        buf += (
+            b"\x21\xff\x0bNETSCAPE2.0"
+            + bytes([3, 1])
+            + struct.pack("<H", loop_count)
+            + b"\0"
+        )
+    for f in range(n_frames):
+        # Graphic Control Extension: 0x21 0xF9, block size 4
+        buf += b"\x21\xf9\x04" + bytes([0]) + struct.pack("<H", delay_cs) + b"\0\0"
+        fw, fh = max(1, width - f), max(1, height - f)
+        buf += b"\x2c" + struct.pack("<HHHHB", 0, 0, fw, fh, 0)
+        buf += bytes([8])  # LZW minimum code size
+        buf += _subblocks([5 + (f % 3), 2])
+    return buf + b"\x3b"
+
+
+def parse_gif_bytes(buf: bytes) -> dict[str, object]:
+    """Parse one GIF buffer into the probe row (pure function)."""
+    row: dict[str, object] = {
+        "probe_status": "ok", "version": None, "width": None,
+        "height": None, "n_frames": None, "total_delay_cs": None,
+        "loop_count": None, "has_gct": None, "n_extensions": None,
+    }
+    if buf is None or len(buf) < 13 or buf[:3] != b"GIF" or buf[3:6] not in (
+        b"87a", b"89a"
+    ):
+        row["probe_status"] = "not_gif"
+        return row
+    row["version"] = buf[3:6].decode()
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", buf, 6)
+    row["width"], row["height"] = w, h
+    has_gct = bool(packed & 0x80)
+    row["has_gct"] = has_gct
+    pos = 13
+    try:
+        if has_gct:
+            n_entries = 2 << (packed & 0x07)
+            pos += 3 * n_entries
+            if pos > len(buf):
+                raise ValueError("gct out of bounds")
+        n_frames = 0
+        total_delay = 0
+        loop = None
+        n_ext = 0
+
+        def skip_subblocks(p: int) -> int:
+            while True:
+                if p >= len(buf):
+                    raise ValueError("subblock out of bounds")
+                n = buf[p]
+                p += 1
+                if n == 0:
+                    return p
+                p += n
+                if p > len(buf):
+                    raise ValueError("subblock out of bounds")
+
+        while True:
+            if pos >= len(buf):
+                raise ValueError("missing trailer")
+            b0 = buf[pos]
+            pos += 1
+            if b0 == 0x3B:  # trailer
+                break
+            if b0 == 0x21:  # extension
+                if pos >= len(buf):
+                    raise ValueError("ext label out of bounds")
+                label = buf[pos]
+                pos += 1
+                n_ext += 1
+                if label == 0xF9:  # graphic control
+                    if pos + 6 > len(buf):
+                        raise ValueError("gce out of bounds")
+                    size = buf[pos]
+                    if size != 4:
+                        raise ValueError("bad gce size")
+                    total_delay += struct.unpack_from("<H", buf, pos + 2)[0]
+                    pos = skip_subblocks(pos + 1 + size)
+                elif label == 0xFF:  # application
+                    if pos + 12 > len(buf):
+                        raise ValueError("app ext out of bounds")
+                    size = buf[pos]
+                    app = buf[pos + 1 : pos + 1 + size]
+                    p2 = pos + 1 + size
+                    if app == b"NETSCAPE2.0":
+                        # one 3-byte sub-block: 0x01 + uint16 loop
+                        if p2 + 4 > len(buf):
+                            raise ValueError("netscape out of bounds")
+                        if buf[p2] == 3 and buf[p2 + 1] == 1:
+                            loop = struct.unpack_from("<H", buf, p2 + 2)[0]
+                    pos = skip_subblocks(p2)
+                else:  # comment / plain text / unknown: skip chain
+                    pos = skip_subblocks(pos)
+            elif b0 == 0x2C:  # image descriptor
+                if pos + 9 > len(buf):
+                    raise ValueError("image descriptor out of bounds")
+                _x, _y, _fw, _fh, ipacked = struct.unpack_from(
+                    "<HHHHB", buf, pos
+                )
+                pos += 9
+                if ipacked & 0x80:  # local color table
+                    pos += 3 * (2 << (ipacked & 0x07))
+                    if pos > len(buf):
+                        raise ValueError("lct out of bounds")
+                if pos >= len(buf):
+                    raise ValueError("lzw code size out of bounds")
+                pos += 1  # LZW minimum code size
+                pos = skip_subblocks(pos)
+                n_frames += 1
+            else:
+                raise ValueError(f"unknown block 0x{b0:02x}")
+        row["n_frames"] = n_frames
+        row["total_delay_cs"] = total_delay
+        row["loop_count"] = loop
+        row["n_extensions"] = n_ext
+    except ValueError:
+        return {
+            **{k: None for k in row},
+            "probe_status": "truncated",
+            "version": row["version"],
+            "width": row["width"],
+            "height": row["height"],
+            "has_gct": row["has_gct"],
+        }
+    return row
+
+
+def gif_probe(
+    df: DataFrame, id_col: str = "id", media_col: str = "media"
+) -> DataFrame:
+    """Probe a ``(id, media binary)`` frame of GIF payloads."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rid, buf in zip(pdf[id_col], pdf[media_col]):
+                r = parse_gif_bytes(bytes(buf) if buf is not None else None)
+                r["id"] = int(rid)
+                rows.append(r)
+            out = pd.DataFrame(rows)
+            for c in ("width", "height", "n_frames", "total_delay_cs",
+                      "loop_count", "n_extensions"):
+                out[c] = out[c].astype("Int32")
+            out["has_gct"] = out["has_gct"].astype("boolean")
+            yield out[[
+                "id", "probe_status", "version", "width", "height",
+                "n_frames", "total_delay_cs", "loop_count", "has_gct",
+                "n_extensions",
+            ]]
+
+    return df.mapInPandas(run, GIF_PROBE_SCHEMA)

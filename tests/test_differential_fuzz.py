@@ -59,16 +59,17 @@ def _compare(spark, tmp_path, docs, qname):
     con = duckdb.connect()
     # Spark writes a parquet DIRECTORY; DuckDB needs the part glob
     con.sql(f"CREATE VIEW documents AS FROM '{p}/*.parquet'")
+    # driver-faithful compare (round 9): both engines through pandas
+    # at full precision, same as tools/check_parity.py and the driver
     sdf = entrymod.queries()[qname](spark, str(tmp_path))
-    sfp = frame_fingerprint(sdf.columns, [tuple(r) for r in sdf.collect()])
-    res = con.sql(entrymod.oracle_sql()[qname])
-    dfp = frame_fingerprint([d[0] for d in res.description], res.fetchall())
-    assert sfp[0] == dfp[0], f"{qname}: row count {sfp[0]} vs {dfp[0]}"
-    assert sfp[1] == dfp[1], f"{qname}: columns {sfp[1]} vs {dfp[1]}"
-    mism = [i for i, (a, b) in enumerate(zip(sfp[2], dfp[2])) if a != b]
+    sn, sc, sl, _sd = frame_fingerprint(sdf.toPandas())
+    dn, dc, dl, _dd = frame_fingerprint(con.sql(entrymod.oracle_sql()[qname]).df())
+    assert sn == dn, f"{qname}: row count {sn} vs {dn}"
+    assert sc == dc, f"{qname}: columns {sc} vs {dc}"
+    mism = [i for i, (a, b) in enumerate(zip(sl, dl)) if a != b]
     assert not mism, (
         f"{qname}: {len(mism)} value rows differ; first: "
-        f"spark={sfp[2][mism[0]]!r} duckdb={dfp[2][mism[0]]!r}"
+        f"spark={sl[mism[0]]!r} duckdb={dl[mism[0]]!r}"
     )
 
 
@@ -213,16 +214,17 @@ def _compare_named(spark, tmp_path, tables, qname):
             "overwrite"
         ).parquet(p)
         con.sql(f"CREATE VIEW {name} AS FROM '{p}/*.parquet'")
+    # driver-faithful compare (round 9): both engines through pandas
+    # at full precision, same as tools/check_parity.py and the driver
     sdf = entrymod.queries()[qname](spark, str(tmp_path))
-    sfp = frame_fingerprint(sdf.columns, [tuple(r) for r in sdf.collect()])
-    res = con.sql(entrymod.oracle_sql()[qname])
-    dfp = frame_fingerprint([d[0] for d in res.description], res.fetchall())
-    assert sfp[0] == dfp[0], f"{qname}: row count {sfp[0]} vs {dfp[0]}"
-    assert sfp[1] == dfp[1], f"{qname}: columns {sfp[1]} vs {dfp[1]}"
-    mism = [i for i, (a, b) in enumerate(zip(sfp[2], dfp[2])) if a != b]
+    sn, sc, sl, _sd = frame_fingerprint(sdf.toPandas())
+    dn, dc, dl, _dd = frame_fingerprint(con.sql(entrymod.oracle_sql()[qname]).df())
+    assert sn == dn, f"{qname}: row count {sn} vs {dn}"
+    assert sc == dc, f"{qname}: columns {sc} vs {dc}"
+    mism = [i for i, (a, b) in enumerate(zip(sl, dl)) if a != b]
     assert not mism, (
         f"{qname}: {len(mism)} value rows differ; first: "
-        f"spark={sfp[2][mism[0]]!r} duckdb={dfp[2][mism[0]]!r}"
+        f"spark={sl[mism[0]]!r} duckdb={dl[mism[0]]!r}"
     )
 
 

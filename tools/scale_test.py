@@ -133,6 +133,25 @@ QUERIES = [
     "table_checksum",
     "orders_diff",
     "mean_pool_embeddings",
+    # round 9: graph/sketch/quality/streaming-mirror families — the
+    # scale risks are the wedge-join fan-out (degree-capped by
+    # orientation), the per-key pair fan-out (items-per-key bound),
+    # and the dedup-state shuffle; everything else is one-to-two
+    # exchange shapes or narrow binary walks
+    "host_triangles",
+    "sketch_quantiles",
+    "constraint_report",
+    "windowed_distinct_users",
+    "event_cooccurrence",
+    "heavy_hitters_batch",
+    "incremental_daily_totals",
+    "exif_probe",
+    "golden_user_profile",
+    "privacy_audit",
+    "socket_json_tumbling",
+    "gif_metadata",
+    "doc_readability",
+    "kn_doc_scores",
 ]
 
 BASE = "/root/testdata/sf0.1"
