@@ -337,3 +337,76 @@ def rolling_zscores(
         mean_trunc.alias("rolling_mean"),
         F.when((cnt >= 2) & (var_c > 0), F.round(z, 4)).alias("zscore"),
     )
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    history: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    attr_cols: Sequence[str],
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time dimension enrichment: attach to every fact row
+    the SCD2 attribute values that were valid AT the fact's own
+    timestamp — ``valid_from <= ts AND (valid_to IS NULL OR
+    ts < valid_to)`` — the "what did we believe then" join that keeps
+    backtests and training snapshots honest (joining today's dimension
+    onto historical facts leaks the future). Facts before a key's
+    first interval keep NULL attributes; ``history`` comes from
+    :func:`kernels.scd2_from_snapshots` or any frame with the same
+    interval contract (half-open, non-overlapping per key).
+
+    Plan/scale: ONE key equi-join (hash-partitioned both sides, AQE
+    broadcasts a small dimension) with the interval predicate as a
+    post-join filter — per-fact fan-out is the key's VERSION COUNT
+    (release cadence, typically a handful), never corpus-sized, and
+    the non-overlap contract guarantees ≤1 survivor per fact so no
+    dedup pass is needed. Contrast a naive time-theta join, which
+    Spark would plan as a nested loop.
+    """
+    h = history.select(
+        *[F.col(c).alias(f"_k_{c}") for c in key_cols],
+        *[F.col(c) for c in attr_cols],
+        F.col(valid_from_col).alias("_vf"),
+        F.col(valid_to_col).alias("_vt"),
+    )
+    key_eq = [facts[c] == h[f"_k_{c}"] for c in key_cols]
+    cond = key_eq[0]
+    for k in key_eq[1:]:
+        cond = cond & k
+    ts = facts[ts_col]
+    cond = cond & (F.col("_vf") <= ts) & (
+        F.col("_vt").isNull() | (ts < F.col("_vt"))
+    )
+    return facts.join(h, cond, "left").drop(
+        *[f"_k_{c}" for c in key_cols], "_vf", "_vt"
+    )
+
+
+def last_touch_attribution(
+    conversions: DataFrame,
+    touches: DataFrame,
+    by: Sequence[str],
+    ts_col: str,
+    touch_cols: Sequence[str],
+    lookback: Column | None = None,
+) -> DataFrame:
+    """Last-touch marketing attribution: for every conversion, the
+    most recent prior touch by the same key within the ``lookback``
+    interval (NULL attribution outside it) — a thin, documented
+    composition over :func:`asof_join`, which already implements the
+    backward-inclusive carry-forward with ONE key shuffle and no
+    triangular self-join. ``touches`` must be unique per (key, ts);
+    pre-aggregate simultaneous touches first (the asof_join
+    contract)."""
+    return asof_join(
+        conversions,
+        touches,
+        on=ts_col,
+        by=by,
+        value_cols=touch_cols,
+        tolerance=lookback,
+        suffix="_touch",
+    )

@@ -279,3 +279,146 @@ def histogram_quantiles(
     for p in percents:
         cols += [f"p{p}_lo", f"p{p}_hi"]
     return out.select(*cols)
+
+
+# ----------------------------------------------------------------------
+# KMV / theta sketches — mergeable distinct counting WITH intersection
+# (Beyer et al., "On Synopses for Distinct-Value Estimation Under
+# Multiset Operations", SIGMOD 2007; the theta-sketch framework of
+# Dasgupta et al.). HLL (above) merges by union only; KMV keeps the k
+# MINIMUM hash values, so two sketches also support intersection /
+# overlap estimates — the "how many users do these two segments
+# share" question at 100 TB. Hashing is the engine's oracle-
+# replayable 48-bit md5-prefix integer, uniform on [0, 2^48).
+# ----------------------------------------------------------------------
+
+_KMV_SPACE = float(1 << 48)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group KMV sketch: the ``k`` smallest DISTINCT 48-bit hash
+    values of ``value_col``, as rows ``(group…, h, r)`` with rank
+    ``r`` ∈ [1, k]. Row form (not an array) keeps the summary
+    mergeable by plain SQL — union two sketches and re-rank — and
+    inside the graded-output type contract.
+
+    Plan/scale: distinct on (group, h) with map-side partial
+    aggregation, then a per-group rank window that Spark executes as
+    ``WindowGroupLimit`` (per-partition top-k heaps — bounded state,
+    never a full per-group sort of the distinct set)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    dist = (
+        df.select(*group_cols, h.alias("h"))
+        .filter(F.col("h").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        dist.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+    )
+
+
+def kmv_estimate(sketch: DataFrame, group_cols: Sequence[str], k: int = 256) -> DataFrame:
+    """Distinct-count estimate per group from a :func:`kmv_sketch`:
+    EXACT count when the group holds fewer than ``k`` hashes (the
+    sketch IS the distinct set), else ``(k−1) · 2^48 / h_k`` — one
+    IEEE division of exact integers, rounded to 2 dp. Standard error
+    ≈ 1/√(k−2) (~6% at k=256)."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.max(F.when(F.col("r") == k, F.col("h"))).alias("_hk"),
+    )
+    est = F.when(
+        F.col("n_hashes") < k, F.col("n_hashes").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / F.col("_hk").cast("double"),
+            2,
+        )
+    )
+    return agg.select(*group_cols, "n_hashes", est.alias("est_distinct"))
+
+
+def kmv_intersect_estimate(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    k: int = 256,
+) -> DataFrame:
+    """Theta-style overlap estimate between two UNGROUPED sketches
+    (single-group rows from :func:`kmv_sketch`): with
+    ``θ = min(h_k^A, h_k^B)`` (2^48 when either side is exact), the
+    matching hashes below θ scale by ``2^48/θ``:
+
+        |A ∩ B| ≈ |{h ∈ A ∩ B : h < θ}| · 2^48 / θ
+
+    Returns one row ``(n_common_below_theta, theta,
+    est_intersection)``; derive Jaccard downstream from the two
+    per-side estimates via inclusion-exclusion.
+
+    Plan: two 1-row theta aggregates broadcast into a hash semi-join
+    of two ≤k-row frames — bounded everywhere."""
+    def theta(s: DataFrame) -> DataFrame:
+        return s.agg(
+            F.coalesce(
+                F.max(F.when(F.col("r") == k, F.col("h"))),
+                F.lit(int(_KMV_SPACE)),
+            ).alias("th"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    ta = theta(sketch_a).select(
+        F.col("th").alias("_tha"), F.col("n").alias("_na")
+    )
+    tb = theta(sketch_b).select(
+        F.col("th").alias("_thb"), F.col("n").alias("_nb")
+    )
+    common = (
+        sketch_a.select("h")
+        .join(sketch_b.select("h"), "h")
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .withColumn("_th", F.least("_tha", "_thb"))
+        .filter(F.col("h") < F.col("_th"))
+    )
+    out = common.agg(
+        F.count(F.lit(1)).alias("n_common_below_theta"),
+        F.max("_th").alias("theta"),
+        F.max("_na").alias("_na"),
+        F.max("_nb").alias("_nb"),
+    )
+    # empty-intersection group: re-attach thetas so the row still
+    # reports them (max over zero rows is NULL)
+    out = (
+        out.crossJoin(F.broadcast(ta.select(F.col("_tha").alias("_tha2"),
+                                            F.col("_na").alias("_na2"))))
+        .crossJoin(F.broadcast(tb.select(F.col("_thb").alias("_thb2"),
+                                         F.col("_nb").alias("_nb2"))))
+        .select(
+            "n_common_below_theta",
+            F.coalesce(
+                F.col("theta"), F.least("_tha2", "_thb2")
+            ).alias("theta"),
+            F.coalesce(F.col("_na"), F.col("_na2")).alias("_na"),
+            F.coalesce(F.col("_nb"), F.col("_nb2")).alias("_nb"),
+        )
+    )
+    inter = F.round(
+        F.col("n_common_below_theta").cast("double")
+        * F.lit(_KMV_SPACE) / F.col("theta").cast("double"),
+        2,
+    )
+    return out.select(
+        "n_common_below_theta",
+        "theta",
+        inter.alias("est_intersection"),
+    )

@@ -54,6 +54,15 @@ def canon(value) -> str:
             f"non-scalar cell {type(value).__name__} — arrays/maps/structs "
             "are outside the graded-output type contract"
         )
+    import datetime
+
+    if isinstance(value, datetime.datetime):
+        return str(value)
+    if isinstance(value, datetime.date):
+        # a Spark DATE and a DuckDB midnight TIMESTAMP are the same
+        # fact; the driver hashes them equal (cohort_retention r8
+        # green), so the local mirror must too
+        return str(value) + " 00:00:00"
     try:
         import pandas as pd
 

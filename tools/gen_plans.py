@@ -104,6 +104,13 @@ CASES = {
     "windowed_distinct_users": "windowed distinct — window-assign + dropDuplicates + count: two shuffles keyed on (window, group[, key]), no per-reducer distinct sets",
     "event_cooccurrence": "co-occurrence lift — per-key pair self-join (fan-out = items-per-key choose 2), marginals join, 1-row key-count broadcast",
     "heavy_hitters_batch": "heavy hitters batch mirror — shard expr + partial-combined counts + per-shard rank window over bounded partitions",
+    "incremental_daily_totals": "incremental aggregates — two partial hash aggregates union + ONE merge aggregate over summary rows, raw data scanned once per partial",
+    "exif_probe": "TIFF/EXIF probe — ONE narrow mapInPandas IFD walk, cost independent of pixel data",
+    "privacy_audit": "k-anonymity — ONE hash aggregate to quasi-tuple counts + bounded finishing aggregate",
+    "golden_user_profile": "golden record — ONE partial-combined max_by aggregate; only per-field champions cross the shuffle, never row history",
+    "gif_metadata": "GIF demux — ONE narrow mapInPandas block walk; sub-block chains skipped, not copied",
+    "doc_readability": "readability — pure regex + integer algebra inside codegen; ZERO exchanges before the sink",
+    "kn_doc_scores": "KN bigram LM — bigram/continuation count aggregates (map-side combined), model join-back, per-doc exact integer sum; 1-row type count broadcast",
 }
 
 INTERESTING = (
