@@ -7550,6 +7550,258 @@ def _q_kn_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Point-in-time SCD2 lookup (round 9): dimension history built by
+# scd2_from_snapshots over three deterministic customer-tier
+# snapshots (keys ≡0 mod 3 change tier every snapshot, others never),
+# then every synthetic fact enriched with the tier valid AT its own
+# date. The oracle DERIVES the expected tier directly from the
+# mutation arithmetic — an independent statement of truth, not a
+# replay — so both the interval construction AND the interval lookup
+# must be right to match.
+@_register(
+    "scd2_segment_lookup",
+    """
+    SELECT o_orderkey AS fid, o_custkey AS cust,
+      (DATE '2024-01-01' + (o_orderkey % 90)::INT) AS d,
+      CASE WHEN o_custkey % 3 <> 0
+             THEN ['A', 'B', 'C'][(o_custkey % 3)::INT + 1]
+           WHEN o_orderkey % 90 < 31 THEN 'A'
+           WHEN o_orderkey % 90 < 60 THEN 'B'
+           ELSE 'C' END AS tier
+    FROM orders
+    """,
+)
+def _q_scd2_segment_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.asof import scd2_lookup
+    from gem_data_wrangle_spark.operators.kernels import scd2_from_snapshots
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust")
+    )
+    tiers = F.array(F.lit("A"), F.lit("B"), F.lit("C"))
+    snaps = cust.select(
+        "cust",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("_k"),
+    ).select(
+        "cust",
+        F.add_months(F.lit("2024-01-01").cast("date"), F.col("_k")).alias(
+            "snap"
+        ),
+        F.element_at(
+            tiers,
+            (
+                F.when(F.col("cust") % 3 == 0, F.col("_k"))
+                .otherwise(F.col("cust") % 3)
+                % 3
+                + 1
+            ).cast("int"),
+        ).alias("tier"),
+    )
+    hist = scd2_from_snapshots(snaps, ["cust"], "snap", ["tier"])
+    facts = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("fid"),
+        F.col("o_custkey").alias("cust"),
+        F.date_add(
+            F.lit("2024-01-01").cast("date"),
+            (F.col("o_orderkey") % 90).cast("int"),
+        ).alias("d"),
+    )
+    return scd2_lookup(facts, hist, ["cust"], "d", ["tier"])
+
+
+# Last-touch attribution (round 9): every purchase attributed to the
+# user's most recent click within 24 hours (clicks pre-deduped per
+# (user, ts) — the asof_join uniqueness contract). The oracle states
+# the same answer via arg_max FILTER over a bounded per-user join.
+@_register(
+    "conversion_attribution",
+    """
+    WITH conv AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT user_id, ts, max(event_id) AS tid
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    )
+    SELECT c.event_id, c.user_id,
+           arg_max(t.tid, t.ts)
+             FILTER (WHERE t.ts <= c.ts
+                       AND t.ts >= c.ts - INTERVAL 24 HOURS)
+             AS touch_event_id
+    FROM conv c LEFT JOIN t ON c.user_id = t.user_id
+    GROUP BY c.event_id, c.user_id, c.ts
+    """,
+)
+def _q_conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.asof import last_touch_attribution
+
+    ev = _events(spark, sf_dir)
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    touch = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("touch_event_id"))
+    )
+    out = last_touch_attribution(
+        conv,
+        touch,
+        ["user_id"],
+        "ts",
+        ["touch_event_id"],
+        lookback=F.expr("INTERVAL 24 HOURS"),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("touch_event_id_touch").alias("touch_event_id"),
+    )
+
+
+# KMV distinct estimate (round 9): per event type, the estimated
+# number of distinct (user, day) activity pairs from a k=256 KMV
+# sketch — the estimate emitted as EXACT milli-units via integer
+# floor division (no double rounding anywhere; the estimate itself is
+# a deterministic function of the k-th smallest hash). Small types at
+# small scale take the exact sub-k path — both code paths grade.
+@_register(
+    "kmv_distinct_users",
+    """
+    WITH v AS (
+      SELECT DISTINCT event_type,
+             CAST(user_id AS VARCHAR) || 'd'
+               || CAST(day(ts) AS VARCHAR) AS val
+      FROM events
+    ), h AS (
+      SELECT event_type, md5(val) AS hx FROM v
+    ), hh AS (
+      SELECT DISTINCT event_type, ({h48}) AS h FROM h
+    ), rk AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+      FROM hh
+    ), sk AS (
+      SELECT * FROM rk WHERE r <= 256
+    )
+    SELECT event_type, count(*)::BIGINT AS n_hashes,
+      CASE WHEN count(*) < 256 THEN count(*) * 1000
+           -- HUGEINT intermediate: 255·2^48·1000 exceeds int64
+           ELSE (255::HUGEINT * 281474976710656 * 1000)
+                // max(CASE WHEN r = 256 THEN h END)
+      END::BIGINT AS est_milli
+    FROM sk GROUP BY event_type
+    """.format(h48=_md5_nibble_sum_sql("hx", 12)),
+)
+def _q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.sketches import kmv_sketch
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit("d"),
+            F.dayofmonth("ts").cast("string"),
+        ).alias("val"),
+    )
+    sk = kmv_sketch(ev, ["event_type"], "val", k=256)
+    agg = sk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.max(F.when(F.col("r") == 256, F.col("h"))).alias("_hk"),
+    )
+    # 255·2^48·1000 exceeds int64 — route the literal through a
+    # string→decimal cast
+    num = F.lit(str(255 * (1 << 48) * 1000)).cast("decimal(38,0)")
+    hk = F.col("_hk").cast("decimal(38,0)")
+    est_full = ((num - num % hk) / hk).cast("decimal(38,0)").cast("long")
+    return agg.select(
+        "event_type",
+        F.col("n_hashes").cast("long").alias("n_hashes"),
+        F.when(F.col("n_hashes") < 256, F.col("n_hashes") * 1000)
+        .otherwise(est_full)
+        .cast("long")
+        .alias("est_milli"),
+    )
+
+
+# KMV theta intersection (round 9): how many (user, day) activity
+# pairs do clicks and purchases SHARE — the set-algebra question HLL
+# cannot answer. Exact milli-unit estimate from the common-hash count
+# below θ = min of the two k-th minima (2^48 when a side is exact).
+@_register(
+    "kmv_segment_overlap",
+    """
+    WITH v AS (
+      SELECT DISTINCT event_type,
+             CAST(user_id AS VARCHAR) || 'd'
+               || CAST(day(ts) AS VARCHAR) AS val
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), h AS (
+      SELECT event_type, md5(val) AS hx FROM v
+    ), hh AS (
+      SELECT DISTINCT event_type, ({h48}) AS h FROM h
+    ), rk AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+      FROM hh
+    ), sk AS (
+      SELECT * FROM rk WHERE r <= 256
+    ), th AS (
+      SELECT
+        coalesce((SELECT max(CASE WHEN r = 256 THEN h END) FROM sk
+                  WHERE event_type = 'click'), 281474976710656) AS tha,
+        coalesce((SELECT max(CASE WHEN r = 256 THEN h END) FROM sk
+                  WHERE event_type = 'purchase'), 281474976710656) AS thb
+    ), common AS (
+      SELECT a.h FROM sk a JOIN sk b ON a.h = b.h
+      CROSS JOIN th
+      WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        AND a.h < least(th.tha, th.thb)
+    )
+    SELECT (SELECT count(*) FROM common)::BIGINT AS n_common_below_theta,
+           least(tha, thb)::BIGINT AS theta,
+           -- HUGEINT intermediate: n·2^48·1000 exceeds int64
+           ((SELECT count(*) FROM common)::HUGEINT * 281474976710656
+            * 1000 // least(tha, thb))::BIGINT AS est_milli
+    FROM th
+    """.format(h48=_md5_nibble_sum_sql("hx", 12)),
+)
+def _q_kmv_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.sketches import (
+        kmv_intersect_estimate,
+        kmv_sketch,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit("d"),
+            F.dayofmonth("ts").cast("string"),
+        ).alias("val"),
+    )
+
+    def side(t: str) -> DataFrame:
+        return kmv_sketch(
+            ev.filter(F.col("event_type") == t), [], "val", k=256
+        )
+
+    out = kmv_intersect_estimate(side("click"), side("purchase"), k=256)
+    num = (
+        F.col("n_common_below_theta").cast("decimal(38,0)")
+        * F.lit((1 << 48) * 1000).cast("decimal(38,0)")
+    ).cast("decimal(38,0)")
+    th = F.col("theta").cast("decimal(38,0)")
+    return out.select(
+        F.col("n_common_below_theta").cast("long").alias(
+            "n_common_below_theta"
+        ),
+        F.col("theta").cast("long").alias("theta"),
+        ((num - num % th) / th).cast("decimal(38,0)").cast("long").alias(
+            "est_milli"
+        ),
+    )
+
+
 # --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------

@@ -308,11 +308,14 @@ def kmv_sketch(
     inside the graded-output type contract.
 
     Plan/scale: distinct on (group, h) with map-side partial
-    aggregation, then a per-group rank window that Spark executes as
-    ``WindowGroupLimit`` (per-partition top-k heaps — bounded state,
-    never a full per-group sort of the distinct set)."""
-    from pyspark.sql import Window  # noqa: PLC0415
-
+    aggregation, then — grouped — a per-group rank window that Spark
+    executes as ``WindowGroupLimit`` (per-partition top-k heaps,
+    bounded state, never a full per-group sort of the distinct set).
+    UNGROUPED, a global rank window would be an Exchange
+    SinglePartition over every distinct hash (the scale-killer), so
+    that case routes through ``ranked_top_k``'s
+    ``TakeOrderedAndProject`` (per-partition k-heaps, no full-sort
+    shuffle)."""
     h = F.conv(
         F.substring(F.md5(F.col(value_col).cast("string")), 1, 12), 16, 10
     ).cast("long")
@@ -321,6 +324,14 @@ def kmv_sketch(
         .filter(F.col("h").isNotNull())
         .distinct()
     )
+    if not group_cols:
+        from gem_data_wrangle_spark.operators.aggregates import (  # noqa: PLC0415
+            ranked_top_k,
+        )
+
+        return ranked_top_k(dist, ["h"], k, rank_col="r")
+    from pyspark.sql import Window  # noqa: PLC0415
+
     w = Window.partitionBy(*group_cols).orderBy("h")
     return (
         dist.withColumn("r", F.row_number().over(w))
