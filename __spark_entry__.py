@@ -7534,17 +7534,15 @@ def _q_doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def _q_kn_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gem_data_wrangle_spark.operators.lm import (
-        kn_bigram_model,
-        kn_continuation_model,
         kn_score_documents,
+        kn_train,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    model = kn_bigram_model(docs, "text", "doc_id")
-    cont = kn_continuation_model(docs, "text", "doc_id")
-    # one bounded driver action: the distinct-bigram-type count (a
-    # single long — the kmeans/bpe model-sized boundary contract)
-    n_types = model.count()
+    # kn_train persists ONE bigram-count frame shared by the model,
+    # the continuation model and the type-count action (its single
+    # bounded driver scalar)
+    model, cont, n_types = kn_train(docs, "text", "doc_id")
     return kn_score_documents(
         docs, model, cont, "text", "doc_id", n_types=n_types
     )

@@ -56,16 +56,31 @@ def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def kn_bigram_model(
+def kn_train(
     corpus: DataFrame,
     text_col: str,
     id_col: str,
     discount: float = 0.75,
-) -> DataFrame:
-    """Train: one row per distinct corpus bigram ``(w1, w2, lp_u)``
-    where ``lp_u`` = round(log2 P_KN(w2|w1), 6)·1e6 as long."""
+) -> tuple[DataFrame, DataFrame, int]:
+    """One-pass training bundle: ``(model, cont_model, n_types)``
+    sharing a single PERSISTED bigram-count frame — without the pin,
+    the type-count action, the model join and the continuation join
+    would each re-tokenize and re-aggregate the corpus (three full
+    passes). The cache is |distinct bigram types| rows — vocab-scale
+    model state, not corpus-scale — and stays for the session like
+    the ``surrogate_ids`` dim. ``n_types`` is the one bounded driver
+    scalar (the kmeans/bpe model boundary contract)."""
     bg = _doc_bigrams(corpus, text_col, id_col)
-    counts = bg.groupBy("w1", "w2").agg(F.sum("c_doc").alias("c12"))
+    counts = bg.groupBy("w1", "w2").agg(F.sum("c_doc").alias("c12")).persist()
+    n_types = counts.count()
+    return (
+        _model_from_counts(counts, discount),
+        _cont_from_counts(counts),
+        n_types,
+    )
+
+
+def _model_from_counts(counts: DataFrame, discount: float) -> DataFrame:
     left = counts.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p_left")
     )
@@ -140,17 +155,7 @@ def kn_score_documents(
     )
 
 
-def kn_continuation_model(
-    corpus: DataFrame,
-    text_col: str,
-    id_col: str,
-) -> DataFrame:
-    """Per-w2 continuation log-prob ``cont_lp_u`` =
-    round(log2(N1+(•w2)/types), 6)·1e6 — the unseen-context backoff
-    distribution (what makes KN beat add-k: 'Francisco' is frequent
-    but follows only 'San', so its continuation mass is small)."""
-    bg = _doc_bigrams(corpus, text_col, id_col)
-    counts = bg.groupBy("w1", "w2").agg(F.sum("c_doc").alias("c12"))
+def _cont_from_counts(counts: DataFrame) -> DataFrame:
     right = counts.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_right"))
     types = counts.agg(F.count(F.lit(1)).alias("n_types"))
     lp = F.round(
@@ -167,3 +172,34 @@ def kn_continuation_model(
     return right.crossJoin(F.broadcast(types)).select(
         "w2", lp.alias("cont_lp_u")
     )
+
+
+def _counts(corpus: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    bg = _doc_bigrams(corpus, text_col, id_col)
+    return bg.groupBy("w1", "w2").agg(F.sum("c_doc").alias("c12"))
+
+
+def kn_bigram_model(
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Train: one row per distinct corpus bigram ``(w1, w2, lp_u)``
+    where ``lp_u`` = round(log2 P_KN(w2|w1), 6)·1e6 as long. For the
+    train-and-score round trip prefer :func:`kn_train`, which shares
+    ONE persisted count frame across model, continuation model and
+    the type-count action."""
+    return _model_from_counts(_counts(corpus, text_col, id_col), discount)
+
+
+def kn_continuation_model(
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-w2 continuation log-prob ``cont_lp_u`` =
+    round(log2(N1+(•w2)/types), 6)·1e6 — the unseen-context backoff
+    distribution (what makes KN beat add-k: 'Francisco' is frequent
+    but follows only 'San', so its continuation mass is small)."""
+    return _cont_from_counts(_counts(corpus, text_col, id_col))
