@@ -110,7 +110,11 @@ CASES = {
     "golden_user_profile": "golden record — ONE partial-combined max_by aggregate; only per-field champions cross the shuffle, never row history",
     "gif_metadata": "GIF demux — ONE narrow mapInPandas block walk; sub-block chains skipped, not copied",
     "doc_readability": "readability — pure regex + integer algebra inside codegen; ZERO exchanges before the sink",
-    "kn_doc_scores": "KN bigram LM — bigram/continuation count aggregates (map-side combined), model join-back, per-doc exact integer sum; 1-row type count broadcast",
+    "kn_doc_scores": "KN bigram LM — ONE persisted bigram-count frame feeds model + continuation + type count; model join-back, per-doc exact integer sum",
+    "scd2_segment_lookup": "point-in-time SCD2 join — key equi-join + interval post-filter; per-fact fan-out = version count, <=1 survivor by the non-overlap contract",
+    "conversion_attribution": "last-touch attribution — asof union + carry-forward window, ONE key shuffle, tolerance null-out",
+    "kmv_distinct_users": "KMV sketch — distinct (group, hash) partial-agg + WindowGroupLimit per-group top-k; estimate from the k-th minimum only",
+    "kmv_segment_overlap": "theta intersection — two bounded sketches hash-join on h, 1-row thetas broadcast; everything <=k rows after the sketches",
 }
 
 INTERESTING = (
