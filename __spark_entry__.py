@@ -882,6 +882,72 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_table(_t(spark, sf_dir, "documents"), "text", "doc_id", bits=16)
 
 
+def _simhash_pairs_oracle(bits: int = 32, max_distance: int = 2) -> str:
+    n_bands = max_distance + 1
+    base, rem = divmod(bits, n_bands)
+    band_selects, start = [], 1
+    for b in range(n_bands):
+        w = base + (1 if b < rem else 0)
+        band_selects.append(
+            f"SELECT doc_id, simhash, {b} AS band,"
+            f" substr(simhash, {start}, {w}) AS bv FROM s"
+        )
+        start += w
+    ham = (
+        "list_sum([CASE WHEN substr(sa, i, 1) <> substr(sb, i, 1)"
+        f" THEN 1 ELSE 0 END FOR i IN range(1, {bits + 1})])"
+    )
+    high = "('8', '9', 'a', 'b', 'c', 'd', 'e', 'f')"
+    bit_exprs = []
+    for i in range(bits):
+        agg = (
+            "list_aggregate(list_transform(toks, t -> CASE WHEN "
+            f"substr(md5(t), {i + 1}, 1) IN {high} THEN 1 ELSE -1 END), "
+            "'sum')"
+        )
+        bit_exprs.append(f"CASE WHEN {agg} > 0 THEN '1' ELSE '0' END")
+    # bigram-shingle signature (the discrimination lesson): toks =
+    # distinct word bigrams, mirroring dedup._shingles(n=2)
+    sig_sql = f"""
+      SELECT doc_id, {' || '.join(bit_exprs)} AS simhash
+      FROM (SELECT doc_id,
+              list_distinct([t[i] || ' ' || t[i + 1]
+                             FOR i IN range(1, len(t))]) AS toks
+            FROM (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents)
+            WHERE len(t) >= 2)
+    """
+    return f"""
+    WITH s AS ({sig_sql}),
+    bands AS ({' UNION ALL '.join(band_selects)}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, ({ham})::BIGINT AS hamming
+    FROM cand WHERE ({ham}) <= {max_distance}
+    """
+
+
+# SimHash Hamming-ball candidate pairs (round 9): the Manku-Jain-
+# Sarma near-dup formulation — 32-bit signatures, pigeonhole banding
+# (3 bands for distance ≤ 2, no false negatives), band equi-join,
+# exact Hamming verify. Complements MinHash-LSH (set similarity) with
+# the bit-signature family.
+@_register("simhash_pairs", _simhash_pairs_oracle(32, 2))
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.dedup import (
+        simhash_candidate_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_candidate_pairs(
+        docs, "text", "doc_id", bits=32, max_distance=2
+    )
+
+
 # --------------------------------------------------------------------
 # extension: brute-force cosine top-k similarity search
 # --------------------------------------------------------------------

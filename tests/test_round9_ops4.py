@@ -178,3 +178,44 @@ def test_kmv_intersection_estimate(spark):
     sc_ = sk(spark.createDataFrame([("p",), ("q",)], "v string"))
     r3 = kmv_intersect_estimate(sa, sc_, k=256).collect()[0]
     assert r3["est_intersection"] == 0.0 and r3["theta"] == 1 << 48
+
+
+def test_simhash_candidate_pairs_finds_neardups(spark):
+    from gem_data_wrangle_spark.operators.dedup import (
+        simhash_candidate_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, base),
+        (2, base),  # identical -> hamming 0
+        (3, base.replace("lazy", "sleepy")),  # one-shingle edit
+        (4, "completely different text about spark shuffle partitions and joins"),
+        (5, "short"),  # < ngram tokens: excluded from signatures
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_candidate_pairs(
+            df, "text", "doc_id", bits=32, max_distance=2
+        ).collect()
+    }
+    # identical docs must appear at distance 0 (banding has no false
+    # negatives for d <= max_distance)
+    assert got[(1, 2)] == 0
+    # every reported pair respects the distance bound and ordering
+    assert all(a < b and h <= 2 for (a, b), h in got.items())
+    # the short doc never pairs
+    assert all(5 not in p for p in got)
+
+
+def test_simhash_candidate_pairs_validates_args(spark):
+    import pytest as _pt
+
+    from gem_data_wrangle_spark.operators.dedup import (
+        simhash_candidate_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    with _pt.raises(ValueError):
+        simhash_candidate_pairs(df, "text", "doc_id", bits=2, max_distance=3)
