@@ -7866,6 +7866,134 @@ def _q_kmv_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Robust MAD outlier flags (round 9): Iglewicz–Hoaglin modified
+# z-score per event_type — median and MAD via the exact ×100 rank
+# interpolation, the 3.5 cut decided by the pure integer comparison
+# 67450·dev > 3500·MAD (no float ever gates the flag). The oracle
+# replays both median passes with the impute_median window algebra.
+@_register(
+    "mad_outlier_flags",
+    """
+    WITH c AS (
+      SELECT event_type, event_id, value,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ), r1 AS (
+      SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+             count(*)    OVER (PARTITION BY event_type)             AS n
+      FROM c
+    ), g1 AS (
+      SELECT event_type, max(n) AS n,
+             max(CASE WHEN rn = ((n-1)*50)//100 + 1 THEN c END) AS lo,
+             max(CASE WHEN rn = ((n-1)*50)//100 + 2 THEN c END) AS hi
+      FROM r1 GROUP BY event_type
+    ), med AS (
+      SELECT event_type,
+             lo*100 + (coalesce(hi,lo)-lo) * (((n-1)*50) % 100) AS m
+      FROM g1
+    ), d AS (
+      SELECT c.event_type, c.event_id, c.value,
+             abs(c.c*100 - med.m) AS dev
+      FROM c JOIN med USING (event_type)
+    ), r2 AS (
+      SELECT event_type, dev,
+             row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+             count(*)    OVER (PARTITION BY event_type)               AS n
+      FROM d
+    ), g2 AS (
+      SELECT event_type, max(n) AS n,
+             max(CASE WHEN rn = ((n-1)*50)//100 + 1 THEN dev END) AS lo,
+             max(CASE WHEN rn = ((n-1)*50)//100 + 2 THEN dev END) AS hi
+      FROM r2 GROUP BY event_type
+    ), mad AS (
+      SELECT event_type,
+             lo*100 + (coalesce(hi,lo)-lo) * (((n-1)*50) % 100) AS mm
+      FROM g2
+    )
+    SELECT d.event_type, d.event_id, d.value,
+           (dev::DOUBLE / 10000) AS abs_dev,
+           (CASE WHEN mm > 0 THEN (dev*67450) // mm END)::BIGINT AS rz_milli,
+           (CASE WHEN mm > 0
+                 THEN CASE WHEN dev*67450 > 3500*mm THEN 1 ELSE 0 END
+                 ELSE CASE WHEN dev > 0 THEN 1 ELSE 0 END
+            END)::BIGINT AS is_outlier
+    FROM d JOIN mad USING (event_type)
+    """,
+)
+def _q_mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.stats import mad_outliers
+
+    return mad_outliers(
+        _events(spark, sf_dir), ["event_type"], "event_id", "value"
+    ).select(
+        "event_type", "event_id", "value", "abs_dev", "rz_milli", "is_outlier"
+    )
+
+
+def _label_prop_oracle_sql(iters: int) -> str:
+    """Unrolled fixed-iteration synchronous label propagation — one
+    (vote, relabel) CTE pair per round, the exact integer algebra the
+    operator runs (no floats anywhere, so parity is exact). Loop-
+    generated so the graded iteration count is one constant shared
+    with the Spark call."""
+    parts = [
+        """
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey % 150 AS s, o_orderkey % 211 AS d
+      FROM orders
+    ), sym AS (
+      SELECT s, d FROM e0 WHERE s <> d
+      UNION
+      SELECT d AS s, s AS d FROM e0 WHERE s <> d
+    ), l0 AS (
+      SELECT DISTINCT s AS v, s AS lbl FROM sym
+    )"""
+    ]
+    for k in range(iters):
+        parts.append(
+            f""", m{k} AS (
+      SELECT sym.d AS v, l.lbl, count(*) AS cnt
+      FROM sym JOIN l{k} l ON sym.s = l.v
+      GROUP BY sym.d, l.lbl
+    ), l{k + 1} AS (
+      SELECT v, lbl FROM (
+        SELECT v, lbl,
+               row_number() OVER (PARTITION BY v
+                                  ORDER BY cnt DESC, lbl ASC) AS rn
+        FROM m{k}) WHERE rn = 1
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT v::BIGINT AS node, lbl::BIGINT AS community FROM l{iters}"""
+    )
+    return "".join(parts)
+
+
+# Label-propagation communities (round 9) on the same synthetic
+# orders-derived host graph as host_pagerank/host_triangles, taken
+# undirected. 3 fixed synchronous rounds, min-label tie-break — all
+# integer algebra, exact cross-engine parity.
+@_register("host_communities", _label_prop_oracle_sql(3))
+def _q_host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.graph import label_propagation
+
+    edges = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            (F.col("o_custkey") % 150).alias("src"),
+            (F.col("o_orderkey") % 211).alias("dst"),
+        )
+        .distinct()
+    )
+    out = label_propagation(edges, "src", "dst", iterations=3)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("community").cast("long").alias("community"),
+    )
+
+
 # --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------

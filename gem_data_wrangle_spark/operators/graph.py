@@ -310,3 +310,66 @@ def triangle_count(
         .groupBy(node_col)
         .agg(F.count(F.lit(1)).alias(out_col))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    iterations: int = 3,
+    id_col: str = "node",
+    label_col: str = "community",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007, the deterministic Pregel variant) over an UNDIRECTED
+    graph — near-linear community structure for host-graph curation:
+    mirror farms and template networks surface as one community where
+    :func:`connected_components` (which this complements) would weld
+    everything reachable into a single blob.
+
+    Every node starts labeled with its own id; each of the FIXED
+    ``iterations`` synchronous rounds relabels every node with the
+    most frequent label among its NEIGHBORS, ties broken by the
+    SMALLEST label — a total order, so the whole run is deterministic
+    and an SQL oracle can unroll the identical algebra (the async
+    random-order variant in the paper is neither). Self-loops drop;
+    parallel edges count once.
+
+    Plan/scale: per round, ONE hash join (neighbor label lookup on the
+    symmetrized edge list) + one partial-combined (node, label) count
+    + one ``max_by`` per-node vote — all partitioned on node id, the
+    connected_components/pagerank cost profile. No driver action, no
+    broadcast of anything unbounded; lineage truncates between rounds
+    via the module's :func:`_checkpointer` (the last round stays lazy
+    so the returned plan is auditable).
+    """
+    ckpt = _checkpointer(checkpoint_dir)
+    a, b = F.col(src), F.col(dst)
+    half = edges.filter(a != b)
+    sym = ckpt(
+        half.select(a.alias("_s"), b.alias("_d"))
+        .union(half.select(b.alias("_s"), a.alias("_d")))
+        .distinct(),
+        False,
+    )
+    labels = sym.select(F.col("_s").alias("_v")).distinct().select(
+        "_v", F.col("_v").alias("_lbl")
+    )
+    for it in range(iterations):
+        votes = (
+            sym.join(labels, sym["_s"] == labels["_v"])
+            .groupBy(F.col("_d").alias("_v"), F.col("_lbl"))
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+        # most frequent neighbor label, smallest label on ties: max_by
+        # over (count, -label) is the (freq DESC, label ASC) vote as
+        # one partial-combined aggregate — no per-node sort window
+        labels = votes.groupBy("_v").agg(
+            F.expr("max_by(_lbl, struct(_cnt, -_lbl))").alias("_lbl")
+        )
+        if it < iterations - 1:
+            labels = ckpt(labels, True)
+    return labels.select(
+        F.col("_v").alias(id_col), F.col("_lbl").alias(label_col)
+    )

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def integer_pair_stats(
@@ -188,3 +188,99 @@ def cooccurrence_lift(
             ).alias("lift"),
         )
     )
+
+
+def _group_median_x100(
+    df: DataFrame, group_cols: Sequence[str], unit_col: str, out_col: str
+) -> DataFrame:
+    """Per-group exact median of an INTEGER unit column, returned in
+    units ×100 (so the midpoint interpolation of an even-sized group
+    stays an exact integer). Same rank algebra as
+    ``aggregates.group_quantiles`` at p=50: one hash exchange for the
+    rank window, and the finishing groupBy reuses that partitioning.
+    """
+    wo = Window.partitionBy(*group_cols).orderBy(unit_col)
+    wn = Window.partitionBy(*group_cols)
+    ranked = (
+        df.select(*group_cols, unit_col)
+        .filter(F.col(unit_col).isNotNull())
+        .withColumn("_rn", F.row_number().over(wo))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+    )
+    lo_rank = F.floor((F.col("_n") - 1) * 50 / 100) + 1
+    per = ranked.groupBy(*group_cols).agg(
+        F.max("_n").alias("_n"),
+        F.max(F.when(F.col("_rn") == lo_rank, F.col(unit_col))).alias("_lo"),
+        F.max(F.when(F.col("_rn") == lo_rank + 1, F.col(unit_col))).alias("_hi"),
+    )
+    frac = ((F.col("_n") - 1) * 50) % 100
+    lo, hi = F.col("_lo"), F.coalesce(F.col("_hi"), F.col("_lo"))
+    return per.select(
+        *group_cols, (lo * 100 + (hi - lo) * frac).cast("long").alias(out_col)
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    id_col: str,
+    value_col: str,
+    threshold_milli: int = 3500,
+    decimals: int = 2,
+) -> DataFrame:
+    """Robust per-group outlier flags via the median/MAD modified
+    z-score (Iglewicz & Hoaglin 1993): ``z = 0.6745·|x − med| / MAD``
+    with the conventional cut at 3.5. Unlike mean/stddev z-scores
+    (``asof.rolling_zscores``) or Tukey fences
+    (``quality.iqr_outlier_flags``), the flag itself is immune to the
+    outliers it hunts — median and MAD have a 50% breakdown point, so
+    a corrupted feed can't drag the gate open (the reason robust
+    z-scores are the standard pre-training numeric-sanity cut).
+
+    Engine-portable by the module's integer discipline:
+    ``value_col`` holds ``decimals``-dp values, both medians ride the
+    exact ×100 rank interpolation, and the threshold test is the pure
+    integer comparison ``67450·dev > threshold_milli·MAD`` (0.6745
+    and the cut carried as ×10⁴/×10³ integers) — no float ever
+    decides the flag. ``rz_milli`` = floor(1000·z) is likewise exact
+    integer floor division; NULL when MAD = 0, where any nonzero
+    deviation is infinitely outlying and flags directly.
+
+    Plan/scale: two rank-window passes (median of values, median of
+    deviations), each ONE hash exchange on ``group_cols`` with the
+    finishing aggregate reusing the partitioning, plus two joins back
+    whose right side is one row per group — broadcast-sized for any
+    realistic group count, left to AQE. No driver action, no global
+    window.
+    """
+    scale = 10 ** decimals
+    keys = list(group_cols)
+    base = df.select(
+        *keys,
+        F.col(id_col),
+        F.col(value_col),
+        F.round(F.col(value_col) * scale).cast("long").alias("_c"),
+    ).filter(F.col("_c").isNotNull())
+    med = _group_median_x100(base, keys, "_c", "_m")
+    dev = base.join(med, on=keys).withColumn(
+        "_dev", F.abs(F.col("_c") * 100 - F.col("_m"))
+    )
+    mad = _group_median_x100(dev, keys, "_dev", "_mad")
+    num = F.col("_dev") * 67450
+    flagged = dev.join(mad, on=keys).select(
+        *keys,
+        F.col(id_col),
+        F.col(value_col),
+        (F.col("_dev").cast("double") / (100 * scale)).alias("abs_dev"),
+        F.when(
+            F.col("_mad") > 0,
+            ((num - num % F.col("_mad")) / F.col("_mad")).cast("long"),
+        ).alias("rz_milli"),
+        F.when(
+            F.col("_mad") > 0,
+            (num > F.lit(int(threshold_milli)) * F.col("_mad")).cast("long"),
+        )
+        .otherwise((F.col("_dev") > 0).cast("long"))
+        .alias("is_outlier"),
+    )
+    return flagged

@@ -219,3 +219,50 @@ def test_simhash_candidate_pairs_validates_args(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
     with _pt.raises(ValueError):
         simhash_candidate_pairs(df, "text", "doc_id", bits=2, max_distance=3)
+
+
+def test_mad_outliers_flags_and_mad_zero_fallback(spark):
+    from gem_data_wrangle_spark.operators.stats import mad_outliers
+
+    rows = [
+        ("a", i, v)
+        for i, v in enumerate([10.0, 10.2, 9.9, 10.1, 10.0, 10.3, 9.8, 50.0])
+    ]
+    # >= half identical values -> MAD = 0: rz undefined, any nonzero
+    # deviation flags directly
+    rows += [("b", 100 + i, 5.0) for i in range(4)] + [("b", 104, 7.0)]
+    df = spark.createDataFrame(rows, "g string, id int, v double")
+    out = {
+        r["id"]: r
+        for r in mad_outliers(df, ["g"], "id", "v").collect()
+    }
+    assert [i for i in out if out[i]["is_outlier"] == 1] == [7, 104]
+    # group a: med=10.05, MAD (of devs in cents*100) is exact; the
+    # inlier band carries finite rz_milli
+    assert out[0]["rz_milli"] == 224 and out[5]["rz_milli"] == 1124
+    assert out[104]["rz_milli"] is None and out[104]["abs_dev"] == 2.0
+    # robustness: the 50.0 outlier did not drag the gate open for
+    # ordinary inliers (mean/stddev z-score would have)
+    assert all(out[i]["is_outlier"] == 0 for i in range(7))
+
+
+def test_label_propagation_separates_two_cliques(spark):
+    from gem_data_wrangle_spark.operators.graph import label_propagation
+
+    # two 4-cliques bridged by one edge; self-loop and duplicate edge
+    # must be ignored
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = c1 + c2 + [(3, 10), (5, 5), (0, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(df, "src", "dst", iterations=3).collect()
+    }
+    # each clique converges to ONE label (min id in the clique wins the
+    # tie-breaks), and the two communities stay distinct
+    assert len({got[n] for n in range(4)}) == 1
+    assert len({got[n] for n in range(10, 14)}) == 1
+    assert got[0] != got[10]
+    # the isolated self-loop node never enters the graph
+    assert 5 not in got
