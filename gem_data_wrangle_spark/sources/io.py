@@ -14,7 +14,7 @@ from __future__ import annotations
 import os
 from typing import cast
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
 
 TESTDATA_TABLES = (
@@ -405,3 +405,70 @@ def sink_orc(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+def scan_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: StructType | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """XML source via Spark 4's NATIVE xml data source (the spark-xml
+    package folded into core by SPARK-44265 — no extra jar): every
+    ``row_tag`` element becomes a row, attributes surface as ``_attr``
+    columns, nested elements as structs. ``schema`` skips the
+    double-pass inference read (recommended for large feeds — XML
+    inference reads every byte); ``columns`` prunes post-parse.
+
+    Scale note: XML splits per FILE, not per block — a single 100 GB
+    feed parses on one task. Shred big feeds into many files upstream
+    (the standard dump layout: sub-GB chunks) so the scan
+    parallelizes; everything downstream is ordinary columnar."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.load(path)
+    return df.select(*columns) if columns else df
+
+
+def sink_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """XML sink (native writer, one file per partition wrapped in
+    ``root_tag``) — the interchange shape legacy feeds expect back."""
+    (
+        df.write.mode(mode)
+        .format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .save(path)
+    )
+
+
+def scan_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Whole-file binary ingest via Spark's ``binaryFile`` source:
+    ``(path, modificationTime, length, content)`` with one row per
+    file — the standard on-ramp for raw media (images/audio/video)
+    into the multimodal operators, which expect exactly this
+    ``content: binary`` column shape. ``glob`` filters by filename
+    pattern at LISTING time (pruned before any read); ``max_bytes``
+    pushes a length predicate so oversized blobs never transfer —
+    both reach the file index, not a post-scan filter. Files are
+    indivisible rows: partition parallelism is per-file, and one
+    giant file should be chunked upstream."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df

@@ -231,3 +231,32 @@ def test_scan_jsonl_permissive_corrupt_capture(spark, tmp_path):
         compression="gzip",
     )
     assert spark.read.json(str(out)).count() == 3
+
+
+def test_xml_roundtrip_native_source(spark, tmp_path):
+    from gem_data_wrangle_spark.sources.io import scan_xml, sink_xml
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, None)], "id long, name string"
+    )
+    path = str(tmp_path / "xml_out")
+    sink_xml(df, path, row_tag="rec", root_tag="recs")
+    back = scan_xml(spark, path, row_tag="rec")
+    got = {r["id"]: r["name"] for r in back.collect()}
+    assert got == {1: "alpha", 2: "beta", 3: None}
+    # column pruning arg
+    only = scan_xml(spark, path, row_tag="rec", columns=["id"])
+    assert only.columns == ["id"]
+
+
+def test_scan_binary_files_glob_and_size(spark, tmp_path):
+    from gem_data_wrangle_spark.sources.io import scan_binary_files
+
+    (tmp_path / "a.bin").write_bytes(b"\x01" * 10)
+    (tmp_path / "b.bin").write_bytes(b"\x02" * 1000)
+    (tmp_path / "c.txt").write_bytes(b"skip")
+    df = scan_binary_files(spark, str(tmp_path), glob="*.bin", max_bytes=100)
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["length"] == 10 and rows[0]["content"] == b"\x01" * 10
+    assert set(df.columns) == {"path", "modificationTime", "length", "content"}
