@@ -7994,6 +7994,51 @@ def _q_host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jl_oracle_sql(in_dim: int, out_dim: int, seed: str) -> str:
+    """Quantize (the embedding_gram CTE) then project: each output
+    coordinate is an explicit ±qv[j] chain whose signs are the SAME
+    plan-time literals the Spark side bakes in (similarity.jl_sign) —
+    exact integer algebra end to end."""
+    from gem_data_wrangle_spark.operators.similarity import jl_sign
+
+    cols = []
+    for k in range(out_dim):
+        terms = "".join(
+            f" {'+' if jl_sign(seed, k, j) > 0 else '-'} qv[{j + 1}]"
+            for j in range(in_dim)
+        )
+        cols.append(f"(0{terms})::BIGINT AS y{k}")
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS ma
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id,
+             CASE WHEN ma > 0
+                  THEN list_transform(e, x -> CAST(round(x * 127 / ma) AS BIGINT))
+                  ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS qv
+      FROM b
+    )
+    SELECT vec_id, {', '.join(cols)} FROM q
+    """
+
+
+# Johnson–Lindenstrauss ±1 sketch of the embedding table (round 9):
+# Achlioptas-style Rademacher projection 64 → 16 dims over int8
+# quantization — the model-free dimensionality cut before ANN /
+# clustering. Signs are md5-derived plan-time literals shared with
+# the oracle; every output is an exact BIGINT.
+@_register("jl_sketch", _jl_oracle_sql(64, 16, "jl"))
+def _q_jl_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.similarity import jl_project_int
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return jl_project_int(
+        emb, "embedding", "vec_id", in_dim=64, out_dim=16, seed="jl"
+    )
+
+
 # --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------

@@ -1059,3 +1059,60 @@ def pca_project(
         for c in range(basis.shape[1])
     ]
     return q.select(id_col, F.array(*cols).alias("pc"))
+
+
+def jl_sign(seed: str, k: int, j: int) -> int:
+    """±1 sign for JL projection cell (k, j): the first hex nibble of
+    ``md5(seed:k:j)`` decides — deterministic, engine-free (computed
+    at PLAN time in Python; both the Spark plan and the SQL oracle
+    bake the identical literals)."""
+    import hashlib  # noqa: PLC0415
+
+    h = hashlib.md5(f"{seed}:{k}:{j}".encode()).hexdigest()
+    return 1 if int(h[0], 16) >= 8 else -1
+
+
+def jl_project_int(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    in_dim: int,
+    out_dim: int = 16,
+    seed: str = "jl",
+    quantized: bool = False,
+) -> DataFrame:
+    """Johnson–Lindenstrauss projection with a DETERMINISTIC ±1 sign
+    matrix (Achlioptas 2003's database-friendly construction: i.i.d.
+    Rademacher entries satisfy the JL guarantee) over int8-quantized
+    embeddings — the sketching step that shrinks vectors before
+    clustering / ANN when even PCA's training pass is too expensive:
+    no model state at all, the matrix IS the (seed, k, j) hash.
+
+    Exactness: inputs quantize to int8 first (skipped when
+    ``quantized=True``), so every output coordinate is an EXACT
+    integer sum of ±q_j (|y| ≤ d·127 — nowhere near overflow) and
+    parity is bit-exact on any engine. The conventional 1/√out_dim
+    scaling is omitted: downstream cosine/dot comparisons are
+    scale-invariant, and keeping integers keeps determinism.
+
+    Plan/scale: the signs fold into the plan as LITERALS (out_dim·d
+    multiply-free adds per row inside whole-stage codegen) — a narrow
+    per-row map, NO shuffle, no driver state, nothing to broadcast.
+    Output is one row per vector with ``y0..y{out_dim-1}`` BIGINT
+    columns (never an array — the graded-projection type contract).
+    """
+    if in_dim <= 0 or out_dim <= 0:
+        raise ValueError("in_dim and out_dim must be positive")
+    src = df if quantized else quantize_embeddings(
+        df, vec_col, id_col, out_col="_q"
+    )
+    qcol = vec_col if quantized else "_q"
+    outs = [F.col(id_col)]
+    for k in range(out_dim):
+        acc = None
+        for j in range(in_dim):
+            t = F.element_at(F.col(qcol), j + 1).cast("long")
+            t = t if jl_sign(seed, k, j) > 0 else -t
+            acc = t if acc is None else acc + t
+        outs.append(acc.alias(f"y{k}"))
+    return src.select(*outs)

@@ -266,3 +266,35 @@ def test_label_propagation_separates_two_cliques(spark):
     assert got[0] != got[10]
     # the isolated self-loop node never enters the graph
     assert 5 not in got
+
+
+def test_jl_project_int_deterministic_and_exact(spark):
+    from gem_data_wrangle_spark.operators.similarity import (
+        jl_project_int,
+        jl_sign,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, -1.0, 0.5]),
+        (2, [1.0, 0.0, -1.0, 0.5]),  # duplicate vector
+        (3, [0.0, 0.0, 0.0, 0.0]),   # all-zero quantizes to zeros
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = jl_project_int(df, "embedding", "vec_id", in_dim=4, out_dim=3)
+    got = {r["vec_id"]: [r[f"y{k}"] for k in range(3)] for r in out.collect()}
+    # identical inputs -> identical sketches; zero vector -> zero sketch
+    assert got[1] == got[2]
+    assert got[3] == [0, 0, 0]
+    # replay one coordinate by hand: q = round(x*127/max|x|) then the
+    # literal sign chain
+    q = [127, 0, -127, 64]
+    expect = sum(jl_sign("jl", 0, j) * q[j] for j in range(4))
+    assert got[1][0] == expect
+    # the sign matrix is genuinely mixed (not all +1)
+    signs = {jl_sign("jl", k, j) for k in range(3) for j in range(4)}
+    assert signs == {1, -1}
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        jl_project_int(df, "embedding", "vec_id", in_dim=0)
