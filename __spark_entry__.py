@@ -8039,6 +8039,75 @@ def _q_jl_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Degree assortativity of the synthetic host graph (round 9): the
+# one-number structural fingerprint completing the graph family
+# (components / pagerank / triangles / communities). Exact integer
+# degree sums through integer_pair_stats; wide sums ride VARCHAR per
+# the graded-output type contract (the pairwise_corr pattern).
+@_register(
+    "host_assortativity",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey % 150 AS s, o_orderkey % 211 AS d
+      FROM orders
+    ), sym AS (
+      SELECT s, d FROM e0 WHERE s <> d
+      UNION
+      SELECT d AS s, s AS d FROM e0 WHERE s <> d
+    ), deg AS (
+      SELECT s AS v, count(*) AS dg FROM sym GROUP BY s
+    ), p AS (
+      SELECT a.dg::BIGINT AS x, b.dg::BIGINT AS y
+      FROM sym JOIN deg a ON sym.s = a.v JOIN deg b ON sym.d = b.v
+    ), g AS (
+      SELECT count(*) AS n, sum(x) AS sum_x, sum(y) AS sum_y,
+             sum(x::HUGEINT * x) AS sum_xx, sum(y::HUGEINT * y) AS sum_yy,
+             sum(x::HUGEINT * y) AS sum_xy
+      FROM p
+    )
+    SELECT n,
+      sum_x::VARCHAR AS sum_x, sum_y::VARCHAR AS sum_y,
+      sum_xx::VARCHAR AS sum_xx, sum_yy::VARCHAR AS sum_yy,
+      sum_xy::VARCHAR AS sum_xy,
+      CASE WHEN n >= 2 THEN
+        round((n::DOUBLE * sum_xy::DOUBLE - sum_x::DOUBLE * sum_y::DOUBLE)
+              / (n::DOUBLE * (n::DOUBLE - 1)), 6) END AS covar_samp,
+      CASE WHEN n >= 2
+            AND n::DOUBLE * sum_xx::DOUBLE - sum_x::DOUBLE * sum_x::DOUBLE > 0
+            AND n::DOUBLE * sum_yy::DOUBLE - sum_y::DOUBLE * sum_y::DOUBLE > 0
+           THEN
+        round((n::DOUBLE * sum_xy::DOUBLE - sum_x::DOUBLE * sum_y::DOUBLE)
+              / (sqrt(n::DOUBLE * sum_xx::DOUBLE
+                      - sum_x::DOUBLE * sum_x::DOUBLE)
+                 * sqrt(n::DOUBLE * sum_yy::DOUBLE
+                        - sum_y::DOUBLE * sum_y::DOUBLE)), 6) END AS corr
+    FROM g
+    """,
+)
+def _q_host_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.graph import degree_assortativity
+
+    edges = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            (F.col("o_custkey") % 150).alias("src"),
+            (F.col("o_orderkey") % 211).alias("dst"),
+        )
+        .distinct()
+    )
+    out = degree_assortativity(edges, "src", "dst")
+    return out.select(
+        "n",
+        F.col("sum_x").cast("string").alias("sum_x"),
+        F.col("sum_y").cast("string").alias("sum_y"),
+        F.col("sum_xx").cast("string").alias("sum_xx"),
+        F.col("sum_yy").cast("string").alias("sum_yy"),
+        F.col("sum_xy").cast("string").alias("sum_xy"),
+        "covar_samp",
+        "corr",
+    )
+
+
 # --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------

@@ -373,3 +373,44 @@ def label_propagation(
     return labels.select(
         F.col("_v").alias(id_col), F.col("_lbl").alias(label_col)
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+) -> DataFrame:
+    """Newman degree assortativity (Phys. Rev. Lett. 89, 2002) of an
+    undirected simple graph: the Pearson correlation of endpoint
+    degrees over all directed edge instances (each undirected edge
+    counted in both orientations, the standard symmetric estimator).
+    Positive ⇒ hubs link hubs (social nets); negative ⇒ hub-and-spoke
+    (the web's host graph, mirror farms) — a one-number structural
+    fingerprint for corpus-graph monitoring alongside
+    :func:`pagerank` / :func:`triangle_count` / `label_propagation`.
+
+    Exactness comes free by composition: degrees are exact integers,
+    and the correlation rides :func:`..stats.integer_pair_stats`'
+    decimal(38,0) sufficient sums with one fixed IEEE finish.
+
+    Plan/scale: symmetrize + one degree aggregate + two hash joins on
+    node id + ONE global partial-combined aggregate whose exchange
+    carries six fixed-width partials per partition. No windows, no
+    driver state.
+    """
+    from .stats import integer_pair_stats  # noqa: PLC0415
+
+    a, b = F.col(src), F.col(dst)
+    half = edges.filter(a != b)
+    sym = (
+        half.select(a.alias("_s"), b.alias("_d"))
+        .union(half.select(b.alias("_s"), a.alias("_d")))
+        .distinct()
+    )
+    deg = sym.groupBy("_s").agg(F.count(F.lit(1)).alias("_dg"))
+    ds = deg.select(F.col("_s"), F.col("_dg").alias("deg_s"))
+    dd = deg.select(F.col("_s").alias("_d"), F.col("_dg").alias("deg_d"))
+    pairs = sym.join(ds, "_s").join(dd, "_d").select(
+        F.col("deg_s").cast("long"), F.col("deg_d").cast("long")
+    )
+    return integer_pair_stats(pairs, [], "deg_s", "deg_d")

@@ -298,3 +298,23 @@ def test_jl_project_int_deterministic_and_exact(spark):
 
     with _pt.raises(ValueError):
         jl_project_int(df, "embedding", "vec_id", in_dim=0)
+
+
+def test_degree_assortativity_signs(spark):
+    from gem_data_wrangle_spark.operators.graph import degree_assortativity
+
+    # star graph: hub degree 5, leaves degree 1 -> strongly
+    # disassortative (corr = -1 exactly for a star)
+    star = [(0, i) for i in range(1, 6)]
+    r = degree_assortativity(
+        spark.createDataFrame(star, "src long, dst long"), "src", "dst"
+    ).collect()[0]
+    assert r["n"] == 10  # 5 undirected edges, both orientations
+    assert float(r["corr"]) == -1.0
+    # regular graph (cycle): every degree equal -> zero variance,
+    # corr NULL by the integer_pair_stats guard
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    r2 = degree_assortativity(
+        spark.createDataFrame(cyc, "src long, dst long"), "src", "dst"
+    ).collect()[0]
+    assert r2["corr"] is None and r2["n"] == 12
