@@ -102,6 +102,15 @@ HEADLINE = [
     # + model join-back) and readability (pure narrow regex algebra)
     "kn_doc_scores",
     "doc_readability",
+    # round 9 batch 4: SimHash Hamming-ball pairs (banded signature
+    # self-join + fixed 32-term verify), label-propagation communities
+    # (3 synchronous join+vote rounds), the JL ±1 sketch (literal-sign
+    # no-shuffle matmul), and MAD outlier flags (two rank-window
+    # median passes + integer-compare gate)
+    "simhash_pairs",
+    "host_communities",
+    "jl_sketch",
+    "mad_outlier_flags",
 ]
 
 
