@@ -8108,6 +8108,124 @@ def _q_host_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Percentile-rank normalization (round 9, past the graded window —
+# round-10 rotation): exact ppm rank + decile bucket per event within
+# its type; RANK ties (equal cents) share outputs, so no invented
+# tie order. All integer floors.
+@_register(
+    "rank_normalized_values",
+    """
+    WITH c AS (
+      SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ), r AS (
+      SELECT event_type, event_id,
+             rank()   OVER (PARTITION BY event_type ORDER BY c) AS rk,
+             count(*) OVER (PARTITION BY event_type)             AS n
+      FROM c
+    )
+    SELECT event_type, event_id,
+           (CASE WHEN n > 1 THEN (1000000 * (rk - 1)) // (n - 1)
+                 ELSE 0 END)::BIGINT AS pr_ppm,
+           ((10 * (rk - 1)) // n)::BIGINT AS bucket
+    FROM r
+    """,
+)
+def _q_rank_normalized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.stats import rank_normalize
+
+    return rank_normalize(
+        _events(spark, sf_dir), ["event_type"], "event_id", "value",
+        n_buckets=10,
+    ).select("event_type", "event_id", "pr_ppm", "bucket")
+
+
+# Cross-corpus MinHash containment screening (round 9, past the
+# graded window — round-10 rotation): documents with doc_id % 11 == 3
+# play the held-out reference suite; every other document is screened
+# against it. k=16 slots, noise pruned at >= 4 matching slots; both
+# estimates are exact integer-ppm floors.
+@_register(
+    "containment_screen",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([t[i] || ' ' || t[i + 1]
+                            FOR i IN range(1, len(t))]) AS s
+      FROM toks
+    ), sh2 AS (
+      SELECT doc_id, s, len(s) AS sz FROM sh WHERE len(s) >= 1
+    ), slots AS (
+      SELECT doc_id, sz, g.i AS slot,
+             list_aggregate(
+               list_transform(s, x -> md5(CAST(g.i AS VARCHAR) || '|' || x)),
+               'min') AS h
+      FROM sh2, LATERAL (SELECT unnest(range(0, 16)) AS i) g
+    ), m AS (
+      SELECT a.doc_id AS corpus_id, b.doc_id AS ref_id,
+             a.sz AS corpus_size, b.sz AS ref_size, count(*) AS n_matches
+      FROM slots a JOIN slots b ON a.slot = b.slot AND a.h = b.h
+      WHERE a.doc_id % 11 <> 3 AND b.doc_id % 11 = 3
+      GROUP BY 1, 2, 3, 4
+      HAVING count(*) >= 4
+    )
+    SELECT corpus_id, ref_id, n_matches,
+           corpus_size::BIGINT AS corpus_size, ref_size::BIGINT AS ref_size,
+           ((n_matches * 1000000) // 16)::BIGINT AS jaccard_ppm,
+           least((n_matches * (corpus_size + ref_size) * 1000000)
+                 // (corpus_size * (16 + n_matches)),
+                 1000000)::BIGINT AS containment_ppm
+    FROM m
+    """,
+)
+def _q_containment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.dedup import (
+        minhash_containment_join,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 11 != 3)
+    ref = docs.filter(F.col("doc_id") % 11 == 3)
+    return minhash_containment_join(
+        corpus, ref, "text", "doc_id", k=16, min_matches=4
+    )
+
+
+# Exponentially-weighted moving average (round 9, past the graded
+# window): alpha=1/2 truncated at 30 terms per event_type stream —
+# exact integer numerator/denominator, one decimal(38,0) floor
+# division; (ts, event_id) total order fixes the frame.
+@_register(
+    "ewma_event_values",
+    """
+    WITH c AS (
+      SELECT event_type, event_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ), l AS (
+      SELECT event_type, event_id,
+             list(c) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                           ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS lst
+      FROM c
+    )
+    SELECT event_type, event_id,
+      ((list_sum([lst[i] * (1::BIGINT << (i - 1))
+                  FOR i IN range(1, len(lst) + 1)])::HUGEINT * 1000)
+       // (((1::BIGINT << len(lst)) - 1) * 100))::BIGINT AS ewma_milli
+    FROM l
+    """,
+)
+def _q_ewma_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.asof import ewma_values
+
+    return ewma_values(
+        _events(spark, sf_dir), "event_type", "ts", "value", "event_id",
+        window_rows=30,
+    )
+
+
 # --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------

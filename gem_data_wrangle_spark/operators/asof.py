@@ -410,3 +410,77 @@ def last_touch_attribution(
         tolerance=lookback,
         suffix="_touch",
     )
+
+
+def ewma_values(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    window_rows: int = 30,
+    decimals: int = 2,
+) -> DataFrame:
+    """Exponentially-weighted moving average (α = 1/2) per key over
+    event order — the drift/trend smoother that weights the present
+    over the past, complementing :func:`rolling_time_agg`'s flat
+    frame. The CONTRACT is the ``window_rows``-term truncated form
+    (truncation error ≤ max|x|/2^{window_rows}, below any emitted
+    precision at the default 30):
+
+        ewma_t = Σ_{i=0..n−1} 2^i·x_{t−n+1+i} / (2^n − 1),
+        n = min(t, window_rows)
+
+    — newest term weighted 2^{n−1}, each step back halving, which is
+    exactly the α=1/2 recursion ``s_t = (x_t + s_{t−1})/2`` restarted
+    outside the frame. Numerator and denominator are EXACT integers
+    (cents·2^i; n ≤ 62 keeps 2^n in int64 — enforced), and the output
+    ``ewma_milli = ⌊10^{3−decimals}·scale·num/den⌋`` is one exact
+    integer floor division, engine-portable with no float in sight.
+
+    Ordering ties break by ``id_col`` so the frame content is total-
+    ordered (the FIXTURES determinism rule for any windowed fold).
+
+    Plan/scale: ONE hash exchange (the per-key window); the frame
+    fold is a bounded ``window_rows``-element array per row inside
+    codegen — no iteration, no state store, no driver work.
+    """
+    if not 1 <= window_rows <= 40:
+        raise ValueError(
+            "window_rows must be in [1, 40] so |cents|*2^(n+1) stays in"
+            " int64 for |value| up to ~4*10^4 value units"
+        )
+    scale = 10 ** decimals
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    cents = F.round(F.col(value_col) * scale).cast("long")
+    # NULL measurements are excluded from the population BEFORE the
+    # window (the group_quantiles rule): otherwise a null row would
+    # still consume a frame slot while collect_list skips its value —
+    # engines disagree on exactly that shape
+    out = (
+        df.select(key_col, ts_col, F.col(id_col), cents.alias("_c"))
+        .filter(F.col("_c").isNotNull())
+        .withColumn("_lst", F.collect_list(F.col("_c")).over(w))
+    )
+    num = F.expr(
+        "aggregate(zip_with(_lst, sequence(0, size(_lst) - 1),"
+        " (x, i) -> x * shiftleft(1L, i)), 0L, (a, b) -> a + b)"
+    )
+    den = F.expr("shiftleft(1L, size(_lst)) - 1")
+    # ewma_milli = floor(1000*num / (den*scale)): the x1000 step can
+    # cross int64 (num alone may reach ~2e17 at the window cap), so
+    # the final division rides decimal(38,0) exact arithmetic — the
+    # key_skew_profile floor pattern
+    a = num.cast("decimal(38,0)") * F.lit(1000).cast("decimal(38,0)")
+    b = (den * scale).cast("decimal(38,0)")
+    return out.select(
+        key_col,
+        F.col(id_col),
+        ((a - a % b) / b).cast("decimal(38,0)").cast("long").alias(
+            "ewma_milli"
+        ),
+    )

@@ -1117,3 +1117,83 @@ def simhash_candidate_pairs(
         .filter(F.col("hamming") <= max_distance)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def minhash_containment_join(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 16,
+    ngram: int = 2,
+    min_matches: int = 1,
+) -> DataFrame:
+    """Cross-corpus CONTAINMENT estimation by k-slot MinHash — the
+    approximate form of benchmark decontamination ("how much of doc A
+    is inside reference doc B?") when the exact n-gram equi-join
+    (``ngram_decontaminate``) is too heavy, e.g. screening a crawl
+    against a large held-out suite.
+
+    Estimator (Broder 1997 resemblance → containment): slot ``i``
+    carries the md5-min shingle hash under salt ``i``;
+    ``m`` = matching slots estimates Jaccard ``J ≈ m/k``, and with the
+    exact shingle-set sizes ``|A|, |B|`` known, intersection
+    ``Î = J(|A|+|B|)/(1+J) = m(|A|+|B|)/(k+m)`` and containment
+    ``Ĉ = Î/|A|``. Both emit as EXACT integer-ppm floors of integer
+    products (engine-portable; the estimate, not the float, is the
+    contract), clamped to 10⁶ since estimator noise can cross 1.
+
+    Plan/scale: signatures are a narrow per-row map (k array_min
+    scans over one materialized shingle array); the candidate stage is
+    ONE equi-join on ``(slot, hash)`` — bucketed, never all-pairs —
+    then a partial-combined pair count and two size joins. Hazard:
+    boilerplate shingles make hot (slot, hash) buckets the same way
+    LSH bands do; strip top-document-frequency shingles upstream when
+    screening template-heavy corpora.
+    """
+    if k < 1 or min_matches < 1:
+        raise ValueError("need k >= 1 and min_matches >= 1")
+
+    def sigs(df: DataFrame, side: str) -> DataFrame:
+        base = df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            _shingles(F.col(text_col), ngram).alias("_sh"),
+        ).filter(F.size("_sh") >= 1)
+        mins = F.array(
+            *[
+                F.array_min(F.transform(F.col("_sh"), _salted_md5(f"{i}|")))
+                for i in range(k)
+            ]
+        )
+        return base.select(
+            f"{side}_id",
+            F.size("_sh").alias(f"{side}_size"),
+            F.posexplode(mins).alias("slot", "h"),
+        )
+
+    a = sigs(corpus, "corpus")
+    b = sigs(reference, "ref")
+    m = (
+        a.join(b, ["slot", "h"])
+        .groupBy("corpus_id", "ref_id", "corpus_size", "ref_size")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .filter(F.col("n_matches") >= min_matches)
+    )
+    jac = F.col("n_matches") * 1_000_000
+    cont = (
+        F.col("n_matches")
+        * (F.col("corpus_size") + F.col("ref_size"))
+        * 1_000_000
+    )
+    cden = F.col("corpus_size") * (F.lit(k) + F.col("n_matches"))
+    return m.select(
+        "corpus_id",
+        "ref_id",
+        "n_matches",
+        F.col("corpus_size").cast("long").alias("corpus_size"),
+        F.col("ref_size").cast("long").alias("ref_size"),
+        ((jac - jac % k) / k).cast("long").alias("jaccard_ppm"),
+        F.least(
+            ((cont - cont % cden) / cden).cast("long"), F.lit(1_000_000)
+        ).alias("containment_ppm"),
+    )

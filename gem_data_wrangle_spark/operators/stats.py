@@ -284,3 +284,52 @@ def mad_outliers(
         .alias("is_outlier"),
     )
     return flagged
+
+
+def rank_normalize(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    id_col: str,
+    value_col: str,
+    n_buckets: int = 10,
+    decimals: int = 2,
+) -> DataFrame:
+    """Per-group percentile-rank normalization — the distribution-free
+    feature transform (rank-based scaling is step one of the inverse
+    normal transform, and the standard cross-source calibration when
+    raw scales disagree): each row gets its exact percentile rank and
+    its quantile bucket within ``group_cols``.
+
+    Ties share the MINIMUM rank (``RANK``, not ``row_number``), so
+    equal values always map to equal outputs — deterministic without
+    inventing a tie order. ``pr_ppm = ⌊10⁶·(rank−1)/(n−1)⌋`` and
+    ``bucket = ⌊n_buckets·(rank−1)/n⌋`` are exact integer floor
+    divisions (the (a − a mod b)/b form — no float boundary flips);
+    a single-row group normalizes to 0.
+
+    Plan/scale: ONE hash exchange — the rank/count windows partition
+    on ``group_cols`` and everything after is row-local arithmetic.
+    """
+    scale = 10 ** decimals
+    cents = F.round(F.col(value_col) * scale).cast("long")
+    wo = Window.partitionBy(*group_cols).orderBy("_c")
+    wn = Window.partitionBy(*group_cols)
+    ranked = (
+        df.select(*group_cols, F.col(id_col), cents.alias("_c"))
+        .filter(F.col("_c").isNotNull())
+        .withColumn("_rk", F.rank().over(wo))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+    )
+    a = (F.col("_rk") - 1) * 1_000_000
+    b = F.col("_n") - 1
+    pr = F.when(F.col("_n") > 1, ((a - a % b) / b).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+    ab = (F.col("_rk") - 1) * n_buckets
+    bucket = ((ab - ab % F.col("_n")) / F.col("_n")).cast("long")
+    return ranked.select(
+        *group_cols,
+        F.col(id_col),
+        pr.alias("pr_ppm"),
+        bucket.alias("bucket"),
+    )

@@ -318,3 +318,82 @@ def test_degree_assortativity_signs(spark):
         spark.createDataFrame(cyc, "src long, dst long"), "src", "dst"
     ).collect()[0]
     assert r2["corr"] is None and r2["n"] == 12
+
+
+def test_rank_normalize_ppm_and_buckets(spark):
+    from gem_data_wrangle_spark.operators.stats import rank_normalize
+
+    rows = [("g", i, float(v)) for i, v in enumerate([10, 20, 20, 30, 40])]
+    rows += [("solo", 99, 7.0)]
+    df = spark.createDataFrame(rows, "g string, id int, v double")
+    got = {
+        r["id"]: (r["pr_ppm"], r["bucket"])
+        for r in rank_normalize(df, ["g"], "id", "v", n_buckets=4).collect()
+    }
+    # ranks: 10->1, 20->2 (BOTH ties share), 30->4, 40->5; n=5
+    assert got[0] == (0, 0)
+    assert got[1] == got[2] == (250000, 0)   # (2-1)/4 = 0.25; bucket 4*1//5
+    assert got[3] == (750000, 2)
+    assert got[4] == (1000000, 3)
+    # single-row group normalizes to 0
+    assert got[99] == (0, 0)
+
+
+def test_minhash_containment_join_estimates(spark):
+    from gem_data_wrangle_spark.operators.dedup import (
+        minhash_containment_join,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    ref = spark.createDataFrame([(100, base)], "doc_id int, text string")
+    corpus = spark.createDataFrame(
+        [
+            (1, base),  # identical: J = C = 1 exactly (all slots match)
+            (2, "alpha beta gamma delta epsilon plus extra words here"),
+            (3, "totally unrelated content with no shared shingles"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["corpus_id"]: r
+        for r in minhash_containment_join(
+            corpus, ref, "text", "doc_id", k=16
+        ).collect()
+    }
+    assert got[1]["n_matches"] == 16
+    assert got[1]["jaccard_ppm"] == 1_000_000
+    assert got[1]["containment_ppm"] == 1_000_000  # clamped exact
+    # partial overlap: some but not all slots match, estimates inside
+    # (0, 1) and containment >= jaccard (|A∩B|/|A| >= |A∩B|/|A∪B|)
+    assert 0 < got[2]["n_matches"] < 16
+    assert got[2]["containment_ppm"] >= got[2]["jaccard_ppm"]
+    # disjoint docs never pair
+    assert 3 not in got
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        minhash_containment_join(corpus, ref, "text", "doc_id", k=0)
+
+
+def test_ewma_values_exact_halving(spark):
+    from gem_data_wrangle_spark.operators.asof import ewma_values
+
+    rows = [("k", i, i, 10.0 if i < 5 else 20.0) for i in range(1, 9)]
+    rows += [("k", 9, 9, None)]  # NULL excluded from the population
+    df = spark.createDataFrame(rows, "k string, ts long, id long, v double")
+    got = {
+        r["id"]: r["ewma_milli"]
+        for r in ewma_values(df, "k", "ts", "v", "id", window_rows=30).collect()
+    }
+    assert got[1] == 10000
+    # s5 = (16*20000 + (8+4+2+1)*10000) // 31
+    assert got[5] == (16 * 20000 + 15 * 10000) // 31
+    assert 9 not in got
+    # converging toward the new level from below, monotone
+    assert 10000 < got[5] < got[6] < got[7] < got[8] < 20000
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        ewma_values(df, "k", "ts", "v", "id", window_rows=63)
