@@ -1074,9 +1074,17 @@ def simhash_candidate_pairs(
     # shingle-less docs (fewer than ngram tokens) are excluded: an
     # empty shingle set folds every bit to '0', which would weld all
     # short docs into one giant false bucket
+    #
+    # persist the signature frame (the kn_train precedent): it is
+    # consumed by BOTH sides of the self-join, and the banding
+    # projection references the signature string 4 more times —
+    # without the pin Catalyst re-evaluates the bits×|shingles| hash
+    # fold per reference (measured 6x the whole operator's cost at
+    # sf0.1, BENCH_HISTORY round-9). One (id, 32-char string) row per
+    # doc — MEMORY_AND_DISK-bounded at any corpus size.
     sig = base.select(
         F.col(id_col), simhash(F.col("_toks"), bits).alias("simhash")
-    )
+    ).persist()
     n_bands = max_distance + 1
     base, rem = divmod(bits, n_bands)
     bands = []

@@ -1107,12 +1107,20 @@ def jl_project_int(
         df, vec_col, id_col, out_col="_q"
     )
     qcol = vec_col if quantized else "_q"
+    # each output coordinate is ONE zip_with against a literal sign
+    # array + ONE fold — 2·out_dim higher-order expressions with
+    # internal loops, not out_dim·in_dim scalar element_at nodes: the
+    # scalar form generates a Project past the JIT method-size limit
+    # and drops to interpreted evaluation (measured 8.8 s → see
+    # BENCH_HISTORY round-9)
     outs = [F.col(id_col)]
     for k in range(out_dim):
-        acc = None
-        for j in range(in_dim):
-            t = F.element_at(F.col(qcol), j + 1).cast("long")
-            t = t if jl_sign(seed, k, j) > 0 else -t
-            acc = t if acc is None else acc + t
+        sgn = F.array(
+            *[F.lit(jl_sign(seed, k, j)) for j in range(in_dim)]
+        )
+        terms = F.zip_with(F.col(qcol), sgn, lambda x, s: x * s)
+        acc = F.aggregate(
+            terms, F.lit(0).cast("long"), lambda a, b: a + b
+        )
         outs.append(acc.alias(f"y{k}"))
     return src.select(*outs)

@@ -115,6 +115,14 @@ CASES = {
     "conversion_attribution": "last-touch attribution — asof union + carry-forward window, ONE key shuffle, tolerance null-out",
     "kmv_distinct_users": "KMV sketch — distinct (group, hash) partial-agg + WindowGroupLimit per-group top-k; estimate from the k-th minimum only",
     "kmv_segment_overlap": "theta intersection — two bounded sketches hash-join on h, 1-row thetas broadcast; everything <=k rows after the sketches",
+    "simhash_pairs": "SimHash Hamming-ball pairs — narrow signature pass, (band, value) explode, ONE band equi-join + distinct, fixed 32-term verify in codegen",
+    "mad_outlier_flags": "MAD outliers — two rank-window median passes (one exchange each, groupBy reuses the partitioning), 5-row med/MAD frames broadcast back, integer-compare gate",
+    "host_communities": "label propagation — per round ONE neighbor-label hash join + (node, label) partial-combined count + max_by vote; lineage checkpoint-truncated, last round lazy",
+    "jl_sketch": "JL +-1 projection — literal sign matrix folded into ONE narrow projection, no exchange before the sink",
+    "host_assortativity": "degree assortativity — symmetrize + degree agg + two node-id hash joins + ONE global partial-combined six-sum aggregate",
+    "rank_normalized_values": "rank normalization — rank/count windows share ONE group exchange; everything after is row-local integer floors",
+    "containment_screen": "containment screening — k-slot signatures narrow, ONE (slot, hash) equi-join, pair-count partial agg; never all-pairs",
+    "ewma_event_values": "EWMA — ONE key-window exchange; 30-element frame fold inside codegen, decimal floor finish",
 }
 
 INTERESTING = (

@@ -152,6 +152,20 @@ QUERIES = [
     "gif_metadata",
     "doc_readability",
     "kn_doc_scores",
+    # round 9 session batch: banded/bucketed candidate joins
+    # (simhash bands, containment slot-hash), fixed-iteration graph
+    # rounds (LPA), narrow literal projections (JL), and window-median
+    # / rank / frame-fold shapes — the scale risks are band-bucket
+    # population (controlled by signature bits) and slot-hash heat
+    # (boilerplate shingles), both documented on the operators
+    "simhash_pairs",
+    "mad_outlier_flags",
+    "host_communities",
+    "jl_sketch",
+    "host_assortativity",
+    "rank_normalized_values",
+    "containment_screen",
+    "ewma_event_values",
 ]
 
 BASE = "/root/testdata/sf0.1"
