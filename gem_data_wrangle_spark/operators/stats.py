@@ -320,12 +320,17 @@ def rank_normalize(
         .withColumn("_rk", F.rank().over(wo))
         .withColumn("_n", F.count(F.lit(1)).over(wn))
     )
-    a = (F.col("_rk") - 1) * 1_000_000
+    # rank() yields INT: widen BEFORE the ppm product — (rk−1)·10⁶
+    # crosses int32 at rank 2148, i.e. any group past ~2k rows (ANSI
+    # mode raises; non-ANSI would silently wrap). Caught by the 10×
+    # scale harness, invisible at the sf0.01 gate.
+    rk = F.col("_rk").cast("long")
+    a = (rk - 1) * 1_000_000
     b = F.col("_n") - 1
     pr = F.when(F.col("_n") > 1, ((a - a % b) / b).cast("long")).otherwise(
         F.lit(0).cast("long")
     )
-    ab = (F.col("_rk") - 1) * n_buckets
+    ab = (rk - 1) * n_buckets
     bucket = ((ab - ab % F.col("_n")) / F.col("_n")).cast("long")
     return ranked.select(
         *group_cols,
