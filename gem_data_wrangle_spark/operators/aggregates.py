@@ -498,11 +498,20 @@ def global_quantiles(
             row = [F.lit(0).cast("long").alias("n_values")]
             row += [F.lit(None).cast("double").alias(f"p{p}") for p in percents]
             return spark.range(1).select(*row)
+        # offsets widen to long EXPLICITLY: F.lit(python_int) is
+        # int32 while it fits, and int32 offset + int32 row_number
+        # wraps past 2^31 global rows (the rank_normalize width bug
+        # class, caught by the 10x harness)
         off_map = F.create_map(
-            *[lit for pid, off in offsets.items() for lit in (F.lit(pid), F.lit(off))]
+            *[
+                lit
+                for pid, off in offsets.items()
+                for lit in (F.lit(pid), F.lit(off).cast("long"))
+            ]
         )
         ranked = local.withColumn(
-            "_grn", F.element_at(off_map, F.col("_pid")) + F.col("_rn")
+            "_grn",
+            F.element_at(off_map, F.col("_pid")) + F.col("_rn").cast("long"),
         )
         needed: dict[int, int] = {}
         for p in percents:

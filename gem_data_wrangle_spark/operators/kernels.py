@@ -259,13 +259,21 @@ def surrogate_ids(
     for pid in sorted(counts):
         offsets[pid] = running
         running += counts[pid]
+    # offsets widen to long EXPLICITLY: F.lit(python_int) is int32
+    # while it fits, and int32 offset + int32 row_number wraps past
+    # 2^31 distinct names (the rank_normalize width bug class)
     off_map = F.create_map(
-        *[lit for pid, off in offsets.items() for lit in (F.lit(pid), F.lit(off))]
+        *[
+            lit
+            for pid, off in offsets.items()
+            for lit in (F.lit(pid), F.lit(off).cast("long"))
+        ]
     )
     dim = local.withColumn(
         id_col,
         F.format_string(
-            prefix_format, F.element_at(off_map, F.col("_pid")) + F.col("_rn")
+            prefix_format,
+            F.element_at(off_map, F.col("_pid")) + F.col("_rn").cast("long"),
         ),
     ).drop("_pid", "_rn")
     # No forced broadcast: the dim is |distinct names| rows and GROWS
