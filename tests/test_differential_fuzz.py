@@ -470,3 +470,30 @@ def test_salted_enrich_matches_plain_join_on_fuzzed_streams(
         },
         "salted_enrich",
     )
+
+
+@pytest.mark.parametrize("seed", [2, 17, 41])
+@pytest.mark.parametrize("qname", [
+    "mad_outlier_flags", "rank_normalized_values", "ewma_event_values",
+])
+def test_round9_event_queries_match_oracles_on_fuzzed_streams(
+    spark, tmp_path, qname, seed
+):
+    # the .x5/.00-boundary values stress the cents rounding; same-ts
+    # peers stress the (ts, event_id) frame order and RANK tie-sharing
+    _compare_named(
+        spark, tmp_path,
+        {"events": (_typed_events_rows(seed), _EVENTS_SCHEMA)},
+        qname,
+    )
+
+
+@pytest.mark.parametrize("seed", [7, 19, 23])
+@pytest.mark.parametrize("qname", ["simhash_pairs", "containment_screen"])
+def test_round9_doc_queries_match_oracles_on_fuzzed_corpora(
+    spark, tmp_path, qname, seed
+):
+    # the 7-token shared vocabulary makes band buckets and slot-hash
+    # buckets HOT (duplicated lines, cross-doc spans, empty/solo/
+    # unicode docs) — the adversarial shape for both candidate joins
+    _compare(spark, tmp_path, _corpus(seed), qname)
