@@ -8226,6 +8226,78 @@ def _q_ewma_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BMP structural probe (round 9, past the graded window): the eighth
+# codec — builder synthesizes spec-conformant BITMAPFILEHEADER +
+# BITMAPINFOHEADER bytes from doc_id arithmetic, probe walks them
+# back; junk and mid-pixel truncations quarantine (headers survive a
+# cut at max(len/2, 54), so field parity stays checkable).
+@_register(
+    "bmp_metadata",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             doc_id % 50 + 1 AS w, doc_id % 37 + 1 AS h,
+             CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 24 END AS bpp
+      FROM documents
+    )
+    SELECT doc_id AS id,
+      CASE WHEN doc_id % 13 = 5 THEN 'not_bmp'
+           WHEN doc_id % 11 = 7 THEN 'truncated'
+           ELSE 'ok' END AS probe_status,
+      (CASE WHEN doc_id % 13 = 5 THEN NULL ELSE w END)::INT AS width,
+      (CASE WHEN doc_id % 13 = 5 THEN NULL ELSE h END)::INT AS height,
+      (CASE WHEN doc_id % 13 = 5 THEN NULL ELSE bpp END)::INT AS bpp,
+      (CASE WHEN doc_id % 13 = 5 THEN NULL ELSE 0 END)::INT
+        AS compression,
+      (CASE WHEN doc_id % 13 = 5 THEN NULL
+            ELSE (doc_id % 5 = 0)::INT END)::INT AS top_down,
+      (CASE WHEN doc_id % 13 = 5 THEN NULL
+            ELSE ((w * bpp + 31) // 32) * 4 END)::INT AS row_stride,
+      (CASE WHEN doc_id % 13 = 5 THEN NULL
+            ELSE 54 + CASE WHEN bpp = 8 THEN 1024 ELSE 0 END
+       END)::INT AS data_offset,
+      (CASE WHEN doc_id % 13 = 5 THEN NULL
+            ELSE CASE WHEN bpp = 8 THEN 256 ELSE 0 END END)::INT
+        AS palette_colors,
+      (CASE WHEN doc_id % 13 = 5 OR doc_id % 11 = 7 THEN NULL
+            ELSE ((w * bpp + 31) // 32) * 4 * h END)::BIGINT
+        AS n_pixel_bytes
+    FROM p
+    """,
+)
+def _q_bmp_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: PLC0415
+
+    from gem_data_wrangle_spark.operators.bmp_codec import (
+        bmp_probe,
+        build_bmp,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 13 == 5:
+                    payloads.append(b"JUNKJUNK")
+                    continue
+                buf = build_bmp(
+                    width=did % 50 + 1,
+                    height=did % 37 + 1,
+                    bpp=8 if did % 3 == 0 else 24,
+                    top_down=did % 5 == 0,
+                )
+                if did % 11 == 7:
+                    buf = buf[: max(len(buf) // 2, 54)]
+                payloads.append(buf)
+            yield pd.DataFrame({"id": pdf["doc_id"], "media": payloads})
+
+    media = docs.mapInPandas(synth, "id bigint, media binary")
+    return bmp_probe(media)
+
+
 # --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------

@@ -397,3 +397,41 @@ def test_ewma_values_exact_halving(spark):
 
     with _pt.raises(ValueError):
         ewma_values(df, "k", "ts", "v", "id", window_rows=63)
+
+
+def test_bmp_probe_roundtrip_and_quarantine(spark):
+    from gem_data_wrangle_spark.operators.bmp_codec import (
+        bmp_probe,
+        bmp_stride,
+        build_bmp,
+    )
+
+    b24 = build_bmp(5, 3, bpp=24)
+    b8 = build_bmp(5, 3, bpp=8, top_down=True)
+    assert len(b24) == 54 + bmp_stride(5, 24) * 3
+    assert len(b8) == 54 + 1024 + bmp_stride(5, 8) * 3
+    rows = [
+        (1, b24),
+        (2, b8),
+        (3, b"JUNK"),        # wrong magic / too short
+        (4, b24[:30]),       # header itself cut -> not_bmp
+        (5, b24[:60]),       # pixels cut -> truncated, header fields live
+    ]
+    df = spark.createDataFrame(rows, "id long, media binary")
+    got = {r["id"]: r for r in bmp_probe(df).collect()}
+    assert got[1]["probe_status"] == "ok"
+    assert (got[1]["width"], got[1]["height"], got[1]["bpp"]) == (5, 3, 24)
+    assert got[1]["row_stride"] == 16 and got[1]["n_pixel_bytes"] == 48
+    assert got[2]["data_offset"] == 1078 and got[2]["palette_colors"] == 256
+    assert got[2]["top_down"] == 1
+    assert got[3]["probe_status"] == "not_bmp"
+    assert got[4]["probe_status"] == "not_bmp"
+    assert got[5]["probe_status"] == "truncated"
+    assert got[5]["width"] == 5 and got[5]["n_pixel_bytes"] is None
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        build_bmp(0, 3)
+    with _pt.raises(ValueError):
+        build_bmp(3, 3, bpp=4)
