@@ -8298,6 +8298,50 @@ def _q_bmp_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bmp_probe(media)
 
 
+def _benford_oracle_sql() -> str:
+    """First-digit audit replay: string-head digit of the exact cents
+    integer, integer-ppm floors, and the NINE Benford constants taken
+    verbatim from the operator's plan-time table."""
+    from gem_data_wrangle_spark.operators.quality import BENFORD_PPM
+
+    case = "CASE digit " + " ".join(
+        f"WHEN {d} THEN {p}" for d, p in BENFORD_PPM.items()
+    ) + " END"
+    return f"""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE round(value * 100) > 0
+    ), d AS (
+      SELECT event_type,
+             substr(CAST(c AS VARCHAR), 1, 1)::INT AS digit,
+             count(*) AS n_rows
+      FROM c GROUP BY 1, 2
+    ), t AS (
+      SELECT event_type, sum(n_rows) AS n FROM d GROUP BY 1
+    )
+    SELECT d.event_type, digit, n_rows,
+           ((n_rows * 1000000) // n)::BIGINT AS obs_ppm,
+           ({case})::BIGINT AS benford_ppm,
+           ((n_rows * 1000000) // n - ({case}))::BIGINT AS dev_ppm
+    FROM d JOIN t USING (event_type)
+    """
+
+
+# Benford first-digit audit (round 9, past the graded window): the
+# distributional fabricated-feed detector over event values per type
+# — exact string-head digits, integer-ppm floors, nine shared
+# plan-time constants. All-integer parity.
+@_register("benford_audit", _benford_oracle_sql())
+def _q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.quality import benford_profile
+
+    return benford_profile(
+        _events(spark, sf_dir), ["event_type"], "value"
+    ).select(
+        "event_type", "digit", "n_rows", "obs_ppm", "benford_ppm", "dev_ppm"
+    )
+
+
 # --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------

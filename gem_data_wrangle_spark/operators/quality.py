@@ -8,6 +8,7 @@ so downstream checks are data, not code.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -393,3 +394,72 @@ def golden_record(
     aggs.append(F.count(F.lit(1)).cast("long").alias("n_versions"))
     aggs.append(F.max(order_col).alias(f"last_{order_col}"))
     return df.groupBy(*key_cols).agg(*aggs)
+
+
+BENFORD_PPM = {
+    d: int(1_000_000 * math.log10(1 + 1 / d)) for d in range(1, 10)
+}
+
+
+def benford_profile(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    decimals: int = 2,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic fabricated-/synthetic-feed detector for naturally-grown
+    magnitudes (amounts, populations, file sizes): genuine data leads
+    with 1 about 30.1% of the time; generated or clipped feeds flatten
+    toward 11.1%. Complements :func:`validate_constraints` (rule
+    violations) with a DISTRIBUTIONAL audit.
+
+    Only POSITIVE values participate (Benford is undefined at zero and
+    sign-symmetric magnitudes should be ``abs``'d by the caller — an
+    implicit abs here would silently merge refunds into sales). The
+    first digit comes from the decimal rendering of the exact
+    ``decimals``-dp integer, so no float log/pow is in the path;
+    observed shares are exact integer-ppm floors and the Benford
+    expectations are nine PLAN-TIME constants (``BENFORD_PPM``) shared
+    verbatim with any replaying oracle.
+
+    Plan/scale: ONE partial-combined aggregate to ≤ 9·|groups| rows,
+    plus a broadcast-sized group-total join — nothing else.
+    """
+    scale = 10 ** decimals
+    keys = list(group_cols)
+    c = F.round(F.col(value_col) * scale).cast("long")
+    digits = (
+        df.select(*keys, c.alias("_c"))
+        .filter(F.col("_c") > 0)
+        .withColumn(
+            "digit", F.substring(F.col("_c").cast("string"), 1, 1).cast("int")
+        )
+        .groupBy(*keys, "digit")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    totals = digits.groupBy(*keys).agg(F.sum("n_rows").alias("_n"))
+    obs = F.col("n_rows") * 1_000_000
+    exp_ppm = F.element_at(
+        F.create_map(
+            *[
+                lit
+                for d, p in BENFORD_PPM.items()
+                for lit in (F.lit(d), F.lit(p).cast("long"))
+            ]
+        ),
+        F.col("digit"),
+    )
+    return (
+        digits.join(totals, on=keys)
+        .select(
+            *keys,
+            "digit",
+            "n_rows",
+            ((obs - obs % F.col("_n")) / F.col("_n")).cast("long").alias(
+                "obs_ppm"
+            ),
+            exp_ppm.alias("benford_ppm"),
+        )
+        .withColumn("dev_ppm", F.col("obs_ppm") - F.col("benford_ppm"))
+    )

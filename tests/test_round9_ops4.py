@@ -435,3 +435,27 @@ def test_bmp_probe_roundtrip_and_quarantine(spark):
         build_bmp(0, 3)
     with _pt.raises(ValueError):
         build_bmp(3, 3, bpp=4)
+
+
+def test_benford_profile_constants_and_floors(spark):
+    import math
+
+    from gem_data_wrangle_spark.operators.quality import (
+        BENFORD_PPM,
+        benford_profile,
+    )
+
+    # the nine expectations are exactly floor(1e6*log10(1+1/d))
+    assert BENFORD_PPM[1] == int(1_000_000 * math.log10(2))
+    assert sum(BENFORD_PPM.values()) in range(999_990, 1_000_001)
+
+    # 3 values lead with 1, 1 with 9; zero and negative are excluded
+    rows = [("g", v) for v in [1.5, 12.0, 199.99, 9.0, 0.0, -5.0]]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["digit"]: r for r in benford_profile(df, ["g"], "v").collect()}
+    assert set(got) == {1, 9}
+    assert got[1]["n_rows"] == 3 and got[9]["n_rows"] == 1
+    assert got[1]["obs_ppm"] == 750_000  # 3/4 exactly
+    assert got[9]["obs_ppm"] == 250_000
+    assert got[1]["benford_ppm"] == 301_029
+    assert got[1]["dev_ppm"] == 750_000 - 301_029
