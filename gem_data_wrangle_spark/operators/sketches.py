@@ -433,3 +433,97 @@ def kmv_intersect_estimate(
         "theta",
         inter.alias("est_intersection"),
     )
+
+
+def cm_sketch(
+    df: DataFrame,
+    value_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) in mergeable
+    ROW form: ``(depth, bucket, count)`` with exact integer counts —
+    the frequency summary that answers point queries over an open key
+    domain in ``width·depth`` cells regardless of cardinality,
+    complementing :func:`kmv_sketch` (distinct counts) and the
+    Misra-Gries heavy-hitter state (top-k). Two shards' sketches merge
+    by summing matching cells (groupBy-sum — the same union algebra
+    as ``hll_merge``), so per-day/per-shard sketches roll up without
+    touching raw data.
+
+    Hash lane ``i`` buckets by the engine-portable 32-bit md5 prefix
+    ``conv(substr(md5('i|' || v), 1, 8), 16, 10) % width`` — the
+    kmv/bernoulli hash discipline, exactly replayable in SQL.
+
+    Plan/scale: one narrow ``depth``-row explode per input row, ONE
+    partial-combined aggregate to ≤ width·depth cells. Nothing else.
+    """
+    if width < 2 or depth < 1:
+        raise ValueError("need width >= 2 and depth >= 1")
+    v = F.col(value_col).cast("string")
+    lanes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("depth"),
+                (
+                    F.conv(
+                        F.substring(F.md5(F.concat(F.lit(f"{i}|"), v)), 1, 8),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                ).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(lanes).alias("_l"))
+        .select("_l.depth", "_l.bucket")
+        .groupBy("depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-frequency estimates from a :func:`cm_sketch`: each probe
+    value hashes through the same ``depth`` lanes and takes the MIN
+    matching cell — an upper bound on the true count (never under),
+    within ``e/width`` of the stream length with probability
+    ``1 − e^{−depth}``. A lane with no cell row means count 0 exactly
+    (the min is 0), handled via the left join's coalesce.
+
+    Plan/scale: probes explode ``depth`` rows, ONE equi-join against
+    the ≤ width·depth-cell sketch (broadcast-sized by construction —
+    left to AQE), one min-aggregate back to one row per probe.
+    """
+    v = F.col(value_col).cast("string")
+    lanes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("depth"),
+                (
+                    F.conv(
+                        F.substring(F.md5(F.concat(F.lit(f"{i}|"), v)), 1, 8),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                ).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    probe_lanes = probes.select(
+        F.col(value_col), F.explode(lanes).alias("_l")
+    ).select(value_col, "_l.depth", "_l.bucket")
+    joined = probe_lanes.join(sketch, ["depth", "bucket"], "left").select(
+        value_col, F.coalesce("count", F.lit(0)).alias("_c")
+    )
+    return joined.groupBy(value_col).agg(F.min("_c").alias("est_count"))

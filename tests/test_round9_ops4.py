@@ -459,3 +459,43 @@ def test_benford_profile_constants_and_floors(spark):
     assert got[9]["obs_ppm"] == 250_000
     assert got[1]["benford_ppm"] == 301_029
     assert got[1]["dev_ppm"] == 750_000 - 301_029
+
+
+def test_cm_sketch_bounds_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from gem_data_wrangle_spark.operators.sketches import (
+        cm_estimate,
+        cm_sketch,
+    )
+
+    rows = [("a",)] * 50 + [("b",)] * 10 + [("c",)]
+    df = spark.createDataFrame(rows, "v string")
+    sk = cm_sketch(df, "v", width=64, depth=4)
+    probes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("zzz",)], "v string"
+    )
+    est = {
+        r["v"]: r["est_count"]
+        for r in cm_estimate(sk, probes, "v", width=64, depth=4).collect()
+    }
+    # never-underestimate bound; unseen value -> exact zero
+    assert est["a"] >= 50 and est["b"] >= 10 and est["c"] >= 1
+    assert est["zzz"] == 0
+    # mergeability: cell-sum of two shard sketches == one-shot sketch
+    h1 = df.limit(30)
+    h2 = df.exceptAll(h1)
+    merged = (
+        cm_sketch(h1, "v", 64, 4)
+        .unionByName(cm_sketch(h2, "v", 64, 4))
+        .groupBy("depth", "bucket")
+        .agg(F.sum("count").alias("count"))
+    )
+    full = cm_sketch(df, "v", 64, 4)
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        cm_sketch(df, "v", width=1)
