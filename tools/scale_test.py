@@ -166,6 +166,9 @@ QUERIES = [
     "rank_normalized_values",
     "containment_screen",
     "ewma_event_values",
+    "bmp_metadata",
+    "benford_audit",
+    "cm_user_counts",
 ]
 
 BASE = "/root/testdata/sf0.1"
