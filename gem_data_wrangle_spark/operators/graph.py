@@ -362,11 +362,14 @@ def label_propagation(
             .groupBy(F.col("_d").alias("_v"), F.col("_lbl"))
             .agg(F.count(F.lit(1)).alias("_cnt"))
         )
-        # most frequent neighbor label, smallest label on ties: max_by
-        # over (count, -label) is the (freq DESC, label ASC) vote as
-        # one partial-combined aggregate — no per-node sort window
+        # most frequent neighbor label, smallest label on ties:
+        # min_by over (-count, label) is the (freq DESC, label ASC)
+        # vote as one partial-combined aggregate — no per-node sort
+        # window, and NO negation of the label itself (unary minus on
+        # a STRING label — real host graphs — yields NULL/ANSI error:
+        # the neardup_keep_best tie-break lesson, ADVICE r8)
         labels = votes.groupBy("_v").agg(
-            F.expr("max_by(_lbl, struct(_cnt, -_lbl))").alias("_lbl")
+            F.expr("min_by(_lbl, struct(-_cnt, _lbl))").alias("_lbl")
         )
         if it < iterations - 1:
             labels = ckpt(labels, True)

@@ -499,3 +499,22 @@ def test_cm_sketch_bounds_and_merge(spark):
 
     with _pt.raises(ValueError):
         cm_sketch(df, "v", width=1)
+
+
+def test_label_propagation_string_node_ids(spark):
+    from gem_data_wrangle_spark.operators.graph import label_propagation
+
+    # REAL host graphs key on strings; the vote's tie-break must not
+    # negate the label (unary minus on a string is NULL/ANSI error)
+    c1 = [(f"a{a}", f"a{b}") for a in range(4) for b in range(4) if a < b]
+    c2 = [(f"b{a}", f"b{b}") for a in range(4) for b in range(4) if a < b]
+    df = spark.createDataFrame(
+        c1 + c2 + [("a3", "b0")], "src string, dst string"
+    )
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(df, "src", "dst", iterations=3).collect()
+    }
+    assert len({got[f"a{i}"] for i in range(4)}) == 1
+    assert len({got[f"b{i}"] for i in range(4)}) == 1
+    assert got["a0"] != got["b1"]
