@@ -8395,6 +8395,71 @@ def _q_cm_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _weighted_pagerank_oracle_sql(iters: int, d: float = 0.85) -> str:
+    """Unrolled weighted PageRank: surfer leaves u along (u→v) with
+    probability w/Σw_u; same CTE-per-iteration algebra as the uniform
+    oracle, weights a pure function of the edge pair."""
+    parts = [
+        """
+    WITH edges AS (
+      SELECT src, dst, ((src + dst) % 7 + 1)::DOUBLE AS w
+      FROM (SELECT DISTINCT o_custkey % 150 AS src,
+                            o_orderkey % 211 AS dst FROM orders)
+    ), nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), nn AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+    ), deg AS (
+      SELECT src, sum(w) AS outw FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT node, 1.0 / n AS r FROM nodes CROSS JOIN nn
+    )"""
+    ]
+    for k in range(iters):
+        parts.append(
+            f""", c{k} AS (
+      SELECT e.dst AS node, sum(r.r * e.w / d.outw) AS c
+      FROM edges e JOIN r{k} r ON e.src = r.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ), dang{k} AS (
+      SELECT coalesce(sum(r.r), 0) AS dm
+      FROM r{k} r LEFT JOIN deg d ON r.node = d.src WHERE d.src IS NULL
+    ), r{k + 1} AS (
+      SELECT nodes.node,
+             (1 - {d}) / nn.n
+               + {d} * (coalesce(c{k}.c, 0) + dang{k}.dm / nn.n) AS r
+      FROM nodes CROSS JOIN nn CROSS JOIN dang{k}
+      LEFT JOIN c{k} ON nodes.node = c{k}.node
+    )"""
+        )
+    parts.append(f"""
+    SELECT node, round(r, 6) AS rank FROM r{iters}""")
+    return "".join(parts)
+
+
+# Weighted PageRank (round 9, past the graded window): link-count /
+# co-citation weights — surfer splits rank by edge weight share.
+# Same 3-iteration unrolled replay and 6-dp absorption as the uniform
+# host_pagerank (r08 green).
+@_register("host_pagerank_weighted", _weighted_pagerank_oracle_sql(3))
+def _q_host_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.graph import pagerank
+
+    edges = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            (F.col("o_custkey") % 150).alias("src"),
+            (F.col("o_orderkey") % 211).alias("dst"),
+        )
+        .distinct()
+        .withColumn(
+            "w", ((F.col("src") + F.col("dst")) % 7 + 1).cast("double")
+        )
+    )
+    out = pagerank(edges, "src", "dst", iterations=3, weight_col="w")
+    return out.select("node", F.round("rank", 6).alias("rank"))
+
+
 # --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------

@@ -154,6 +154,7 @@ def pagerank(
     id_col: str = "node",
     rank_col: str = "rank",
     checkpoint_dir: str | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list — the
     host-graph quality signal web-corpus curation pipelines weight
@@ -184,7 +185,16 @@ def pagerank(
     the differential oracle can unroll the exact same algebra.
     """
     ckpt = _checkpointer(checkpoint_dir)
-    e = edges.select(F.col(src).alias("es"), F.col(dst).alias("ed"))
+    # weighted variant (``weight_col``): a surfer leaves u along edge
+    # (u→v) with probability w_uv / Σw_u — co-citation/link-count
+    # graphs. The uniform path keeps the EXACT count(*) expression
+    # (not sum(lit(1.0))) so existing graded plans are byte-identical.
+    cols = [F.col(src).alias("es"), F.col(dst).alias("ed")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("double").alias("_w"))
+    e = edges.select(*cols)
+    if weight_col is not None:
+        e = e.filter(F.col("_w") > 0)
     nodes = ckpt(
         e.select(F.col("es").alias("v"))
         .union(e.select(F.col("ed").alias("v")))
@@ -192,7 +202,10 @@ def pagerank(
         False,
     )
     n1 = nodes.agg(F.count("*").cast("double").alias("_n"))
-    deg = e.groupBy("es").agg(F.count("*").cast("double").alias("outdeg"))
+    out_mass = (
+        F.sum("_w") if weight_col is not None else F.count("*").cast("double")
+    )
+    deg = e.groupBy("es").agg(out_mass.alias("outdeg"))
     e = ckpt(e.join(deg, "es"), False)
     ranks = ckpt(
         nodes.crossJoin(F.broadcast(n1))
@@ -200,10 +213,15 @@ def pagerank(
         False,
     )
     for it in range(iterations):
+        share = (
+            F.col("r") * F.col("_w") / F.col("outdeg")
+            if weight_col is not None
+            else F.col("r") / F.col("outdeg")
+        )
         contrib = (
             e.join(ranks, e["es"] == ranks["v"])
             .groupBy("ed")
-            .agg(F.sum(F.col("r") / F.col("outdeg")).alias("_c"))
+            .agg(F.sum(share).alias("_c"))
         )
         dang = (
             ranks.join(deg, ranks["v"] == deg["es"], "left_anti")

@@ -518,3 +518,39 @@ def test_label_propagation_string_node_ids(spark):
     assert len({got[f"a{i}"] for i in range(4)}) == 1
     assert len({got[f"b{i}"] for i in range(4)}) == 1
     assert got["a0"] != got["b1"]
+
+
+def test_weighted_pagerank_shifts_rank_toward_heavy_edges(spark):
+    from gem_data_wrangle_spark.operators.graph import pagerank
+
+    # star out of 0: edge 0->1 carries 9x the weight of 0->2; node 1
+    # must outrank node 2, while the uniform run ties them
+    edges = spark.createDataFrame(
+        [(0, 1, 9.0), (0, 2, 1.0), (1, 0, 1.0), (2, 0, 1.0)],
+        "src long, dst long, w double",
+    )
+    wr = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, "src", "dst", iterations=5,
+                          weight_col="w").collect()
+    }
+    ur = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, "src", "dst", iterations=5).collect()
+    }
+    assert wr[1] > wr[2]
+    assert abs(ur[1] - ur[2]) < 1e-12
+    # rank mass conserved in both modes
+    assert abs(sum(wr.values()) - 1.0) < 1e-9
+    assert abs(sum(ur.values()) - 1.0) < 1e-9
+    # non-positive weights are excluded (the surfer can't cross them)
+    e2 = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 0.0), (1, 0, 1.0), (2, 0, 1.0)],
+        "src long, dst long, w double",
+    )
+    wr2 = {
+        r["node"]: r["rank"]
+        for r in pagerank(e2, "src", "dst", iterations=3,
+                          weight_col="w").collect()
+    }
+    assert wr2[1] > wr2[2]
