@@ -123,6 +123,10 @@ CASES = {
     "rank_normalized_values": "rank normalization — rank/count windows share ONE group exchange; everything after is row-local integer floors",
     "containment_screen": "containment screening — k-slot signatures narrow, ONE (slot, hash) equi-join, pair-count partial agg; never all-pairs",
     "ewma_event_values": "EWMA — ONE key-window exchange; 30-element frame fold inside codegen, decimal floor finish",
+    "host_pagerank_weighted": "weighted PageRank — per round one edges-ranks hash join + weighted-share partial agg; 1-row dangling/N scalars broadcast",
+    "cm_user_counts": "Count-Min — depth-row explode + ONE partial-combined cell aggregate; probe join broadcast-sized by construction (width*depth cells)",
+    "benford_audit": "Benford audit — ONE partial-combined digit aggregate to <=9 rows/group + broadcast-sized totals join",
+    "bmp_metadata": "BMP probe — narrow mapInPandas header walk, cost per file not per pixel",
 }
 
 INTERESTING = (
