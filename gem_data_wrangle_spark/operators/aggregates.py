@@ -240,7 +240,9 @@ def sessionize(
     running = Window.partitionBy(key_col).orderBy(ts_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    return df.withColumn(out_col, F.sum(is_new).over(running).cast("int"))
+    # LONG, not int (round-11 width audit): sessions-per-key is
+    # unbounded in principle (a hot synthetic key at 100 TB)
+    return df.withColumn(out_col, F.sum(is_new).over(running).cast("long"))
 
 
 def funnel_steps(

@@ -347,6 +347,7 @@ def scd2_lookup(
     attr_cols: Sequence[str],
     valid_from_col: str = "valid_from",
     valid_to_col: str = "valid_to",
+    suffix: str | None = None,
 ) -> DataFrame:
     """Point-in-time dimension enrichment: attach to every fact row
     the SCD2 attribute values that were valid AT the fact's own
@@ -365,10 +366,27 @@ def scd2_lookup(
     the non-overlap contract guarantees ≤1 survivor per fact so no
     dedup pass is needed. Contrast a naive time-theta join, which
     Spark would plan as a nested loop.
+
+    An ``attr_cols`` name that already exists in ``facts`` would make
+    the joined frame ambiguous (ADVICE r10): pass ``suffix`` to emit
+    the colliding attributes as ``<name><suffix>``; with no suffix a
+    collision raises instead of silently producing a frame whose
+    duplicate column errors only on first reference.
     """
+    collisions = [c for c in attr_cols if c in facts.columns]
+    if collisions and suffix is None:
+        raise ValueError(
+            "scd2_lookup: attr_cols "
+            f"{collisions} already exist in facts — pass suffix=... to "
+            "disambiguate (emitted as <name><suffix>) or rename upstream"
+        )
+    out_name = {
+        c: (c + suffix if suffix is not None and c in collisions else c)
+        for c in attr_cols
+    }
     h = history.select(
         *[F.col(c).alias(f"_k_{c}") for c in key_cols],
-        *[F.col(c) for c in attr_cols],
+        *[F.col(c).alias(out_name[c]) for c in attr_cols],
         F.col(valid_from_col).alias("_vf"),
         F.col(valid_to_col).alias("_vt"),
     )

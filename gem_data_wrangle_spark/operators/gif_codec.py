@@ -193,14 +193,16 @@ def parse_gif_bytes(buf: bytes) -> dict[str, object]:
 def gif_probe(
     df: DataFrame, id_col: str = "id", media_col: str = "media"
 ) -> DataFrame:
-    """Probe a ``(id, media binary)`` frame of GIF payloads."""
+    """Probe a ``(id, media binary)`` frame of GIF payloads. The output
+    id column is named after ``id_col`` (ADVICE r10: it used to be
+    hardcoded ``id``, silently renaming custom callers' key)."""
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for rid, buf in zip(pdf[id_col], pdf[media_col]):
                 r = parse_gif_bytes(bytes(buf) if buf is not None else None)
-                r["id"] = int(rid)
+                r[id_col] = int(rid)
                 rows.append(r)
             out = pd.DataFrame(rows)
             for c in ("width", "height", "n_frames", "total_delay_cs",
@@ -208,9 +210,10 @@ def gif_probe(
                 out[c] = out[c].astype("Int32")
             out["has_gct"] = out["has_gct"].astype("boolean")
             yield out[[
-                "id", "probe_status", "version", "width", "height",
+                id_col, "probe_status", "version", "width", "height",
                 "n_frames", "total_delay_cs", "loop_count", "has_gct",
                 "n_extensions",
             ]]
 
-    return df.mapInPandas(run, GIF_PROBE_SCHEMA)
+    schema = GIF_PROBE_SCHEMA.replace("id bigint", f"`{id_col}` bigint", 1)
+    return df.mapInPandas(run, schema)

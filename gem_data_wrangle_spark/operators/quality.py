@@ -450,8 +450,16 @@ def benford_profile(
         ),
         F.col("digit"),
     )
-    return (
+    # Empty group_cols means ONE global profile: join(on=[]) raises at
+    # runtime, but the totals frame is then a single row — a broadcast
+    # crossJoin attaches it with no shuffle (ADVICE r10).
+    joined = (
         digits.join(totals, on=keys)
+        if keys
+        else digits.crossJoin(F.broadcast(totals))
+    )
+    return (
+        joined
         .select(
             *keys,
             "digit",

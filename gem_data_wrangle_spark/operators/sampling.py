@@ -131,8 +131,11 @@ def pack_documents(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum(tokens_col).over(w)
+    # pack index stays LONG (round-11 width audit): a bucket's token
+    # total is corpus-sized / num_buckets, and bucket_tokens/budget
+    # crosses 2^31 at ~100 TB with small bucket counts
     return out.withColumn(
-        pack_col, F.floor((cum - F.col(tokens_col)) / budget).cast("int")
+        pack_col, F.floor((cum - F.col(tokens_col)) / budget).cast("long")
     )
 
 

@@ -384,15 +384,13 @@ def kmv_intersect_estimate(
                 F.max(F.when(F.col("r") == k, F.col("h"))),
                 F.lit(int(_KMV_SPACE)),
             ).alias("th"),
-            F.count(F.lit(1)).alias("n"),
         )
 
-    ta = theta(sketch_a).select(
-        F.col("th").alias("_tha"), F.col("n").alias("_na")
-    )
-    tb = theta(sketch_b).select(
-        F.col("th").alias("_thb"), F.col("n").alias("_nb")
-    )
+    # per-side row counts are NOT computed here (ADVICE r10: the old
+    # _na/_nb were dead plan work) — per-side cardinalities come from
+    # kmv_estimate on each sketch when deriving Jaccard downstream
+    ta = theta(sketch_a).select(F.col("th").alias("_tha"))
+    tb = theta(sketch_b).select(F.col("th").alias("_thb"))
     common = (
         sketch_a.select("h")
         .join(sketch_b.select("h"), "h")
@@ -404,23 +402,17 @@ def kmv_intersect_estimate(
     out = common.agg(
         F.count(F.lit(1)).alias("n_common_below_theta"),
         F.max("_th").alias("theta"),
-        F.max("_na").alias("_na"),
-        F.max("_nb").alias("_nb"),
     )
     # empty-intersection group: re-attach thetas so the row still
     # reports them (max over zero rows is NULL)
     out = (
-        out.crossJoin(F.broadcast(ta.select(F.col("_tha").alias("_tha2"),
-                                            F.col("_na").alias("_na2"))))
-        .crossJoin(F.broadcast(tb.select(F.col("_thb").alias("_thb2"),
-                                         F.col("_nb").alias("_nb2"))))
+        out.crossJoin(F.broadcast(ta.select(F.col("_tha").alias("_tha2"))))
+        .crossJoin(F.broadcast(tb.select(F.col("_thb").alias("_thb2"))))
         .select(
             "n_common_below_theta",
             F.coalesce(
                 F.col("theta"), F.least("_tha2", "_thb2")
             ).alias("theta"),
-            F.coalesce(F.col("_na"), F.col("_na2")).alias("_na"),
-            F.coalesce(F.col("_nb"), F.col("_nb2")).alias("_nb"),
         )
     )
     inter = F.round(

@@ -192,7 +192,7 @@ def tiff_probe(df: DataFrame, id_col: str = "id", media_col: str = "media") -> D
             rows = []
             for rid, buf in zip(pdf[id_col], pdf[media_col]):
                 r = parse_tiff_bytes(bytes(buf) if buf is not None else None)
-                r["id"] = int(rid)
+                r[id_col] = int(rid)
                 rows.append(r)
             out = pd.DataFrame(rows)
             for c, dt in (
@@ -202,9 +202,10 @@ def tiff_probe(df: DataFrame, id_col: str = "id", media_col: str = "media") -> D
             ):
                 out[c] = out[c].astype(dt)
             yield out[[
-                "id", "probe_status", "byte_order", "width", "height",
+                id_col, "probe_status", "byte_order", "width", "height",
                 "orientation", "make", "model", "datetime", "iso",
                 "n_ifd0_entries",
             ]]
 
-    return df.mapInPandas(run, PROBE_SCHEMA)
+    schema = PROBE_SCHEMA.replace("id bigint", f"`{id_col}` bigint", 1)
+    return df.mapInPandas(run, schema)

@@ -141,3 +141,158 @@ def test_graded_column_kinds_align_across_engines(graded):
         "column kind divergence — identical values will still render "
         "different canonical strings at the driver: " + str(bad)
     )
+
+
+# --------------------------------------------------------------- int32 gate
+# VERDICT r10 directive 5: the int32 width class (rank()/size()/lit-int
+# arithmetic wrapping past 2^31 at scale — the round-9 rank_normalize
+# bug) is gated by freezing today's int32 surface. Every entry below is
+# audited one of two kinds:
+#   * source passthrough — the column IS int32 in the parquet schema
+#     (l_linenumber, *_nationkey, *_regionkey); widening would falsify
+#     the source contract;
+#   * bounded domain — the value range is structurally small (digit
+#     1-9, top-k rank, per-doc token/char counts, codec header fields,
+#     group-id bits, bucket indexes bounded by num_buckets).
+# A NEW query emitting an int32 column (or a new int32 column on an
+# existing query) fails this gate and forces the conscious choice:
+# widen at the source (the default — see exact_jaccard_join, pack_id,
+# session_idx, all widened round 11) or extend the allowlist with an
+# audit note.
+_INT32_ALLOWED: dict[str, frozenset] = {
+    # production_year: explode(sequence(start, end)) over plant years —
+    # bounded calendar domain
+    "gem_coal_pipeline": frozenset({"production_year"}),
+    "gem_hydro_pipeline": frozenset({"production_year"}),
+    "gem_gasoil_pipeline": frozenset({"production_year"}),
+    "gem_nuclear_pipeline": frozenset({"production_year"}),
+    "gem_solar_pipeline": frozenset({"production_year"}),
+    "gem_wind_pipeline": frozenset({"production_year"}),
+    "gem_bioenergy_pipeline": frozenset({"production_year"}),
+    "gem_geothermal_pipeline": frozenset({"production_year"}),
+    "gem_total_consolidation": frozenset({"production_year"}),
+    "gem_total_consolidation_all8": frozenset({"production_year"}),
+    "expand_years": frozenset({"production_year"}),
+    "expand_years_retirement": frozenset({"production_year"}),
+    # top-k / small-rank outputs (bounded by the query's own k)
+    "key_skew_profile": frozenset({"rank"}),
+    "tfidf_top_terms": frozenset({"rank"}),
+    "similarity_bruteforce": frozenset({"rank"}),
+    "similarity_lsh": frozenset({"rank"}),
+    "similarity_ivf": frozenset({"rank"}),
+    "pq_topk_adc": frozenset({"rank"}),
+    "window_rank": frozenset({"price_rank"}),
+    "rrf_hybrid_rank": frozenset({"rank_dense", "rank_lex"}),
+    # parquet source passthroughs
+    "filter_capacity_known": frozenset({"l_linenumber"}),
+    "filter_isin": frozenset({"l_linenumber"}),
+    "top_k": frozenset({"l_linenumber"}),
+    "harmonize_na_poisoning": frozenset({"l_linenumber"}),
+    "window_count_share": frozenset({"l_linenumber"}),
+    "harmonize_coordinates": frozenset({"l_linenumber"}),
+    "join_lookup_dim": frozenset({"n_nationkey"}),
+    "union_rows_byname": frozenset({"n_nationkey", "n_regionkey"}),
+    "join_left_coalesce": frozenset({"c_nationkey"}),
+    "join_fallback_chain": frozenset({"s_nationkey"}),
+    # bounded-domain derived values
+    "ip_prefix_enrich": frozenset({"matched_len"}),      # ≤ 32 bits
+    "embedding_gram": frozenset({"i", "j"}),             # ≤ embedding dim
+    "heavy_hitters_batch": frozenset({"shard"}),         # ≤ num shards
+    "corpus_shuffle": frozenset({"shard"}),              # ≤ num shards
+    "privacy_audit": frozenset({"k"}),                   # anonymity k
+    "benford_audit": frozenset({"digit"}),               # 1-9
+    "rolling_fingerprint": frozenset({"n_fingerprints"}),  # per-doc
+    "multimodal_frames": frozenset({"frame_idx"}),       # per-video
+    "pack_documents": frozenset({"pack_bucket"}),        # ≤ num_buckets
+    "sample_to_token_budget": frozenset({"n_tokens"}),   # per-doc
+    "weighted_sample": frozenset({"n_tokens"}),          # per-doc
+    "chunk_documents": frozenset({"chunk_id", "chunk_tokens"}),  # per-doc
+    "training_data_pipeline": frozenset({"n_tokens"}),   # per-doc
+    "text_quality": frozenset({"n_chars", "n_tokens"}),  # per-doc
+    "token_counts": frozenset({"n_ws_tokens", "n_bpe_tokens"}),  # per-doc
+    "gopher_quality_flags": frozenset({"n_words"}),      # per-doc
+    "embedding_quantize_int8": frozenset({"pos", "q"}),  # dim / int8 val
+    "c4_filters": frozenset({"n_lines", "n_kept"}),      # per-doc
+    "warc_html_extract": frozenset({"http_status"}),     # 100-599
+    "fuzzy_match": frozenset({"edit_distance"}),         # ≤ string len
+    "cdc_chunks": frozenset({"chunk_idx", "chunk_start"}),  # per-doc
+    "event_funnel": frozenset({"funnel_depth"}),         # ≤ step count
+    "cohort_retention": frozenset({"week_offset"}),      # bounded window
+    "value_histogram": frozenset({"bin_idx"}),           # ≤ num bins
+    "hll_distinct_counts": frozenset(
+        {"users_registers_hit", "events_registers_hit"}  # ≤ 2^p registers
+    ),
+    "hll_union_rollup": frozenset({"users_registers_hit"}),
+    # GROUPING() bit outputs (0/1)
+    "rollup_sum_groups": frozenset({"g_l_returnflag", "g_l_linestatus"}),
+    "cube_sum_groups": frozenset({"g_l_returnflag", "g_l_linestatus"}),
+    # codec header fields (spec-bounded widths)
+    "exif_probe": frozenset(
+        {"width", "height", "orientation", "iso", "n_ifd0_entries"}
+    ),
+    "gif_metadata": frozenset(
+        {"width", "height", "n_frames", "total_delay_cs", "loop_count",
+         "has_gct", "n_extensions"}
+    ),
+    "bmp_metadata": frozenset(
+        {"width", "height", "bpp", "compression", "top_down", "row_stride",
+         "data_offset", "palette_colors"}
+    ),
+    "mp4_probe": frozenset({"n_tracks", "width", "height"}),
+    "mp4_sample_offsets": frozenset(
+        {"sample_idx", "chunk_idx", "size", "is_sync"}
+    ),
+    "audio_features": frozenset({"rate", "channels"}),
+}
+
+_NARROW_INT = (T.IntegerType, T.ShortType, T.ByteType)
+
+
+@pytest.fixture(scope="module")
+def all_registered_schemas(spark, sf_dir):
+    """(name, Spark schema) for EVERY registered query — plan analysis
+    only, no jobs (except the few eagerly-materializing operators)."""
+    return [
+        (name, fn(spark, sf_dir).schema)
+        for name, fn in entrymod.queries().items()
+    ]
+
+
+def test_no_unaudited_int32_in_any_registered_projection(
+    all_registered_schemas,
+):
+    bad = {}
+    for name, schema in all_registered_schemas:
+        narrow = {
+            f.name for f in schema.fields
+            if isinstance(f.dataType, _NARROW_INT)
+        }
+        extra = narrow - _INT32_ALLOWED.get(name, frozenset())
+        if extra:
+            bad[name] = sorted(extra)
+    assert not bad, (
+        "unaudited int32 columns in registered projections — widen at "
+        "the source (.cast('long') before any arithmetic: the round-9 "
+        "rank_normalize wrap class) or add an audited allowlist entry: "
+        + str(bad)
+    )
+
+
+def test_int32_allowlist_has_no_stale_entries(all_registered_schemas):
+    """The freeze must shrink as sources widen — an allowlist entry
+    whose column is no longer int32 (or whose query is gone) is
+    stale."""
+    current = {name: schema for name, schema in all_registered_schemas}
+    stale = {}
+    for name, cols in _INT32_ALLOWED.items():
+        if name not in current:
+            stale[name] = "query no longer registered"
+            continue
+        narrow = {
+            f.name for f in current[name].fields
+            if isinstance(f.dataType, _NARROW_INT)
+        }
+        gone = cols - narrow
+        if gone:
+            stale[name] = sorted(gone)
+    assert not stale, "stale int32 allowlist entries: " + str(stale)
