@@ -201,3 +201,80 @@ def test_real_nuclear_bio_geo_trackers_and_consolidation(spark, tmp_path):
     assert uniq.count() == total.select("asset_id", "coordinates").distinct().count()
     techs = {r["technology"] for r in total.select("technology").distinct().collect()}
     assert techs == {"NuclearCap", "RenewablesCap"}
+
+
+def test_every_tracker_country_resolves_to_iso2(spark, tmp_path):
+    """VERDICT r10 directive 4: the dim covers full ISO 3166-1, so
+    every country name in every real tracker workbook (including the
+    hydro binational Country 1/Country 2 pair) resolves to a non-NULL
+    iso2 — the reference's ``countrycode`` call would
+    (GEM/Coalplants_GEM.R:200-201). The pre-round-11 ~137-name dim
+    silently NULLed Guinea, Mauritania, Fiji, Cyprus, Malta, …"""
+    import glob
+
+    from gem_data_wrangle_spark.data.country_codes import COUNTRY_CODES
+    from gem_data_wrangle_spark.sources.io import xlsx_to_parquet
+
+    sheets_by_book = {
+        "Global-Coal-Plant-Tracker-July-2024.xlsx": ["Units"],
+        "Global-Hydropower-Tracker-April-2024.xlsx": [
+            "Data", "Below Threshold",
+        ],
+        "Global-Oil-and-Gas-Plant-Tracker-GOGPT-January-2025.xlsx": [
+            "Gas & Oil Units", "sub-threshold units",
+        ],
+        "Global-Nuclear-Power-Tracker-July-2024.xlsx": ["Data"],
+        "Geothermal-Power-Tracker-May-2024.xlsx": ["Data", "Below Threshold"],
+        "Global-Bioenergy-Power-Tracker-GBPT-September-2024.xlsx": [
+            "Data", "Below Threshold",
+        ],
+    }
+    names: set[str] = set()
+    for xlsx in sorted(glob.glob("/root/reference/GEM_Inputs/*.xlsx")):
+        book = os.path.basename(xlsx)
+        if book not in sheets_by_book:
+            continue
+        out_dir = str(tmp_path / book.replace(".xlsx", ""))
+        for p in xlsx_to_parquet(xlsx, out_dir, sheets=sheets_by_book[book]):
+            df = spark.read.parquet(p)
+            country_cols = [
+                c for c in ("Country/Area", "Country", "Country 1", "Country 2")
+                if c in df.columns
+            ]
+            for c in country_cols:
+                names |= {
+                    r[0] for r in df.select(c).distinct().collect()
+                    if r[0] and str(r[0]).strip()
+                }
+    assert len(names) > 180  # all six trackers contributed
+    dim_names = {n for n, _, _ in COUNTRY_CODES}
+    unresolved = sorted(n for n in names if n not in dim_names)
+    assert not unresolved, (
+        "tracker country names with NULL iso2 (countrycode would "
+        "resolve them): " + str(unresolved)
+    )
+
+
+def test_country_dim_is_full_iso_3166_and_unique(spark):
+    from gem_data_wrangle_spark.data.country_codes import (
+        _ISO_3166,
+        COUNTRY_CODES,
+        country_dim,
+    )
+
+    # 249 assigned ISO 3166-1 entries + the XK convention
+    assert len(_ISO_3166) == 250
+    # unique names (broadcast lookup join must never fan out) and
+    # well-formed codes
+    names = [n for n, _, _ in COUNTRY_CODES]
+    assert len(set(names)) == len(names)
+    assert all(len(a) == 2 and a.isupper() for _, a, _ in COUNTRY_CODES)
+    assert all(len(b) == 3 and b.isupper() for _, _, b in COUNTRY_CODES)
+    # every alias shares its codes with a canonical row
+    canon = {(a, b) for _, a, b in _ISO_3166}
+    assert all((a, b) in canon for _, a, b in COUNTRY_CODES)
+    # the dim frame round-trips
+    dim = country_dim(spark)
+    assert dim.count() == len(COUNTRY_CODES)
+    kosovo = dim.filter(F.col("country_name") == "Kosovo").collect()[0]
+    assert (kosovo["iso2"], kosovo["iso3"]) == ("XK", "XKX")
