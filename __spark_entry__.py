@@ -767,19 +767,55 @@ def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # extension: language identification (stopword heuristic)
 # --------------------------------------------------------------------
 def _lang_oracle() -> str:
-    score = {
-        lang: (
-            "len(list_filter(string_split(lower(text), ' '), "
-            f"x -> x IN ({', '.join(repr(w) for w in sw)})))"
-        )
-        for lang, sw in T.LANG_STOPWORDS.items()
-    }
-    codes = sorted(score)
-    greatest = "greatest(" + ", ".join(score[c] for c in codes) + ")"
-    whens = " ".join(f"WHEN {score[c]} = m THEN '{c}'" for c in codes)
+    """Replays the script-routed lang_id (textops.lang_id) in DuckDB,
+    generated from the SAME script-range and stopword tables so the
+    two engines can never drift apart silently. Both argmax folds
+    (dominant script, stopword vote) use strict-> iteration in sorted
+    key order, which the SQL mirrors as first-match CASE arms over
+    ``greatest(...)``."""
+    scripts = sorted(T.LANG_ID_SCRIPT_RANGES)
+    script_counts = ", ".join(
+        f"len(regexp_extract_all(coalesce(text, ''), "
+        f"'{T.LANG_ID_SCRIPT_RANGES[s]}')) AS c_{s}"
+        for s in scripts
+    )
+
+    def vote(cand: dict, fallback_sql: str) -> str:
+        score = {
+            lang: (
+                "len(list_filter(toks, "
+                f"x -> x IN ({', '.join(repr(w) for w in sw)})))"
+            )
+            for lang, sw in cand.items()
+        }
+        codes = sorted(score)
+        m = "greatest(" + ", ".join(score[c] for c in codes) + ")"
+        whens = " ".join(f"WHEN {score[c]} = {m} THEN '{c}'" for c in codes)
+        return f"CASE WHEN {m} = 0 THEN {fallback_sql} {whens} END"
+
+    m_script = "greatest(" + ", ".join(f"c_{s}" for s in scripts) + ")"
+    dom_whens = " ".join(f"WHEN c_{s} = m THEN '{s}'" for s in scripts)
+    latin_vote = vote(T.LATIN_LANG_STOPWORDS, "'und'")
+    cyr_vote = vote(T.CYRILLIC_LANG_STOPWORDS, "'ru'")
     return f"""
-    SELECT doc_id, CASE WHEN m = 0 THEN 'und' {whens} END AS lang_pred
-    FROM (SELECT doc_id, text, {greatest} AS m FROM documents)
+    WITH c AS (
+      SELECT doc_id, {script_counts},
+             string_split(lower(coalesce(text, '')), ' ') AS toks
+      FROM documents
+    ), d AS (
+      SELECT *, CASE WHEN m = 0 THEN 'none' {dom_whens} END AS dom
+      FROM (SELECT *, {m_script} AS m FROM c)
+    )
+    SELECT doc_id,
+           CASE WHEN dom = 'latin' THEN {latin_vote}
+                WHEN dom = 'cyrillic' THEN {cyr_vote}
+                WHEN dom = 'han' THEN
+                  CASE WHEN c_kana > 0 THEN 'ja' ELSE 'zh' END
+                WHEN dom = 'kana' THEN 'ja'
+                WHEN dom = 'hangul' THEN 'ko'
+                WHEN dom = 'arabic' THEN 'ar'
+                ELSE 'und' END AS lang_pred
+    FROM d
     """
 
 

@@ -234,3 +234,83 @@ def test_scd2_lookup_no_collision_path_unchanged(spark):
     )
     got = sorted((r["ts"].month, r["tier"]) for r in out.collect())
     assert got == [(3, "gold"), (7, "plat")]
+
+
+# ---------------------------------------------------------------- lang_id
+def test_lang_id_script_router(spark):
+    """VERDICT r10 directive 8: the dominant Unicode script routes to a
+    candidate set before the stopword vote, so unsegmented
+    CJK/Cyrillic/Arabic no longer lands in ``und``."""
+    from gem_data_wrangle_spark.operators import textops as T
+
+    cases = [
+        (1, "the cat sat on the mat and the dog", "en"),
+        (2, "el perro y el gato que corren en la casa", "es"),
+        (3, "le chat et le chien dans les rues des villes", "fr"),
+        (4, "der hund und die katze ist von einem haus", "de"),
+        (5, "il gatto che corre per la strada della città nel parco", "it"),
+        (6, "não sei do que falas em uma cidade os dias", "pt"),
+        (7, "zzz qqq www", "und"),                       # latin, no hits
+        (8, "这是一个很长的中文句子没有空格分词", "zh"),      # han, no kana
+        (9, "これは日本語の文です漢字も含まれています", "ja"),  # han + kana
+        (10, "カタカナダケノブンショウ", "ja"),               # pure kana
+        (11, "한국어 문장입니다 안녕하세요", "ko"),            # hangul
+        (12, "هذه جملة باللغة العربية بدون توقف", "ar"),     # arabic
+        (13, "я не знаю что это как оно работает но хорошо", "ru"),
+        (14, "я не знаю що це як воно працює але добре", "uk"),
+        (15, "слово без стопслов текст корпус", "ru"),    # cyrillic fallback
+        (16, "", "und"),
+        (17, None, "und"),
+        # mixed: han majority over latin letters
+        (18, "spark 是一个分布式计算引擎用于大规模数据处理", "zh"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in cases], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in df.select(
+            "doc_id", T.lang_id(F.col("text")).alias("lang")
+        ).collect()
+    }
+    want = {i: lang for i, _, lang in cases}
+    assert got == want
+
+
+def test_lang_id_oracle_replays_router_on_mixed_scripts(spark, tmp_path):
+    """The DuckDB oracle and the Spark expression agree doc-for-doc on
+    a mixed-script corpus (the driver's value-hash precondition)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from gem_data_wrangle_spark.operators import textops as T
+
+    rows = [
+        (1, "the quick brown fox and the dog"),
+        (2, "el que quiere un perro y un gato en la casa"),
+        (3, "这是中文文本没有分词"),
+        (4, "これは日本語です"),
+        (5, "한국어 텍스트"),
+        (6, "نص عربي قصير"),
+        (7, "я думаю что это хорошо"),
+        (8, "zzz qqq"),
+        (9, ""),
+        (10, "il che di per strada della nel"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    parquet = str(tmp_path / "docs.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(parquet)
+    spark_got = sorted(
+        (r["doc_id"], r["lang_pred"])
+        for r in df.select(
+            "doc_id", T.lang_id(F.col("text")).alias("lang_pred")
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS FROM '{parquet}/*.parquet'")
+    duck_got = sorted(
+        (int(a), b)
+        for a, b in con.sql(entrymod.oracle_sql()["lang_id"]).fetchall()
+    )
+    con.close()
+    assert spark_got == duck_got
