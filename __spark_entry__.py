@@ -8565,7 +8565,9 @@ _DEFER_TO_TAIL = [
     "multimodal_resize",       # r04 green; resize path unchanged (see above)
     "multimodal_frames",       # r04 green; frames path unchanged (see above)
     "scrub_pii",               # r04 green; textops scrub path unchanged
-    "pack_documents",          # r04 green; sampling pack path unchanged
+    # pack_documents RE-PROMOTED round 11: sampling.pack_documents
+    # pack_id widened int->long (width audit), so its green needs
+    # refreshing.
     "bernoulli_sample",        # r04 green; sampling bernoulli path unchanged
     "stream_interval_join",    # r04 green; streaming joins unchanged
     "decontaminate_docs",      # r04 green; dedup decontamination path unchanged
@@ -8597,7 +8599,8 @@ _DEFER_TO_TAIL = [
     "weighted_sample",         # r05 green; sampling weighted path unchanged
     "tfidf_top_terms",         # r05 green; textops tf_idf path unchanged
     "chunk_documents",         # r05 green; textops chunk path unchanged
-    "sessionize_events",       # r05 green; aggregates sessionize unchanged
+    # sessionize_events RE-PROMOTED round 11: aggregates.sessionize
+    # session_idx widened int->long (width audit).
     "training_data_pipeline",  # r05 green; quality_score/fingerprint/hash_split
                                # + dedup_first_per_key window path unchanged
     # ------------------------------------------------------------------
@@ -8647,7 +8650,9 @@ _DEFER_TO_TAIL = [
     "dedup_exact",             # r06 green; dedup exact path unchanged
     "text_fingerprint",        # r06 green; textops fingerprint unchanged
     "text_quality",            # r06 green; textops quality path unchanged
-    "lang_id",                 # r06 green; textops lang path unchanged
+    # lang_id RE-PROMOTED round 11: textops.lang_id rebuilt as the
+    # script router (VERDICT r10 directive 8) with a regenerated
+    # oracle — the r06 green no longer covers it.
     "minhash_lsh_pairs",       # r06 green; dedup minhash path unchanged
     "jaccard_neighbors",       # r06 green; dedup jaccard path unchanged
     "simhash",                 # r06 green; dedup simhash path unchanged
@@ -8733,7 +8738,8 @@ _DEFER_TO_TAIL = [
     "stream_running_totals",   # r08 green; stateful running_totals unchanged
     "cdc_chunks",              # r08 green; dedup cdc path unchanged
     "host_pagerank",           # r08 green; graph pagerank unchanged
-    "exact_jaccard_pairs",     # r08 green; dedup ppjoin path unchanged
+    # exact_jaccard_pairs RE-PROMOTED round 11: exact_jaccard_join's
+    # n_shared/n_a/n_b counts widened int->long at the source.
     "pq_encode",               # r08 green; similarity pq path unchanged
     "pq_topk_adc",             # r08 green; similarity adc path unchanged
     "audio_features",          # r08 green; multimodal wav path unchanged
@@ -8762,6 +8768,36 @@ _DEFER_TO_TAIL = [
     "zorder_keys",             # r08 green; bucketing zorder unchanged
     "mp4_probe",               # r08 green; mp4 probe walk unchanged
     "mp4_sample_offsets",      # r08 green; mp4 sample table unchanged
+    # ------------------------------------------------------------------
+    # round-11 rotation (VERDICT r10 directive 1, carried from r9): the
+    # 7 registrations that sat past the graded window since round 9 —
+    # benford_audit, bmp_metadata, cm_user_counts, containment_screen,
+    # ewma_event_values, host_pagerank_weighted, rank_normalized_values
+    # — finally enter the graded head, together with the four
+    # re-promotions above (lang_id, exact_jaccard_pairs,
+    # pack_documents, sessionize_events — their operator paths changed
+    # this round). Slots come from the 11 r10-green demotions below;
+    # none of their query fns, oracles, or operator paths are touched
+    # by round 11's changes (the round's operator edits are
+    # gif/tiff probes, benford_profile, simhash_candidate_pairs,
+    # kmv_intersect_estimate, scd2_lookup, exact_jaccard_join,
+    # pack_documents, sessionize, lang_id, country_codes — every query
+    # over those paths either stays in or re-enters the head).
+    #
+    # tail block 6 — r10-green, byte-unchanged since:
+    "dsir_logweights",         # r10 green; sampling DSIR path unchanged
+    "dsir_resample",           # r10 green; sampling DSIR path unchanged
+    "table_checksum",          # r10 green; quality checksum unchanged
+                               # (r11 quality.py edit is benford-only)
+    "funnel_latency",          # r10 green; aggregates funnel/quantile
+                               # path unchanged (r11 edit: sessionize)
+    "mean_pool_embeddings",    # r10 green; similarity pooling unchanged
+    "pairwise_corr",           # r10 green; stats.py unchanged
+    "event_transitions",       # r10 green; aggregates transitions unchanged
+    "temperature_mixture",     # r10 green; sampling temperature unchanged
+    "temperature_resample_counts",  # r10 green; same path
+    "ip_prefix_enrich",        # r10 green; joins prefix path unchanged
+    "embedding_gram",          # r10 green; similarity gram path unchanged
 ]
 
 
@@ -8805,7 +8841,6 @@ _DEFER_HASHES: dict[str, str] = {
     "multimodal_resize": "358cbd1a4f7b59af",
     "multimodal_frames": "616d729fcef1f567",
     "scrub_pii": "3fe7bd49f695b9b0",
-    "pack_documents": "98a0cb4c3d6e16e6",
     "bernoulli_sample": "0353fe6e554dc1f6",
     "stream_interval_join": "f1194af4ca44c50a",
     "decontaminate_docs": "095d8d644c0a6ec0",
@@ -8834,7 +8869,6 @@ _DEFER_HASHES: dict[str, str] = {
     "weighted_sample": "033b26812c354655",
     "tfidf_top_terms": "bb616e4cb5b2c6da",
     "chunk_documents": "c721a1b87a97166d",
-    "sessionize_events": "69f3c131133093cb",
     "training_data_pipeline": "db585891fb511fca",
     "filter_isin": "511530f2dd36c7e8",
     "cast_regex_extract": "caf35822ececbacf",
@@ -8851,7 +8885,6 @@ _DEFER_HASHES: dict[str, str] = {
     "dedup_exact": "f49df5544fb70089",
     "text_fingerprint": "20401cde9270e27b",
     "text_quality": "4ef6e6d2b0182197",
-    "lang_id": "20039c0194fdf4da",
     "minhash_lsh_pairs": "c11e3339c8cf7966",
     "jaccard_neighbors": "f5ef3b537b9359ad",
     "simhash": "1b747ecd35d5afd0",
@@ -8897,7 +8930,6 @@ _DEFER_HASHES: dict[str, str] = {
     "stream_running_totals": "807a5c69f29d2cb4",
     "cdc_chunks": "c560bf74472dedb9",
     "host_pagerank": "5719a32790ed687a",
-    "exact_jaccard_pairs": "9dc493c25d0a3592",
     "pq_encode": "92520dd38ba0f7f4",
     "pq_topk_adc": "cf462f62836494d9",
     "audio_features": "a247fccdc49eb868",
@@ -8924,6 +8956,17 @@ _DEFER_HASHES: dict[str, str] = {
     "zorder_keys": "b1231593075ab8d4",
     "mp4_probe": "f16a3127fb854d73",
     "mp4_sample_offsets": "3aec9826b94924ff",
+    "dsir_logweights": "ebb9f288e36a91fd",
+    "dsir_resample": "ce3f2671c06d4dad",
+    "table_checksum": "5dbb220ec0db1106",
+    "funnel_latency": "4ef0f3a9bf77f4e3",
+    "mean_pool_embeddings": "a75f94eb19091cd5",
+    "pairwise_corr": "c9a43a6b470b9d1b",
+    "event_transitions": "fbd6aeb620761fda",
+    "temperature_mixture": "181354979c3f6ed2",
+    "temperature_resample_counts": "d23347ecc2e2f41e",
+    "ip_prefix_enrich": "a9d285f9724048fc",
+    "embedding_gram": "b3b6f238480c8422",
 }
 
 
