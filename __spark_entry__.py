@@ -978,7 +978,16 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_candidate_pairs,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    # documents arrives as one small parquet file → one partition, and
+    # the 32-term md5 signature fold is CPU-bound, so spread it across
+    # cores before hashing (the minhash_lsh_pairs local fix; a
+    # production input at scale is already multi-partition). The r9/r10
+    # "simhash_pairs ~9 s" bench number was 5-6 s of single-task
+    # hashing, not codegen or environment — round-11 A/B in
+    # BENCH_HISTORY.
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return simhash_candidate_pairs(
         docs, "text", "doc_id", bits=32, max_distance=2
     )

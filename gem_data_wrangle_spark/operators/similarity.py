@@ -1080,6 +1080,7 @@ def jl_project_int(
     out_dim: int = 16,
     seed: str = "jl",
     quantized: bool = False,
+    ship: str = "broadcast",
 ) -> DataFrame:
     """Johnson–Lindenstrauss projection with a DETERMINISTIC ±1 sign
     matrix (Achlioptas 2003's database-friendly construction: i.i.d.
@@ -1095,18 +1096,53 @@ def jl_project_int(
     scaling is omitted: downstream cosine/dot comparisons are
     scale-invariant, and keeping integers keeps determinism.
 
-    Plan/scale: the signs fold into the plan as LITERALS (out_dim·d
-    multiply-free adds per row inside whole-stage codegen) — a narrow
-    per-row map, NO shuffle, no driver state, nothing to broadcast.
-    Output is one row per vector with ``y0..y{out_dim-1}`` BIGINT
-    columns (never an array — the graded-projection type contract).
+    Plan/scale: ``ship="broadcast"`` (default) carries the sign matrix
+    as a broadcast ONE-ROW relation (the path PQ codebooks use)
+    crossJoined onto the input — a narrow per-row map whose task
+    binary does not embed out_dim·in_dim literals. ``ship="literal"``
+    folds the signs into the plan as literals instead (zero joins, no
+    driver-built relation). Round-11 interleaved 5-run A/B at sf0.1
+    (BENCH_HISTORY round 11): broadcast beat literal in every paired
+    run (~1.12 s vs ~1.29 s median) — expression trees with 1024
+    literal nodes cost more in plan building + codegen than a tiny
+    broadcast — so broadcast is the default; the r10 "Broadcasting
+    large task binary" watch item turned out to come from the all8
+    consolidation capstone's serialized DAG, not this operator (7 of
+    the bench-tail warnings reproduce on all8 alone; zero on either JL
+    form). Output is one row per vector with ``y0..y{out_dim-1}``
+    BIGINT columns (never an array — the graded-projection type
+    contract).
     """
     if in_dim <= 0 or out_dim <= 0:
         raise ValueError("in_dim and out_dim must be positive")
+    if ship not in ("literal", "broadcast"):
+        raise ValueError("ship must be 'literal' or 'broadcast'")
     src = df if quantized else quantize_embeddings(
         df, vec_col, id_col, out_col="_q"
     )
     qcol = vec_col if quantized else "_q"
+    if ship == "broadcast":
+        matrix = [
+            [jl_sign(seed, k, j) for j in range(in_dim)]
+            for k in range(out_dim)
+        ]
+        mat = df.sparkSession.createDataFrame(
+            [(matrix,)], "_jl_m array<array<int>>"
+        )
+        joined = src.crossJoin(F.broadcast(mat))
+        outs = [F.col(id_col)]
+        for k in range(out_dim):
+            terms = F.zip_with(
+                F.col(qcol),
+                F.element_at("_jl_m", k + 1),
+                lambda x, s: x * s,
+            )
+            outs.append(
+                F.aggregate(
+                    terms, F.lit(0).cast("long"), lambda a, b: a + b
+                ).alias(f"y{k}")
+            )
+        return joined.select(*outs)
     # each output coordinate is ONE zip_with against a literal sign
     # array + ONE fold — 2·out_dim higher-order expressions with
     # internal loops, not out_dim·in_dim scalar element_at nodes: the

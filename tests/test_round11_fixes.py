@@ -314,3 +314,28 @@ def test_lang_id_oracle_replays_router_on_mixed_scripts(spark, tmp_path):
     )
     con.close()
     assert spark_got == duck_got
+
+
+# ---------------------------------------------------------------- jl ship
+def test_jl_project_ship_forms_agree(spark):
+    """VERDICT r10 directive 7: the broadcast-data shipping form (now
+    the default — measured faster, BENCH_HISTORY r11) is bit-identical
+    to the plan-literal form."""
+    from gem_data_wrangle_spark.operators.similarity import jl_project_int
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lit_rows = sorted(
+        tuple(r)
+        for r in jl_project_int(
+            emb, "embedding", "vec_id", 64, 8, ship="literal"
+        ).collect()
+    )
+    bc_rows = sorted(
+        tuple(r)
+        for r in jl_project_int(
+            emb, "embedding", "vec_id", 64, 8, ship="broadcast"
+        ).collect()
+    )
+    assert lit_rows == bc_rows
+    with pytest.raises(ValueError, match="ship"):
+        jl_project_int(emb, "embedding", "vec_id", 64, 8, ship="nope")
