@@ -1071,6 +1071,36 @@ def simhash_candidate_pairs(
     """
     if max_distance < 0 or bits < max_distance + 1:
         raise ValueError("need bits >= max_distance + 1 and distance >= 0")
+    pairs, sig = _simhash_pairs_lazy(
+        df, text_col, id_col, bits, max_distance, ngram
+    )
+    # Materialize the (small: true near-dups only) pair set so the
+    # corpus-sized signature cache can be RELEASED here instead of
+    # living for the session (ADVICE r10 — repeated calls grew the
+    # block store unboundedly). localCheckpoint blocks are owned by
+    # the returned frame and reclaimed by the ContextCleaner when the
+    # caller drops it, unlike CacheManager entries which only
+    # unpersist() frees. Plan evidence: the checkpoint makes the
+    # RETURNED frame's explain a bare RDD scan, so PLANS.md audits the
+    # lazy form via _simhash_pairs_lazy (tools/gen_plans.py).
+    out = pairs.localCheckpoint(eager=True)
+    sig.unpersist()
+    return out
+
+
+def _simhash_pairs_lazy(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int,
+    max_distance: int,
+    ngram: int,
+) -> tuple[DataFrame, DataFrame]:
+    """The lazy plan behind :func:`simhash_candidate_pairs`: returns
+    ``(pairs, sig)`` where ``sig`` is the persisted signature frame the
+    caller must unpersist after consuming ``pairs`` (the public wrapper
+    does this via eager localCheckpoint; gen_plans explains ``pairs``
+    directly)."""
     base = df.select(
         F.col(id_col), _shingles(F.col(text_col), ngram).alias("_toks")
     ).filter(F.size("_toks") >= 1)
@@ -1131,16 +1161,7 @@ def simhash_candidate_pairs(
         .filter(F.col("hamming") <= max_distance)
         .select("id_a", "id_b", "hamming")
     )
-    # Materialize the (small: true near-dups only) pair set so the
-    # corpus-sized signature cache can be RELEASED here instead of
-    # living for the session (ADVICE r10 — repeated calls grew the
-    # block store unboundedly). localCheckpoint blocks are owned by
-    # the returned frame and reclaimed by the ContextCleaner when the
-    # caller drops it, unlike CacheManager entries which only
-    # unpersist() frees.
-    out = pairs.localCheckpoint(eager=True)
-    sig.unpersist()
-    return out
+    return pairs, sig
 
 
 def minhash_containment_join(

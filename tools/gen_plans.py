@@ -115,10 +115,10 @@ CASES = {
     "conversion_attribution": "last-touch attribution — asof union + carry-forward window, ONE key shuffle, tolerance null-out",
     "kmv_distinct_users": "KMV sketch — distinct (group, hash) partial-agg + WindowGroupLimit per-group top-k; estimate from the k-th minimum only",
     "kmv_segment_overlap": "theta intersection — two bounded sketches hash-join on h, 1-row thetas broadcast; everything <=k rows after the sketches",
-    "simhash_pairs": "SimHash Hamming-ball pairs — narrow signature pass, (band, value) explode, ONE band equi-join + distinct, fixed 32-term verify in codegen",
+    "simhash_pairs": "SimHash Hamming-ball pairs — narrow signature pass (repartitioned off the 1-file local input), (band, value) explode, ONE band equi-join + distinct, fixed 32-term verify in codegen; the registered form materializes via localCheckpoint (cache-release contract), so the LAZY plan below comes from dedup._simhash_pairs_lazy",
     "mad_outlier_flags": "MAD outliers — two rank-window median passes (one exchange each, groupBy reuses the partitioning), 5-row med/MAD frames broadcast back, integer-compare gate",
     "host_communities": "label propagation — per round ONE neighbor-label hash join + (node, label) partial-combined count + max_by vote; lineage checkpoint-truncated, last round lazy",
-    "jl_sketch": "JL +-1 projection — literal sign matrix folded into ONE narrow projection, no exchange before the sink",
+    "jl_sketch": "JL +-1 projection — sign matrix as a broadcast one-row relation (r11 A/B: beats 1024 plan literals), ONE narrow projection, no shuffle before the sink",
     "host_assortativity": "degree assortativity — symmetrize + degree agg + two node-id hash joins + ONE global partial-combined six-sum aggregate",
     "rank_normalized_values": "rank normalization — rank/count windows share ONE group exchange; everything after is row-local integer floors",
     "containment_screen": "containment screening — k-slot signatures narrow, ONE (slot, hash) equi-join, pair-count partial agg; never all-pairs",
@@ -151,8 +151,26 @@ def main() -> None:
     print()
 
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+
+    def frame_for(name):
+        if name == "simhash_pairs":
+            # the registered query's eager localCheckpoint cuts the
+            # lineage (its explain is a bare RDD scan) — audit the
+            # lazy plan the checkpoint materializes instead
+            from gem_data_wrangle_spark.operators.dedup import (
+                _simhash_pairs_lazy,
+            )
+
+            docs = entrymod._t(spark, sf, "documents").repartition(
+                spark.sparkContext.defaultParallelism
+            )
+            pairs, sig = _simhash_pairs_lazy(docs, "text", "doc_id", 32, 2, 2)
+            sig.unpersist()  # plan-only: nothing materialized
+            return pairs
+        return qs[name](spark, sf)
+
     for name, why in CASES.items():
-        plan = qs[name](spark, sf)._jdf.queryExecution().explainString(mode)
+        plan = frame_for(name)._jdf.queryExecution().explainString(mode)
         lines = plan.splitlines()
         keep = [ln.strip()[:160] for ln in lines if re.search(INTERESTING, ln)]
         n_ex = sum(1 for ln in lines if "Exchange hashpartitioning" in ln)
