@@ -472,3 +472,59 @@ def scan_binary_files(
     if max_bytes is not None:
         df = df.filter(F.col("length") <= max_bytes)
     return df
+
+
+def scan_fwf(
+    spark: SparkSession,
+    path: str,
+    fields: list[tuple[str, int]],
+    types: dict[str, str] | None = None,
+    header: bool = False,
+    empty_as_null: bool = True,
+) -> DataFrame:
+    """Fixed-width file scan — the ``readr::read_fwf`` analogue the
+    reference ecosystem reads mainframe/agency extracts with.
+    ``fields`` is an ordered ``[(name, width), ...]`` list; ``types``
+    optionally maps column names to Spark type strings applied via
+    ``try_cast`` (ANSI-safe: malformed cells become NULL, never a job
+    abort). Values are trimmed; with ``empty_as_null`` all-blank cells
+    become NULL (matching the CSV reader's treatment of empties).
+
+    Plan/scale: one line-oriented text scan + a single narrow
+    projection of ``substring`` slices — fully JVM-side, splittable by
+    line like any text source, no Python in the path. ``header=True``
+    drops the first line of EVERY file (per-file headers), implemented
+    by reading through the CSV source with an unused separator so the
+    distributed-safe header logic is Spark's own, not a row-number
+    hack that breaks under partitioned reads.
+    """
+    if not fields:
+        raise ValueError("fields must name at least one (name, width)")
+    if header:
+        # \x01 never appears in fixed-width text; the csv reader then
+        # yields exactly one string column per line and applies its
+        # per-file header skip
+        lines = (
+            spark.read.option("header", "true")
+            .option("sep", "\x01")
+            .option("inferSchema", "false")
+            .csv(path)
+        )
+        value = F.col(lines.columns[0])
+    else:
+        lines = spark.read.text(path)
+        value = F.col("value")
+    types = types or {}
+    cols = []
+    pos = 1
+    for name, width in fields:
+        if width <= 0:
+            raise ValueError(f"width for {name} must be positive")
+        c = F.trim(F.substring(value, pos, width))
+        if empty_as_null:
+            c = F.when(c != "", c)
+        if name in types:
+            c = c.try_cast(types[name])
+        cols.append(c.alias(name))
+        pos += width
+    return lines.select(*cols)

@@ -260,3 +260,52 @@ def test_scan_binary_files_glob_and_size(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["length"] == 10 and rows[0]["content"] == b"\x01" * 10
     assert set(df.columns) == {"path", "modificationTime", "length", "content"}
+
+
+def test_scan_fwf_roundtrip(spark, tmp_path):
+    from gem_data_wrangle_spark.sources.io import scan_fwf
+
+    p = tmp_path / "plants.fwf"
+    p.write_text(
+        "Plant A   DE2024  12.50\n"
+        "Plant B   FR      43.10\n"   # blank year -> NULL
+        "Plant C   XXabcd   1.00\n"   # malformed year -> try_cast NULL
+    )
+    out = scan_fwf(
+        spark,
+        str(p),
+        fields=[("name", 10), ("iso2", 2), ("year", 4), ("cap", 7)],
+        types={"year": "int", "cap": "double"},
+    ).orderBy("name").collect()
+    assert [tuple(r) for r in out] == [
+        ("Plant A", "DE", 2024, 12.5),
+        ("Plant B", "FR", None, 43.1),
+        ("Plant C", "XX", None, 1.0),
+    ]
+
+
+def test_scan_fwf_header_skip_is_per_file(spark, tmp_path):
+    from gem_data_wrangle_spark.sources.io import scan_fwf
+
+    d = tmp_path / "fwf"
+    d.mkdir()
+    for i in (1, 2):
+        (d / f"part{i}.fwf").write_text(
+            "NAME      VAL\n" + f"row{i}      {i * 10:3d}\n"
+        )
+    out = scan_fwf(
+        spark, str(d), fields=[("name", 10), ("val", 3)],
+        types={"val": "int"}, header=True,
+    ).orderBy("name").collect()
+    assert [tuple(r) for r in out] == [("row1", 10), ("row2", 20)]
+
+
+def test_scan_fwf_validates_fields(spark, tmp_path):
+    import pytest as _pytest
+
+    from gem_data_wrangle_spark.sources.io import scan_fwf
+
+    with _pytest.raises(ValueError, match="at least one"):
+        scan_fwf(spark, str(tmp_path), fields=[])
+    with _pytest.raises(ValueError, match="positive"):
+        scan_fwf(spark, str(tmp_path), fields=[("a", 0)])
