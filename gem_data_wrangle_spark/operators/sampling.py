@@ -15,7 +15,13 @@ from pyspark.sql import functions as F
 
 def hash_bucket(key: Column, nibbles: int = 1) -> Column:
     """Deterministic bucket 0..16^nibbles-1 from the md5 of the key
-    (cast to string). Portable: identical in any engine with md5."""
+    (cast to string). Portable: identical in any engine with md5.
+    ``nibbles`` is capped at 7: 16^8-1 exceeds int32 and the overflow
+    would be silent bucket corruption, not an error (round-11 width
+    audit) — at 8+ hex digits use a long-typed hash expression
+    instead."""
+    if not 1 <= nibbles <= 7:
+        raise ValueError("nibbles must be in 1..7 (16^8-1 overflows int32)")
     return F.conv(F.substring(F.md5(key.cast("string")), 1, nibbles), 16, 10).cast("int")
 
 

@@ -339,3 +339,16 @@ def test_jl_project_ship_forms_agree(spark):
     assert lit_rows == bc_rows
     with pytest.raises(ValueError, match="ship"):
         jl_project_int(emb, "embedding", "vec_id", 64, 8, ship="nope")
+
+
+def test_hash_bucket_rejects_int32_overflow_widths(spark):
+    """Round-11 width audit: 16^8-1 exceeds int32; the overflow would
+    be silent bucket corruption, so 8+ nibbles is an error."""
+    from gem_data_wrangle_spark.operators.sampling import hash_bucket
+
+    df = spark.createDataFrame([(1,)], "k bigint")
+    assert df.select(hash_bucket(F.col("k"), 7).alias("b")).collect()[0]["b"] >= 0
+    with pytest.raises(ValueError, match="nibbles"):
+        hash_bucket(F.col("k"), 8)
+    with pytest.raises(ValueError, match="nibbles"):
+        hash_bucket(F.col("k"), 0)
