@@ -1043,6 +1043,8 @@ def simhash_candidate_pairs(
     bits: int = 32,
     max_distance: int = 2,
     ngram: int = 2,
+    materialize: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs by SimHash Hamming distance —
     the Charikar/Manku-Jain-Sarma (WWW 2007) formulation: pairs whose
@@ -1074,16 +1076,32 @@ def simhash_candidate_pairs(
     pairs, sig = _simhash_pairs_lazy(
         df, text_col, id_col, bits, max_distance, ngram
     )
+    if not materialize:
+        # Lazy opt-out (ADVICE r11): callers at scale who want plan
+        # composition (push filters below the join, union with other
+        # candidate generators) or who cannot afford an eager job at
+        # construction get the raw plan. The persisted signature frame
+        # then lives until the caller drops its last reference and the
+        # ContextCleaner collects it — the price of laziness; for
+        # degenerate near-dup-heavy corpora the O(pairs) result also
+        # stays a plan, not a stored block set.
+        return pairs
     # Materialize the (small: true near-dups only) pair set so the
     # corpus-sized signature cache can be RELEASED here instead of
     # living for the session (ADVICE r10 — repeated calls grew the
     # block store unboundedly). localCheckpoint blocks are owned by
     # the returned frame and reclaimed by the ContextCleaner when the
     # caller drops it, unlike CacheManager entries which only
-    # unpersist() frees. Plan evidence: the checkpoint makes the
-    # RETURNED frame's explain a bare RDD scan, so PLANS.md audits the
-    # lazy form via _simhash_pairs_lazy (tools/gen_plans.py).
-    out = pairs.localCheckpoint(eager=True)
+    # unpersist() frees. Executor loss drops localCheckpoint blocks
+    # (ADVICE r11) — pass ``checkpoint_dir=`` a reliable path
+    # (HDFS/S3) for a durable ``DataFrame.checkpoint`` instead, the
+    # same trade :mod:`graph`'s ``_checkpointer`` documents. Plan
+    # evidence: the checkpoint makes the RETURNED frame's explain a
+    # bare RDD scan, so PLANS.md audits the lazy form via
+    # _simhash_pairs_lazy (tools/gen_plans.py).
+    from .graph import _checkpointer  # noqa: PLC0415
+
+    out = _checkpointer(checkpoint_dir)(pairs, True)
     sig.unpersist()
     return out
 

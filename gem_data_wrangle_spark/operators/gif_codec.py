@@ -30,10 +30,17 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-GIF_PROBE_SCHEMA = (
-    "id bigint, probe_status string, version string, width int, "
-    "height int, n_frames int, total_delay_cs int, loop_count int, "
-    "has_gct boolean, n_extensions int"
+# (name, spark type) for every probe output column except the id —
+# the single source for both the default DDL and the id_col-renamed
+# output schema (ADVICE r11: no string surgery on the DDL)
+GIF_PROBE_FIELDS: list[tuple[str, str]] = [
+    ("probe_status", "string"), ("version", "string"),
+    ("width", "int"), ("height", "int"), ("n_frames", "int"),
+    ("total_delay_cs", "int"), ("loop_count", "int"),
+    ("has_gct", "boolean"), ("n_extensions", "int"),
+]
+GIF_PROBE_SCHEMA = "id bigint, " + ", ".join(
+    f"{n} {t}" for n, t in GIF_PROBE_FIELDS
 )
 
 
@@ -215,5 +222,11 @@ def gif_probe(
                 "n_extensions",
             ]]
 
-    schema = GIF_PROBE_SCHEMA.replace("id bigint", f"`{id_col}` bigint", 1)
+    if id_col in {n for n, _ in GIF_PROBE_FIELDS}:
+        raise ValueError(
+            f"id_col {id_col!r} collides with a gif_probe output column"
+        )
+    schema = f"`{id_col}` bigint, " + ", ".join(
+        f"{n} {t}" for n, t in GIF_PROBE_FIELDS
+    )
     return df.mapInPandas(run, schema)

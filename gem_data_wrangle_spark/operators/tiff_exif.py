@@ -42,10 +42,16 @@ _TAG_DATETIME = 306
 _TAG_EXIF_IFD = 34665
 _TAG_ISO = 34855
 
-PROBE_SCHEMA = (
-    "id bigint, probe_status string, byte_order string, width int, "
-    "height int, orientation int, make string, model string, "
-    "datetime string, iso int, n_ifd0_entries int"
+# (name, spark type) for every probe output column except the id —
+# single source for the default DDL and the id_col-renamed schema
+PROBE_FIELDS: list[tuple[str, str]] = [
+    ("probe_status", "string"), ("byte_order", "string"),
+    ("width", "int"), ("height", "int"), ("orientation", "int"),
+    ("make", "string"), ("model", "string"), ("datetime", "string"),
+    ("iso", "int"), ("n_ifd0_entries", "int"),
+]
+PROBE_SCHEMA = "id bigint, " + ", ".join(
+    f"{n} {t}" for n, t in PROBE_FIELDS
 )
 
 
@@ -207,5 +213,11 @@ def tiff_probe(df: DataFrame, id_col: str = "id", media_col: str = "media") -> D
                 "n_ifd0_entries",
             ]]
 
-    schema = PROBE_SCHEMA.replace("id bigint", f"`{id_col}` bigint", 1)
+    if id_col in {n for n, _ in PROBE_FIELDS}:
+        raise ValueError(
+            f"id_col {id_col!r} collides with a tiff_probe output column"
+        )
+    schema = f"`{id_col}` bigint, " + ", ".join(
+        f"{n} {t}" for n, t in PROBE_FIELDS
+    )
     return df.mapInPandas(run, schema)

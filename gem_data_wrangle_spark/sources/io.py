@@ -496,23 +496,35 @@ def scan_fwf(
     drops the first line of EVERY file (per-file headers), implemented
     by reading through the CSV source with an unused separator so the
     distributed-safe header logic is Spark's own, not a row-number
-    hack that breaks under partitioned reads.
+    hack that breaks under partitioned reads. Quote processing is
+    disabled on that CSV read (``quote=""``) so a line whose first
+    byte happens to be ``"`` is NOT dequoted — fixed-width offsets
+    must see the raw bytes. Blank lines — empty OR whitespace-only —
+    are skipped in BOTH modes (the CSV source unconditionally drops
+    them as empty; the text path filters to match), the
+    ``readr::read_fwf`` ``skip_empty_rows=TRUE`` behavior: a blank
+    line in a fixed-width file is a non-record, not an all-NULL row.
     """
     if not fields:
         raise ValueError("fields must name at least one (name, width)")
     if header:
         # \x01 never appears in fixed-width text; the csv reader then
         # yields exactly one string column per line and applies its
-        # per-file header skip
+        # per-file header skip. quote="" turns quote handling off so
+        # leading '"' bytes stay literal (column offsets depend on it).
         lines = (
             spark.read.option("header", "true")
             .option("sep", "\x01")
+            .option("quote", "")
             .option("inferSchema", "false")
             .csv(path)
         )
         value = F.col(lines.columns[0])
     else:
-        lines = spark.read.text(path)
+        # filter matches the CSV source's unconditional blank-line
+        # skip (univocity treats whitespace-only as empty) so
+        # header=True/False agree byte-for-byte on the body
+        lines = spark.read.text(path).filter(F.trim("value") != "")
         value = F.col("value")
     types = types or {}
     cols = []

@@ -1,0 +1,191 @@
+"""Differential tests for the round-12 ADVICE fixes: scan_fwf quote/
+blank-line agreement between header modes, the simhash materialize
+opt-out, the country-dim uniqueness guard surviving ``python -O``, and
+the programmatic (collision-guarded) probe schemas."""
+
+import subprocess
+import sys
+
+import pytest
+
+
+# ---------------------------------------------------------------- scan_fwf
+def test_scan_fwf_leading_quote_not_dequoted(spark, tmp_path):
+    """ADVICE r12 (medium): header=True routed through the CSV reader
+    with DEFAULT quoting — a line whose first byte is '"' was dequoted,
+    shifting every fixed-width offset. Both modes must see raw bytes."""
+    from gem_data_wrangle_spark.sources.io import scan_fwf
+
+    body = '"quoted" ADE2024\nPlain nameFR1999\n'
+    fields = [("name", 10), ("iso2", 2), ("year", 4)]
+
+    p_h = tmp_path / "with_header.fwf"
+    p_h.write_text("HEADERLINE\n" + body)
+    p_n = tmp_path / "no_header.fwf"
+    p_n.write_text(body)
+
+    got_h = sorted(
+        tuple(r)
+        for r in scan_fwf(
+            spark, str(p_h), fields, types={"year": "int"}, header=True
+        ).collect()
+    )
+    got_n = sorted(
+        tuple(r)
+        for r in scan_fwf(
+            spark, str(p_n), fields, types={"year": "int"}, header=False
+        ).collect()
+    )
+    expected = [
+        ('"quoted" A', "DE", 2024),
+        ("Plain name", "FR", 1999),
+    ]
+    assert got_h == expected
+    assert got_n == expected
+
+
+def test_scan_fwf_blank_lines_agree_between_header_modes(spark, tmp_path):
+    """The CSV source drops blank (empty or whitespace-only) lines
+    unconditionally; the text path now filters to match — readr's
+    skip_empty_rows=TRUE. Previously header=False kept them as extra
+    all-NULL rows, silently diverging from header=True."""
+    from gem_data_wrangle_spark.sources.io import scan_fwf
+
+    body = "Row one   \n\n      \nRow two   \n"
+    fields = [("name", 10)]
+
+    p_h = tmp_path / "h.fwf"
+    p_h.write_text("HEAD\n" + body)
+    p_n = tmp_path / "n.fwf"
+    p_n.write_text(body)
+
+    got_h = sorted(
+        (r["name"] or "",)
+        for r in scan_fwf(spark, str(p_h), fields, header=True).collect()
+    )
+    got_n = sorted(
+        (r["name"] or "",)
+        for r in scan_fwf(spark, str(p_n), fields, header=False).collect()
+    )
+    assert got_h == got_n == [("Row one",), ("Row two",)]
+
+
+# ---------------------------------------------------------------- simhash
+def test_simhash_pairs_materialize_false_is_lazy(spark):
+    """ADVICE r12: materialize=False returns the composable plan (no
+    eager job, no localCheckpoint RDD scan) with identical results."""
+    from gem_data_wrangle_spark.operators.dedup import simhash_candidate_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "completely unrelated text about spark query planning"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    eager = simhash_candidate_pairs(df, "text", "id", max_distance=8)
+    lazy = simhash_candidate_pairs(
+        df, "text", "id", max_distance=8, materialize=False
+    )
+    # the lazy form keeps the logical plan: a join must still be visible
+    plan = lazy._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" in plan, plan
+    assert sorted(map(tuple, lazy.collect())) == sorted(
+        map(tuple, eager.collect())
+    )
+
+
+def test_simhash_pairs_checkpoint_dir_durable(spark, tmp_path):
+    """checkpoint_dir= routes through a reliable DataFrame.checkpoint
+    (files under the dir) instead of executor-local blocks."""
+    from gem_data_wrangle_spark.operators.dedup import simhash_candidate_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    ckpt = tmp_path / "ckpt"
+    out = simhash_candidate_pairs(
+        df, "text", "id", max_distance=8, checkpoint_dir=str(ckpt)
+    )
+    got = sorted(map(tuple, out.collect()))
+    assert got and got[0][:2] == (1, 2)
+    assert any(ckpt.rglob("*")), "no checkpoint files written"
+
+
+# ------------------------------------------------------------- country dim
+def test_country_dim_uniqueness_guard_survives_python_O(tmp_path):
+    """ADVICE r12: the name-uniqueness invariant was a module-level bare
+    assert, stripped under ``python -O``. Now an explicit raise: a
+    duplicated name must fail import even with -O."""
+    script = (
+        "import gem_data_wrangle_spark.data.country_codes as cc\n"
+        "cc.COUNTRY_CODES is not None\n"
+    )
+    ok = subprocess.run(
+        [sys.executable, "-O", "-c", script],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert ok.returncode == 0, ok.stderr
+    # inject a duplicate and re-run the guard logic under -O
+    dup_script = (
+        "import gem_data_wrangle_spark.data.country_codes as cc\n"
+        "names = [n for n, _, _ in cc.COUNTRY_CODES] + ['Germany']\n"
+        "pairs = [(n, 'XX', 'XXX') for n in names]\n"
+        "dupes = sorted({n for n in names if names.count(n) > 1})\n"
+        "assert dupes == ['Germany'], dupes\n"
+    )
+    ok2 = subprocess.run(
+        [sys.executable, "-O", "-c", dup_script],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert ok2.returncode == 0, ok2.stderr
+    # and the module source no longer relies on `assert` for the guard
+    import inspect
+
+    import gem_data_wrangle_spark.data.country_codes as cc
+
+    src = inspect.getsource(cc)
+    guard = src[src.index("COUNTRY_CODES: list"):]
+    assert "raise ValueError" in guard
+    assert "\nassert " not in guard
+
+
+# ------------------------------------------------------------ probe schemas
+def test_gif_probe_rejects_colliding_id_col(spark):
+    """ADVICE r12: id_col colliding with a probe output column (e.g.
+    'width') used to yield a duplicate/clobbered column; now raises."""
+    from gem_data_wrangle_spark.operators.gif_codec import build_gif, gif_probe
+
+    df = spark.createDataFrame(
+        [(1, bytearray(build_gif(4, 3)))], "width bigint, media binary"
+    )
+    with pytest.raises(ValueError, match="collides"):
+        gif_probe(df, id_col="width")
+
+
+def test_tiff_probe_rejects_colliding_id_col(spark):
+    from gem_data_wrangle_spark.operators.tiff_exif import build_tiff, tiff_probe
+
+    df = spark.createDataFrame(
+        [(1, bytearray(build_tiff(4, 3)))], "iso bigint, media binary"
+    )
+    with pytest.raises(ValueError, match="collides"):
+        tiff_probe(df, id_col="iso")
+
+
+def test_probe_schemas_built_from_field_lists(spark):
+    """The DDL constants and the renamed output schema both derive from
+    the single FIELDS list — no string surgery; custom id_col still
+    threads through and the default schema is unchanged."""
+    from gem_data_wrangle_spark.operators import gif_codec, tiff_exif
+
+    assert gif_codec.GIF_PROBE_SCHEMA.startswith("id bigint, probe_status")
+    assert tiff_exif.PROBE_SCHEMA.startswith("id bigint, probe_status")
+    df = spark.createDataFrame(
+        [(9, bytearray(gif_codec.build_gif(8, 5)))],
+        "asset bigint, media binary",
+    )
+    out = gif_codec.gif_probe(df, id_col="asset")
+    row = out.collect()[0]
+    assert row["asset"] == 9 and row["width"] == 8 and row["height"] == 5
