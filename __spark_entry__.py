@@ -796,7 +796,15 @@ def _lang_oracle() -> str:
     m_script = "greatest(" + ", ".join(f"c_{s}" for s in scripts) + ")"
     dom_whens = " ".join(f"WHEN c_{s} = m THEN '{s}'" for s in scripts)
     latin_vote = vote(T.LATIN_LANG_STOPWORDS, "'und'")
-    cyr_vote = vote(T.CYRILLIC_LANG_STOPWORDS, "'ru'")
+    cyr_vote = vote(T.CYRILLIC_LANG_STOPWORDS, "'und'")
+    # single-language scripts: CASE arms generated from the SAME
+    # DIRECT_SCRIPT_LANG table the Spark expression folds over, in the
+    # same sorted order (round 12: devanagari/thai/greek/hebrew/
+    # bengali/tamil joined the router)
+    direct_whens = " ".join(
+        f"WHEN dom = '{s}' THEN '{T.DIRECT_SCRIPT_LANG[s]}'"
+        for s in sorted(T.DIRECT_SCRIPT_LANG)
+    )
     return f"""
     WITH c AS (
       SELECT doc_id, {script_counts},
@@ -811,9 +819,7 @@ def _lang_oracle() -> str:
                 WHEN dom = 'cyrillic' THEN {cyr_vote}
                 WHEN dom = 'han' THEN
                   CASE WHEN c_kana > 0 THEN 'ja' ELSE 'zh' END
-                WHEN dom = 'kana' THEN 'ja'
-                WHEN dom = 'hangul' THEN 'ko'
-                WHEN dom = 'arabic' THEN 'ar'
+                {direct_whens}
                 ELSE 'und' END AS lang_pred
     FROM d
     """

@@ -31,11 +31,35 @@ ENGLISH_STOPWORDS = LANG_STOPWORDS["en"]
 # can't fire on unsegmented text.
 LANG_ID_SCRIPT_RANGES: dict[str, str] = {
     "arabic": "[\\x{0600}-\\x{06ff}]",
+    "bengali": "[\\x{0980}-\\x{09ff}]",
     "cyrillic": "[\\x{0400}-\\x{04ff}]",
+    "devanagari": "[\\x{0900}-\\x{097f}]",
+    "greek": "[\\x{0370}-\\x{03ff}\\x{1f00}-\\x{1fff}]",
     "han": "[\\x{4e00}-\\x{9fff}]",
     "hangul": "[\\x{ac00}-\\x{d7af}\\x{1100}-\\x{11ff}]",
+    "hebrew": "[\\x{0590}-\\x{05ff}]",
     "kana": "[\\x{3040}-\\x{30ff}]",
     "latin": "[A-Za-z]",
+    "tamil": "[\\x{0b80}-\\x{0bff}]",
+    "thai": "[\\x{0e00}-\\x{0e7f}]",
+}
+
+# Scripts that route DIRECTLY to one language code (round 12, VERDICT
+# r11 item 2): each is dominated by a single web-scale language, so no
+# stopword vote is needed — the script IS the label. han is handled
+# separately (kana presence splits zh/ja); latin and cyrillic vote.
+# Both the Spark expression and the DuckDB oracle generate their CASE
+# arms from this table, so the two engines cannot drift.
+DIRECT_SCRIPT_LANG: dict[str, str] = {
+    "arabic": "ar",
+    "bengali": "bn",
+    "devanagari": "hi",
+    "greek": "el",
+    "hangul": "ko",
+    "hebrew": "he",
+    "kana": "ja",
+    "tamil": "ta",
+    "thai": "th",
 }
 
 # Latin-script candidates: the original four plus Italian/Portuguese.
@@ -50,11 +74,18 @@ LATIN_LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
     "pt": ("do", "da", "em", "uma", "não", "os"),
 }
 
-# Cyrillic-script candidates; zero stopword hits default to "ru" (the
-# dominant Cyrillic web language) rather than ``und`` — the router's
-# job is a first-pass corpus split, not certainty.
+# Cyrillic-script candidates. Round 12 (VERDICT r11 what's-wrong 1):
+# bg/sr joined the vote (their corpora were silently labeled "ru")
+# and the zero-hit fallback is now ``und`` — symmetric with Latin —
+# so unvoted Cyrillic (mk, kk, mn, …) abstains instead of guessing.
+# Word choices minimize cross-language collisions within the vote:
+# no bare "и" (the ru set dropped it this round — it is also bg/sr
+# "and", so every Bulgarian document scored a ru hit), no "да"
+# (shared bg/sr/mk), no "или" (shared ru/bg/sr).
 CYRILLIC_LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
-    "ru": ("и", "что", "это", "как", "но"),
+    "bg": ("че", "това", "във", "които", "този"),
+    "ru": ("что", "это", "как", "но", "же"),
+    "sr": ("је", "су", "ће", "као", "него"),
     "uk": ("і", "що", "це", "як", "але"),
 }
 
@@ -156,9 +187,13 @@ def lang_id(text: Column | str, default: str = "und") -> Column:
 
     * latin → stopword vote among en/es/fr/de/it/pt; no hits →
       ``default`` (unchanged semantics for Latin gibberish);
-    * cyrillic → vote among ru/uk; no hits → ``ru``;
+    * cyrillic → vote among bg/ru/sr/uk; no hits → ``default``
+      (round 12: bg/sr joined and the zero-hit guess of ``ru`` was
+      replaced by abstention — VERDICT r11 what's-wrong 1);
     * han → ``ja`` when any kana is present, else ``zh``;
-    * kana → ``ja``; hangul → ``ko``; arabic → ``ar``;
+    * every script in :data:`DIRECT_SCRIPT_LANG` maps straight to its
+      language (kana→ja, hangul→ko, arabic→ar, devanagari→hi,
+      bengali→bn, tamil→ta, thai→th, greek→el, hebrew→he);
     * no script codepoints at all → ``default``.
 
     Pre-round-11 this was a bare 5-language stopword vote, which sent
@@ -175,24 +210,19 @@ def lang_id(text: Column | str, default: str = "und") -> Column:
         dominant = F.when(counts[name] > best_count, F.lit(name)).otherwise(dominant)
         best_count = F.greatest(best_count, counts[name])
     toks = tokens(t, lowercase=True)
-    return (
-        F.when(
-            dominant == "latin",
-            _stopword_vote(toks, LATIN_LANG_STOPWORDS, F.lit(default)),
-        )
-        .when(
-            dominant == "cyrillic",
-            _stopword_vote(toks, CYRILLIC_LANG_STOPWORDS, F.lit("ru")),
-        )
-        .when(
-            dominant == "han",
-            F.when(counts["kana"] > 0, F.lit("ja")).otherwise(F.lit("zh")),
-        )
-        .when(dominant == "kana", F.lit("ja"))
-        .when(dominant == "hangul", F.lit("ko"))
-        .when(dominant == "arabic", F.lit("ar"))
-        .otherwise(F.lit(default))
+    out = F.when(
+        dominant == "latin",
+        _stopword_vote(toks, LATIN_LANG_STOPWORDS, F.lit(default)),
+    ).when(
+        dominant == "cyrillic",
+        _stopword_vote(toks, CYRILLIC_LANG_STOPWORDS, F.lit(default)),
+    ).when(
+        dominant == "han",
+        F.when(counts["kana"] > 0, F.lit("ja")).otherwise(F.lit("zh")),
     )
+    for script in sorted(DIRECT_SCRIPT_LANG):
+        out = out.when(dominant == script, F.lit(DIRECT_SCRIPT_LANG[script]))
+    return out.otherwise(F.lit(default))
 
 
 def tf_idf(df, text_col: str, id_col: str, df_mode: str = "agg_join"):

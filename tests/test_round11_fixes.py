@@ -258,7 +258,9 @@ def test_lang_id_script_router(spark):
         (12, "هذه جملة باللغة العربية بدون توقف", "ar"),     # arabic
         (13, "я не знаю что это как оно работает но хорошо", "ru"),
         (14, "я не знаю що це як воно працює але добре", "uk"),
-        (15, "слово без стопслов текст корпус", "ru"),    # cyrillic fallback
+        # round 12: cyrillic zero-hit ABSTAINS (und) instead of
+        # guessing ru — symmetric with the latin arm
+        (15, "слово без стопслов текст корпус", "und"),
         (16, "", "und"),
         (17, None, "und"),
         # mixed: han majority over latin letters

@@ -189,3 +189,92 @@ def test_probe_schemas_built_from_field_lists(spark):
     out = gif_codec.gif_probe(df, id_col="asset")
     row = out.collect()[0]
     assert row["asset"] == 9 and row["width"] == 8 and row["height"] == 5
+
+
+# --------------------------------------------------------------- lang router
+def test_lang_id_round12_script_breadth(spark):
+    """VERDICT r11 item 2: Devanagari/Thai/Greek/Hebrew/Bengali/Tamil
+    no longer fall through to ``und``; bg/sr join the Cyrillic vote;
+    zero-hit Cyrillic abstains (``und``) instead of guessing ru."""
+    from pyspark.sql import functions as F
+
+    from gem_data_wrangle_spark.operators import textops as T
+
+    cases = [
+        (1, "यह एक हिंदी वाक्य है और इसमें देवनागरी लिपि है", "hi"),
+        (2, "นี่คือประโยคภาษาไทยที่ไม่มีการเว้นวรรค", "th"),
+        (3, "αυτό είναι ένα ελληνικό κείμενο χωρίς στίξη", "el"),
+        (4, "זהו משפט בעברית ללא ניקוד", "he"),
+        (5, "এটি একটি বাংলা বাক্য এবং এতে বাংলা লিপি আছে", "bn"),
+        (6, "இது ஒரு தமிழ் வாக்கியம் மற்றும் தமிழ் எழுத்து", "ta"),
+        # bulgarian: hits че/това/във/този/които, zero ru hits now
+        (7, "това е изречение че във този текст които четем", "bg"),
+        # serbian: hits је/су/ће/као/него
+        (8, "ово је реченица као што су ће него друге", "sr"),
+        # russian still routes ru (же replaced the shared "и")
+        (9, "я не знаю что это как оно работает но хорошо же", "ru"),
+        (10, "я не знаю що це як воно працює але добре", "uk"),
+        # cyrillic with no stopword hits → und (was ru pre-round-12)
+        (11, "слово без стопслов текст корпус", "und"),
+        # pre-existing routes unchanged
+        (12, "the cat sat on the mat and the dog", "en"),
+        (13, "これは日本語の文です漢字も含まれています", "ja"),
+        (14, "这是一个很长的中文句子没有空格分词", "zh"),
+        (15, "هذه جملة باللغة العربية بدون توقف", "ar"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in cases], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in df.select(
+            "doc_id", T.lang_id(F.col("text")).alias("lang")
+        ).collect()
+    }
+    assert got == {i: lang for i, _, lang in cases}
+
+
+def test_lang_id_oracle_replays_round12_router(spark, tmp_path):
+    """Spark expression and regenerated DuckDB oracle agree doc-for-doc
+    across ALL router arms, including the six new scripts and the
+    widened Cyrillic vote (the driver's value-hash precondition)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from gem_data_wrangle_spark.operators import textops as T
+
+    rows = [
+        (1, "यह एक हिंदी वाक्य है"),
+        (2, "นี่คือประโยคภาษาไทย"),
+        (3, "αυτό είναι ελληνικό κείμενο"),
+        (4, "זהו משפט בעברית"),
+        (5, "এটি একটি বাংলা বাক্য"),
+        (6, "இது ஒரு தமிழ் வாக்கியம்"),
+        (7, "това е изречение че във този текст"),
+        (8, "ово је реченица као што су ће"),
+        (9, "я не знаю что это как оно работает"),
+        (10, "слово без стопслов текст корпус"),
+        (11, "the quick brown fox and the dog"),
+        (12, "这是中文文本没有分词"),
+        (13, "これは日本語です"),
+        (14, ""),
+        (15, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    parquet = str(tmp_path / "docs.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(parquet)
+    spark_got = sorted(
+        (r["doc_id"], r["lang_pred"])
+        for r in df.select(
+            "doc_id", T.lang_id(F.col("text")).alias("lang_pred")
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS FROM '{parquet}/*.parquet'")
+    duck_got = sorted(
+        (int(a), b)
+        for a, b in con.sql(entrymod.oracle_sql()["lang_id"]).fetchall()
+    )
+    con.close()
+    assert spark_got == duck_got
