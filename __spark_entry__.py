@@ -4879,7 +4879,13 @@ def _q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def _q_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # single-partition-input fix (round 12, the simhash/minhash
+    # diagnosis class): the one-file local parquet ran the CPU-bound
+    # minhash signature fold AND every downstream narrow stage on 1 of
+    # 32 cores — measured 12.4 s → 3.6 s at sf0.1 (BENCH_HISTORY r12)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return D.neardup_dedup(docs, "text", "doc_id", num_bands=4, rows_per_band=4, ngram=2)
 
 
@@ -6794,7 +6800,10 @@ def _q_temperature_resample_counts(spark: SparkSession, sf_dir: str) -> DataFram
     ),
 )
 def _q_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # same single-partition-input fix as _q_neardup_dedup (round 12)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return D.neardup_keep_best(
         docs, "text", "doc_id", score_col="n_chars",
         num_bands=4, rows_per_band=4, ngram=2,
@@ -8512,6 +8521,65 @@ def _q_host_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# extension: fixed-width source round-trip (round 12, VERDICT r11
+# item 6) — scan_fwf (sources/io.py) was the one source family with
+# no driver-gradeable query. The query renders a fixed-width extract
+# of `orders` to a deterministic temp path (format_string → text
+# sink), scans it back with scan_fwf, and aggregates; the oracle
+# computes the same aggregate from the parquet directly — any parse
+# drift (offset shift, dequoting, dropped/blank row, bad try_cast)
+# breaks the value hash. Money rides as integer CENTS through the
+# file and the sum (no float fold-order hazard); the sum stays BIGINT
+# on both engines (DuckDB's HUGEINT is cast back down — driver type
+# contract). At scale the text write is per-partition and the scan
+# back is line-splittable; the round-trip shape itself is the test.
+# --------------------------------------------------------------------
+@_register(
+    "fwf_roundtrip_orders",
+    """
+    SELECT o_orderstatus AS status,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           min(strftime(o_orderdate, '%Y-%m-%d')) AS first_date
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def _q_fwf_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib  # noqa: PLC0415
+
+    from gem_data_wrangle_spark.sources.io import scan_fwf  # noqa: PLC0415
+
+    _utc(spark)
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    line = F.format_string(
+        "%012d%s%014d%s",
+        F.col("o_orderkey"),
+        F.col("o_orderstatus"),
+        cents,
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+    )
+    out_dir = "/tmp/fwf_roundtrip_" + hashlib.sha256(
+        sf_dir.encode()
+    ).hexdigest()[:12]
+    orders.select(line.alias("value")).write.mode("overwrite").text(out_dir)
+    parsed = scan_fwf(
+        spark, out_dir,
+        fields=[
+            ("o_orderkey", 12), ("status", 1),
+            ("cents", 14), ("order_date", 10),
+        ],
+        types={"o_orderkey": "long", "cents": "long"},
+    )
+    return parsed.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("total_cents"),
+        F.min("order_date").alias("first_date"),
+    )
+
+
+# --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -8560,45 +8628,26 @@ _DEFER_TO_TAIL = [
     # flagship entry()), and the 8 GEM pipelines + both consolidations
     # (end-to-end coverage).
     #
-    # tail block 1 — r4-green, every path byte-unchanged since:
-    "agg_mean_groups",         # r04 green; aggregates.agg_mean_groups unchanged
-    "multimodal_features",     # r04 green; attach/extract paths unchanged (r6
-                               # multimodal.py additions are audio/mvhd-v1 only)
-    "filter_capacity_known",   # r04 green; cleaning.py unchanged
-    "binational_split",        # r04 green; kernels.py:165 unchanged
-    "canonical_projection",    # r04 green; cleaning.py unchanged
-    "filter_notnull",          # r04 green; cleaning.py unchanged
-    "filter_eq_timestamp",     # r04 green; cleaning.py unchanged
-    "table_profile",           # r04 green; quality.py unchanged
-    "group_quantiles",         # r04 green; quality.py unchanged
-    "pivot_counts",            # r04 green; aggregates pivot path unchanged
-    "rollup_sums",             # r04 green
-    "dataset_split",           # r04 green; sampling split path unchanged
-    "rolling_fingerprint",     # r04 green; textops fingerprint unchanged
-    "asof_join_events",        # r04 green; asof.py unchanged
-    "range_join_prices",       # r04 green; asof.py unchanged
-    "multimodal_resize",       # r04 green; resize path unchanged (see above)
-    "multimodal_frames",       # r04 green; frames path unchanged (see above)
-    "scrub_pii",               # r04 green; textops scrub path unchanged
-    # pack_documents RE-PROMOTED round 11: sampling.pack_documents
-    # pack_id widened int->long (width audit), so its green needs
-    # refreshing.
-    "bernoulli_sample",        # r04 green; sampling bernoulli path unchanged
-    "stream_interval_join",    # r04 green; streaming joins unchanged
-    "decontaminate_docs",      # r04 green; dedup decontamination path unchanged
-    "json_extract_props",      # r04 green; JSON path probe unchanged
+    # tail block 1 — ROTATED OUT round 12 (VERDICT r11 item 4): the
+    # entire r04-green block (agg_mean_groups, multimodal_features,
+    # filter_capacity_known, binational_split, canonical_projection,
+    # filter_notnull, filter_eq_timestamp, table_profile,
+    # group_quantiles, pivot_counts, rollup_sums, dataset_split,
+    # rolling_fingerprint, asof_join_events, range_join_prices,
+    # multimodal_resize, multimodal_frames, scrub_pii,
+    # bernoulli_sample, stream_interval_join, decontaminate_docs,
+    # json_extract_props — 22 queries, pins 8 rounds stale) plus the
+    # 9 oldest r05 pins below re-entered the graded head to re-anchor
+    # on a current driver grade; their slots come from demoting 33
+    # fresh r11 greens (tail block 7).
+    #
     # tail block 2 — r5-green demotions; round 6's code changes (see
     # head list above) touch none of these query fns, oracles, or the
-    # operator paths they call:
-    "project",                 # r05 green; cleaning.py unchanged
-    "filter_not_and",          # r05 green; cleaning.py unchanged
-    "filter_null_or_ge",       # r05 green; cleaning.py unchanged
-    "replace_value_global",    # r05 green; cleaning.py unchanged
-    "split_ownership_equal",   # r05 green; kernels.py:31 unchanged
-    "join_lookup_dim",         # r05 green; joins.py unchanged
-    "union_rows",              # r05 green; aggregates union path unchanged
-    "union_rows_byname",       # r05 green; aggregates union path unchanged
-    "distinct_rows",           # r05 green; aggregates distinct path unchanged
+    # operator paths they call. project/filter_not_and/
+    # filter_null_or_ge/replace_value_global/split_ownership_equal/
+    # join_lookup_dim/union_rows/union_rows_byname/distinct_rows
+    # ROTATED OUT round 12 (oldest-pin re-anchoring, with the r04
+    # block above).
     "string_format",           # r05 green; strings.py unchanged
     "window_rank",             # r05 green; query-local window, unchanged
     "top_k",                   # r05 green; aggregates top_k unchanged
@@ -8762,7 +8811,9 @@ _DEFER_TO_TAIL = [
     "lm_quality_cut",          # r08 green; textops unigram-lm unchanged
     "neardup_components",      # r08 green; graph closure unchanged (the
                                # r9 dedup.py change is keep_best-only)
-    "neardup_dedup",           # r08 green; dedup minhash closure unchanged
+    # neardup_dedup RE-PROMOTED round 12: its query fn gained the
+    # single-partition-input repartition fix (12.4 s -> 3.6 s at
+    # sf0.1), so the r08 green no longer covers it.
     "repetition_signals",      # r08 green; textops repetition unchanged
     "ngram_decontaminate",     # r08 green; dedup ngram path unchanged
     "event_funnel",            # r08 green; aggregates funnel_steps unchanged
@@ -8813,6 +8864,55 @@ _DEFER_TO_TAIL = [
     "temperature_resample_counts",  # r10 green; same path
     "ip_prefix_enrich",        # r10 green; joins prefix path unchanged
     "embedding_gram",          # r10 green; similarity gram path unchanged
+    # ------------------------------------------------------------------
+    # round-12 rotation (VERDICT r11 item 4): the 33 r11-green rows
+    # below demote under fingerprints; their slots go to the 31
+    # oldest-pin re-anchors (the whole r04 block + 9 r05 pins, see
+    # tail blocks 1-2), re-promoted neardup_dedup (repartition fix),
+    # and the new fwf_roundtrip_orders registration. Kept in the head
+    # besides those: flagship + the 11 reference-core rows (every
+    # round), lang_id (round-12 router breadth), simhash_pairs
+    # (materialize/checkpoint_dir params), gif_metadata + exif_probe
+    # (programmatic probe schemas), neardup_keep_best (repartition
+    # fix). None of the 33 below have query fns, oracles, or operator
+    # paths touched by round 12's changes (fwf source, lang tables,
+    # probe schema construction, simhash wrapper, neardup query fns,
+    # country-dim guard).
+    #
+    # tail block 7 — r11-green, byte-unchanged since:
+    "surrogate_ids",           # r11 green; kernels surrogate path unchanged
+    "exact_jaccard_pairs",     # r11 green; ppjoin path unchanged
+    "sessionize_events",       # r11 green; aggregates sessionize unchanged
+    "pack_documents",          # r11 green; sampling pack path unchanged
+    "bloom_pruned_join",       # r11 green; joins bloom path unchanged
+    "key_skew_profile",        # r11 green; skew profile unchanged
+    "heavy_hitters_batch",     # r11 green; stateful mirror unchanged
+    "socket_json_tumbling",    # r11 green; streaming mirror unchanged
+    "host_triangles",          # r11 green; graph triangles unchanged
+    "sketch_quantiles",        # r11 green; sketches quantile unchanged
+    "constraint_report",       # r11 green; quality constraints unchanged
+    "windowed_distinct_users", # r11 green; streaming mirror unchanged
+    "event_cooccurrence",      # r11 green; aggregates path unchanged
+    "incremental_daily_totals",# r11 green; incremental path unchanged
+    "privacy_audit",           # r11 green; textops pii path unchanged
+    "golden_user_profile",     # r11 green; quality golden path unchanged
+    "doc_readability",         # r11 green; readability path unchanged
+    "kn_doc_scores",           # r11 green; lm kn path unchanged
+    "scd2_segment_lookup",     # r11 green; asof scd2 path unchanged
+    "conversion_attribution",  # r11 green; asof attribution unchanged
+    "kmv_distinct_users",      # r11 green; sketches kmv path unchanged
+    "kmv_segment_overlap",     # r11 green; sketches kmv path unchanged
+    "mad_outlier_flags",       # r11 green; stats mad path unchanged
+    "host_communities",        # r11 green; graph labelprop unchanged
+    "jl_sketch",               # r11 green; similarity jl path unchanged
+    "host_assortativity",      # r11 green; graph assortativity unchanged
+    "rank_normalized_values",  # r11 green; stats rank path unchanged
+    "containment_screen",      # r11 green; dedup containment unchanged
+    "ewma_event_values",       # r11 green; asof ewma path unchanged
+    "bmp_metadata",            # r11 green; bmp codec unchanged
+    "benford_audit",           # r11 green; quality benford unchanged
+    "cm_user_counts",          # r11 green; sketches cm path unchanged
+    "host_pagerank_weighted",  # r11 green; graph pagerank unchanged
 ]
 
 
@@ -8838,37 +8938,6 @@ def _defer_fingerprint(name: str) -> str:
 
 # Regenerate via tools/gen_defer_hashes.py after a DELIBERATE change.
 _DEFER_HASHES: dict[str, str] = {
-    "agg_mean_groups": "e7a1b0a894570f0b",
-    "multimodal_features": "2dd56cda8d3e7dfd",
-    "filter_capacity_known": "aab9fdb471c09c7b",
-    "binational_split": "0106b38cea0954aa",
-    "canonical_projection": "0b33bf593746d7b2",
-    "filter_notnull": "c08d353a575704ff",
-    "filter_eq_timestamp": "57840d0b3d871c10",
-    "table_profile": "cf15317d3577ae7e",
-    "group_quantiles": "2bd4c8fd6a68b8ac",
-    "pivot_counts": "758d10e875c8c1a5",
-    "rollup_sums": "994df0003545be17",
-    "dataset_split": "1213d19a92e21ade",
-    "rolling_fingerprint": "ed5570e08c1351f7",
-    "asof_join_events": "12fc884cde6b1f3d",
-    "range_join_prices": "6f0b3a63a9d79b4f",
-    "multimodal_resize": "358cbd1a4f7b59af",
-    "multimodal_frames": "616d729fcef1f567",
-    "scrub_pii": "3fe7bd49f695b9b0",
-    "bernoulli_sample": "0353fe6e554dc1f6",
-    "stream_interval_join": "f1194af4ca44c50a",
-    "decontaminate_docs": "095d8d644c0a6ec0",
-    "json_extract_props": "6579bda1ad45617c",
-    "project": "e63d5078eaa99831",
-    "filter_not_and": "4a7cf2ba9409f9f2",
-    "filter_null_or_ge": "90ec3885d87582ea",
-    "replace_value_global": "0db49e1c90a3bb0c",
-    "split_ownership_equal": "76e8ae050bedbaa2",
-    "join_lookup_dim": "2246a2f805501cff",
-    "union_rows": "f02c4badce8d2f6a",
-    "union_rows_byname": "0f2175ebc647033b",
-    "distinct_rows": "d6a3fb3ccb0f0551",
     "string_format": "6c8675dbb4ccef03",
     "window_rank": "cdb7d6d1b4fc17a6",
     "top_k": "4df73fb64966eda0",
@@ -8951,7 +9020,6 @@ _DEFER_HASHES: dict[str, str] = {
     "bm25_rank": "f3efe262fab2b30f",
     "lm_quality_cut": "3f00f63c7e5d0059",
     "neardup_components": "de12f0c4d5f64199",
-    "neardup_dedup": "8b406174e0fc5035",
     "repetition_signals": "ca33c6a05316216c",
     "ngram_decontaminate": "cb1045ab17d25aa6",
     "event_funnel": "51a9088efcd6bd51",
@@ -8982,6 +9050,39 @@ _DEFER_HASHES: dict[str, str] = {
     "temperature_resample_counts": "d23347ecc2e2f41e",
     "ip_prefix_enrich": "a9d285f9724048fc",
     "embedding_gram": "b3b6f238480c8422",
+    "surrogate_ids": "83fe3102e7d61599",
+    "exact_jaccard_pairs": "9dc493c25d0a3592",
+    "sessionize_events": "69f3c131133093cb",
+    "pack_documents": "98a0cb4c3d6e16e6",
+    "bloom_pruned_join": "becb6fa84157d4c2",
+    "key_skew_profile": "ad73e2f07a220746",
+    "heavy_hitters_batch": "bc15b0eba08df4a9",
+    "socket_json_tumbling": "6f447a6d99f9facb",
+    "host_triangles": "8f0bb23150c32714",
+    "sketch_quantiles": "23df92c25d5093c1",
+    "constraint_report": "a556795d55bc9eb3",
+    "windowed_distinct_users": "97265df1bf86d7a9",
+    "event_cooccurrence": "728622a0354ab914",
+    "incremental_daily_totals": "534080d29c986c89",
+    "privacy_audit": "84e70756d88f29af",
+    "golden_user_profile": "10503b273f0c1d9b",
+    "doc_readability": "8fd4386d13aae7c2",
+    "kn_doc_scores": "13f236eb52cf362e",
+    "scd2_segment_lookup": "6c12038f5e539559",
+    "conversion_attribution": "33a5547514440541",
+    "kmv_distinct_users": "b18a21f1837486e8",
+    "kmv_segment_overlap": "6df07e089f2a5f24",
+    "mad_outlier_flags": "02733d53d34a5797",
+    "host_communities": "cd9ccf9ade4f2269",
+    "jl_sketch": "559fd37bc5f742e0",
+    "host_assortativity": "d53f11bf66391508",
+    "rank_normalized_values": "5de27205a09af521",
+    "containment_screen": "940d438d0bd13566",
+    "ewma_event_values": "791d0049e24db254",
+    "bmp_metadata": "8feff782c801e074",
+    "benford_audit": "1db618b1b3fd9b51",
+    "cm_user_counts": "504e21175704528a",
+    "host_pagerank_weighted": "840dac2ebd01fc4d",
 }
 
 
