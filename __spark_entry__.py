@@ -4339,7 +4339,10 @@ def _q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def _q_pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    # single-partition-input fix (round 12): the per-row ADC distance
+    # fold ran on 1 core against the one-file local parquet — 2.5 s →
+    # 1.8 s at sf0.1 (_spread is a no-op on real multi-file inputs)
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
     books = _pq_seed_codebooks(emb)
     codes = V.pq_encode(emb, books, "embedding", "vec_id")
     probes = emb.filter(F.col("vec_id") < 5)
@@ -5287,7 +5290,10 @@ def _q_sample_to_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    # single-partition-input fix (round 12): cell assignment + the
+    # in-cell dominance compare ran on 1 core — 2.5 s → 1.1 s at
+    # sf0.1 (_spread is a no-op on real multi-file inputs)
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
     # dims pinned to match the oracle's 3-bit cell construction; the
     # operator default auto-derives dims from the corpus count.
     return D.semdedup(emb, "embedding", "vec_id", threshold=0.45, dims=3)
@@ -8645,9 +8651,13 @@ _DEFER_TO_TAIL = [
     # head list above) touch none of these query fns, oracles, or the
     # operator paths they call. project/filter_not_and/
     # filter_null_or_ge/replace_value_global/split_ownership_equal/
-    # join_lookup_dim/union_rows/union_rows_byname/distinct_rows
-    # ROTATED OUT round 12 (oldest-pin re-anchoring, with the r04
-    # block above).
+    # join_lookup_dim/distinct_rows ROTATED OUT round 12 (oldest-pin
+    # re-anchoring, with the r04 block above); union_rows/
+    # union_rows_byname stay pinned one more round — their two slots
+    # went to the semdedup/pq_topk_adc re-promotions (query fns gained
+    # the _spread single-partition fix mid-round).
+    "union_rows",              # r05 green; aggregates union path unchanged
+    "union_rows_byname",       # r05 green; aggregates union path unchanged
     "string_format",           # r05 green; strings.py unchanged
     "window_rank",             # r05 green; query-local window, unchanged
     "top_k",                   # r05 green; aggregates top_k unchanged
@@ -8737,7 +8747,8 @@ _DEFER_TO_TAIL = [
     "cut_duplicate_spans",     # r06 green; dedup span fns unchanged
     "gopher_quality_flags",    # r06 green; gopher path unchanged
     "embedding_quantize_int8", # r06 green; quantize path unchanged
-    "semdedup",                # r06 green; semdedup path unchanged
+    # semdedup RE-PROMOTED round 12: query fn gained the _spread
+    # single-partition fix (2.5 s -> 1.1 s at sf0.1).
     "normalized_dedup",        # r06 green; canonicalize path unchanged
     # ------------------------------------------------------------------
     # round-8 rotation (VERDICT r7 item 3): the 20 round-7
@@ -8805,7 +8816,8 @@ _DEFER_TO_TAIL = [
     # exact_jaccard_pairs RE-PROMOTED round 11: exact_jaccard_join's
     # n_shared/n_a/n_b counts widened int->long at the source.
     "pq_encode",               # r08 green; similarity pq path unchanged
-    "pq_topk_adc",             # r08 green; similarity adc path unchanged
+    # pq_topk_adc RE-PROMOTED round 12: query fn gained the _spread
+    # single-partition fix (2.5 s -> 1.8 s at sf0.1).
     "audio_features",          # r08 green; multimodal wav path unchanged
     "bm25_rank",               # r08 green; textops bm25 unchanged
     "lm_quality_cut",          # r08 green; textops unigram-lm unchanged
@@ -8938,6 +8950,8 @@ def _defer_fingerprint(name: str) -> str:
 
 # Regenerate via tools/gen_defer_hashes.py after a DELIBERATE change.
 _DEFER_HASHES: dict[str, str] = {
+    "union_rows": "f02c4badce8d2f6a",
+    "union_rows_byname": "0f2175ebc647033b",
     "string_format": "6c8675dbb4ccef03",
     "window_rank": "cdb7d6d1b4fc17a6",
     "top_k": "4df73fb64966eda0",
@@ -8987,7 +9001,6 @@ _DEFER_HASHES: dict[str, str] = {
     "cut_duplicate_spans": "887ff9000ae21132",
     "gopher_quality_flags": "1a379aa526525ee1",
     "embedding_quantize_int8": "c4a3a9970f58767f",
-    "semdedup": "54426274e71943e0",
     "normalized_dedup": "04b35d9b9fb6d87b",
     "mixture_rebalance": "a924ac4be734b2b2",
     "dedup_lines": "1d8dd7efa15d5c2b",
@@ -9015,7 +9028,6 @@ _DEFER_HASHES: dict[str, str] = {
     "cdc_chunks": "c560bf74472dedb9",
     "host_pagerank": "5719a32790ed687a",
     "pq_encode": "92520dd38ba0f7f4",
-    "pq_topk_adc": "cf462f62836494d9",
     "audio_features": "a247fccdc49eb868",
     "bm25_rank": "f3efe262fab2b30f",
     "lm_quality_cut": "3f00f63c7e5d0059",
