@@ -540,3 +540,59 @@ def scan_fwf(
         cols.append(c.alias(name))
         pos += width
     return lines.select(*cols)
+
+
+def scan_fwf_positions(
+    spark: SparkSession,
+    path: str,
+    positions: list[tuple[str, int, int]],
+    types: dict[str, str] | None = None,
+    header: bool = False,
+    empty_as_null: bool = True,
+) -> DataFrame:
+    """Fixed-width scan by explicit column POSITIONS — the
+    ``readr::fwf_positions`` analogue, for layouts with gaps or
+    overlapping reads that contiguous ``(name, width)`` specs can't
+    express. ``positions`` is ``[(name, start, end), ...]`` with
+    1-based INCLUSIVE bounds (readr's convention); columns may skip
+    bytes between them or overlap (re-reading a span under two names
+    is allowed and sometimes wanted — e.g. a composite key plus its
+    parts). Same trimming / ``empty_as_null`` / ``try_cast`` / header
+    / blank-line semantics as :func:`scan_fwf`, and the same plan
+    shape: one line scan + a narrow ``substring`` projection, fully
+    JVM-side and line-splittable at any scale.
+    """
+    if not positions:
+        raise ValueError("positions must name at least one (name, start, end)")
+    fields: list[tuple[str, int]] = []
+    for name, start, end in positions:
+        if start < 1 or end < start:
+            raise ValueError(
+                f"positions for {name} must satisfy 1 <= start <= end, "
+                f"got ({start}, {end})"
+            )
+        fields.append((name, end - start + 1))
+    # delegate the read-path plumbing (header skip, quote-off, blank
+    # lines) to scan_fwf by re-slicing from absolute offsets
+    if header:
+        lines = (
+            spark.read.option("header", "true")
+            .option("sep", "\x01")
+            .option("quote", "")
+            .option("inferSchema", "false")
+            .csv(path)
+        )
+        value = F.col(lines.columns[0])
+    else:
+        lines = spark.read.text(path).filter(F.trim("value") != "")
+        value = F.col("value")
+    types = types or {}
+    cols = []
+    for name, start, end in positions:
+        c = F.trim(F.substring(value, start, end - start + 1))
+        if empty_as_null:
+            c = F.when(c != "", c)
+        if name in types:
+            c = c.try_cast(types[name])
+        cols.append(c.alias(name))
+    return lines.select(*cols)

@@ -278,3 +278,68 @@ def test_lang_id_oracle_replays_round12_router(spark, tmp_path):
     )
     con.close()
     assert spark_got == duck_got
+
+
+# ------------------------------------------------------------ fwf positions
+def test_scan_fwf_positions_gaps_and_overlap(spark, tmp_path):
+    """readr::fwf_positions analogue: 1-based inclusive bounds, gaps
+    skipped, overlapping spans re-readable under two names."""
+    from gem_data_wrangle_spark.sources.io import scan_fwf_positions
+
+    p = tmp_path / "pos.fwf"
+    p.write_text(
+        "AB12345CDE99\n"
+        "XY67890ZZZ01\n"
+    )
+    out = sorted(
+        tuple(r)
+        for r in scan_fwf_positions(
+            spark, str(p),
+            positions=[
+                ("prefix", 1, 2),        # AB
+                ("num", 3, 7),           # 12345 (gap-free here)
+                ("tail2", 11, 12),       # 99 (skips CDE start)
+                ("composite", 1, 7),     # overlaps prefix+num
+            ],
+            types={"num": "int", "tail2": "int"},
+        ).collect()
+    )
+    assert out == [
+        ("AB", 12345, 99, "AB12345"),
+        ("XY", 67890, 1, "XY67890"),
+    ]
+
+
+def test_scan_fwf_positions_validates(spark, tmp_path):
+    import pytest as _pytest
+
+    from gem_data_wrangle_spark.sources.io import scan_fwf_positions
+
+    with _pytest.raises(ValueError, match="at least one"):
+        scan_fwf_positions(spark, str(tmp_path), positions=[])
+    with _pytest.raises(ValueError, match="start <= end"):
+        scan_fwf_positions(spark, str(tmp_path), positions=[("a", 5, 3)])
+    with _pytest.raises(ValueError, match="start <= end"):
+        scan_fwf_positions(spark, str(tmp_path), positions=[("a", 0, 3)])
+
+
+def test_scan_fwf_positions_header_mode_matches(spark, tmp_path):
+    from gem_data_wrangle_spark.sources.io import scan_fwf_positions
+
+    body = "AA111\nBB222\n"
+    p_h = tmp_path / "h.fwf"
+    p_h.write_text("HEAD\n" + body)
+    p_n = tmp_path / "n.fwf"
+    p_n.write_text(body)
+    pos = [("k", 1, 2), ("v", 3, 5)]
+    got_h = sorted(
+        map(tuple, scan_fwf_positions(
+            spark, str(p_h), pos, types={"v": "int"}, header=True
+        ).collect())
+    )
+    got_n = sorted(
+        map(tuple, scan_fwf_positions(
+            spark, str(p_n), pos, types={"v": "int"}, header=False
+        ).collect())
+    )
+    assert got_h == got_n == [("AA", 111), ("BB", 222)]
