@@ -1422,3 +1422,125 @@ def script_fractions(
         )
     cols.append((n - total_known).cast("long").alias("other_count"))
     return df.select(*cols)
+
+
+# --------------------------------------------------------------------
+# Unicode canonicalization + compression-ratio quality signal (round 12)
+# --------------------------------------------------------------------
+
+def normalize_documents(
+    df: DataFrame,
+    text_col: str,
+    form: str = "NFC",
+    out_col: str | None = None,
+    collapse_ws: bool = False,
+) -> DataFrame:
+    """Unicode normalization of a text column — the canonicalization
+    pass that belongs UPSTREAM of every hash-keyed dedup: two byte
+    sequences rendering identically (``é`` composed vs ``e`` +
+    combining acute, full-width vs ASCII digits under NFKC) must not
+    land in different ``md5(text)`` buckets. ``form`` ∈
+    NFC/NFD/NFKC/NFKD (``unicodedata.normalize`` semantics; NFC is
+    the web-canonical choice, NFKC additionally folds compatibility
+    variants and is the aggressive pre-dedup setting).
+
+    Plan/scale: Spark SQL has no Unicode normalizer, so this is an
+    Arrow-batched ``mapInPandas`` pass (stdlib ``unicodedata``, no
+    row-at-a-time UDF) — narrow, no shuffle, linear in bytes; all
+    OTHER columns pass through untouched so the operator composes
+    anywhere in a pipeline. ``collapse_ws`` additionally applies the
+    JVM-side :func:`normalize_ws` AFTER the Python pass (regexp stays
+    in codegen). Already-normalized input is returned byte-identical
+    (normalize is idempotent).
+    """
+    import unicodedata  # noqa: PLC0415
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"form must be NFC/NFD/NFKC/NFKD, got {form!r}")
+    target = out_col or text_col
+    fields = [
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ]
+    if target not in df.columns:
+        fields.append(f"`{target}` string")
+    schema = ", ".join(fields)
+
+    def run(it):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in it:
+            vals = pdf[text_col]
+            pdf = pdf.copy()
+            pdf[target] = pd.Series(
+                [
+                    None if v is None else unicodedata.normalize(form, v)
+                    for v in vals
+                ],
+                index=pdf.index,
+                dtype="object",
+            )
+            yield pdf
+
+    out = df.mapInPandas(run, schema)
+    if collapse_ws:
+        out = out.withColumn(target, normalize_ws(F.col(target)))
+    return out
+
+
+def compression_signals(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    level: int = 6,
+) -> DataFrame:
+    """Compression-ratio quality signal — the RefinedWeb/MassiveText
+    trick: highly compressible text is repetitive boilerplate (nav
+    bars, keyword stuffing, generated spam), nearly-incompressible
+    text is noise/binary junk; natural prose sits in a stable middle
+    band. Emits EXACT integers per document — ``raw_len`` (UTF-8
+    bytes), ``zlib_len`` (DEFLATE at ``level``) and the ppm floor
+    ``ratio_ppm = zlib_len·10⁶ // raw_len`` — so the signal is
+    deterministic and join-/filter-safe; empty/NULL docs emit NULLs
+    rather than a divide-by-zero.
+
+    Plan/scale: Arrow-batched ``mapInPandas`` over (id, text) ONLY
+    (project before you compress — the batch carries no payload
+    columns); stdlib ``zlib`` with a FIXED level for determinism.
+    Narrow, no shuffle, linear in bytes; the typical downstream is a
+    band filter ``ratio_ppm BETWEEN low AND high`` which Catalyst
+    evaluates on the already-tiny output. No DuckDB oracle exists for
+    DEFLATE, so the driver records a rows-only check; the worked
+    pytest pins exact lengths for known inputs.
+    """
+    if not 1 <= level <= 9:
+        raise ValueError("zlib level must be 1..9")
+    slim = df.select(id_col, text_col)
+    schema = f"`{id_col}` bigint, raw_len bigint, zlib_len bigint, ratio_ppm bigint"
+
+    def run(it):
+        import zlib  # noqa: PLC0415
+
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in it:
+            ids, raws, comps, ratios = [], [], [], []
+            for rid, v in zip(pdf[id_col], pdf[text_col]):
+                ids.append(int(rid))
+                if v is None or v == "":
+                    raws.append(None)
+                    comps.append(None)
+                    ratios.append(None)
+                    continue
+                b = v.encode("utf-8")
+                c = zlib.compress(b, level)
+                raws.append(len(b))
+                comps.append(len(c))
+                ratios.append(len(c) * 1_000_000 // len(b))
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="int64"),
+                "raw_len": pd.Series(raws, dtype="Int64"),
+                "zlib_len": pd.Series(comps, dtype="Int64"),
+                "ratio_ppm": pd.Series(ratios, dtype="Int64"),
+            })
+
+    return slim.mapInPandas(run, schema)

@@ -343,3 +343,129 @@ def test_scan_fwf_positions_header_mode_matches(spark, tmp_path):
         ).collect())
     )
     assert got_h == got_n == [("AA", 111), ("BB", 222)]
+
+
+# ---------------------------------------------------- unicode normalization
+def test_normalize_documents_nfc_composes(spark):
+    from gem_data_wrangle_spark.operators.textops import normalize_documents
+
+    rows = [
+        (1, "café"),          # cafe + combining acute -> café
+        (2, "café"),                # already composed
+        (3, None),
+        (4, "plain ascii"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in normalize_documents(df, "text", form="NFC").collect()
+    }
+    assert out[1] == out[2] == "caf\u00e9"
+    assert out[3] is None and out[4] == "plain ascii"
+
+
+def test_normalize_documents_nfkc_folds_compat(spark):
+    from gem_data_wrangle_spark.operators.textops import normalize_documents
+
+    df = spark.createDataFrame(
+        [(1, "１２３ ﬁne")],  # full-width 123 + fi ligature
+        "doc_id bigint, text string",
+    )
+    row = normalize_documents(df, "text", form="NFKC").collect()[0]
+    assert row["text"] == "123 fine"
+
+
+def test_normalize_documents_out_col_and_passthrough(spark):
+    from gem_data_wrangle_spark.operators.textops import normalize_documents
+
+    df = spark.createDataFrame(
+        [(7, "é", "keepme")], "doc_id bigint, text string, extra string"
+    )
+    out = normalize_documents(df, "text", out_col="canon").collect()[0]
+    assert out["text"] == "é"           # original untouched
+    assert out["canon"] == "é"
+    assert out["extra"] == "keepme"           # other columns pass through
+    assert out["doc_id"] == 7
+
+
+def test_normalize_documents_collapse_ws_and_validation(spark):
+    import pytest as _pytest
+
+    from gem_data_wrangle_spark.operators.textops import normalize_documents
+
+    df = spark.createDataFrame([(1, "  á   b  ")], "id bigint, text string")
+    row = normalize_documents(df, "text", collapse_ws=True).collect()[0]
+    assert row["text"] == "á b"
+    with _pytest.raises(ValueError, match="NFC/NFD/NFKC/NFKD"):
+        normalize_documents(df, "text", form="nfc")
+
+
+def test_normalize_documents_matches_duckdb_nfc(spark, tmp_path):
+    """Cross-engine agreement: Python unicodedata NFC == DuckDB
+    nfc_normalize (utf8proc) on mixed composed/decomposed text — the
+    precondition for the nfc_canonical_hashes driver oracle."""
+    import duckdb
+
+    from gem_data_wrangle_spark.operators.textops import normalize_documents
+
+    rows = [
+        (1, "café au lait"),
+        (2, "Å ring"),              # A + combining ring -> Å
+        (3, "ascii only"),
+        (4, "\u00e9\u0301 stacked"),  # composed é + another combining acute
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    parquet = str(tmp_path / "n.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(parquet)
+    got = sorted(
+        (r["doc_id"], r["text"])
+        for r in normalize_documents(df, "text", form="NFC").collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        (int(a), b)
+        for a, b in con.sql(
+            f"SELECT doc_id, nfc_normalize(text) FROM '{parquet}/*.parquet'"
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+
+
+# --------------------------------------------------------- compression sig
+def test_compression_signals_exact_integers(spark):
+    import zlib
+
+    from gem_data_wrangle_spark.operators.textops import compression_signals
+
+    texts = {
+        1: "spam spam spam spam spam spam spam spam",   # repetitive
+        2: "the quick brown fox jumps over the lazy dog",
+        3: "",
+        4: None,
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: (r["raw_len"], r["zlib_len"], r["ratio_ppm"])
+        for r in compression_signals(df, "text", "doc_id").collect()
+    }
+    for k in (1, 2):
+        b = texts[k].encode()
+        c = zlib.compress(b, 6)
+        assert got[k] == (len(b), len(c), len(c) * 1_000_000 // len(b))
+    assert got[3] == (None, None, None)
+    assert got[4] == (None, None, None)
+    # the quality-band property the filter relies on
+    assert got[1][2] < got[2][2], "repetitive text must compress harder"
+
+
+def test_compression_signals_validates_level(spark):
+    import pytest as _pytest
+
+    from gem_data_wrangle_spark.operators.textops import compression_signals
+
+    df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    with _pytest.raises(ValueError, match="level"):
+        compression_signals(df, "text", "doc_id", level=0)
