@@ -127,6 +127,10 @@ CASES = {
     "cm_user_counts": "Count-Min — depth-row explode + ONE partial-combined cell aggregate; probe join broadcast-sized by construction (width*depth cells)",
     "benford_audit": "Benford audit — ONE partial-combined digit aggregate to <=9 rows/group + broadcast-sized totals join",
     "bmp_metadata": "BMP probe — narrow mapInPandas header walk, cost per file not per pixel",
+    # round 12
+    "neardup_dedup": "end-to-end near-dup removal — repartitioned narrow minhash signature pass (the round-12 single-partition fix), band equi-join candidates, checkpoint-truncated CC closure, LEFT ANTI finish against the small loser set",
+    "lang_id": "script-routed language ID — 12 regexp_count passes + stopword votes, all one narrow projection inside whole-stage codegen; zero exchanges before the sink",
+    "nfc_canonical_hashes": "Unicode NFC canonicalization — deterministic decomposition injection in codegen, ONE Arrow mapInPandas normalization pass, md5 finish; narrow end to end",
 }
 
 INTERESTING = (
