@@ -8620,6 +8620,60 @@ def _q_nfc_canonical_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------
+# extension: k-core decomposition (round 12; registers past the graded
+# window). The crawl-graph quality cut — pages in a dense core are
+# hub-endorsed, pendant chains/spam farms peel away. The graded form
+# runs a FIXED 3-round truncated peel (the pagerank fixed-iteration
+# oracle contract); the operator's default runs to the true fixpoint.
+# Oracle = the same 3 peels unrolled as plain CTE stages (degree agg +
+# NOT IN anti-joins per round). Node ranges are disjoint (customers
+# < 700, items >= 10000) so symmetrize-by-UNION can never collide.
+# --------------------------------------------------------------------
+@_register(
+    "host_k_core",
+    """
+    WITH e AS (
+      SELECT DISTINCT o_custkey % 700 AS u, (o_orderkey % 3000) + 10000 AS v
+      FROM orders
+    ), und0 AS (
+      SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e
+    ), d1 AS (
+      SELECT u, count(*) AS c FROM und0 GROUP BY u
+    ), p1 AS (SELECT u FROM d1 WHERE c < 5
+    ), und1 AS (
+      SELECT u, v FROM und0
+      WHERE u NOT IN (SELECT u FROM p1) AND v NOT IN (SELECT u FROM p1)
+    ), d2 AS (
+      SELECT u, count(*) AS c FROM und1 GROUP BY u
+    ), p2 AS (SELECT u FROM d2 WHERE c < 5
+    ), und2 AS (
+      SELECT u, v FROM und1
+      WHERE u NOT IN (SELECT u FROM p2) AND v NOT IN (SELECT u FROM p2)
+    ), d3 AS (
+      SELECT u, count(*) AS c FROM und2 GROUP BY u
+    ), p3 AS (SELECT u FROM d3 WHERE c < 5
+    ), und3 AS (
+      SELECT u, v FROM und2
+      WHERE u NOT IN (SELECT u FROM p3) AND v NOT IN (SELECT u FROM p3)
+    )
+    SELECT u AS node, count(*)::BIGINT AS degree FROM und3 GROUP BY u
+    """,
+)
+def _q_host_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.graph import k_core
+
+    edges = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            (F.col("o_custkey") % 700).alias("src"),
+            ((F.col("o_orderkey") % 3000) + 10000).alias("dst"),
+        )
+        .distinct()
+    )
+    return k_core(edges, "src", "dst", k=5, max_iter=3)
+
+
 # NOTE (round 12): textops.compression_signals (the RefinedWeb-style
 # DEFLATE-ratio quality signal) is deliberately NOT registered as a
 # driver query — zlib has no DuckDB replay, and since round 5 every

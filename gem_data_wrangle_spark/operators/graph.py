@@ -435,3 +435,71 @@ def degree_assortativity(
         F.col("deg_s").cast("long"), F.col("deg_d").cast("long")
     )
     return integer_pair_stats(pairs, [], "deg_s", "deg_d")
+
+
+def k_core(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    k: int = 2,
+    max_iter: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """k-core decomposition (Seidman 1983): iteratively peel nodes of
+    degree < ``k`` until every surviving node has ≥ ``k`` surviving
+    neighbors. The classic crawl-graph quality cut: pages living in a
+    dense core are hub-endorsed, while long pendant chains and spam
+    farms with thin connectivity peel away — the standard structural
+    complement to PageRank for pretraining-corpus URL filtering.
+
+    Semantics: the input is taken as an UNDIRECTED simple graph
+    (symmetrized, self-loops dropped, parallel edges collapsed).
+    Returns ``(node, degree)`` — the survivors with their degree
+    inside the final core. ``max_iter=None`` runs to the true
+    fixpoint (the peel cascade terminates after at most |V| rounds,
+    in practice a handful — each round's convergence probe is a
+    bounded COUNT action, one driver scalar per round, never a
+    collect). A fixed ``max_iter`` runs exactly that many peels — a
+    TRUNCATED core, deterministic and engine-replayable, the same
+    fixed-iteration contract :func:`pagerank` uses for its oracle.
+
+    Plan/scale per round: ONE partial-combined degree aggregate (the
+    hot stopword-style nodes combine map-side) + two anti-joins of the
+    edge list against the (small, shrinking) peel set — broadcast-able
+    under AQE since the peel frontier is a fraction of |V|; never an
+    all-pairs shape. Lineage is truncated every round via the module's
+    :func:`_checkpointer` (localCheckpoint locally; pass
+    ``checkpoint_dir=`` a reliable HDFS/S3 path on a cluster), the
+    identical durability trade documented on
+    :func:`connected_components`.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    ckpt = _checkpointer(checkpoint_dir)
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    # symmetrize + collapse parallels: one row per directed instance
+    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    und = ckpt(und, True)
+    rounds = 0
+    while True:
+        deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+        peel = deg.filter(F.col("degree") < k).select("u")
+        rounds += 1
+        if max_iter is not None and rounds > max_iter:
+            break
+        if max_iter is None and peel.isEmpty():
+            break
+        nxt = (
+            und.join(peel, on="u", how="left_anti")
+            .join(peel.select(F.col("u").alias("v")), on="v", how="left_anti")
+            .select("u", "v")
+        )
+        nxt = ckpt(nxt, True)
+        und.unpersist()
+        und = nxt
+        if max_iter is None and rounds > 10_000:
+            raise RuntimeError("k_core failed to converge (cycle in peel?)")
+    return deg.select(F.col("u").alias("node"), "degree")

@@ -469,3 +469,65 @@ def test_compression_signals_validates_level(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
     with _pytest.raises(ValueError, match="level"):
         compression_signals(df, "text", "doc_id", level=0)
+
+
+# ------------------------------------------------------------------ k-core
+def test_k_core_peels_pendants_keeps_cycle(spark):
+    """2-core of a triangle with a pendant chain: the chain peels over
+    TWO cascading rounds (leaf first, then the newly-exposed node),
+    the triangle survives with degree 2."""
+    from gem_data_wrangle_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 4), (4, 5)],
+        "src bigint, dst bigint",
+    )
+    got = sorted(map(tuple, k_core(edges, "src", "dst", k=2).collect()))
+    assert got == [(1, 2), (2, 2), (3, 2)]
+
+
+def test_k_core_path_fully_peels(spark):
+    from gem_data_wrangle_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src bigint, dst bigint"
+    )
+    assert k_core(edges, "src", "dst", k=2).count() == 0
+
+
+def test_k_core_truncated_iterations(spark):
+    """max_iter=1 peels only the leaf; node 4 (now degree 1) is still
+    present in the truncated core — the deterministic oracle contract."""
+    from gem_data_wrangle_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 4), (4, 5)],
+        "src bigint, dst bigint",
+    )
+    got = sorted(map(tuple, k_core(edges, "src", "dst", k=2, max_iter=1).collect()))
+    assert got == [(1, 3), (2, 2), (3, 2), (4, 1)]
+
+
+def test_k_core_collapses_parallels_and_self_loops(spark):
+    """Parallel edges collapse (a double edge is NOT degree 2) and
+    self-loops never count toward survival."""
+    from gem_data_wrangle_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 1), (3, 3), (1, 1)],
+        "src bigint, dst bigint",
+    )
+    # the only real structure is the single undirected edge 1-2
+    got = sorted(map(tuple, k_core(edges, "src", "dst", k=1).collect()))
+    assert got == [(1, 1), (2, 1)]
+    assert k_core(edges, "src", "dst", k=2).count() == 0
+
+
+def test_k_core_validates_k(spark):
+    import pytest as _pytest
+
+    from gem_data_wrangle_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    with _pytest.raises(ValueError, match="k must be"):
+        k_core(edges, "src", "dst", k=0)
