@@ -8566,8 +8566,14 @@ def _q_fwf_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents,
         F.date_format("o_orderdate", "yyyy-MM-dd"),
     )
+    # path is keyed by (sf_dir, pid): deterministic within a process
+    # (re-runs reuse/overwrite), and two concurrent processes (bench +
+    # driver) can never overwrite a directory the other is lazily
+    # scanning
+    import os  # noqa: PLC0415
+
     out_dir = "/tmp/fwf_roundtrip_" + hashlib.sha256(
-        sf_dir.encode()
+        f"{sf_dir}|{os.getpid()}".encode()
     ).hexdigest()[:12]
     orders.select(line.alias("value")).write.mode("overwrite").text(out_dir)
     parsed = scan_fwf(

@@ -128,6 +128,12 @@ def bmp_probe(
         "top_down", "row_stride", "data_offset", "palette_colors",
         "n_pixel_bytes",
     ]
+    # same guard as gif_probe/tiff_probe (ADVICE r11): a colliding
+    # id_col would yield a duplicate output column
+    if id_col in cols:
+        raise ValueError(
+            f"id_col {id_col!r} collides with a bmp_probe output column"
+        )
 
     def walk(it):
         for pdf in it:
@@ -141,7 +147,7 @@ def bmp_probe(
             yield out
 
     schema = (
-        f"{id_col} bigint, probe_status string, width int, height int,"
+        f"`{id_col}` bigint, probe_status string, width int, height int,"
         " bpp int, compression int, top_down int, row_stride int,"
         " data_offset int, palette_colors int, n_pixel_bytes bigint"
     )

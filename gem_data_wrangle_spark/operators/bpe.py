@@ -136,6 +136,11 @@ def bpe_encode(
     Arrow batch (Zipf's law makes the hit rate dominate), so the hot
     path is a dict lookup per word, not a merge loop per occurrence.
     """
+    if len({id_col, tokens_col, count_col}) < 3:
+        raise ValueError(
+            "id_col/tokens_col/count_col must be distinct, got "
+            f"({id_col!r}, {tokens_col!r}, {count_col!r})"
+        )
     ranks = {tuple(m): i for i, m in enumerate(merges)}
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

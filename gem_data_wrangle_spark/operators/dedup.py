@@ -1073,19 +1073,27 @@ def simhash_candidate_pairs(
     """
     if max_distance < 0 or bits < max_distance + 1:
         raise ValueError("need bits >= max_distance + 1 and distance >= 0")
-    pairs, sig = _simhash_pairs_lazy(
-        df, text_col, id_col, bits, max_distance, ngram
-    )
     if not materialize:
         # Lazy opt-out (ADVICE r11): callers at scale who want plan
         # composition (push filters below the join, union with other
         # candidate generators) or who cannot afford an eager job at
-        # construction get the raw plan. The persisted signature frame
-        # then lives until the caller drops its last reference and the
-        # ContextCleaner collects it — the price of laziness; for
-        # degenerate near-dup-heavy corpora the O(pairs) result also
-        # stays a plan, not a stored block set.
+        # construction get the raw plan. The signature frame is NOT
+        # persisted on this path — a CacheManager entry holds a strong
+        # reference the ContextCleaner can never collect, so a lazy
+        # caller would leak one corpus-sized cache per call (the exact
+        # ADVICE-r10 regression). The price: Catalyst may re-evaluate
+        # the signature fold on both join sides (~6× the operator,
+        # BENCH_HISTORY r9) — callers who want the single-evaluation
+        # fast path use the default eager mode, which owns and
+        # releases the cache itself.
+        pairs, _ = _simhash_pairs_lazy(
+            df, text_col, id_col, bits, max_distance, ngram,
+            persist_sig=False,
+        )
         return pairs
+    pairs, sig = _simhash_pairs_lazy(
+        df, text_col, id_col, bits, max_distance, ngram
+    )
     # Materialize the (small: true near-dups only) pair set so the
     # corpus-sized signature cache can be RELEASED here instead of
     # living for the session (ADVICE r10 — repeated calls grew the
@@ -1113,12 +1121,14 @@ def _simhash_pairs_lazy(
     bits: int,
     max_distance: int,
     ngram: int,
+    persist_sig: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """The lazy plan behind :func:`simhash_candidate_pairs`: returns
-    ``(pairs, sig)`` where ``sig`` is the persisted signature frame the
-    caller must unpersist after consuming ``pairs`` (the public wrapper
-    does this via eager localCheckpoint; gen_plans explains ``pairs``
-    directly)."""
+    ``(pairs, sig)`` where ``sig`` is the signature frame — persisted
+    when ``persist_sig`` (the caller must unpersist it after consuming
+    ``pairs``; the public wrapper does this via eager localCheckpoint;
+    gen_plans explains ``pairs`` directly), or a plain plan when the
+    caller wants full lazy composition with no cache entry to own."""
     base = df.select(
         F.col(id_col), _shingles(F.col(text_col), ngram).alias("_toks")
     ).filter(F.size("_toks") >= 1)
@@ -1135,7 +1145,9 @@ def _simhash_pairs_lazy(
     # doc — MEMORY_AND_DISK-bounded at any corpus size.
     sig = base.select(
         F.col(id_col), simhash(F.col("_toks"), bits).alias("simhash")
-    ).persist()
+    )
+    if persist_sig:
+        sig = sig.persist()
     n_bands = max_distance + 1
     # NOT named `base`: that would shadow the shingle frame above
     # (ADVICE r10 — the old shadow was latent, nothing read `base`

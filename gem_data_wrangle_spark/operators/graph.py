@@ -459,9 +459,11 @@ def k_core(
     fixpoint (the peel cascade terminates after at most |V| rounds,
     in practice a handful — each round's convergence probe is a
     bounded COUNT action, one driver scalar per round, never a
-    collect). A fixed ``max_iter`` runs exactly that many peels — a
-    TRUNCATED core, deterministic and engine-replayable, the same
-    fixed-iteration contract :func:`pagerank` uses for its oracle.
+    collect). A fixed ``max_iter`` yields the TRUNCATED ``max_iter``-
+    peel core — deterministic and engine-replayable, the same
+    fixed-iteration contract :func:`pagerank` uses for its oracle —
+    while still exiting early once the peel set empties (the
+    remaining rounds would be no-ops, so the output is identical).
 
     Plan/scale per round: ONE partial-combined degree aggregate (the
     hot stopword-style nodes combine map-side) + two anti-joins of the
@@ -490,16 +492,23 @@ def k_core(
         rounds += 1
         if max_iter is not None and rounds > max_iter:
             break
-        if max_iter is None and peel.isEmpty():
+        # converged: an empty peel makes every further round a no-op,
+        # so the early exit is byte-identical even under max_iter —
+        # one bounded COUNT probe per round buys skipping full
+        # anti-join + checkpoint rounds
+        if peel.isEmpty():
             break
         nxt = (
             und.join(peel, on="u", how="left_anti")
             .join(peel.select(F.col("u").alias("v")), on="v", how="left_anti")
             .select("u", "v")
         )
+        # eager checkpoint: nxt's blocks materialize before und's
+        # lineage is dropped; old-round localCheckpoint blocks are
+        # freed by the ContextCleaner when the superseded frame goes
+        # out of scope (they are RDD-owned, not CacheManager entries)
         nxt = ckpt(nxt, True)
-        und.unpersist()
         und = nxt
-        if max_iter is None and rounds > 10_000:
+        if rounds > 10_000:
             raise RuntimeError("k_core failed to converge (cycle in peel?)")
     return deg.select(F.col("u").alias("node"), "degree")

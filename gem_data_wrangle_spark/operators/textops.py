@@ -653,6 +653,10 @@ def chunk_documents(
     """
     if overlap >= size:
         raise ValueError("overlap must be < size")
+    if id_col in ("chunk_idx", "chunk_start", "chunk", "chunk_hash"):
+        raise ValueError(
+            f"id_col {id_col!r} collides with a chunk output column"
+        )
     step = size - overlap
     toks = F.split(F.col(text_col), " ")
     base = df.select(F.col(id_col), toks.alias("_t"), F.size(toks).alias("_n"))
@@ -1458,6 +1462,16 @@ def normalize_documents(
     if form not in ("NFC", "NFD", "NFKC", "NFKD"):
         raise ValueError(f"form must be NFC/NFD/NFKC/NFKD, got {form!r}")
     target = out_col or text_col
+    if target in df.columns:
+        # an existing non-string target would keep its DDL type while
+        # the batch fn writes strings into it — that fails as an
+        # opaque Arrow cast error at action time; validate upfront
+        dt = df.schema[target].dataType.simpleString()
+        if dt != "string":
+            raise ValueError(
+                f"out_col {target!r} exists with type {dt}; normalized "
+                "output is string — pick a new column name"
+            )
     fields = [
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
     ]
@@ -1514,6 +1528,10 @@ def compression_signals(
     """
     if not 1 <= level <= 9:
         raise ValueError("zlib level must be 1..9")
+    if id_col in ("raw_len", "zlib_len", "ratio_ppm"):
+        raise ValueError(
+            f"id_col {id_col!r} collides with an output column"
+        )
     slim = df.select(id_col, text_col)
     schema = f"`{id_col}` bigint, raw_len bigint, zlib_len bigint, ratio_ppm bigint"
 
@@ -1525,7 +1543,9 @@ def compression_signals(
         for pdf in it:
             ids, raws, comps, ratios = [], [], [], []
             for rid, v in zip(pdf[id_col], pdf[text_col]):
-                ids.append(int(rid))
+                # NULL ids pass through as NULL (a crash here would
+                # fail the whole job on one bad row)
+                ids.append(None if pd.isna(rid) else int(rid))
                 if v is None or v == "":
                     raws.append(None)
                     comps.append(None)
@@ -1537,7 +1557,7 @@ def compression_signals(
                 comps.append(len(c))
                 ratios.append(len(c) * 1_000_000 // len(b))
             yield pd.DataFrame({
-                id_col: pd.Series(ids, dtype="int64"),
+                id_col: pd.Series(ids, dtype="Int64"),
                 "raw_len": pd.Series(raws, dtype="Int64"),
                 "zlib_len": pd.Series(comps, dtype="Int64"),
                 "ratio_ppm": pd.Series(ratios, dtype="Int64"),

@@ -474,6 +474,31 @@ def scan_binary_files(
     return df
 
 
+def _fwf_lines(spark: SparkSession, path: str, header: bool):
+    """Shared read plumbing for the fixed-width scans: one raw line per
+    row, with identical semantics in both header modes. header=True
+    routes through the CSV source with an unused separator (\\x01 never
+    appears in fixed-width text) so the per-file header skip is Spark's
+    own distributed-safe logic; quote="" turns quote handling off so a
+    leading '"' byte stays literal (column offsets depend on it). Blank
+    lines — empty OR whitespace-only — are skipped in BOTH modes (the
+    CSV source unconditionally drops them as empty; the text path
+    filters to match), readr's skip_empty_rows=TRUE: a blank line in a
+    fixed-width file is a non-record, not an all-NULL row. Returns
+    ``(frame, value_column)``."""
+    if header:
+        lines = (
+            spark.read.option("header", "true")
+            .option("sep", "\x01")
+            .option("quote", "")
+            .option("inferSchema", "false")
+            .csv(path)
+        )
+        return lines, F.col(lines.columns[0])
+    lines = spark.read.text(path).filter(F.trim("value") != "")
+    return lines, F.col("value")
+
+
 def scan_fwf(
     spark: SparkSession,
     path: str,
@@ -507,25 +532,7 @@ def scan_fwf(
     """
     if not fields:
         raise ValueError("fields must name at least one (name, width)")
-    if header:
-        # \x01 never appears in fixed-width text; the csv reader then
-        # yields exactly one string column per line and applies its
-        # per-file header skip. quote="" turns quote handling off so
-        # leading '"' bytes stay literal (column offsets depend on it).
-        lines = (
-            spark.read.option("header", "true")
-            .option("sep", "\x01")
-            .option("quote", "")
-            .option("inferSchema", "false")
-            .csv(path)
-        )
-        value = F.col(lines.columns[0])
-    else:
-        # filter matches the CSV source's unconditional blank-line
-        # skip (univocity treats whitespace-only as empty) so
-        # header=True/False agree byte-for-byte on the body
-        lines = spark.read.text(path).filter(F.trim("value") != "")
-        value = F.col("value")
+    lines, value = _fwf_lines(spark, path, header)
     types = types or {}
     cols = []
     pos = 1
@@ -564,28 +571,13 @@ def scan_fwf_positions(
     """
     if not positions:
         raise ValueError("positions must name at least one (name, start, end)")
-    fields: list[tuple[str, int]] = []
     for name, start, end in positions:
         if start < 1 or end < start:
             raise ValueError(
                 f"positions for {name} must satisfy 1 <= start <= end, "
                 f"got ({start}, {end})"
             )
-        fields.append((name, end - start + 1))
-    # delegate the read-path plumbing (header skip, quote-off, blank
-    # lines) to scan_fwf by re-slicing from absolute offsets
-    if header:
-        lines = (
-            spark.read.option("header", "true")
-            .option("sep", "\x01")
-            .option("quote", "")
-            .option("inferSchema", "false")
-            .csv(path)
-        )
-        value = F.col(lines.columns[0])
-    else:
-        lines = spark.read.text(path).filter(F.trim("value") != "")
-        value = F.col("value")
+    lines, value = _fwf_lines(spark, path, header)
     types = types or {}
     cols = []
     for name, start, end in positions:

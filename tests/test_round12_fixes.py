@@ -531,3 +531,98 @@ def test_k_core_validates_k(spark):
     edges = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
     with _pytest.raises(ValueError, match="k must be"):
         k_core(edges, "src", "dst", k=0)
+
+
+# ---------------------------------------------------- review-pass hardening
+def test_simhash_lazy_mode_registers_no_cache_entry(spark):
+    """Round-12 review: materialize=False must NOT leave a persisted
+    signature frame behind (CacheManager holds strong refs the
+    ContextCleaner can never collect — the ADVICE-r10 leak shape)."""
+    from gem_data_wrangle_spark.operators.dedup import simhash_candidate_pairs
+
+    sc = spark.sparkContext
+    # compare RDD-id SETS, not counts: unrelated checkpoint blocks from
+    # earlier tests may be ContextCleaner-collected mid-test, shrinking
+    # the registry; only NEW entries indicate a leak
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma epsilon")],
+        "id bigint, text string",
+    )
+    lazy = simhash_candidate_pairs(
+        df, "text", "id", max_distance=8, materialize=False
+    )
+    lazy.collect()
+    leaked = set(sc._jsc.getPersistentRDDs().keySet().toArray()) - before
+    assert not leaked, f"lazy mode leaked cache entries: {leaked}"
+
+
+def test_compression_signals_null_id_and_collision(spark):
+    from gem_data_wrangle_spark.operators.textops import compression_signals
+
+    df = spark.createDataFrame(
+        [(None, "some text here"), (2, "more text")],
+        "doc_id bigint, text string",
+    )
+    got = sorted(
+        (
+            (r["doc_id"], r["raw_len"] is not None)
+            for r in compression_signals(df, "text", "doc_id").collect()
+        ),
+        key=lambda t: (t[0] is None, t[0] or 0),
+    )
+    assert got == [(2, True), (None, True)]
+    with pytest.raises(ValueError, match="collides"):
+        compression_signals(df, "text", "raw_len")
+
+
+def test_bmp_probe_rejects_colliding_id_col(spark):
+    from gem_data_wrangle_spark.operators.bmp_codec import bmp_probe, build_bmp
+
+    df = spark.createDataFrame(
+        [(1, bytearray(build_bmp(4, 3)))], "width bigint, media binary"
+    )
+    with pytest.raises(ValueError, match="collides"):
+        bmp_probe(df, id_col="width")
+
+
+def test_normalize_documents_rejects_typed_out_col(spark):
+    from gem_data_wrangle_spark.operators.textops import normalize_documents
+
+    df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="pick a new column name"):
+        normalize_documents(df, "text", out_col="doc_id")
+
+
+def test_bpe_encode_rejects_duplicate_output_names(spark):
+    from gem_data_wrangle_spark.operators.bpe import bpe_encode
+
+    df = spark.createDataFrame([(1, "ab ab")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="distinct"):
+        bpe_encode(df, "text", [("a", "b")], "doc_id", tokens_col="doc_id")
+
+
+def test_chunk_documents_rejects_colliding_id_col(spark):
+    from gem_data_wrangle_spark.operators.textops import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e")], "chunk_idx bigint, text string"
+    )
+    with pytest.raises(ValueError, match="collides"):
+        chunk_documents(df, "text", "chunk_idx")
+
+
+def test_k_core_max_iter_early_exit_matches_fixpoint(spark):
+    """max_iter far beyond convergence must give the fixpoint answer
+    (the post-convergence rounds are no-ops and are skipped)."""
+    from gem_data_wrangle_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 4), (4, 5)],
+        "src bigint, dst bigint",
+    )
+    fix = sorted(map(tuple, k_core(edges, "src", "dst", k=2).collect()))
+    trunc = sorted(
+        map(tuple, k_core(edges, "src", "dst", k=2, max_iter=50).collect())
+    )
+    assert fix == trunc == [(1, 2), (2, 2), (3, 2)]
