@@ -9030,6 +9030,16 @@ _DEFER_TO_TAIL = [
     "benford_audit",           # r11 green; quality benford unchanged
     "cm_user_counts",          # r11 green; sketches cm path unchanged
     "host_pagerank_weighted",  # r11 green; graph pagerank unchanged
+    #
+    # round-12 late rotation: two byte-stable trivial Column-builders
+    # yield their head slots so the two operators ADDED this round
+    # (nfc_canonical_hashes, host_k_core) enter the graded window —
+    # a query should never sit a full round without a driver grade
+    # (VERDICT r10 precedent). Both ride r05 fingerprint greens one
+    # more round and join the r13 re-anchor rotation with the other
+    # remaining r05 pins.
+    "project",                 # r05 green; cleaning.py:17 unchanged since r4
+    "filter_not_and",          # r05 green; cleaning.py:56 unchanged since r4
 ]
 
 
@@ -9200,6 +9210,8 @@ _DEFER_HASHES: dict[str, str] = {
     "benford_audit": "1db618b1b3fd9b51",
     "cm_user_counts": "504e21175704528a",
     "host_pagerank_weighted": "840dac2ebd01fc4d",
+    "project": "e63d5078eaa99831",
+    "filter_not_and": "4a7cf2ba9409f9f2",
 }
 
 
