@@ -1533,7 +1533,13 @@ def compression_signals(
             f"id_col {id_col!r} collides with an output column"
         )
     slim = df.select(id_col, text_col)
-    schema = f"`{id_col}` bigint, raw_len bigint, zlib_len bigint, ratio_ppm bigint"
+    # the id passes through with its INPUT type (string/long/uuid keys
+    # all work — a hardcoded bigint would crash mid-job on string ids)
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (
+        f"`{id_col}` {id_type}, "
+        "raw_len bigint, zlib_len bigint, ratio_ppm bigint"
+    )
 
     def run(it):
         import zlib  # noqa: PLC0415
@@ -1541,11 +1547,8 @@ def compression_signals(
         import pandas as pd  # noqa: PLC0415
 
         for pdf in it:
-            ids, raws, comps, ratios = [], [], [], []
-            for rid, v in zip(pdf[id_col], pdf[text_col]):
-                # NULL ids pass through as NULL (a crash here would
-                # fail the whole job on one bad row)
-                ids.append(None if pd.isna(rid) else int(rid))
+            raws, comps, ratios = [], [], []
+            for v in pdf[text_col]:
                 if v is None or v == "":
                     raws.append(None)
                     comps.append(None)
@@ -1557,7 +1560,9 @@ def compression_signals(
                 comps.append(len(c))
                 ratios.append(len(c) * 1_000_000 // len(b))
             yield pd.DataFrame({
-                id_col: pd.Series(ids, dtype="Int64"),
+                # reuse the incoming series: NULL ids stay NULL and the
+                # pandas dtype already round-trips the Arrow type
+                id_col: pdf[id_col],
                 "raw_len": pd.Series(raws, dtype="Int64"),
                 "zlib_len": pd.Series(comps, dtype="Int64"),
                 "ratio_ppm": pd.Series(ratios, dtype="Int64"),

@@ -576,6 +576,23 @@ def test_compression_signals_null_id_and_collision(spark):
         compression_signals(df, "text", "raw_len")
 
 
+def test_compression_signals_string_ids_pass_through(spark):
+    # the id keeps its INPUT type — string/uuid document keys must not
+    # be coerced through a hardcoded bigint (crashed mid-job pre-fix)
+    from gem_data_wrangle_spark.operators.textops import compression_signals
+
+    df = spark.createDataFrame(
+        [("doc-a", "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"), ("doc-b", None)],
+        "doc_id string, text string",
+    )
+    out = compression_signals(df, "text", "doc_id")
+    assert out.schema["doc_id"].dataType.simpleString() == "string"
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows["doc-a"]["raw_len"] == 30
+    assert rows["doc-a"]["zlib_len"] is not None
+    assert rows["doc-b"]["raw_len"] is None
+
+
 def test_bmp_probe_rejects_colliding_id_col(spark):
     from gem_data_wrangle_spark.operators.bmp_codec import bmp_probe, build_bmp
 
