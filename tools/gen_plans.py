@@ -131,6 +131,8 @@ CASES = {
     "neardup_dedup": "end-to-end near-dup removal — repartitioned narrow minhash signature pass (the round-12 single-partition fix), band equi-join candidates, checkpoint-truncated CC closure, LEFT ANTI finish against the small loser set",
     "lang_id": "script-routed language ID — 12 regexp_count passes + stopword votes, all one narrow projection inside whole-stage codegen; zero exchanges before the sink",
     "nfc_canonical_hashes": "Unicode NFC canonicalization — deterministic decomposition injection in codegen, ONE Arrow mapInPandas normalization pass, md5 finish; narrow end to end",
+    "host_k_core": "k-core 3-peel — per round ONE partial-combined degree aggregate + two anti-joins of the shrinking edge set against the AQE-broadcastable peel frontier; rounds are checkpoint-truncated, so the captured plan is the FINAL degree aggregate over the last checkpointed edge set",
+    "fwf_roundtrip_orders": "fixed-width roundtrip — text sink + CSV-routed distributed header skip, quote handling off, narrow substring/try_cast projection, ONE partial-combined group aggregate",
 }
 
 INTERESTING = (
