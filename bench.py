@@ -111,6 +111,12 @@ HEADLINE = [
     "host_communities",
     "jl_sketch",
     "mad_outlier_flags",
+    # round 12: the two new operator families — k-core decomposition
+    # (3 truncated peel rounds: degree agg + two anti-joins each,
+    # checkpoint-truncated) and Unicode NFC canonicalization (ONE
+    # Arrow mapInPandas pass over the corpus, narrow end to end)
+    "host_k_core",
+    "nfc_canonical_hashes",
 ]
 
 
