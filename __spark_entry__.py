@@ -8680,6 +8680,178 @@ def _q_host_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(edges, "src", "dst", k=5, max_iter=3)
 
 
+# --------------------------------------------------------------------
+# extension: HITS hub/authority scores (round 12 continuation). The
+# Kleinberg mutually-reinforcing two-role view of the host graph —
+# complements pagerank (random-surfer mass) for corpus curation:
+# authority = quality prior, hub = directory/boilerplate signal. The
+# graded form is the UNNORMALIZED exact-integer variant (2 fixed
+# rounds): scores are path counts, so both engines agree bit-for-bit
+# with no float normalization anywhere. Oracle = the two rounds
+# unrolled as CTE stages; DuckDB sum(BIGINT) returns HUGEINT, so
+# every aggregate is cast back to BIGINT (the graded-type contract).
+# Same saturating 150x211 host lattice as host_pagerank.
+# --------------------------------------------------------------------
+@_register(
+    "host_hits",
+    """
+    WITH e AS (
+      SELECT DISTINCT o_custkey % 150 AS u, o_orderkey % 211 AS v
+      FROM orders
+    ), nodes AS (
+      SELECT u AS n FROM e UNION SELECT v FROM e
+    ), a1 AS (
+      SELECT v, count(*)::BIGINT AS a FROM e GROUP BY v
+    ), h1 AS (
+      SELECT u, CAST(sum(a1.a) AS BIGINT) AS h
+      FROM e JOIN a1 USING (v) GROUP BY u
+    ), a2 AS (
+      SELECT v, CAST(sum(h1.h) AS BIGINT) AS a
+      FROM e JOIN h1 USING (u) GROUP BY v
+    ), h2 AS (
+      SELECT u, CAST(sum(a2.a) AS BIGINT) AS h
+      FROM e JOIN a2 USING (v) GROUP BY u
+    )
+    SELECT n AS node,
+           coalesce(h2.h, 0)::BIGINT AS hub,
+           coalesce(a2.a, 0)::BIGINT AS authority
+    FROM nodes LEFT JOIN h2 ON n = h2.u LEFT JOIN a2 ON n = a2.v
+    """,
+)
+def _q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.graph import hits_scores
+
+    edges = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            (F.col("o_custkey") % 150).alias("src"),
+            (F.col("o_orderkey") % 211).alias("dst"),
+        )
+        .distinct()
+    )
+    return hits_scores(edges, "src", "dst", iterations=2)
+
+
+# --------------------------------------------------------------------
+# extension: windowed audio frames + VAD segments (round 12
+# continuation). audio_features grades the WHOLE-FILE stats; these two
+# grade the per-window view a speech pipeline actually cuts on. The
+# synth mirrors the audio_features pattern (deterministic 16-bit mono
+# 8000 Hz PCM from each document's length) plus a silence mask — every
+# 4th 200-sample frame is zeroed — so the VAD merge has real gaps to
+# find. All features are EXACT integers (energy = Σ s², crossings =
+# frame-local sign flips), so both engines agree bit-for-bit; DuckDB
+# replays the synth arithmetic directly on range(n) without parsing
+# WAV (the container round-trip is Spark-side real: pack → decode).
+# --------------------------------------------------------------------
+def _synth_vad_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("_len")
+    )
+
+    def synth(it):
+        for pdf in it:
+            payloads = []
+            for ln in pdf["_len"]:
+                n = int(ln) % 1000 + 50
+                k = np.arange(n)
+                v = (((k * 7) % 256) - 128) * 256
+                v[(k // 200) % 4 == 3] = 0
+                raw = v.astype("<i2").tobytes()
+                fmt = (
+                    b"fmt " + (16).to_bytes(4, "little")
+                    + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+                    + (8000).to_bytes(4, "little")
+                    + (16000).to_bytes(4, "little")
+                    + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+                )
+                data = b"data" + len(raw).to_bytes(4, "little") + raw
+                payloads.append(
+                    b"RIFF" + (4 + len(fmt) + len(data)).to_bytes(4, "little")
+                    + b"WAVE" + fmt + data
+                )
+            yield pd.DataFrame({"id": pdf["doc_id"], "media": payloads})
+
+    # _spread: the synth + PCM decode are CPU-bound per-row work — the
+    # single-partition-input class (BENCH_HISTORY r11/r12)
+    return _spread(spark, docs).mapInPandas(synth, "id bigint, media binary")
+
+
+_VAD_FRAME_CTES = """
+    WITH d AS (
+      SELECT doc_id, length(text) % 1000 + 50 AS n FROM documents
+    ), s AS (
+      SELECT doc_id, n, unnest(range(n)) AS k FROM d
+    ), v AS (
+      SELECT doc_id, k, k // 200 AS f,
+             CASE WHEN (k // 200) % 4 = 3 THEN 0
+                  ELSE (((k * 7) % 256) - 128) * 256 END AS val
+      FROM s
+    ), w AS (
+      SELECT doc_id, k, f, val,
+             lead(val) OVER (PARTITION BY doc_id ORDER BY k) AS nxt,
+             lead(f)   OVER (PARTITION BY doc_id ORDER BY k) AS nf
+      FROM v
+    ), fr AS (
+      SELECT doc_id, f,
+             count(*)::BIGINT AS n_samples,
+             CAST(sum(val * val) AS BIGINT) AS energy,
+             CAST(sum(CASE WHEN nf = f AND (val < 0) <> (nxt < 0)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+      FROM w GROUP BY doc_id, f
+    )
+"""
+
+
+@_register(
+    "audio_frame_energy",
+    _VAD_FRAME_CTES
+    + """
+    SELECT doc_id AS id, 'ok' AS decode_status, f AS frame_idx,
+           n_samples, energy, zero_crossings
+    FROM fr
+    """,
+)
+def _q_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _synth_vad_wav(spark, sf_dir)
+    return M.audio_frame_features(media, frame_ms=25)
+
+
+@_register(
+    "vad_speech_segments",
+    _VAD_FRAME_CTES
+    + """
+    , spk AS (
+      SELECT doc_id, f, n_samples, energy FROM fr
+      WHERE energy >= 1000000 * n_samples
+    ), g AS (
+      SELECT *, CASE WHEN lag(f) OVER (PARTITION BY doc_id ORDER BY f)
+                          IS NULL
+                     OR f - lag(f) OVER (PARTITION BY doc_id ORDER BY f)
+                          <> 1
+                     THEN 1 ELSE 0 END AS brk
+      FROM spk
+    ), seg AS (
+      SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY f
+                               ROWS UNBOUNDED PRECEDING) AS sgi
+      FROM g
+    )
+    SELECT doc_id AS id, sgi::BIGINT AS segment_idx,
+           min(f)::BIGINT AS start_frame, max(f)::BIGINT AS end_frame,
+           count(*)::BIGINT AS n_frames,
+           CAST(sum(energy) AS BIGINT) AS total_energy
+    FROM seg GROUP BY doc_id, sgi
+    """,
+)
+def _q_vad_speech_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _synth_vad_wav(spark, sf_dir)
+    frames = M.audio_frame_features(media, frame_ms=25)
+    return M.vad_segments(frames, 1_000_000)
+
+
 # NOTE (round 12): textops.compression_signals (the RefinedWeb-style
 # DEFLATE-ratio quality signal) is deliberately NOT registered as a
 # driver query — zlib has no DuckDB replay, and since round 5 every
@@ -9040,6 +9212,16 @@ _DEFER_TO_TAIL = [
     # remaining r05 pins.
     "project",                 # r05 green; cleaning.py:17 unchanged since r4
     "filter_not_and",          # r05 green; cleaning.py:56 unchanged since r4
+    #
+    # round-12 continuation rotation: three more byte-stable trivial
+    # Column-builders yield slots so the session's NEW operator
+    # queries (host_hits, audio_frame_energy, vad_speech_segments)
+    # grade this round instead of sitting ungraded until r13. Same
+    # contract as above: r05 fingerprint pins ride one more round,
+    # then join the r13 re-anchor rotation.
+    "filter_null_or_ge",       # r05 green; cleaning.py:98 unchanged since r4
+    "replace_value_global",    # r05 green; cleaning.py:105 unchanged since r4
+    "distinct_rows",           # r05 green; aggregates.py:46 unchanged since r4
 ]
 
 
@@ -9212,6 +9394,9 @@ _DEFER_HASHES: dict[str, str] = {
     "host_pagerank_weighted": "840dac2ebd01fc4d",
     "project": "e63d5078eaa99831",
     "filter_not_and": "4a7cf2ba9409f9f2",
+    "filter_null_or_ge": "90ec3885d87582ea",
+    "replace_value_global": "0db49e1c90a3bb0c",
+    "distinct_rows": "d6a3fb3ccb0f0551",
 }
 
 

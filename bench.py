@@ -111,12 +111,17 @@ HEADLINE = [
     "host_communities",
     "jl_sketch",
     "mad_outlier_flags",
-    # round 12: the two new operator families — k-core decomposition
+    # round 12: the new operator families — k-core decomposition
     # (3 truncated peel rounds: degree agg + two anti-joins each,
-    # checkpoint-truncated) and Unicode NFC canonicalization (ONE
-    # Arrow mapInPandas pass over the corpus, narrow end to end)
+    # checkpoint-truncated), Unicode NFC canonicalization (ONE
+    # Arrow mapInPandas pass over the corpus, narrow end to end),
+    # HITS hub/authority (2 Pregel-profile rounds, exact integers),
+    # and the windowed-audio VAD cut (synth + frame mapInPandas
+    # passes, one per-id window, partial-combined groupBy)
     "host_k_core",
     "nfc_canonical_hashes",
+    "host_hits",
+    "vad_speech_segments",
 ]
 
 

@@ -512,3 +512,106 @@ def k_core(
         if rounds > 10_000:
             raise RuntimeError("k_core failed to converge (cycle in peel?)")
     return deg.select(F.col("u").alias("node"), "degree")
+
+
+def hits_scores(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    iterations: int = 2,
+    id_col: str = "node",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) over a directed edge
+    list, in the UNNORMALIZED exact-integer form: starting from
+    ``h0 = 1`` everywhere, each round computes::
+
+        a'(v) = Σ_{(u,v)} h(u)      then      h'(u) = Σ_{(u,v)} a'(v)
+
+    After ``k`` rounds the scores are exact path counts (``a`` counts
+    directed paths of length ``2k-1`` ending at ``v`` walked
+    backward/forward alternately; ``h`` length ``2k``), so they are
+    BIGINTs both engines reproduce bit-for-bit — no L2 normalization,
+    no float drift — and within one round they are RANK-EQUIVALENT to
+    the normalized scores (normalization divides every score by the
+    same scalar). The web-curation reading is the classic one: high
+    ``authority`` = page endorsed by strong hubs (a quality prior for
+    corpus inclusion), high ``hub`` = directory/index page (often a
+    boilerplate-removal target). Complements :func:`pagerank` (global
+    random-surfer mass) with the mutually-reinforcing two-role view.
+
+    Contract notes, mirroring :func:`pagerank`: parallel edges count
+    once per ROW (pre-``distinct`` for simple-graph semantics);
+    self-loops are legal and make a node reinforce itself. Width:
+    scores grow like (Δ_in·Δ_out)^k — with 64-bit headroom keep
+    ``iterations`` small (2-3; the rank signal stabilizes fast). The
+    returned frame is ``(id_col, hub, authority)`` over EVERY node
+    that appears as an endpoint; sources with no in-edges carry
+    authority 0, sinks with no out-edges carry hub 0.
+
+    Plan/scale: per round, two edges⋈scores equi-joins each followed
+    by a partial-combined grouped sum — the Pregel profile, same as
+    :func:`pagerank`/:func:`connected_components`. Score frames are
+    |V|-sized (AQE broadcasts them against a corpus-scale edge list);
+    no driver action anywhere in the loop. The authority frame is
+    lineage-truncated every round (it feeds both the hub update and
+    the final join); the LAST hub round stays lazy so the returned
+    plan keeps one real iteration visible to ``.explain()`` — default
+    ``localCheckpoint``, durable ``checkpoint`` when
+    ``checkpoint_dir`` names a reliable path (:func:`_checkpointer`).
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    ckpt = _checkpointer(checkpoint_dir)
+    e = ckpt(
+        edges.select(F.col(src).alias("es"), F.col(dst).alias("ed")),
+        False,
+    )
+    nodes = ckpt(
+        e.select(F.col("es").alias("v"))
+        .union(e.select(F.col("ed").alias("v")))
+        .distinct(),
+        False,
+    )
+    hub = nodes.select("v", F.lit(1).cast("long").alias("h"))
+    auth = None
+    for it in range(iterations):
+        last = it == iterations - 1
+        a_contrib = (
+            e.join(hub, e["es"] == hub["v"])
+            .groupBy("ed")
+            .agg(F.sum("h").alias("_a"))
+        )
+        auth = (
+            nodes.join(a_contrib, nodes["v"] == a_contrib["ed"], "left")
+            .select(
+                nodes["v"],
+                F.coalesce(F.col("_a"), F.lit(0)).cast("long").alias("a"),
+            )
+        )
+        # always truncated: the round's authority feeds BOTH the hub
+        # update below and (in the last round) the final join — one
+        # materialization instead of two recomputations
+        auth = ckpt(auth, True)
+        h_contrib = (
+            e.join(auth, e["ed"] == auth["v"])
+            .groupBy("es")
+            .agg(F.sum("a").alias("_h"))
+        )
+        hub = (
+            nodes.join(h_contrib, nodes["v"] == h_contrib["es"], "left")
+            .select(
+                nodes["v"],
+                F.coalesce(F.col("_h"), F.lit(0)).cast("long").alias("h"),
+            )
+        )
+        if not last:
+            hub = ckpt(hub, True)
+    return (
+        hub.join(auth, "v")
+        .select(
+            F.col("v").alias(id_col),
+            F.col("h").alias("hub"),
+            F.col("a").alias("authority"),
+        )
+    )

@@ -614,3 +614,164 @@ def av_metadata(media: DataFrame, id_col: str = "id", media_col: str = "media") 
             )
 
     return media.mapInPandas(batches, AV_META_SCHEMA)
+
+
+AUDIO_FRAME_SCHEMA = (
+    "id bigint, decode_status string, frame_idx bigint, "
+    "n_samples bigint, energy bigint, zero_crossings bigint"
+)
+
+
+def audio_frame_features(
+    media: DataFrame,
+    id_col: str = "id",
+    media_col: str = "media",
+    frame_ms: int = 100,
+) -> DataFrame:
+    """Tumbling-window frame features over decoded PCM — the
+    segmentation primitive under every VAD/silence-trim pass a speech
+    corpus pipeline runs before transcription (round-12 continuation;
+    :func:`extract_audio_features` gives whole-file stats, this gives
+    the per-window view those cuts actually need). One output row per
+    (id, frame) with EXACT integers: ``n_samples``, ``energy``
+    (Σ s², where s is the channel-SUMMED sample re-quantized to Q15 —
+    for 16-bit mono PCM s IS the original sample, bit-for-bit) and
+    ``zero_crossings`` (strictly-negative vs non-negative sign flips
+    between CONSECUTIVE samples of the same frame; boundary pairs
+    belong to no frame, so frames are independently recomputable).
+    Integer outputs make the downstream threshold cut
+    (:func:`vad_segments`) engine-exact — no float RMS anywhere.
+
+    The last frame keeps its actual (shorter) sample count. A
+    zero-sample data chunk yields NO frame rows; an undecodable blob
+    yields ONE quarantine row (``decode_status`` prefixed
+    ``undecodable:``, NULL frame fields) — corrupt media must never
+    crash the task. Width: |s| ≤ ch·2¹⁵, so a frame's energy is
+    bounded by n·ch²·2³⁰ — BIGINT-safe for any real frame size.
+
+    Plan/scale: ONE Arrow-batched ``mapInPandas`` pass, vectorized
+    numpy per row (``add.reduceat`` over the frame starts); narrow,
+    no shuffle, output rows ≈ duration/frame_ms per input row.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    if frame_ms < 1:
+        raise ValueError("frame_ms must be >= 1")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rid, b in zip(pdf[id_col], pdf[media_col]):
+                if b is None:
+                    rows.append((rid, "undecodable:null", None, None, None, None))
+                    continue
+                try:
+                    rate, ch, x = decode_audio(bytes(b))
+                except ValueError as exc:
+                    rows.append(
+                        (rid, f"undecodable:{exc}"[:80], None, None, None, None)
+                    )
+                    continue
+                # channel SUM (not mean) keeps the Q15 re-quantization
+                # exact for integer PCM: each normalized channel is
+                # int/2^15 (16-bit), so the sum scaled back by 2^15 is
+                # an exact integer in float64 before rint touches it
+                s = np.rint(x.sum(axis=1) * 32768.0).astype(np.int64)
+                n = len(s)
+                if n == 0:
+                    continue
+                frame_len = max(1, rate * frame_ms // 1000)
+                starts = np.arange(0, n, frame_len)
+                energy = np.add.reduceat(s * s, starts)
+                if n > 1:
+                    flips = (
+                        (s[:-1] < 0) != (s[1:] < 0)
+                    ).astype(np.int64)
+                    # a pair (k, k+1) straddling a frame boundary
+                    # belongs to no frame
+                    flips[frame_len - 1 :: frame_len] = 0
+                    zc = np.add.reduceat(flips, np.minimum(starts, n - 2))
+                    # reduceat with a lone final start can double-count
+                    # the clamped slice; recompute the short tail frames
+                    if len(starts) > 1 and starts[-1] >= n - 1:
+                        zc[-1] = 0
+                else:
+                    zc = np.zeros(len(starts), dtype=np.int64)
+                counts = np.diff(np.append(starts, n))
+                for f in range(len(starts)):
+                    rows.append(
+                        (
+                            rid, "ok", f, int(counts[f]),
+                            int(energy[f]), int(zc[f]),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "decode_status", "frame_idx", "n_samples",
+                    "energy", "zero_crossings",
+                ],
+            ).astype(
+                {
+                    "frame_idx": "Int64", "n_samples": "Int64",
+                    "energy": "Int64", "zero_crossings": "Int64",
+                }
+            )
+
+    return media.mapInPandas(batches, AUDIO_FRAME_SCHEMA)
+
+
+def vad_segments(
+    frames: DataFrame,
+    mean_square_threshold: int,
+    id_col: str = "id",
+    frame_col: str = "frame_idx",
+    energy_col: str = "energy",
+    n_col: str = "n_samples",
+) -> DataFrame:
+    """Voice-activity segments from the :func:`audio_frame_features`
+    table: a frame is SPEECH iff ``energy >= mean_square_threshold ·
+    n_samples`` (the mean-square test kept as an exact integer
+    product — no division, no float), and consecutive speech frames
+    merge into one segment. Returns one row per (id, segment) —
+    ``segment_idx`` (1-based per id), ``start_frame``, ``end_frame``,
+    ``n_frames``, ``total_energy`` — the cut list a silence-trimming
+    pipeline feeds back into the waveform.
+
+    Plan/scale: threshold filter (pushable into the frame scan), then
+    the classic gap-detection lag + running-sum pair sharing ONE
+    per-id window partition (bounded by frames-per-recording), and a
+    partial-combined groupBy finish. Same shape as
+    :func:`~gem_data_wrangle_spark.operators.aggregates.sessionize`.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    if mean_square_threshold < 0:
+        raise ValueError("mean_square_threshold must be >= 0")
+    w = Window.partitionBy(id_col).orderBy(frame_col)
+    speech = frames.filter(
+        F.col(energy_col)
+        >= F.lit(mean_square_threshold).cast("long") * F.col(n_col)
+    )
+    brk = F.when(
+        F.lag(frame_col).over(w).isNull()
+        | (F.col(frame_col) - F.lag(frame_col).over(w) != 1),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    seg = speech.withColumn(
+        "_seg", F.sum(brk).over(w).cast("long")
+    )
+    return (
+        seg.groupBy(id_col, "_seg")
+        .agg(
+            F.min(frame_col).cast("long").alias("start_frame"),
+            F.max(frame_col).cast("long").alias("end_frame"),
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(energy_col).cast("long").alias("total_energy"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_seg").alias("segment_idx"),
+            "start_frame", "end_frame", "n_frames", "total_energy",
+        )
+    )

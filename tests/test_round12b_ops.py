@@ -1,0 +1,226 @@
+"""Round-12 continuation operators: HITS hub/authority scores,
+windowed audio frame features, and VAD segment merging.
+
+Reference scope note: none of these exist in the reference (R scripts,
+tabular GEM pipelines) — they are extension-surface operators for the
+LLM-corpus use cases (host-graph curation priors; speech-corpus
+silence trimming), with exact-integer contracts so the driver oracle
+replays them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gem_data_wrangle_spark.operators.graph import hits_scores
+from gem_data_wrangle_spark.operators.multimodal import (
+    audio_frame_features,
+    vad_segments,
+)
+
+
+def _wav(samples, rate=1000, channels=1, bits=16):
+    """Minimal RIFF/WAVE PCM container around raw samples."""
+    if bits == 16:
+        raw = np.asarray(samples, dtype="<i2").tobytes()
+    elif bits == 8:
+        raw = np.asarray(samples, dtype=np.uint8).tobytes()
+    else:
+        raise ValueError(bits)
+    block = channels * bits // 8
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little") + bits.to_bytes(2, "little")
+    )
+    data = b"data" + len(raw).to_bytes(4, "little") + raw
+    return (
+        b"RIFF" + (4 + len(fmt) + len(data)).to_bytes(4, "little")
+        + b"WAVE" + fmt + data
+    )
+
+
+# --------------------------------------------------------------------
+# HITS
+# --------------------------------------------------------------------
+
+def test_hits_worked_example(spark):
+    # a→c, b→c, c→d; two unnormalized rounds by hand:
+    #   a1 = in-degree: c=2, d=1
+    #   h1: a=a1(c)=2, b=2, c=a1(d)=1
+    #   a2: c=h1(a)+h1(b)=4, d=h1(c)=1
+    #   h2: a=a2(c)=4, b=4, c=a2(d)=1
+    e = spark.createDataFrame(
+        [("a", "c"), ("b", "c"), ("c", "d")], "s string, d string"
+    )
+    out = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits_scores(e, "s", "d", iterations=2).collect()
+    }
+    assert out == {"a": (4, 0), "b": (4, 0), "c": (1, 4), "d": (0, 1)}
+
+
+def test_hits_one_iteration_authority_is_indegree(spark):
+    e = spark.createDataFrame(
+        [(1, 3), (2, 3), (2, 4), (3, 4), (4, 1)], "s long, d long"
+    )
+    out = {
+        r["node"]: r["authority"]
+        for r in hits_scores(e, "s", "d", iterations=1).collect()
+    }
+    assert out == {1: 1, 2: 0, 3: 2, 4: 2}
+
+
+def test_hits_self_loop_and_validation(spark):
+    # a self-loop makes the node reinforce itself (documented contract)
+    e = spark.createDataFrame([(1, 1)], "s long, d long")
+    [r] = hits_scores(e, "s", "d", iterations=2).collect()
+    assert (r["node"], r["hub"], r["authority"]) == (1, 1, 1)
+    with pytest.raises(ValueError, match="iterations"):
+        hits_scores(e, "s", "d", iterations=0)
+
+
+def test_hits_types_are_long(spark):
+    e = spark.createDataFrame([(1, 2)], "s long, d long")
+    schema = hits_scores(e, "s", "d").schema
+    assert schema["hub"].dataType.simpleString() == "bigint"
+    assert schema["authority"].dataType.simpleString() == "bigint"
+
+
+# --------------------------------------------------------------------
+# audio frame features
+# --------------------------------------------------------------------
+
+def test_audio_frames_worked_example(spark):
+    # rate 1000 Hz, frame_ms=2 → 2 samples/frame; last frame partial.
+    # samples [3,-3 | 0,0 | 5,-5 | 7,8 | 9]:
+    #   f0: energy 9+9=18, one flip (3→-3)
+    #   f1: silence, 0 flips (boundary pair -3→0 belongs to no frame)
+    #   f2: 25+25=50, one flip
+    #   f3: 49+64=113, 0 flips
+    #   f4: 1 sample, 81, 0 flips (no intra-frame pair)
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav([3, -3, 0, 0, 5, -5, 7, 8, 9])))],
+        "id long, media binary",
+    )
+    rows = [
+        tuple(r)
+        for r in audio_frame_features(df, frame_ms=2)
+        .orderBy("frame_idx")
+        .collect()
+    ]
+    assert rows == [
+        (1, "ok", 0, 2, 18, 1),
+        (1, "ok", 1, 2, 0, 0),
+        (1, "ok", 2, 2, 50, 1),
+        (1, "ok", 3, 2, 113, 0),
+        (1, "ok", 4, 1, 81, 0),
+    ]
+
+
+def test_audio_frames_quarantines_undecodable(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not a wav")), (2, None)], "id long, media binary"
+    )
+    rows = {
+        r["id"]: r["decode_status"]
+        for r in audio_frame_features(df).collect()
+    }
+    assert rows[1].startswith("undecodable:")
+    assert rows[2] == "undecodable:null"
+
+
+def test_audio_frames_stereo_channel_sum_is_exact(spark):
+    # stereo 16-bit: the Q15 re-quantized mono sample is the exact
+    # integer SUM of the channels — energy = (a+b)² per pair
+    inter = [100, -300, 7, 7]  # frames of (L,R): (100,-300), (7,7)
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav(inter, rate=1000, channels=2)))],
+        "id long, media binary",
+    )
+    rows = [
+        tuple(r)
+        for r in audio_frame_features(df, frame_ms=2)
+        .orderBy("frame_idx")
+        .collect()
+    ]
+    # mono = [-200, 14]; one frame of 2 samples: energy 40000+196,
+    # one sign flip
+    assert rows == [(1, "ok", 0, 2, 40196, 1)]
+
+
+def test_audio_frames_8bit_pcm_exact(spark):
+    # 8-bit unsigned PCM u → (u-128)*256 exactly under Q15
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav([128, 129, 127], rate=1000, bits=8)))],
+        "id long, media binary",
+    )
+    [r] = audio_frame_features(df, frame_ms=3).collect()
+    # samples 0, 256, -256: energy 0 + 65536 + 65536; flip 256→-256
+    assert (r["n_samples"], r["energy"], r["zero_crossings"]) == (
+        3, 131072, 1,
+    )
+
+
+def test_audio_frames_validates_frame_ms(spark):
+    df = spark.createDataFrame([(1, None)], "id long, media binary")
+    with pytest.raises(ValueError, match="frame_ms"):
+        audio_frame_features(df, frame_ms=0)
+
+
+def test_audio_frames_empty_data_chunk_yields_no_rows(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav([])))], "id long, media binary"
+    )
+    assert audio_frame_features(df).count() == 0
+
+
+# --------------------------------------------------------------------
+# VAD segments
+# --------------------------------------------------------------------
+
+def test_vad_segments_merges_consecutive_speech(spark):
+    frames = spark.createDataFrame(
+        # id, frame, n, energy: speech at mean-square >= 9
+        [
+            (1, 0, 2, 18),   # speech
+            (1, 1, 2, 0),    # silence
+            (1, 2, 2, 50),   # speech ┐ consecutive → one segment
+            (1, 3, 2, 113),  # speech │
+            (1, 4, 1, 81),   # speech ┘
+            (2, 0, 2, 17),   # 17 < 2*9 → silence; id 2 has no segments
+        ],
+        "id long, frame_idx long, n_samples long, energy long",
+    )
+    segs = [
+        tuple(r)
+        for r in vad_segments(frames, 9)
+        .orderBy("id", "segment_idx")
+        .collect()
+    ]
+    assert segs == [(1, 1, 0, 0, 1, 18), (1, 2, 2, 4, 3, 244)]
+
+
+def test_vad_threshold_is_inclusive_integer_compare(spark):
+    frames = spark.createDataFrame(
+        [(1, 0, 3, 27), (1, 1, 3, 26)],
+        "id long, frame_idx long, n_samples long, energy long",
+    )
+    # 27 >= 9*3 passes; 26 fails — no float division anywhere
+    segs = vad_segments(frames, 9).collect()
+    assert len(segs) == 1 and segs[0]["start_frame"] == 0
+    with pytest.raises(ValueError, match="threshold"):
+        vad_segments(frames, -1)
+
+
+def test_vad_zero_threshold_keeps_everything_as_one_run(spark):
+    frames = spark.createDataFrame(
+        [(1, 0, 2, 0), (1, 1, 2, 5), (1, 2, 2, 0)],
+        "id long, frame_idx long, n_samples long, energy long",
+    )
+    segs = vad_segments(frames, 0).collect()
+    assert len(segs) == 1
+    assert (segs[0]["n_frames"], segs[0]["total_energy"]) == (3, 5)

@@ -133,6 +133,9 @@ CASES = {
     "nfc_canonical_hashes": "Unicode NFC canonicalization — deterministic decomposition injection in codegen, ONE Arrow mapInPandas normalization pass, md5 finish; narrow end to end",
     "host_k_core": "k-core 3-peel — per round ONE partial-combined degree aggregate + two anti-joins of the shrinking edge set against the AQE-broadcastable peel frontier; rounds are checkpoint-truncated, so the captured plan is the FINAL degree aggregate over the last checkpointed edge set",
     "fwf_roundtrip_orders": "fixed-width roundtrip — text sink + CSV-routed distributed header skip, quote handling off, narrow substring/try_cast projection, ONE partial-combined group aggregate",
+    "host_hits": "HITS 2 fixed rounds — per round two edges⋈scores equi-joins each feeding a partial-combined grouped sum (the Pregel profile); authority rounds checkpoint-truncated, so the captured plan is the LAST hub round + final |V|-sized join",
+    "audio_frame_energy": "windowed audio frames — synth mapInPandas + frame mapInPandas back to back, both Arrow; narrow end to end, zero exchanges before the sink",
+    "vad_speech_segments": "VAD segment merge — integer threshold filter on the frame table, lag + running-sum sharing ONE per-id window partition, partial-combined groupBy finish",
 }
 
 INTERESTING = (
