@@ -8852,6 +8852,115 @@ def _q_vad_speech_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.vad_segments(frames, 1_000_000)
 
 
+# --------------------------------------------------------------------
+# extension: image perceptual dedup (round 12 continuation) — the
+# multimodal mirror of the text near-dup stack: dHash signatures over
+# REAL decoded pixels, then banded Hamming pairs. Synth: 36×32
+# grayscale PNGs (boxes divide evenly → equal counts) whose gradient
+# STRUCTURE is bucket-dependent (dHash is invariant to constant
+# brightness shifts, so bucket bases must differ in slope, not
+# offset) plus a one-pixel per-doc perturbation; measured at 500
+# docs: exactly the 2250 same-bucket pairs at distance ≤4, zero
+# cross-bucket. The oracle replays pixel → box-sum → gradient-bit →
+# packed halves in SQL and brute-forces pairs with bit_count(xor) —
+# Spark never does all-pairs (6-band pigeonhole join).
+# --------------------------------------------------------------------
+def _synth_dhash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it):
+        ks = np.arange(1152)
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                b = did % 50
+                p = (ks * (7 + 2 * b) + b * 31) % 256
+                k0 = did % 1152
+                p[k0] = (p[k0] + 128) % 256
+                payloads.append(
+                    M.encode_png(36, 32, 1, p.astype(np.uint8).tobytes())
+                )
+            yield pd.DataFrame({"id": pdf["doc_id"], "media": payloads})
+
+    return _spread(spark, docs).mapInPandas(synth, "id bigint, media binary")
+
+
+_DHASH_CTES = """
+    WITH d AS (
+      SELECT doc_id, doc_id % 50 AS b, doc_id % 1152 AS k0 FROM documents
+    ), px AS (
+      SELECT doc_id, b, k0, unnest(range(1152)) AS k FROM d
+    ), v AS (
+      SELECT doc_id, k % 36 AS x, k // 36 AS y,
+             CASE WHEN k = k0
+                  THEN ((k * (7 + 2 * b) + b * 31) % 256 + 128) % 256
+                  ELSE (k * (7 + 2 * b) + b * 31) % 256 END AS p
+      FROM px
+    ), bx AS (
+      SELECT doc_id, y // 4 AS gy, x // 4 AS gx,
+             CAST(sum(p) AS BIGINT) AS s
+      FROM v GROUP BY doc_id, y // 4, x // 4
+    ), bits AS (
+      SELECT l.doc_id, l.gy, l.gx,
+             CASE WHEN l.s > r.s THEN 1 ELSE 0 END AS bit
+      FROM bx l JOIN bx r
+        ON l.doc_id = r.doc_id AND l.gy = r.gy AND r.gx = l.gx + 1
+    ), h AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN gy >= 4
+                           THEN bit * (1::BIGINT << ((gy - 4) * 8 + gx))
+                           ELSE 0 END) AS BIGINT) AS hash_hi,
+             CAST(sum(CASE WHEN gy < 4
+                           THEN bit * (1::BIGINT << (gy * 8 + gx))
+                           ELSE 0 END) AS BIGINT) AS hash_lo
+      FROM bits GROUP BY doc_id
+    )
+"""
+
+
+@_register(
+    "image_dhash_hashes",
+    _DHASH_CTES
+    + """
+    SELECT doc_id AS id, 'ok' AS decode_status,
+           36 AS width, 32 AS height, hash_hi, hash_lo
+    FROM h
+    """,
+)
+def _q_image_dhash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _synth_dhash_media(spark, sf_dir)
+    return M.image_dhash(media)
+
+
+@_register(
+    "image_neardup_pairs",
+    _DHASH_CTES
+    + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.hash_hi, b.hash_hi))
+                + bit_count(xor(a.hash_lo, b.hash_lo)) AS BIGINT)
+             AS distance
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+          + bit_count(xor(a.hash_lo, b.hash_lo)) <= 4
+    """,
+)
+def _q_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.dedup import (  # noqa: PLC0415
+        packed_hamming_pairs,
+    )
+
+    media = _synth_dhash_media(spark, sf_dir)
+    hashes = M.image_dhash(media).select("id", "hash_hi", "hash_lo")
+    return packed_hamming_pairs(
+        hashes, "id", ["hash_hi", "hash_lo"], max_distance=4
+    )
+
+
 # NOTE (round 12): textops.compression_signals (the RefinedWeb-style
 # DEFLATE-ratio quality signal) is deliberately NOT registered as a
 # driver query — zlib has no DuckDB replay, and since round 5 every
@@ -9222,6 +9331,9 @@ _DEFER_TO_TAIL = [
     "filter_null_or_ge",       # r05 green; cleaning.py:98 unchanged since r4
     "replace_value_global",    # r05 green; cleaning.py:105 unchanged since r4
     "distinct_rows",           # r05 green; aggregates.py:46 unchanged since r4
+    "join_lookup_dim",         # r05 green own row (r11 indirectly via all
+                               # GEM pipelines); joins.py:41 unchanged
+    "split_ownership_equal",   # r05 green; kernels.py:31 unchanged since r6
 ]
 
 
@@ -9397,6 +9509,8 @@ _DEFER_HASHES: dict[str, str] = {
     "filter_null_or_ge": "90ec3885d87582ea",
     "replace_value_global": "0db49e1c90a3bb0c",
     "distinct_rows": "d6a3fb3ccb0f0551",
+    "join_lookup_dim": "2246a2f805501cff",
+    "split_ownership_equal": "76e8ae050bedbaa2",
 }
 
 

@@ -122,6 +122,10 @@ HEADLINE = [
     "nfc_canonical_hashes",
     "host_hits",
     "vad_speech_segments",
+    # round 12: image perceptual dedup end-to-end (synth + decode +
+    # dHash mapInPandas passes, 6-band Hamming equi-join + bit_count
+    # verify — the multimodal mirror of the text near-dup stack)
+    "image_neardup_pairs",
 ]
 
 

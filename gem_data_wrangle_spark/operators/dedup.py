@@ -1272,3 +1272,105 @@ def minhash_containment_join(
             ((cont - cont % cden) / cden).cast("long"), F.lit(1_000_000)
         ).alias("containment_ppm"),
     )
+
+
+def packed_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    chunk_cols: list[str],
+    chunk_bits: int = 32,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Banded Hamming-distance pair join over a signature packed into
+    integer CHUNK columns — the generic sibling of
+    :func:`simhash_candidate_pairs` (which owns the text→SimHash
+    path): any fixed-width bit signature works, e.g. the two 32-bit
+    halves of :func:`~gem_data_wrangle_spark.operators.multimodal.
+    image_dhash`, sign-LSH bucket codes, or feature bitmaps. Returns
+    ``(id_a, id_b, distance)`` for every UNORDERED pair at Hamming
+    distance ≤ ``max_distance`` across the concatenated chunks —
+    exact (the verify recomputes the true distance), with NO false
+    negatives: the bands tile all ``len(chunk_cols)·chunk_bits`` bits
+    into ≥ ``max_distance+1`` slices, so ≤ ``max_distance`` flipped
+    bits must leave at least one band untouched (pigeonhole).
+
+    Plan/scale: per row, a ``max_distance+1``-ish way band explode
+    (shift/mask in codegen, never a UDF); candidates come from ONE
+    (band_idx, band_value) equi-self-join — never all-pairs — then a
+    distinct and a fixed ``bit_count(a XOR b)`` sum per chunk, all
+    JVM-side. Same cost profile and skew caveat as the SimHash
+    banding: a band value shared by b rows contributes b² candidates,
+    so degenerate corpora (all-black thumbnails) should be
+    pre-deduplicated exactly first (:func:`exact_dedup`).
+    """
+    n_chunks = len(chunk_cols)
+    if n_chunks < 1:
+        raise ValueError("need at least one chunk column")
+    if max_distance < 0:
+        raise ValueError("max_distance must be >= 0")
+    if max_distance + 1 > n_chunks * chunk_bits:
+        raise ValueError(
+            "max_distance + 1 bands cannot exceed the "
+            f"{n_chunks * chunk_bits} signature bits"
+        )
+    bands_per_chunk = -(-(max_distance + 1) // n_chunks)  # ceil
+    bounds = [
+        j * chunk_bits // bands_per_chunk for j in range(bands_per_chunk + 1)
+    ]
+    band_structs = []
+    for ci, cname in enumerate(chunk_cols):
+        for j in range(bands_per_chunk):
+            lo, hi = bounds[j], bounds[j + 1]
+            mask = (1 << (hi - lo)) - 1
+            band_structs.append(
+                F.struct(
+                    F.lit(ci * bands_per_chunk + j).alias("_bi"),
+                    F.shiftright(F.col(cname), lo)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("_bv"),
+                )
+            )
+    sig = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in chunk_cols],
+        F.explode(F.array(*band_structs)).alias("_band"),
+    ).select(
+        id_col, *chunk_cols,
+        F.col("_band._bi").alias("_bi"),
+        F.col("_band._bv").alias("_bv"),
+    )
+    a = sig.select(
+        F.col(id_col).alias("_ida"),
+        *[F.col(c).alias(f"_a_{c}") for c in chunk_cols],
+        "_bi", "_bv",
+    )
+    b = sig.select(
+        F.col(id_col).alias("_idb"),
+        *[F.col(c).alias(f"_b_{c}") for c in chunk_cols],
+        "_bi", "_bv",
+    )
+    cand = (
+        a.join(b, ["_bi", "_bv"])
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select(
+            "_ida", "_idb",
+            *[F.col(f"_a_{c}") for c in chunk_cols],
+            *[F.col(f"_b_{c}") for c in chunk_cols],
+        )
+        .distinct()
+    )
+    dist = None
+    for c in chunk_cols:
+        term = F.bit_count(
+            F.col(f"_a_{c}").bitwiseXOR(F.col(f"_b_{c}"))
+        ).cast("long")
+        dist = term if dist is None else dist + term
+    return (
+        cand.withColumn("distance", dist)
+        .filter(F.col("distance") <= max_distance)
+        .select(
+            F.col("_ida").alias("id_a"),
+            F.col("_idb").alias("id_b"),
+            "distance",
+        )
+    )

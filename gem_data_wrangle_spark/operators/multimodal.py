@@ -775,3 +775,103 @@ def vad_segments(
             "start_frame", "end_frame", "n_frames", "total_energy",
         )
     )
+
+
+IMAGE_DHASH_SCHEMA = (
+    "id bigint, decode_status string, width int, height int, "
+    "hash_hi bigint, hash_lo bigint"
+)
+
+
+def image_dhash(
+    media: DataFrame,
+    id_col: str = "id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) over REAL decoded pixels —
+    the standard cheap image near-duplicate signature (Krawetz's
+    9×8-gradient formulation): resample the luminance plane to an
+    8-row × 9-column grid of box sums and emit one bit per adjacent
+    horizontal pair — ``1`` iff the LEFT box is brighter. Re-encodes,
+    resizes and mild compression artifacts keep the gradient
+    structure, so near-identical images land within a small Hamming
+    distance; pair them with
+    :func:`~gem_data_wrangle_spark.operators.dedup.packed_hamming_pairs`.
+
+    EXACT integer contract (the property every graded hash here
+    keeps): luminance is the integer BT.601 form ``299·R + 587·G +
+    114·B`` (scaled ×1000; grayscale uses ``1000·L``; alpha ignored),
+    boxes are the floor grid ``x ∈ [c·W//9, (c+1)·W//9)`` — and since
+    floor boxes can differ in pixel count, brightness is compared by
+    integer CROSS-MULTIPLICATION (``S_l·n_r > S_r·n_l``), never a
+    float mean. Width: the products are bounded by
+    255000·(WH/72)² — BIGINT-safe beyond 400-megapixel inputs.
+
+    The 64 bits ship as two BIGINT halves — ``hash_lo`` = grid rows
+    0-3, ``hash_hi`` = rows 4-7, bit ``(r mod 4)·8 + c`` within each —
+    so neither half ever touches the sign bit (an engine-portable
+    encoding; a single 64-bit value would go negative on bit 63).
+    Images narrower than 9 px or shorter than 8 px quarantine as
+    ``too_small``; undecodable bytes quarantine per row like every
+    probe in this module.
+
+    Plan/scale: ONE Arrow-batched ``mapInPandas`` decode+hash pass;
+    narrow, no shuffle, cost linear in pixels.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rid, b in zip(pdf[id_col], pdf[media_col]):
+                if b is None:
+                    rows.append((rid, "undecodable:null", None, None, None, None))
+                    continue
+                try:
+                    w, h, ch, pix = decode_image(bytes(b))
+                except ValueError as exc:
+                    rows.append(
+                        (rid, f"undecodable:{exc}"[:80], None, None, None, None)
+                    )
+                    continue
+                if w < 9 or h < 8:
+                    rows.append((rid, "too_small", w, h, None, None))
+                    continue
+                a = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, ch)
+                if ch >= 3:
+                    lum = (
+                        299 * a[:, :, 0].astype(np.int64)
+                        + 587 * a[:, :, 1].astype(np.int64)
+                        + 114 * a[:, :, 2].astype(np.int64)
+                    )
+                else:  # L or LA: first band is the luminance plane
+                    lum = 1000 * a[:, :, 0].astype(np.int64)
+                ys = (np.arange(9) * h) // 8  # 8 row-bands
+                xs = (np.arange(10) * w) // 9  # 9 column-bands
+                # per-box integer sums via two reduceat passes
+                col = np.add.reduceat(lum, xs[:-1], axis=1)
+                box = np.add.reduceat(col, ys[:-1], axis=0)  # (8, 9)
+                ny = np.diff(ys)[:, None]
+                nx = np.diff(xs)[None, :]
+                cnt = (ny * nx).astype(np.int64)  # (8, 9) pixel counts
+                left = box[:, :-1] * cnt[:, 1:]
+                right = box[:, 1:] * cnt[:, :-1]
+                bits = (left > right).astype(np.int64)  # (8, 8)
+                weights = 1 << (np.arange(32, dtype=np.int64))
+                lo = int((bits[:4].reshape(-1) * weights).sum())
+                hi = int((bits[4:].reshape(-1) * weights).sum())
+                rows.append((rid, "ok", w, h, hi, lo))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "decode_status", "width", "height",
+                    "hash_hi", "hash_lo",
+                ],
+            ).astype(
+                {
+                    "width": "Int32", "height": "Int32",
+                    "hash_hi": "Int64", "hash_lo": "Int64",
+                }
+            )
+
+    return media.mapInPandas(batches, IMAGE_DHASH_SCHEMA)

@@ -224,3 +224,110 @@ def test_vad_zero_threshold_keeps_everything_as_one_run(spark):
     segs = vad_segments(frames, 0).collect()
     assert len(segs) == 1
     assert (segs[0]["n_frames"], segs[0]["total_energy"]) == (3, 5)
+
+
+# --------------------------------------------------------------------
+# image dHash + packed Hamming pairs
+# --------------------------------------------------------------------
+
+def _png(w, h, ch, arr):
+    from gem_data_wrangle_spark.operators.multimodal import encode_png
+
+    return bytearray(
+        encode_png(w, h, ch, np.asarray(arr, dtype=np.uint8).tobytes())
+    )
+
+
+def test_image_dhash_gradient_extremes_and_quarantines(spark):
+    from gem_data_wrangle_spark.operators.multimodal import image_dhash
+
+    desc = np.tile(np.arange(9)[::-1] * 20, (8, 1))  # left always brighter
+    asc = np.tile(np.arange(9) * 20, (8, 1))
+    df = spark.createDataFrame(
+        [
+            (1, _png(9, 8, 1, desc)),
+            (2, _png(9, 8, 1, asc)),
+            (3, _png(4, 4, 1, np.zeros((4, 4)))),
+            (4, None),
+        ],
+        "id long, media binary",
+    )
+    rows = {r["id"]: tuple(r) for r in image_dhash(df).collect()}
+    assert rows[1] == (1, "ok", 9, 8, 4294967295, 4294967295)
+    assert rows[2] == (2, "ok", 9, 8, 0, 0)
+    assert rows[3][1] == "too_small"
+    assert rows[4][1] == "undecodable:null"
+
+
+def test_image_dhash_invariant_to_constant_brightness_shift(spark):
+    # dHash compares adjacent boxes, so a +10 shift (no wraparound)
+    # must not move a single bit — the property that makes it a
+    # re-encode-robust near-dup signature
+    from gem_data_wrangle_spark.operators.multimodal import image_dhash
+
+    rng = np.arange(36 * 32).reshape(32, 36)
+    base = (rng * 7) % 200  # headroom for +10
+    df = spark.createDataFrame(
+        [(1, _png(36, 32, 1, base)), (2, _png(36, 32, 1, base + 10))],
+        "id long, media binary",
+    )
+    rows = {r["id"]: (r["hash_hi"], r["hash_lo"]) for r in image_dhash(df).collect()}
+    assert rows[1] == rows[2]
+
+
+def test_image_dhash_bt601_luminance_weights(spark):
+    # left half pure green, right half pure red: 587G > 299R, so every
+    # left box is brighter -> all bits 1 in columns crossing the seam
+    # ... simplest full check: green-left/red-right 9x8 RGB
+    from gem_data_wrangle_spark.operators.multimodal import image_dhash
+
+    img = np.zeros((8, 9, 3), dtype=np.uint8)
+    img[:, :5, 1] = 255  # green left
+    img[:, 5:, 0] = 255  # red right
+    df = spark.createDataFrame([(1, _png(9, 8, 3, img))], "id long, media binary")
+    [r] = image_dhash(df).collect()
+    # bit c is 1 iff box c brighter than c+1: columns 0-3 equal green
+    # (0), column 4 green vs red (1), columns 5-7 equal red (0)
+    # -> per row byte 0b00010000 = 16; rows identical
+    expect = sum(16 << (i * 8) for i in range(4))
+    assert (r["hash_hi"], r["hash_lo"]) == (expect, expect)
+
+
+def test_packed_hamming_pairs_worked_and_pigeonhole(spark):
+    from gem_data_wrangle_spark.operators.dedup import packed_hamming_pairs
+
+    h = spark.createDataFrame(
+        [(1, 0, 0b1100), (2, 0, 0b0000), (3, 0b1, 0b1110)],
+        "id long, hash_hi long, hash_lo long",
+    )
+    out = sorted(
+        tuple(r)
+        for r in packed_hamming_pairs(
+            h, "id", ["hash_hi", "hash_lo"], max_distance=2
+        ).collect()
+    )
+    # 1↔2 differ in 2 bits; 1↔3 in 2 (one per half); 2↔3 in 4 (excluded)
+    assert out == [(1, 2, 2), (1, 3, 2)]
+    # flips concentrated inside ONE band are still found (the verify
+    # is exact; the bands only generate candidates)
+    h2 = spark.createDataFrame(
+        [(1, 0, 0), (2, 0, 0b11)], "id long, hash_hi long, hash_lo long"
+    )
+    assert [
+        tuple(r)
+        for r in packed_hamming_pairs(
+            h2, "id", ["hash_hi", "hash_lo"], max_distance=2
+        ).collect()
+    ] == [(1, 2, 2)]
+
+
+def test_packed_hamming_pairs_validates(spark):
+    from gem_data_wrangle_spark.operators.dedup import packed_hamming_pairs
+
+    h = spark.createDataFrame([(1, 0)], "id long, c long")
+    with pytest.raises(ValueError, match="chunk column"):
+        packed_hamming_pairs(h, "id", [], max_distance=1)
+    with pytest.raises(ValueError, match="max_distance"):
+        packed_hamming_pairs(h, "id", ["c"], max_distance=-1)
+    with pytest.raises(ValueError, match="signature bits"):
+        packed_hamming_pairs(h, "id", ["c"], chunk_bits=2, max_distance=2)

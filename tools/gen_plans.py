@@ -136,6 +136,8 @@ CASES = {
     "host_hits": "HITS 2 fixed rounds — per round two edges⋈scores equi-joins each feeding a partial-combined grouped sum (the Pregel profile); authority rounds checkpoint-truncated, so the captured plan is the LAST hub round + final |V|-sized join",
     "audio_frame_energy": "windowed audio frames — synth mapInPandas + frame mapInPandas back to back, both Arrow; narrow end to end, zero exchanges before the sink",
     "vad_speech_segments": "VAD segment merge — integer threshold filter on the frame table, lag + running-sum sharing ONE per-id window partition, partial-combined groupBy finish",
+    "image_dhash_hashes": "image dHash — synth mapInPandas + decode+hash mapInPandas, both Arrow; narrow end to end, zero exchanges before the sink",
+    "image_neardup_pairs": "banded Hamming pairs — shift/mask band explode in codegen, ONE (band, value) equi-self-join + distinct, fixed bit_count(xor) verify; never all-pairs",
 }
 
 INTERESTING = (
