@@ -1321,13 +1321,19 @@ def packed_hamming_pairs(
     for ci, cname in enumerate(chunk_cols):
         for j in range(bands_per_chunk):
             lo, hi = bounds[j], bounds[j + 1]
-            mask = (1 << (hi - lo)) - 1
+            # the TOP band of each chunk is unmasked (plain shift), so
+            # any bits ABOVE the declared chunk_bits — a caller whose
+            # values are wider than advertised — still land in a band
+            # and the no-false-negative pigeonhole holds over the full
+            # stored value, not just its low chunk_bits
+            shifted = F.shiftright(F.col(cname), lo)
+            if j < bands_per_chunk - 1:
+                mask = (1 << (hi - lo)) - 1
+                shifted = shifted.bitwiseAND(F.lit(mask))
             band_structs.append(
                 F.struct(
                     F.lit(ci * bands_per_chunk + j).alias("_bi"),
-                    F.shiftright(F.col(cname), lo)
-                    .bitwiseAND(F.lit(mask))
-                    .alias("_bv"),
+                    shifted.alias("_bv"),
                 )
             )
     sig = df.select(

@@ -331,3 +331,23 @@ def test_packed_hamming_pairs_validates(spark):
         packed_hamming_pairs(h, "id", ["c"], max_distance=-1)
     with pytest.raises(ValueError, match="signature bits"):
         packed_hamming_pairs(h, "id", ["c"], chunk_bits=2, max_distance=2)
+
+
+def test_packed_hamming_pairs_wide_values_still_pigeonhole(spark):
+    # values wider than the declared chunk_bits: the unmasked top band
+    # still captures the high bits, so a pair differing ONLY above
+    # chunk_bits is banded (and the exact verify counts those bits)
+    from gem_data_wrangle_spark.operators.dedup import packed_hamming_pairs
+
+    wide = 1 << 40
+    h = spark.createDataFrame(
+        [(1, wide), (2, wide | 0b1), (3, 0)], "id long, c long"
+    )
+    out = sorted(
+        tuple(r)
+        for r in packed_hamming_pairs(
+            h, "id", ["c"], chunk_bits=32, max_distance=2
+        ).collect()
+    )
+    # 1↔2 distance 1 (low bit); 1↔3 and 2↔3 differ in bit 40 (+ bit 0)
+    assert out == [(1, 2, 1), (1, 3, 1), (2, 3, 2)]
