@@ -238,6 +238,10 @@ _INT32_ALLOWED: dict[str, frozenset] = {
         {"width", "height", "bpp", "compression", "top_down", "row_stride",
          "data_offset", "palette_colors"}
     ),
+    "image_dhash_hashes": frozenset(
+        {"width", "height"}  # decoded pixel dims; descriptive only —
+        # every hash-side product is int64 numpy before it ships
+    ),
     "mp4_probe": frozenset({"n_tracks", "width", "height"}),
     "mp4_sample_offsets": frozenset(
         {"sample_idx", "chunk_idx", "size", "is_sync"}
