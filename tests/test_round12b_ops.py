@@ -351,3 +351,156 @@ def test_packed_hamming_pairs_wide_values_still_pigeonhole(spark):
     )
     # 1↔2 distance 1 (low bit); 1↔3 and 2↔3 differ in bit 40 (+ bit 0)
     assert out == [(1, 2, 1), (1, 3, 1), (2, 3, 2)]
+
+
+# --------------------------------------------------------------------
+# differential fuzz: operator vs naive recompute on seeded random data
+# (the test_differential_fuzz.py discipline for the round-12 families)
+# --------------------------------------------------------------------
+
+def test_fuzz_packed_hamming_matches_bruteforce(spark):
+    import random
+
+    from gem_data_wrangle_spark.operators.dedup import packed_hamming_pairs
+
+    rng = random.Random(1202)
+    sigs = []
+    for i in range(40):
+        if i % 4 == 0 and sigs:  # plant near-dups: mutate a prior sig
+            base_hi, base_lo = sigs[rng.randrange(len(sigs))][1:]
+            for _ in range(rng.randrange(3)):
+                if rng.random() < 0.5:
+                    base_hi ^= 1 << rng.randrange(32)
+                else:
+                    base_lo ^= 1 << rng.randrange(32)
+            sigs.append((i, base_hi, base_lo))
+        else:
+            sigs.append(
+                (i, rng.getrandbits(32), rng.getrandbits(32))
+            )
+    df = spark.createDataFrame(sigs, "id long, hi long, lo long")
+    for d in (1, 3):
+        got = sorted(
+            tuple(r)
+            for r in packed_hamming_pairs(
+                df, "id", ["hi", "lo"], max_distance=d
+            ).collect()
+        )
+        want = sorted(
+            (a, b, bin(ha ^ hb).count("1") + bin(la ^ lb).count("1"))
+            for ai, (a, ha, la) in enumerate(sigs)
+            for b, hb, lb in sigs[ai + 1 :]
+            if bin(ha ^ hb).count("1") + bin(la ^ lb).count("1") <= d
+        )
+        assert got == want, f"d={d}: {got} != {want}"
+
+
+def test_fuzz_audio_frames_match_naive(spark):
+    import random
+
+    from gem_data_wrangle_spark.operators.multimodal import (
+        audio_frame_features,
+    )
+
+    rng = random.Random(77)
+    frame_len = 5  # rate 1000 Hz, frame_ms 5
+    cases = {}
+    rows = []
+    for rid, n in enumerate([1, 4, 5, 6, 23, 50]):
+        samples = [rng.randrange(-32768, 32768) for _ in range(n)]
+        cases[rid] = samples
+        rows.append((rid, bytearray(_wav(samples, rate=1000))))
+    df = spark.createDataFrame(rows, "id long, media binary")
+    got = {
+        (r["id"], r["frame_idx"]): (
+            r["n_samples"], r["energy"], r["zero_crossings"]
+        )
+        for r in audio_frame_features(df, frame_ms=5).collect()
+    }
+    want = {}
+    for rid, s in cases.items():
+        for f in range((len(s) + frame_len - 1) // frame_len):
+            seg = s[f * frame_len : (f + 1) * frame_len]
+            zc = sum(
+                1
+                for a, b in zip(seg, seg[1:])
+                if (a < 0) != (b < 0)
+            )
+            want[(rid, f)] = (
+                len(seg), sum(x * x for x in seg), zc
+            )
+    assert got == want
+
+
+def test_fuzz_hits_matches_naive_power_iteration(spark):
+    import random
+
+    rng = random.Random(9)
+    edges = sorted(
+        {(rng.randrange(20), rng.randrange(20)) for _ in range(60)}
+    )
+    df = spark.createDataFrame(edges, "s long, d long")
+    for iters in (1, 2, 3):
+        got = {
+            r["node"]: (r["hub"], r["authority"])
+            for r in hits_scores(df, "s", "d", iterations=iters).collect()
+        }
+        nodes = {u for u, _ in edges} | {v for _, v in edges}
+        h = {v: 1 for v in nodes}
+        a = {}
+        for _ in range(iters):
+            a = {v: 0 for v in nodes}
+            for u, v in edges:
+                a[v] += h[u]
+            h = {v: 0 for v in nodes}
+            for u, v in edges:
+                h[u] += a[v]
+        assert got == {v: (h[v], a[v]) for v in nodes}, f"iters={iters}"
+
+
+def test_fuzz_vad_matches_naive(spark):
+    import random
+
+    from gem_data_wrangle_spark.operators.multimodal import vad_segments
+
+    rng = random.Random(31)
+    rows = []
+    for rid in range(8):
+        f = 0
+        while f < 12:
+            if rng.random() < 0.3:  # gaps in the frame table itself
+                f += 1
+                continue
+            rows.append((rid, f, 4, rng.randrange(0, 100)))
+            f += 1
+    frames = spark.createDataFrame(
+        rows, "id long, frame_idx long, n_samples long, energy long"
+    )
+    thr = 10  # mean-square -> energy >= 40
+    got = sorted(
+        tuple(r) for r in vad_segments(frames, thr).collect()
+    )
+    # naive merge over speech frames, NEW segment when frame gap != 1
+    want = []
+    by_id = {}
+    for rid, f, n, e in rows:
+        if e >= thr * n:
+            by_id.setdefault(rid, []).append((f, e))
+    for rid, fs in by_id.items():
+        fs.sort()
+        seg = 0
+        prev = None
+        cur = None
+        for f, e in fs:
+            if prev is None or f - prev != 1:
+                if cur:
+                    want.append(cur)
+                seg += 1
+                cur = [rid, seg, f, f, 0, 0]
+            cur[3] = f
+            cur[4] += 1
+            cur[5] += e
+            prev = f
+        if cur:
+            want.append(cur)
+    assert got == sorted(tuple(w) for w in want)
