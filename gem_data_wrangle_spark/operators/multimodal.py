@@ -829,15 +829,18 @@ def image_dhash(
                     continue
                 try:
                     w, h, ch, pix = decode_image(bytes(b))
+                    if w < 9 or h < 8:
+                        rows.append((rid, "too_small", w, h, None, None))
+                        continue
+                    # inside the try: a codec returning a short/odd
+                    # pixel buffer raises here, and corrupt media must
+                    # quarantine, never crash the task
+                    a = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, ch)
                 except ValueError as exc:
                     rows.append(
                         (rid, f"undecodable:{exc}"[:80], None, None, None, None)
                     )
                     continue
-                if w < 9 or h < 8:
-                    rows.append((rid, "too_small", w, h, None, None))
-                    continue
-                a = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, ch)
                 if ch >= 3:
                     lum = (
                         299 * a[:, :, 0].astype(np.int64)
