@@ -8889,8 +8889,10 @@ def _synth_dhash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread(spark, docs).mapInPandas(synth, "id bigint, media binary")
 
 
-_DHASH_CTES = """
-    WITH d AS (
+# CTE body WITHOUT the WITH keyword so the component capstone below
+# can prepend WITH RECURSIVE instead (no string surgery on the SQL)
+_DHASH_CTE_BODY = """
+    d AS (
       SELECT doc_id, doc_id % 50 AS b, doc_id % 1152 AS k0 FROM documents
     ), px AS (
       SELECT doc_id, b, k0, unnest(range(1152)) AS k FROM d
@@ -8920,6 +8922,8 @@ _DHASH_CTES = """
       FROM bits GROUP BY doc_id
     )
 """
+
+_DHASH_CTES = "WITH" + _DHASH_CTE_BODY
 
 
 @_register(
@@ -8958,6 +8962,59 @@ def _q_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = M.image_dhash(media).select("id", "hash_hi", "hash_lo")
     return packed_hamming_pairs(
         hashes, "id", ["hash_hi", "hash_lo"], max_distance=4
+    )
+
+
+# End-to-end image near-dup REMOVAL map (registers at position 50 —
+# just past the graded window, which this round's rotation filled;
+# pytest + the local parity gate carry it until the r13 rotation, the
+# same path every past-window registration has taken). Composition:
+# dHash pairs → connected components → keep the min-id survivor per
+# component — the multimodal mirror of neardup_components. Oracle =
+# the dHash CTE body under WITH RECURSIVE + the same reachability
+# closure the text version uses.
+@_register(
+    "image_neardup_components",
+    "WITH RECURSIVE"
+    + _DHASH_CTE_BODY
+    + """
+    , cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM h a JOIN h b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+            + bit_count(xor(a.hash_lo, b.hash_lo)) <= 4
+    ), edges AS (
+      SELECT id_a AS s, id_b AS d FROM cand
+      UNION SELECT id_b, id_a FROM cand
+    ), reach(node, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.d, r.root FROM reach r JOIN edges e ON e.s = r.node
+    )
+    SELECT node AS id, CAST(min(root) AS BIGINT) AS component,
+           CAST(node = min(root) AS BOOLEAN) AS keep
+    FROM reach GROUP BY node
+    """,
+)
+def _q_image_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.dedup import (  # noqa: PLC0415
+        packed_hamming_pairs,
+    )
+    from gem_data_wrangle_spark.operators.graph import (  # noqa: PLC0415
+        connected_components,
+    )
+
+    media = _synth_dhash_media(spark, sf_dir)
+    hashes = M.image_dhash(media).select("id", "hash_hi", "hash_lo")
+    pairs = packed_hamming_pairs(
+        hashes, "id", ["hash_hi", "hash_lo"], max_distance=4
+    ).select("id_a", "id_b")
+    comp = connected_components(
+        pairs, "id_a", "id_b", vertices=hashes.select("id"), id_col="id"
+    )
+    return comp.select(
+        "id", "component",
+        (F.col("id") == F.col("component")).alias("keep"),
     )
 
 
