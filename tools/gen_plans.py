@@ -138,6 +138,7 @@ CASES = {
     "vad_speech_segments": "VAD segment merge — integer threshold filter on the frame table, lag + running-sum sharing ONE per-id window partition, partial-combined groupBy finish",
     "image_dhash_hashes": "image dHash — synth mapInPandas + decode+hash mapInPandas, both Arrow; narrow end to end, zero exchanges before the sink",
     "image_neardup_pairs": "banded Hamming pairs — shift/mask band explode in codegen, ONE (band, value) equi-self-join + distinct, fixed bit_count(xor) verify; never all-pairs",
+    "image_neardup_components": "image near-dup removal capstone — dHash pairs (the plan above) feed the min-label CC closure; rounds checkpoint-truncated, so the captured plan is the final component-map aggregate + survivor flag",
 }
 
 INTERESTING = (
