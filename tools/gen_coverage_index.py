@@ -39,19 +39,28 @@ def last_green() -> dict[str, int]:
     return out
 
 
+# the module-level import aliases in __spark_entry__.py (kept in sync
+# by hand; regex requires the literal dot so "S." never fires on "SK.")
+_ALIASES = {
+    "T": "operators.textops", "A": "operators.aggregates",
+    "D": "operators.dedup", "K": "operators.kernels",
+    "M": "operators.multimodal", "V": "operators.similarity",
+    "SK": "operators.sketches", "C": "functions.cleaning",
+    "S": "functions.strings",
+}
+
+
 def module_of(name: str) -> str:
     src = inspect.getsource(m._QUERIES[name])
-    mods = re.findall(r"from gem_data_wrangle_spark\.(\S+) import", src)
-    if mods:
-        return ", ".join(sorted({x.rstrip(".") for x in mods}))
-    # fall back to the module-level imports the fn body references
-    hits = set()
-    for alias, mod in (
-        ("T.", "operators.textops"), ("A.", "operators.aggregates"),
-        ("D.", "operators.dedup"), ("S.", "operators.similarity"),
-    ):
-        if alias in src:
-            hits.add(mod)
+    hits = {
+        x.rstrip(".")
+        for x in re.findall(r"from gem_data_wrangle_spark\.(\S+) import", src)
+    }
+    hits |= {
+        mod
+        for alias, mod in _ALIASES.items()
+        if re.search(rf"(?<![A-Za-z_]){alias}\.", src)
+    }
     return ", ".join(sorted(hits)) if hits else "__spark_entry__"
 
 
