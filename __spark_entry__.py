@@ -8569,12 +8569,17 @@ def _q_fwf_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # path is keyed by (sf_dir, pid): deterministic within a process
     # (re-runs reuse/overwrite), and two concurrent processes (bench +
     # driver) can never overwrite a directory the other is lazily
-    # scanning
+    # scanning. atexit removes the directory when the process exits —
+    # after every lazy action has run — so repeated invocations don't
+    # accumulate orphaned pid-keyed directories under /tmp (ADVICE r12)
+    import atexit  # noqa: PLC0415
     import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
 
     out_dir = "/tmp/fwf_roundtrip_" + hashlib.sha256(
         f"{sf_dir}|{os.getpid()}".encode()
     ).hexdigest()[:12]
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
     orders.select(line.alias("value")).write.mode("overwrite").text(out_dir)
     parsed = scan_fwf(
         spark, out_dir,

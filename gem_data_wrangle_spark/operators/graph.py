@@ -477,6 +477,11 @@ def k_core(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    if max_iter is not None and max_iter < 1:
+        # max_iter=0 (or negative) would break before the first peel
+        # and return the UNPEELED degree table — a caller would read
+        # that as a converged core, so fail loudly instead
+        raise ValueError("max_iter must be >= 1 (or None for the fixpoint)")
     ckpt = _checkpointer(checkpoint_dir)
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -521,6 +526,7 @@ def hits_scores(
     iterations: int = 2,
     id_col: str = "node",
     checkpoint_dir: str | None = None,
+    allow_wide: bool = False,
 ) -> DataFrame:
     """Fixed-iteration HITS (Kleinberg 1999) over a directed edge
     list, in the UNNORMALIZED exact-integer form: starting from
@@ -543,8 +549,12 @@ def hits_scores(
     Contract notes, mirroring :func:`pagerank`: parallel edges count
     once per ROW (pre-``distinct`` for simple-graph semantics);
     self-loops are legal and make a node reinforce itself. Width:
-    scores grow like (Δ_in·Δ_out)^k — with 64-bit headroom keep
-    ``iterations`` small (2-3; the rank signal stabilizes fast). The
+    scores grow like (Δ_in·Δ_out)^k, and Spark's non-ANSI BIGINT sum
+    WRAPS on overflow silently (while a HUGEINT-summing engine errors
+    or diverges), so ``iterations > 4`` raises unless the caller
+    passes ``allow_wide=True`` to assert a degree bound that keeps
+    (Δ_in·Δ_out)^k under 2^63 — the rank signal stabilizes in 2-3
+    rounds anyway, so the guard costs nothing in practice. The
     returned frame is ``(id_col, hub, authority)`` over EVERY node
     that appears as an endpoint; sources with no in-edges carry
     authority 0, sinks with no out-edges carry hub 0.
@@ -562,6 +572,13 @@ def hits_scores(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    if iterations > 4 and not allow_wide:
+        raise ValueError(
+            "iterations > 4 risks silent int64 wraparound (scores grow "
+            "like (din*dout)^iterations and Spark's non-ANSI sum wraps); "
+            "pass allow_wide=True only if the graph's degree bound keeps "
+            "the product under 2^63"
+        )
     ckpt = _checkpointer(checkpoint_dir)
     e = ckpt(
         edges.select(F.col(src).alias("es"), F.col(dst).alias("ed")),

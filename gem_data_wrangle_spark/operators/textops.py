@@ -1569,3 +1569,68 @@ def compression_signals(
             })
 
     return slim.mapInPandas(run, schema)
+
+
+def rle_run_signals(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Run-length repetition bound — the driver-checkable companion to
+    :func:`compression_signals` (VERDICT r12 item 5). DEFLATE output
+    is not SQL-replayable, but the run-length statistic underneath the
+    same quality intuition is: repetitive boilerplate collapses into
+    few long character runs, noise alternates every position. Emits
+    EXACT integers per document:
+
+    - ``n_chars``   — character count,
+    - ``n_runs``    — maximal runs of equal consecutive characters
+      (``"aaabbc"`` → 3), the RLE dictionary size,
+    - ``rle_ppm``   — the 2-bytes-per-run RLE size bound as a ppm
+      floor ``2·n_runs·10⁶ // n_chars``, same fixed-point convention
+      as ``ratio_ppm`` so the two signals band-filter identically.
+
+    Empty/NULL docs emit NULLs (mirroring ``compression_signals`` —
+    never a divide-by-zero). ``rle_ppm`` ≥ 10⁶ means RLE cannot help
+    (every char its own run); boilerplate sits far below.
+
+    Plan/scale: pure JVM column algebra — one ``split`` into a char
+    array, two ``slice`` views zipped for boundary flags, a ``filter``
+    + ``size`` count. Narrow, no shuffle, no Python anywhere, linear
+    in characters; at 100 TB this is a per-row map over the scan like
+    every other text signal. (Unicode note: Spark splits on UTF-16
+    code units, a SQL oracle on codepoints — identical for BMP text;
+    run counts over astral chars may differ by the surrogate pair,
+    which still counts one run since both halves repeat together.)
+    """
+    if id_col in ("n_chars", "n_runs", "rle_ppm"):
+        raise ValueError(f"id_col {id_col!r} collides with an output column")
+    t = F.col(text_col)
+    n = F.length(t)
+    # Spark's split keeps a trailing "" (limit -1); slice windows skip it
+    chars = F.split(t, "")
+    boundaries = F.size(
+        F.filter(
+            F.zip_with(
+                F.slice(chars, 1, n - 1),
+                F.slice(chars, 2, n - 1),
+                lambda a, b: a != b,
+            ),
+            lambda x: x,
+        )
+    )
+    n_runs = (boundaries + 1).cast("long")
+    valid = t.isNotNull() & (n > 0)
+    runs_col = F.when(valid, n_runs)
+    # exact integer floor division in long arithmetic: subtract the
+    # remainder first so the double division is of an exact multiple
+    # (always < 2^53 here) — bit-identical to the oracle's `//`
+    num = runs_col * F.lit(2_000_000).cast("long")
+    nl = n.cast("long")
+    ppm = ((num - num % nl) / nl).cast("long")
+    return df.select(
+        id_col,
+        F.when(valid, n.cast("long")).alias("n_chars"),
+        runs_col.alias("n_runs"),
+        F.when(valid, ppm).alias("rle_ppm"),
+    )

@@ -474,19 +474,37 @@ def scan_binary_files(
     return df
 
 
-def _fwf_lines(spark: SparkSession, path: str, header: bool):
+def _fwf_lines(
+    spark: SparkSession,
+    path: str,
+    header: bool,
+    skip_blank_lines: bool = True,
+):
     """Shared read plumbing for the fixed-width scans: one raw line per
-    row, with identical semantics in both header modes. header=True
-    routes through the CSV source with an unused separator (\\x01 never
-    appears in fixed-width text) so the per-file header skip is Spark's
-    own distributed-safe logic; quote="" turns quote handling off so a
-    leading '"' byte stays literal (column offsets depend on it). Blank
-    lines — empty OR whitespace-only — are skipped in BOTH modes (the
-    CSV source unconditionally drops them as empty; the text path
-    filters to match), readr's skip_empty_rows=TRUE: a blank line in a
-    fixed-width file is a non-record, not an all-NULL row. Returns
-    ``(frame, value_column)``."""
+    row. header=True routes through the CSV source with an unused
+    separator (\\x01 never appears in fixed-width text) so the per-file
+    header skip is Spark's own distributed-safe logic; quote="" turns
+    quote handling off so a leading '"' byte stays literal (column
+    offsets depend on it).
+
+    Blank-line contract: with the default ``skip_blank_lines=True``,
+    lines that are empty OR whitespace-only are skipped in both modes
+    (the CSV source unconditionally drops them as empty; the text path
+    filters to match). This is STRICTER than readr's
+    ``skip_empty_rows=TRUE``, which skips only truly empty rows — a
+    legitimate record whose every field is blank is all spaces and
+    would be dropped here. ``skip_blank_lines=False`` (header=False
+    mode only) keeps whitespace-only lines as records, filtering only
+    zero-length lines; the CSV header path cannot opt out, so that
+    combination raises. Returns ``(frame, value_column)``."""
     if header:
+        if not skip_blank_lines:
+            raise ValueError(
+                "skip_blank_lines=False requires header=False: the CSV "
+                "source used for the distributed-safe header skip drops "
+                "whitespace-only lines unconditionally. Strip the header "
+                "upstream or read with header=False."
+            )
         lines = (
             spark.read.option("header", "true")
             .option("sep", "\x01")
@@ -495,7 +513,11 @@ def _fwf_lines(spark: SparkSession, path: str, header: bool):
             .csv(path)
         )
         return lines, F.col(lines.columns[0])
-    lines = spark.read.text(path).filter(F.trim("value") != "")
+    lines = spark.read.text(path)
+    if skip_blank_lines:
+        lines = lines.filter(F.trim("value") != "")
+    else:
+        lines = lines.filter(F.col("value") != "")
     return lines, F.col("value")
 
 
@@ -506,6 +528,7 @@ def scan_fwf(
     types: dict[str, str] | None = None,
     header: bool = False,
     empty_as_null: bool = True,
+    skip_blank_lines: bool = True,
 ) -> DataFrame:
     """Fixed-width file scan — the ``readr::read_fwf`` analogue the
     reference ecosystem reads mainframe/agency extracts with.
@@ -524,15 +547,21 @@ def scan_fwf(
     hack that breaks under partitioned reads. Quote processing is
     disabled on that CSV read (``quote=""``) so a line whose first
     byte happens to be ``"`` is NOT dequoted — fixed-width offsets
-    must see the raw bytes. Blank lines — empty OR whitespace-only —
-    are skipped in BOTH modes (the CSV source unconditionally drops
-    them as empty; the text path filters to match), the
-    ``readr::read_fwf`` ``skip_empty_rows=TRUE`` behavior: a blank
-    line in a fixed-width file is a non-record, not an all-NULL row.
+    must see the raw bytes.
+
+    Blank lines: by default (``skip_blank_lines=True``) lines that are
+    empty OR whitespace-only are skipped in both modes — STRICTER than
+    readr's ``skip_empty_rows=TRUE`` (which skips only truly empty
+    rows), so a record whose every field is legitimately blank (all
+    spaces) is treated as a non-record. Pass
+    ``skip_blank_lines=False`` (header=False mode only — the CSV
+    header path drops blanks unconditionally and raises on the
+    combination) to keep whitespace-only lines as all-NULL rows; only
+    zero-length lines are skipped then.
     """
     if not fields:
         raise ValueError("fields must name at least one (name, width)")
-    lines, value = _fwf_lines(spark, path, header)
+    lines, value = _fwf_lines(spark, path, header, skip_blank_lines)
     types = types or {}
     cols = []
     pos = 1
@@ -556,6 +585,7 @@ def scan_fwf_positions(
     types: dict[str, str] | None = None,
     header: bool = False,
     empty_as_null: bool = True,
+    skip_blank_lines: bool = True,
 ) -> DataFrame:
     """Fixed-width scan by explicit column POSITIONS — the
     ``readr::fwf_positions`` analogue, for layouts with gaps or
@@ -565,9 +595,11 @@ def scan_fwf_positions(
     bytes between them or overlap (re-reading a span under two names
     is allowed and sometimes wanted — e.g. a composite key plus its
     parts). Same trimming / ``empty_as_null`` / ``try_cast`` / header
-    / blank-line semantics as :func:`scan_fwf`, and the same plan
-    shape: one line scan + a narrow ``substring`` projection, fully
-    JVM-side and line-splittable at any scale.
+    / blank-line / ``skip_blank_lines`` semantics as :func:`scan_fwf`
+    (including the default's whitespace-only skip being stricter than
+    readr's truly-empty-only skip), and the same plan shape: one line
+    scan + a narrow ``substring`` projection, fully JVM-side and
+    line-splittable at any scale.
     """
     if not positions:
         raise ValueError("positions must name at least one (name, start, end)")
@@ -577,7 +609,7 @@ def scan_fwf_positions(
                 f"positions for {name} must satisfy 1 <= start <= end, "
                 f"got ({start}, {end})"
             )
-    lines, value = _fwf_lines(spark, path, header)
+    lines, value = _fwf_lines(spark, path, header, skip_blank_lines)
     types = types or {}
     cols = []
     for name, start, end in positions:

