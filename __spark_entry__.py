@@ -9030,7 +9030,46 @@ def _q_image_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # retired, VERDICT r5). Its correctness evidence is the worked pytest
 # (exact zlib lengths for known inputs + the repetitive-compresses-
 # harder band property), the same check kind as the local-file
-# readers.
+# readers. Round 13 closes the family's oracle gap with the
+# rle_compression_bound companion below (VERDICT r12 item 5): the
+# run-length repetition statistic under the same quality intuition IS
+# SQL-replayable, so the family now has a hash-graded row while the
+# zlib column stays pytest-only.
+
+
+# --------------------------------------------------------------------
+# extension: RLE repetition bound (round 13, VERDICT r12 item 5) — the
+# driver-checkable companion to compression_signals. Exact integers
+# per document: char count, maximal equal-char run count, and the
+# 2-bytes-per-run RLE size bound as a ppm floor (same fixed-point
+# convention as ratio_ppm). Spark computes boundaries via a char-array
+# zip (JVM column algebra, no Python); the oracle replays per-position
+# with a range lambda. Floor division is exact-integer on BOTH sides
+# (Spark subtracts the remainder before dividing; DuckDB uses //).
+# --------------------------------------------------------------------
+@_register(
+    "rle_compression_bound",
+    """
+    WITH r AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR length(text) = 0 THEN NULL
+                  ELSE CAST(length(text) AS BIGINT) END AS n_chars,
+             CASE WHEN text IS NULL OR length(text) = 0 THEN NULL
+                  ELSE CAST(len(list_filter(range(2, length(text) + 1),
+                           i -> regexp_split_to_array(text, '')[i]
+                                != regexp_split_to_array(text, '')[i-1]))
+                       + 1 AS BIGINT)
+             END AS n_runs
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_runs,
+           CAST((2 * n_runs * 1000000) // n_chars AS BIGINT) AS rle_ppm
+    FROM r
+    """,
+)
+def _q_rle_compression_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return T.rle_run_signals(docs, "text", "doc_id")
 
 
 # --------------------------------------------------------------------

@@ -129,6 +129,37 @@ def test_scan_fwf_header_mode_rejects_skip_blank_opt_out(spark, tmp_path):
         )
 
 
+# ------------------------------------------- RLE compression bound
+def test_rle_run_signals_values(spark):
+    """Exact run counts and the 2-bytes-per-run ppm floor; empty/NULL
+    emit NULLs like compression_signals (never a divide-by-zero)."""
+    from gem_data_wrangle_spark.operators.textops import rle_run_signals
+
+    df = spark.createDataFrame(
+        [(1, "aaabbc"), (2, "abab"), (3, "x"), (4, ""), (5, None),
+         (6, "aaaaaaaaaa")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_chars"], r["n_runs"], r["rle_ppm"])
+        for r in rle_run_signals(df, "text", "doc_id").collect()
+    }
+    assert got[1] == (6, 3, 1_000_000)          # aaa|bb|c
+    assert got[2] == (4, 4, 2_000_000)          # incompressible: every char a run
+    assert got[3] == (1, 1, 2_000_000)
+    assert got[4] == (None, None, None)
+    assert got[5] == (None, None, None)
+    assert got[6] == (10, 1, 200_000)           # boilerplate collapses
+
+
+def test_rle_run_signals_validates_id_collision(spark):
+    from gem_data_wrangle_spark.operators.textops import rle_run_signals
+
+    df = spark.createDataFrame([(1, "x")], "n_runs bigint, text string")
+    with pytest.raises(ValueError, match="collides"):
+        rle_run_signals(df, "text", "n_runs")
+
+
 # ------------------------------------------------ fwf tmp-dir cleanup
 def test_fwf_roundtrip_query_registers_atexit_cleanup(spark, tmp_path):
     """The graded fwf round-trip query keys its /tmp spill by (sf_dir,
