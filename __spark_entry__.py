@@ -9134,36 +9134,19 @@ _DEFER_TO_TAIL = [
     # on a current driver grade; their slots come from demoting 33
     # fresh r11 greens (tail block 7).
     #
-    # tail block 2 — r5-green demotions; round 6's code changes (see
-    # head list above) touch none of these query fns, oracles, or the
-    # operator paths they call. project/filter_not_and/
-    # filter_null_or_ge/replace_value_global/split_ownership_equal/
-    # join_lookup_dim/distinct_rows ROTATED OUT round 12 (oldest-pin
-    # re-anchoring, with the r04 block above); union_rows/
-    # union_rows_byname stay pinned one more round — their two slots
-    # went to the semdedup/pq_topk_adc re-promotions (query fns gained
-    # the _spread single-partition fix mid-round).
-    "union_rows",              # r05 green; aggregates union path unchanged
-    "union_rows_byname",       # r05 green; aggregates union path unchanged
-    "string_format",           # r05 green; strings.py unchanged
-    "window_rank",             # r05 green; query-local window, unchanged
-    "top_k",                   # r05 green; aggregates top_k unchanged
-    "impute_year",             # r05 green; cleaning.py unchanged
-    "strip_pct_suffix",        # r05 green; strings.py unchanged
-    "expand_years_retirement", # r05 green; kernels expand path unchanged
-    "agg_global_mean",         # r05 green; aggregates global-mean unchanged
-    "harmonize_na_poisoning",  # r05 green; kernels.py:84 unchanged
-    "ml_minhash_join_verified",  # r05 green; ml_lsh.py + jaccard_pairs unchanged
-    "ml_brp_join_verified",    # r05 green; ml_lsh.py + lsh_bucket unchanged
-    "stratified_sample",       # r05 green; sampling strata path unchanged
-    "sample_to_token_budget",  # r05 green; sampling budget path unchanged
-    "weighted_sample",         # r05 green; sampling weighted path unchanged
-    "tfidf_top_terms",         # r05 green; textops tf_idf path unchanged
-    "chunk_documents",         # r05 green; textops chunk path unchanged
+    # tail block 2 — EMPTY since round 13 (VERDICT r12 item 2): the
+    # LAST r05-era pins (union_rows, union_rows_byname, string_format,
+    # window_rank, top_k, impute_year, strip_pct_suffix,
+    # expand_years_retirement, agg_global_mean, harmonize_na_poisoning,
+    # ml_minhash_join_verified, ml_brp_join_verified, stratified_sample,
+    # sample_to_token_budget, weighted_sample, tfidf_top_terms,
+    # chunk_documents, training_data_pipeline — 18 queries, plus the 7
+    # in the round-12 late blocks below) re-entered the graded head for
+    # a fresh driver grade, completing the VERDICT-r11-item-4 oldest-
+    # pin re-anchoring: after round 13 NO pin is older than r06. Their
+    # slots come from demoting 27 fresh r12 greens (tail block 8).
     # sessionize_events RE-PROMOTED round 11: aggregates.sessionize
     # session_idx widened int->long (width audit).
-    "training_data_pipeline",  # r05 green; quality_score/fingerprint/hash_split
-                               # + dedup_first_per_key window path unchanged
     # ------------------------------------------------------------------
     # round-7 rotation (VERDICT r6 item 1): the 30 round-6 registrations
     # LEAVE the past-window parking list and enter the graded head (they
@@ -9413,28 +9396,59 @@ _DEFER_TO_TAIL = [
     "cm_user_counts",          # r11 green; sketches cm path unchanged
     "host_pagerank_weighted",  # r11 green; graph pagerank unchanged
     #
-    # round-12 late rotation: two byte-stable trivial Column-builders
-    # yield their head slots so the two operators ADDED this round
-    # (nfc_canonical_hashes, host_k_core) enter the graded window —
-    # a query should never sit a full round without a driver grade
-    # (VERDICT r10 precedent). Both ride r05 fingerprint greens one
-    # more round and join the r13 re-anchor rotation with the other
-    # remaining r05 pins.
-    "project",                 # r05 green; cleaning.py:17 unchanged since r4
-    "filter_not_and",          # r05 green; cleaning.py:56 unchanged since r4
+    # round-12 late rotations: the 7 r05 pins that parked here
+    # (project, filter_not_and, filter_null_or_ge, replace_value_global,
+    # distinct_rows, join_lookup_dim, split_ownership_equal) re-entered
+    # the graded head in ROUND 13 with the rest of the r05-era block
+    # (tail block 2 note above) — the re-anchor rotation they were
+    # explicitly queued for.
+    # ------------------------------------------------------------------
+    # round-13 rotation (VERDICT r12 items 1+2): image_neardup_components
+    # (the round-12 capstone, previously position 51 — the only
+    # registered query with no driver row anywhere) and the 25
+    # remaining r05-era pins enter the graded head, together with the
+    # new rle_compression_bound registration (VERDICT r12 item 5).
+    # Slots come from the 27 r12-green demotions below — every one
+    # graded green THIS past round, so each pin is as fresh as a pin
+    # can be. Kept in the head besides the promotions: flagship + the
+    # 11 reference-core rows (every round), the three queries whose
+    # operator paths round 13 CHANGED (fwf_roundtrip_orders — fwf
+    # skip_blank_lines + atexit cleanup; host_k_core — max_iter guard;
+    # host_hits — allow_wide overflow guard), and 8 r12 greens whose
+    # second consecutive grade anchors last round's perf fixes and the
+    # image capstone's inputs (simhash_pairs, lang_id, pq_topk_adc,
+    # neardup_dedup, semdedup, nfc_canonical_hashes, image_dhash_hashes,
+    # image_neardup_pairs).
     #
-    # round-12 continuation rotation: three more byte-stable trivial
-    # Column-builders yield slots so the session's NEW operator
-    # queries (host_hits, audio_frame_energy, vad_speech_segments)
-    # grade this round instead of sitting ungraded until r13. Same
-    # contract as above: r05 fingerprint pins ride one more round,
-    # then join the r13 re-anchor rotation.
-    "filter_null_or_ge",       # r05 green; cleaning.py:98 unchanged since r4
-    "replace_value_global",    # r05 green; cleaning.py:105 unchanged since r4
-    "distinct_rows",           # r05 green; aggregates.py:46 unchanged since r4
-    "join_lookup_dim",         # r05 green own row (r11 indirectly via all
-                               # GEM pipelines); joins.py:41 unchanged
-    "split_ownership_equal",   # r05 green; kernels.py:31 unchanged since r6
+    # tail block 8 — r12-green, byte-unchanged since:
+    "agg_mean_groups",         # r12 green; aggregates mean path unchanged
+    "multimodal_features",     # r12 green; multimodal feature path unchanged
+    "filter_capacity_known",   # r12 green; cleaning.py:63 unchanged
+    "binational_split",        # r12 green; kernels.py:165 unchanged
+    "canonical_projection",    # r12 green; cleaning projection unchanged
+    "filter_notnull",          # r12 green; cleaning.py:90 unchanged
+    "filter_eq_timestamp",     # r12 green; query-local parse, unchanged
+    "table_profile",           # r12 green; quality profile unchanged
+    "group_quantiles",         # r12 green; quantile path unchanged
+    "pivot_counts",            # r12 green; query-local pivot, unchanged
+    "rollup_sums",             # r12 green; query-local rollup, unchanged
+    "dataset_split",           # r12 green; sampling split path unchanged
+    "rolling_fingerprint",     # r12 green; textops fingerprint unchanged
+    "asof_join_events",        # r12 green; asof join path unchanged
+    "range_join_prices",       # r12 green; asof range path unchanged
+    "multimodal_resize",       # r12 green; multimodal resize unchanged
+    "multimodal_frames",       # r12 green; multimodal frames unchanged
+    "bernoulli_sample",        # r12 green; sampling bernoulli unchanged
+    "stream_interval_join",    # r12 green; streaming interval unchanged
+    "scrub_pii",               # r12 green; textops pii path unchanged
+    "decontaminate_docs",      # r12 green; dedup ngram decon unchanged
+    "json_extract_props",      # r12 green; jsonops path unchanged
+    "neardup_keep_best",       # r12 green; dedup keep_best unchanged
+    "exif_probe",              # r12 green; tiff_exif probe unchanged
+    "gif_metadata",            # r12 green; gif codec unchanged (the
+                               # VERDICT-r12-item-1 suggested demotion)
+    "audio_frame_energy",      # r12 green; multimodal audio unchanged
+    "vad_speech_segments",     # r12 green; multimodal vad unchanged
 ]
 
 
@@ -9460,24 +9474,6 @@ def _defer_fingerprint(name: str) -> str:
 
 # Regenerate via tools/gen_defer_hashes.py after a DELIBERATE change.
 _DEFER_HASHES: dict[str, str] = {
-    "union_rows": "f02c4badce8d2f6a",
-    "union_rows_byname": "0f2175ebc647033b",
-    "string_format": "6c8675dbb4ccef03",
-    "window_rank": "cdb7d6d1b4fc17a6",
-    "top_k": "4df73fb64966eda0",
-    "impute_year": "616eb7efca0c1b13",
-    "strip_pct_suffix": "4c185c442ea859d1",
-    "expand_years_retirement": "f59af127c33491e7",
-    "agg_global_mean": "439642f02685e4bf",
-    "harmonize_na_poisoning": "f26cb6280a425311",
-    "ml_minhash_join_verified": "a916910067fb093c",
-    "ml_brp_join_verified": "f2cb8d58723dab33",
-    "stratified_sample": "44bfd4171f2d4e82",
-    "sample_to_token_budget": "5639bb17630b5513",
-    "weighted_sample": "033b26812c354655",
-    "tfidf_top_terms": "bb616e4cb5b2c6da",
-    "chunk_documents": "c721a1b87a97166d",
-    "training_data_pipeline": "db585891fb511fca",
     "filter_isin": "511530f2dd36c7e8",
     "cast_regex_extract": "caf35822ececbacf",
     "explode_split": "68ee199b5c3da537",
@@ -9605,13 +9601,33 @@ _DEFER_HASHES: dict[str, str] = {
     "benford_audit": "1db618b1b3fd9b51",
     "cm_user_counts": "504e21175704528a",
     "host_pagerank_weighted": "840dac2ebd01fc4d",
-    "project": "e63d5078eaa99831",
-    "filter_not_and": "4a7cf2ba9409f9f2",
-    "filter_null_or_ge": "90ec3885d87582ea",
-    "replace_value_global": "0db49e1c90a3bb0c",
-    "distinct_rows": "d6a3fb3ccb0f0551",
-    "join_lookup_dim": "2246a2f805501cff",
-    "split_ownership_equal": "76e8ae050bedbaa2",
+    "agg_mean_groups": "e7a1b0a894570f0b",
+    "multimodal_features": "2dd56cda8d3e7dfd",
+    "filter_capacity_known": "aab9fdb471c09c7b",
+    "binational_split": "0106b38cea0954aa",
+    "canonical_projection": "0b33bf593746d7b2",
+    "filter_notnull": "c08d353a575704ff",
+    "filter_eq_timestamp": "57840d0b3d871c10",
+    "table_profile": "cf15317d3577ae7e",
+    "group_quantiles": "2bd4c8fd6a68b8ac",
+    "pivot_counts": "758d10e875c8c1a5",
+    "rollup_sums": "994df0003545be17",
+    "dataset_split": "1213d19a92e21ade",
+    "rolling_fingerprint": "ed5570e08c1351f7",
+    "asof_join_events": "12fc884cde6b1f3d",
+    "range_join_prices": "6f0b3a63a9d79b4f",
+    "multimodal_resize": "358cbd1a4f7b59af",
+    "multimodal_frames": "616d729fcef1f567",
+    "bernoulli_sample": "0353fe6e554dc1f6",
+    "stream_interval_join": "f1194af4ca44c50a",
+    "scrub_pii": "3fe7bd49f695b9b0",
+    "decontaminate_docs": "095d8d644c0a6ec0",
+    "json_extract_props": "6579bda1ad45617c",
+    "neardup_keep_best": "c3423828122f6bd9",
+    "exif_probe": "e8a2930bc23e6571",
+    "gif_metadata": "a711f880d0147f09",
+    "audio_frame_energy": "4434e7fbe63a6cbd",
+    "vad_speech_segments": "45ec1fd5f33d511e",
 }
 
 

@@ -126,6 +126,13 @@ HEADLINE = [
     # dHash mapInPandas passes, 6-band Hamming equi-join + bit_count
     # verify — the multimodal mirror of the text near-dup stack)
     "image_neardup_pairs",
+    # round 13: the image capstone promoted into the graded head
+    # (VERDICT r12 items 1+8) — pairs feed connected-components
+    # closure + a keep/removal map; anchored like the other 50
+    "image_neardup_components",
+    # round 13: the compression family's SQL-replayable proxy (char
+    # split + zip boundary count — pure narrow column algebra)
+    "rle_compression_bound",
 ]
 
 
