@@ -9073,6 +9073,59 @@ def _q_rle_compression_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# extension: incremental near-dup screening (round 13) — the MinHash
+# sibling of dedup_against_index. Even doc_ids play the persisted
+# historical signature index; odd doc_ids play the arriving snapshot;
+# the graded output is the UPDATED INDEX (historical signatures + the
+# surviving batch's signatures), so the hash covers BOTH the band
+# matching (which new docs got screened out) and the signature
+# computation itself. Oracle replays the identical salted-md5 minhash
+# over distinct word bigrams (same machinery as _minhash_oracle).
+# --------------------------------------------------------------------
+def _incremental_minhash_oracle(num_bands: int = 4, rows_per_band: int = 4) -> str:
+    band_selects = []
+    for b in range(num_bands):
+        mins = ", ".join(
+            f"list_aggregate(list_transform(s, x -> md5('{b * rows_per_band + r}|' || x)), 'min')"
+            for r in range(rows_per_band)
+        )
+        band_selects.append(f"SELECT doc_id, {b} AS band, concat({mins}) AS sig FROM sh")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))]) AS s
+      FROM toks
+    ), sigs AS ({' UNION ALL '.join(band_selects)}),
+    idx AS (
+      SELECT doc_id, band, sig FROM sigs WHERE doc_id % 2 = 0
+    ), news AS (
+      SELECT doc_id, band, sig FROM sigs WHERE doc_id % 2 = 1
+    ), matched AS (
+      SELECT DISTINCT n.doc_id FROM news n
+      JOIN idx i ON n.band = i.band AND n.sig = i.sig
+    )
+    SELECT doc_id, band, sig AS signature FROM idx
+    UNION ALL
+    SELECT doc_id, band, sig AS signature FROM news
+    WHERE doc_id NOT IN (SELECT doc_id FROM matched)
+    """
+
+
+@_register("neardup_incremental", _incremental_minhash_oracle())
+def _q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    index_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    new_docs = docs.filter(F.col("doc_id") % 2 == 1)
+    index = D.minhash_signatures(index_docs, "text", "doc_id")
+    _fresh, updated = D.neardup_against_index(
+        new_docs, index, "text", "doc_id"
+    )
+    return updated
+
+
+# --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -9449,6 +9502,12 @@ _DEFER_TO_TAIL = [
                                # VERDICT-r12-item-1 suggested demotion)
     "audio_frame_energy",      # r12 green; multimodal audio unchanged
     "vad_speech_segments",     # r12 green; multimodal vad unchanged
+    #
+    # round-13 late rotation: one more byte-stable r12 green yields its
+    # slot so the operator ADDED this round (neardup_against_index /
+    # the neardup_incremental query) grades THIS round instead of
+    # parking — the same new-operator pattern every round has used.
+    "nfc_canonical_hashes",    # r12 green; normalize_documents unchanged
 ]
 
 
@@ -9628,6 +9687,7 @@ _DEFER_HASHES: dict[str, str] = {
     "gif_metadata": "a711f880d0147f09",
     "audio_frame_energy": "4434e7fbe63a6cbd",
     "vad_speech_segments": "45ec1fd5f33d511e",
+    "nfc_canonical_hashes": "1e62c611b707b8a3",
 }
 
 

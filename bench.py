@@ -133,6 +133,10 @@ HEADLINE = [
     # round 13: the compression family's SQL-replayable proxy (char
     # split + zip boundary count — pure narrow column algebra)
     "rle_compression_bound",
+    # round 13: incremental near-dup screening — batch signature pass
+    # + ONE (band, signature) equi-join vs the persisted index + LEFT
+    # ANTI on the matched-id set (the snapshot-N vs history shape)
+    "neardup_incremental",
 ]
 
 

@@ -690,6 +690,79 @@ def dedup_against_index(
     return fresh.drop("_h"), updated
 
 
+def neardup_against_index(
+    new_docs: DataFrame,
+    index_sigs: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    num_bands: int = 4,
+    rows_per_band: int = 4,
+    ngram: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental NEAR-duplicate screening — the MinHash/LSH sibling
+    of :func:`dedup_against_index`. A new crawl snapshot is checked
+    against a persisted band-signature index of the historical corpus:
+    any arriving document that shares a band signature with the index
+    (the same candidate contract as :func:`lsh_candidate_pairs`) is
+    dropped; survivors' signatures extend the index. Returns
+    ``(fresh_docs, updated_index)``.
+
+    Why this exists: without it, catching near-dups between snapshot
+    N+1 and snapshots 1..N means re-running LSH over the ENTIRE
+    historical corpus every snapshot. With it, history is touched only
+    through its signature table — ``num_bands`` rows of (id, band,
+    32·rows_per_band-char signature) per document, no text — so ten
+    years of crawl stays one equi-join per snapshot.
+
+    Contract: ``index_sigs`` has columns ``(id_col, band, signature)``
+    exactly as :func:`minhash_signatures` emits, and MUST have been
+    built with the SAME ``num_bands`` / ``rows_per_band`` / ``ngram``
+    (the salt of hash *i* is ``'{i}|'``, so signatures from different
+    parameterizations never collide — a mismatch silently matches
+    nothing; the signature width ``32·rows_per_band`` is the cheap
+    sanity check). Matching is candidate-level by design: the index
+    carries no shingle sets, so there is no post-join Jaccard verify —
+    the standard snapshot-screening trade (tune precision with
+    ``rows_per_band``, recall with ``num_bands``). Within-batch
+    near-dups are out of scope; run :func:`neardup_dedup` on the batch
+    first.
+
+    Plan/scale: the batch's signature pass is narrow; the screen is
+    ONE (band, signature) equi-join of batch-sigs against index-sigs
+    (hash-partitioned both sides, AQE skew-split if a boilerplate
+    signature is hot), then a LEFT ANTI of the batch against the
+    matched-id set — which is the SMALL side, broadcast-able.
+    ``updated_index`` is lazy; persist it with any sink (range-cluster
+    on ``signature`` for pruning).
+    """
+    sigs = minhash_signatures(
+        new_docs, text_col, id_col, num_bands, rows_per_band, ngram
+    )
+    if index_sigs is None:
+        return new_docs, sigs
+    missing = {id_col, "band", "signature"} - set(index_sigs.columns)
+    if missing:
+        raise ValueError(
+            f"index_sigs lacks column(s) {sorted(missing)}; expected the "
+            "(id, band, signature) shape minhash_signatures emits"
+        )
+    matched = (
+        sigs.join(
+            index_sigs.select("band", "signature"),
+            on=["band", "signature"],
+            how="left_semi",
+        )
+        .select(id_col)
+        .distinct()
+    )
+    fresh = new_docs.join(matched, on=id_col, how="left_anti")
+    fresh_sigs = sigs.join(matched, on=id_col, how="left_anti")
+    updated = index_sigs.select(id_col, "band", "signature").unionByName(
+        fresh_sigs.select(id_col, "band", "signature")
+    )
+    return fresh, updated
+
+
 def neardup_dedup(
     df: DataFrame,
     text_col: str,
