@@ -835,13 +835,20 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # extension: MinHash LSH near-dup pairs + shingle Jaccard verification
 # --------------------------------------------------------------------
 def _minhash_oracle(num_bands: int = 4, rows_per_band: int = 4) -> str:
+    # empty shingle sets (empty/single-token docs) must yield NULL
+    # signatures like Spark's NULL-poisoning concat — DuckDB's concat
+    # SKIPS null args and would emit '', and '' = '' would then pair
+    # every shingle-less doc (found by the round-13 differential fuzz)
     band_selects = []
     for b in range(num_bands):
         mins = ", ".join(
             f"list_aggregate(list_transform(s, x -> md5('{b * rows_per_band + r}|' || x)), 'min')"
             for r in range(rows_per_band)
         )
-        band_selects.append(f"SELECT doc_id, {b} AS band, concat({mins}) AS sig FROM sh")
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, "
+            f"CASE WHEN len(s) = 0 THEN NULL ELSE concat({mins}) END AS sig FROM sh"
+        )
     return f"""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -9083,13 +9090,19 @@ def _q_rle_compression_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 # over distinct word bigrams (same machinery as _minhash_oracle).
 # --------------------------------------------------------------------
 def _incremental_minhash_oracle(num_bands: int = 4, rows_per_band: int = 4) -> str:
+    # same NULL-signature contract as _minhash_oracle: empty shingle
+    # sets yield NULL (never ''), so shingle-less docs are never
+    # screened and their index rows carry NULL in both engines
     band_selects = []
     for b in range(num_bands):
         mins = ", ".join(
             f"list_aggregate(list_transform(s, x -> md5('{b * rows_per_band + r}|' || x)), 'min')"
             for r in range(rows_per_band)
         )
-        band_selects.append(f"SELECT doc_id, {b} AS band, concat({mins}) AS sig FROM sh")
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, "
+            f"CASE WHEN len(s) = 0 THEN NULL ELSE concat({mins}) END AS sig FROM sh"
+        )
     return f"""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -9250,7 +9263,10 @@ _DEFER_TO_TAIL = [
     # lang_id RE-PROMOTED round 11: textops.lang_id rebuilt as the
     # script router (VERDICT r10 directive 8) with a regenerated
     # oracle — the r06 green no longer covers it.
-    "minhash_lsh_pairs",       # r06 green; dedup minhash path unchanged
+    # minhash_lsh_pairs RE-PROMOTED round 13: minhash_band_signature's
+    # empty-shingle contract changed ('' -> NULL, the one-global-bucket
+    # fix) and the oracle gained the matching CASE — both sides of its
+    # fingerprint changed deliberately.
     "jaccard_neighbors",       # r06 green; dedup jaccard path unchanged
     "simhash",                 # r06 green; dedup simhash path unchanged
     "similarity_bruteforce",   # r06 green; cosine_topk unchanged
@@ -9344,8 +9360,9 @@ _DEFER_TO_TAIL = [
     "audio_features",          # r08 green; multimodal wav path unchanged
     "bm25_rank",               # r08 green; textops bm25 unchanged
     "lm_quality_cut",          # r08 green; textops unigram-lm unchanged
-    "neardup_components",      # r08 green; graph closure unchanged (the
-                               # r9 dedup.py change is keep_best-only)
+    # neardup_components RE-PROMOTED round 13: its lsh_candidate_pairs
+    # input rides minhash_band_signature, whose empty-shingle contract
+    # changed ('' -> NULL) — ledger discipline.
     # neardup_dedup RE-PROMOTED round 12: its query fn gained the
     # single-partition-input repartition fix (12.4 s -> 3.6 s at
     # sf0.1), so the r08 green no longer covers it.
@@ -9496,7 +9513,9 @@ _DEFER_TO_TAIL = [
     "scrub_pii",               # r12 green; textops pii path unchanged
     "decontaminate_docs",      # r12 green; dedup ngram decon unchanged
     "json_extract_props",      # r12 green; jsonops path unchanged
-    "neardup_keep_best",       # r12 green; dedup keep_best unchanged
+    # neardup_keep_best NOT demoted after all (round-13 mid-round): the
+    # minhash_band_signature empty-shingle change is on its operator
+    # path, so it stays in the head for a fresh grade.
     "exif_probe",              # r12 green; tiff_exif probe unchanged
     "gif_metadata",            # r12 green; gif codec unchanged (the
                                # VERDICT-r12-item-1 suggested demotion)
@@ -9508,6 +9527,18 @@ _DEFER_TO_TAIL = [
     # the neardup_incremental query) grades THIS round instead of
     # parking — the same new-operator pattern every round has used.
     "nfc_canonical_hashes",    # r12 green; normalize_documents unchanged
+    #
+    # round-13 mid-round rotation: the differential-fuzz finding
+    # (minhash empty-shingle '' bucket) changed minhash_band_signature,
+    # so minhash_lsh_pairs / neardup_keep_best / neardup_components
+    # re-enter the head; these three byte-stable r12 greens yield the
+    # slots (none of their query fns, oracles, or operator paths are
+    # touched by the minhash change — lang_id is pure textops, and the
+    # two similarity queries ride pq/grid paths, not minhash).
+    "lang_id",                 # r12 green; script router unchanged
+    "pq_topk_adc",             # r12 green; pq path unchanged (r12 _spread
+                               # fix lives in its query fn, graded r12)
+    "semdedup",                # r12 green; grid path unchanged (same)
 ]
 
 
@@ -9548,7 +9579,6 @@ _DEFER_HASHES: dict[str, str] = {
     "dedup_exact": "f49df5544fb70089",
     "text_fingerprint": "20401cde9270e27b",
     "text_quality": "4ef6e6d2b0182197",
-    "minhash_lsh_pairs": "c11e3339c8cf7966",
     "jaccard_neighbors": "f5ef3b537b9359ad",
     "simhash": "1b747ecd35d5afd0",
     "similarity_bruteforce": "7288f05c7eb567be",
@@ -9596,7 +9626,6 @@ _DEFER_HASHES: dict[str, str] = {
     "audio_features": "a247fccdc49eb868",
     "bm25_rank": "f3efe262fab2b30f",
     "lm_quality_cut": "3f00f63c7e5d0059",
-    "neardup_components": "de12f0c4d5f64199",
     "repetition_signals": "ca33c6a05316216c",
     "ngram_decontaminate": "cb1045ab17d25aa6",
     "event_funnel": "51a9088efcd6bd51",
@@ -9682,12 +9711,14 @@ _DEFER_HASHES: dict[str, str] = {
     "scrub_pii": "3fe7bd49f695b9b0",
     "decontaminate_docs": "095d8d644c0a6ec0",
     "json_extract_props": "6579bda1ad45617c",
-    "neardup_keep_best": "c3423828122f6bd9",
     "exif_probe": "e8a2930bc23e6571",
     "gif_metadata": "a711f880d0147f09",
     "audio_frame_energy": "4434e7fbe63a6cbd",
     "vad_speech_segments": "45ec1fd5f33d511e",
     "nfc_canonical_hashes": "1e62c611b707b8a3",
+    "lang_id": "e3fa4106cea5b370",
+    "pq_topk_adc": "788e74766b720596",
+    "semdedup": "7939e34ec09dc038",
 }
 
 

@@ -91,13 +91,23 @@ def minhash_band_signature(shingles: Column, band: int, rows_per_band: int) -> C
     Hash *i* of shingle *t* is ``md5('{i}|' || t)``; the min-hash is
     the lexicographic min over shingles. ``shingles`` should be a
     *materialized column* (see ``minhash_signatures``), not an inline
-    expression — each min-hash scans it once."""
+    expression — each min-hash scans it once.
+
+    An EMPTY shingle set yields a NULL signature (null-poisoning
+    ``concat``, round 13): shingle-less documents (empty text, fewer
+    tokens than the n-gram width) never join any band bucket, because
+    the earlier ``concat_ws`` gave every such document the same ``''``
+    signature — ONE global bucket whose band self-join is quadratic in
+    the count of empty docs, a genuine 100 TB landmine found by the
+    differential fuzz corpus. Filter or exact-dedup empty docs
+    upstream if they should still be deduplicated (they are exact
+    duplicates of each other by definition)."""
     parts = []
     for r in range(rows_per_band):
         parts.append(
             F.array_min(F.transform(shingles, _salted_md5(f"{band * rows_per_band + r}|")))
         )
-    return F.concat_ws("", *parts)
+    return F.concat(*parts)
 
 
 def minhash_signatures(

@@ -1523,8 +1523,10 @@ def compression_signals(
     Narrow, no shuffle, linear in bytes; the typical downstream is a
     band filter ``ratio_ppm BETWEEN low AND high`` which Catalyst
     evaluates on the already-tiny output. No DuckDB oracle exists for
-    DEFLATE, so the driver records a rows-only check; the worked
-    pytest pins exact lengths for known inputs.
+    DEFLATE, so this column is pytest-only (worked pytest pins exact
+    lengths for known inputs); the driver-graded companion is
+    :func:`rle_run_signals`, whose run-length statistic IS
+    SQL-replayable and bands the same quality signal.
     """
     if not 1 <= level <= 9:
         raise ValueError("zlib level must be 1..9")

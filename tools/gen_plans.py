@@ -139,6 +139,9 @@ CASES = {
     "image_dhash_hashes": "image dHash — synth mapInPandas + decode+hash mapInPandas, both Arrow; narrow end to end, zero exchanges before the sink",
     "image_neardup_pairs": "banded Hamming pairs — shift/mask band explode in codegen, ONE (band, value) equi-self-join + distinct, fixed bit_count(xor) verify; never all-pairs",
     "image_neardup_components": "image near-dup removal capstone — dHash pairs (the plan above) feed the min-label CC closure; rounds checkpoint-truncated, so the captured plan is the final component-map aggregate + survivor flag",
+    # round 13
+    "rle_compression_bound": "RLE repetition bound — char-array split + two slice views zipped for boundary flags, exact-integer floor division; one narrow projection, zero exchanges before the sink",
+    "neardup_incremental": "incremental near-dup screening — batch signature pass (narrow), ONE (band, signature) equi-join vs the index, LEFT ANTI on the small matched-id set, unionByName index extension",
 }
 
 INTERESTING = (
