@@ -373,3 +373,36 @@ def test_c4_filters_is_idempotent_on_its_own_output(spark):
         if r["text_clean"]:
             assert again[did]["text_clean"] == r["text_clean"]
             assert again[did]["n_kept"] == again[did]["n_lines"]
+
+
+_rle_texts = st.lists(
+    st.text(alphabet="abc XY\n.é", min_size=0, max_size=40),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(texts=_rle_texts)
+@_SETTINGS
+def test_rle_run_signals_match_groupby_reference(spark, texts):
+    """Property (round 13): n_runs equals the itertools.groupby run
+    count, rle_ppm equals the exact integer floor, and the NULL band
+    (empty text) never divides by zero. BMP alphabet on purpose —
+    the documented engine contract is code-unit == codepoint there."""
+    import itertools
+
+    from gem_data_wrangle_spark.operators.textops import rle_run_signals
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_chars"], r["n_runs"], r["rle_ppm"])
+        for r in rle_run_signals(df, "text", "doc_id").collect()
+    }
+    for i, t in enumerate(texts):
+        if t == "":
+            assert got[i] == (None, None, None)
+            continue
+        runs = sum(1 for _ in itertools.groupby(t))
+        assert got[i] == (len(t), runs, 2 * runs * 1_000_000 // len(t))
