@@ -9100,7 +9100,7 @@ def _incremental_minhash_oracle(num_bands: int = 4, rows_per_band: int = 4) -> s
             for r in range(rows_per_band)
         )
         band_selects.append(
-            f"SELECT doc_id, {b} AS band, "
+            f"SELECT doc_id, CAST({b} AS BIGINT) AS band, "
             f"CASE WHEN len(s) = 0 THEN NULL ELSE concat({mins}) END AS sig FROM sh"
         )
     return f"""

@@ -129,7 +129,11 @@ def minhash_signatures(
     base = df.select(F.col(id_col), _shingles(F.col(text_col), ngram).alias("_sh"))
     per_band = [
         F.struct(
-            F.lit(b).alias("band"),
+            # long, not int: band rides in REGISTERED projections (the
+            # incremental index is a graded output) and the engine's
+            # type contract keeps every integer in a graded projection
+            # 64-bit unless explicitly audited
+            F.lit(b).cast("long").alias("band"),
             minhash_band_signature(F.col("_sh"), b, rows_per_band).alias("signature"),
         )
         for b in range(num_bands)
