@@ -9030,6 +9030,60 @@ def _q_image_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------
+# extension: incremental image near-dup screening (round 13) — the
+# perceptual-hash member of the incremental triad (exact digest /
+# MinHash bands / Hamming bands). The dHash synth's near-dup buckets
+# are doc_id % 50, so the index/batch split must STRADDLE buckets to
+# be a real test (an even/odd split is single-parity per bucket and
+# screens nothing): the index is the low-id half of the LOW buckets
+# (doc_id % 50 < 25 AND doc_id < 250), so the arriving batch contains
+# both docs WITH an index neighbor (low buckets, high ids — screened)
+# and docs WITHOUT one (high buckets — survive and extend the index).
+# The graded output is the UPDATED INDEX, covering the banded
+# candidate join, the exact bit_count verify, AND the dHash
+# computation in one hash. Screening is exact both ways here (the
+# index carries full signature chunks) — the oracle brute-forces
+# news×idx with bit_count(xor), which Spark never does (pigeonhole
+# band join).
+# --------------------------------------------------------------------
+@_register(
+    "image_neardup_incremental",
+    _DHASH_CTES
+    + """
+    , idx AS (
+      SELECT doc_id, hash_hi, hash_lo FROM h
+      WHERE doc_id % 50 < 25 AND doc_id < 250
+    ), news AS (
+      SELECT doc_id, hash_hi, hash_lo FROM h
+      WHERE NOT (doc_id % 50 < 25 AND doc_id < 250)
+    ), matched AS (
+      SELECT DISTINCT n.doc_id FROM news n JOIN idx i
+      ON bit_count(xor(n.hash_hi, i.hash_hi))
+         + bit_count(xor(n.hash_lo, i.hash_lo)) <= 4
+    )
+    SELECT doc_id AS id, hash_hi, hash_lo FROM idx
+    UNION ALL
+    SELECT doc_id AS id, hash_hi, hash_lo FROM news
+    WHERE doc_id NOT IN (SELECT doc_id FROM matched)
+    """,
+)
+def _q_image_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.dedup import (  # noqa: PLC0415
+        hamming_against_index,
+    )
+
+    media = _synth_dhash_media(spark, sf_dir)
+    hashes = M.image_dhash(media).select("id", "hash_hi", "hash_lo")
+    in_index = (F.col("id") % 50 < 25) & (F.col("id") < 250)
+    _fresh, updated = hamming_against_index(
+        hashes.filter(~in_index),
+        hashes.filter(in_index),
+        "id", ["hash_hi", "hash_lo"], max_distance=4,
+    )
+    return updated
+
+
 # NOTE (round 12): textops.compression_signals (the RefinedWeb-style
 # DEFLATE-ratio quality signal) is deliberately NOT registered as a
 # driver query — zlib has no DuckDB replay, and since round 5 every
@@ -9539,6 +9593,14 @@ _DEFER_TO_TAIL = [
     "pq_topk_adc",             # r12 green; pq path unchanged (r12 _spread
                                # fix lives in its query fn, graded r12)
     "semdedup",                # r12 green; grid path unchanged (same)
+    #
+    # round-13 late rotation 2: one more byte-stable r12 green yields
+    # its slot so the second operator ADDED this round
+    # (hamming_against_index / image_neardup_incremental) grades this
+    # round. simhash_candidate_pairs does NOT ride packed_hamming_pairs
+    # (it owns its own band explode — verified by source scan), so the
+    # round-13 _packed_bands refactor never touches its path.
+    "simhash_pairs",           # r12 green; simhash band path unchanged
 ]
 
 
@@ -9719,6 +9781,7 @@ _DEFER_HASHES: dict[str, str] = {
     "lang_id": "e3fa4106cea5b370",
     "pq_topk_adc": "788e74766b720596",
     "semdedup": "7939e34ec09dc038",
+    "simhash_pairs": "05da45ae783dce70",
 }
 
 

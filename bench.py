@@ -137,6 +137,10 @@ HEADLINE = [
     # + ONE (band, signature) equi-join vs the persisted index + LEFT
     # ANTI on the matched-id set (the snapshot-N vs history shape)
     "neardup_incremental",
+    # round 13: the Hamming member of the incremental triad — dHash
+    # batch vs persisted index, pigeonhole band join + exact bit_count
+    # verify + LEFT ANTI
+    "image_neardup_incremental",
 ]
 
 

@@ -1361,35 +1361,20 @@ def minhash_containment_join(
     )
 
 
-def packed_hamming_pairs(
+def _packed_bands(
     df: DataFrame,
     id_col: str,
     chunk_cols: list[str],
-    chunk_bits: int = 32,
-    max_distance: int = 2,
+    chunk_bits: int,
+    max_distance: int,
 ) -> DataFrame:
-    """Banded Hamming-distance pair join over a signature packed into
-    integer CHUNK columns — the generic sibling of
-    :func:`simhash_candidate_pairs` (which owns the text→SimHash
-    path): any fixed-width bit signature works, e.g. the two 32-bit
-    halves of :func:`~gem_data_wrangle_spark.operators.multimodal.
-    image_dhash`, sign-LSH bucket codes, or feature bitmaps. Returns
-    ``(id_a, id_b, distance)`` for every UNORDERED pair at Hamming
-    distance ≤ ``max_distance`` across the concatenated chunks —
-    exact (the verify recomputes the true distance), with NO false
-    negatives: the bands tile all ``len(chunk_cols)·chunk_bits`` bits
-    into ≥ ``max_distance+1`` slices, so ≤ ``max_distance`` flipped
-    bits must leave at least one band untouched (pigeonhole).
-
-    Plan/scale: per row, a ``max_distance+1``-ish way band explode
-    (shift/mask in codegen, never a UDF); candidates come from ONE
-    (band_idx, band_value) equi-self-join — never all-pairs — then a
-    distinct and a fixed ``bit_count(a XOR b)`` sum per chunk, all
-    JVM-side. Same cost profile and skew caveat as the SimHash
-    banding: a band value shared by b rows contributes b² candidates,
-    so degenerate corpora (all-black thumbnails) should be
-    pre-deduplicated exactly first (:func:`exact_dedup`).
-    """
+    """Shared band-explode for the packed-Hamming family: tile the
+    ``len(chunk_cols)·chunk_bits`` signature bits into
+    ``max_distance + 1``-ish pigeonhole bands and explode one
+    ``(_bi, _bv)`` row per band, carrying the id and the full chunks
+    for the exact verify. Both sides of any banded join MUST use the
+    same (chunk_cols order, chunk_bits, max_distance) — the tiling is
+    the join key space."""
     n_chunks = len(chunk_cols)
     if n_chunks < 1:
         raise ValueError("need at least one chunk column")
@@ -1423,7 +1408,7 @@ def packed_hamming_pairs(
                     shifted.alias("_bv"),
                 )
             )
-    sig = df.select(
+    return df.select(
         F.col(id_col),
         *[F.col(c) for c in chunk_cols],
         F.explode(F.array(*band_structs)).alias("_band"),
@@ -1432,6 +1417,38 @@ def packed_hamming_pairs(
         F.col("_band._bi").alias("_bi"),
         F.col("_band._bv").alias("_bv"),
     )
+
+
+def packed_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    chunk_cols: list[str],
+    chunk_bits: int = 32,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Banded Hamming-distance pair join over a signature packed into
+    integer CHUNK columns — the generic sibling of
+    :func:`simhash_candidate_pairs` (which owns the text→SimHash
+    path): any fixed-width bit signature works, e.g. the two 32-bit
+    halves of :func:`~gem_data_wrangle_spark.operators.multimodal.
+    image_dhash`, sign-LSH bucket codes, or feature bitmaps. Returns
+    ``(id_a, id_b, distance)`` for every UNORDERED pair at Hamming
+    distance ≤ ``max_distance`` across the concatenated chunks —
+    exact (the verify recomputes the true distance), with NO false
+    negatives: the bands tile all ``len(chunk_cols)·chunk_bits`` bits
+    into ≥ ``max_distance+1`` slices, so ≤ ``max_distance`` flipped
+    bits must leave at least one band untouched (pigeonhole).
+
+    Plan/scale: per row, a ``max_distance+1``-ish way band explode
+    (shift/mask in codegen, never a UDF); candidates come from ONE
+    (band_idx, band_value) equi-self-join — never all-pairs — then a
+    distinct and a fixed ``bit_count(a XOR b)`` sum per chunk, all
+    JVM-side. Same cost profile and skew caveat as the SimHash
+    banding: a band value shared by b rows contributes b² candidates,
+    so degenerate corpora (all-black thumbnails) should be
+    pre-deduplicated exactly first (:func:`exact_dedup`).
+    """
+    sig = _packed_bands(df, id_col, chunk_cols, chunk_bits, max_distance)
     a = sig.select(
         F.col(id_col).alias("_ida"),
         *[F.col(c).alias(f"_a_{c}") for c in chunk_cols],
@@ -1467,3 +1484,86 @@ def packed_hamming_pairs(
             "distance",
         )
     )
+
+
+def hamming_against_index(
+    new_sigs: DataFrame,
+    index_sigs: DataFrame | None,
+    id_col: str,
+    chunk_cols: list[str],
+    chunk_bits: int = 32,
+    max_distance: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental EXACT Hamming screening — the perceptual-hash
+    member of the incremental-screening triad (:func:`dedup_against_
+    index` for exact digests, :func:`neardup_against_index` for
+    MinHash candidates). A new snapshot's packed signatures (e.g.
+    ``image_dhash`` halves for images, SimHash words for text) are
+    checked against the persisted signature table of the historical
+    corpus; any arriving row within Hamming distance ``max_distance``
+    of ANY historical row is dropped; survivors extend the index.
+    Returns ``(fresh_rows, updated_index)``.
+
+    Unlike the MinHash variant, this screen is EXACT both ways: the
+    index carries the full chunk values, so pigeonhole banding
+    generates candidates with no false negatives and the
+    ``bit_count(xor)`` verify removes every false positive. The usual
+    snapshot economics apply — history is touched only through its
+    ``(id, chunks...)`` signature table, one banded equi-join per
+    snapshot, never a re-hash of the archive.
+
+    Contract: ``index_sigs`` carries ``(id_col, *chunk_cols)`` and
+    MUST have been produced with the same chunk packing; the banding
+    tiling additionally requires the same ``chunk_bits`` /
+    ``max_distance`` on both sides of the join, which this function
+    guarantees by deriving both sides itself. ``index_sigs=None``
+    bootstraps snapshot 0.
+
+    Plan/scale: two narrow band explodes (shift/mask in codegen), ONE
+    ``(_bi, _bv)`` equi-join of batch bands against index bands (AQE
+    skew-split for hot bands — pre-dedup degenerate all-zero
+    signatures exactly first, the :func:`packed_hamming_pairs`
+    caveat), a fixed per-candidate ``bit_count`` verify, then a LEFT
+    ANTI of the batch against the small matched-id set.
+    """
+    if index_sigs is None:
+        # validate the packing params even on the bootstrap path
+        _packed_bands(new_sigs, id_col, chunk_cols, chunk_bits, max_distance)
+        return new_sigs, new_sigs.select(id_col, *chunk_cols)
+    missing = ({id_col, *chunk_cols}) - set(index_sigs.columns)
+    if missing:
+        raise ValueError(
+            f"index_sigs lacks column(s) {sorted(missing)}; expected the "
+            f"(id, {', '.join(chunk_cols)}) signature shape"
+        )
+    batch = _packed_bands(new_sigs, id_col, chunk_cols, chunk_bits, max_distance)
+    idx = _packed_bands(
+        index_sigs.select(id_col, *chunk_cols),
+        id_col, chunk_cols, chunk_bits, max_distance,
+    ).select(
+        F.col(id_col).alias("_idx_id"),
+        *[F.col(c).alias(f"_i_{c}") for c in chunk_cols],
+        "_bi", "_bv",
+    )
+    cand = (
+        batch.join(idx, ["_bi", "_bv"])
+        .select(id_col, *chunk_cols, *[f"_i_{c}" for c in chunk_cols])
+        .distinct()
+    )
+    dist = None
+    for c in chunk_cols:
+        term = F.bit_count(
+            F.col(c).bitwiseXOR(F.col(f"_i_{c}"))
+        ).cast("long")
+        dist = term if dist is None else dist + term
+    matched = (
+        cand.withColumn("_d", dist)
+        .filter(F.col("_d") <= max_distance)
+        .select(id_col)
+        .distinct()
+    )
+    fresh = new_sigs.join(matched, on=id_col, how="left_anti")
+    updated = index_sigs.select(id_col, *chunk_cols).unionByName(
+        fresh.select(id_col, *chunk_cols)
+    )
+    return fresh, updated

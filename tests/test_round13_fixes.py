@@ -210,6 +210,62 @@ def test_neardup_against_index_validates_index_shape(spark):
         neardup_against_index(batch, bad, "text", "doc_id")
 
 
+# --------------------------------- incremental Hamming screening
+def test_hamming_against_index_exact_screen(spark):
+    """Band candidates + exact verify: a batch signature within the
+    distance bound of ANY index row is dropped; near-misses (distance
+    just above the bound) survive — the false-positive class the
+    verify exists to remove."""
+    from gem_data_wrangle_spark.operators.dedup import hamming_against_index
+
+    idx = spark.createDataFrame(
+        [(2, 0b1111, 0b0000)], "id bigint, hi bigint, lo bigint"
+    )
+    batch = spark.createDataFrame(
+        [(11, 0b1110, 0b0000),   # distance 1 -> screened
+         (13, 0b1111, 0b0111),   # distance 3 (> 2) but shares the hi
+                                  # band -> candidate, verify kills it
+         (15, 0b0000, 0b1111)],  # distance 8 -> survives
+        "id bigint, hi bigint, lo bigint",
+    )
+    fresh, updated = hamming_against_index(
+        batch, idx, "id", ["hi", "lo"], chunk_bits=4, max_distance=2
+    )
+    assert sorted(r["id"] for r in fresh.collect()) == [13, 15]
+    assert sorted(r["id"] for r in updated.collect()) == [2, 13, 15]
+
+
+def test_hamming_against_index_bootstrap_and_validation(spark):
+    from gem_data_wrangle_spark.operators.dedup import hamming_against_index
+
+    batch = spark.createDataFrame(
+        [(1, 3, 0)], "id bigint, hi bigint, lo bigint"
+    )
+    fresh, index = hamming_against_index(batch, None, "id", ["hi", "lo"])
+    assert fresh.count() == 1 and index.columns == ["id", "hi", "lo"]
+    bad = spark.createDataFrame([(1, 0)], "id bigint, hi bigint")
+    with pytest.raises(ValueError, match="lo"):
+        hamming_against_index(batch, bad, "id", ["hi", "lo"])
+
+
+def test_hamming_against_index_pigeonhole_no_false_negatives(spark):
+    """Flipping exactly max_distance bits spread across bands must
+    still screen (pigeonhole: one band stays untouched)."""
+    from gem_data_wrangle_spark.operators.dedup import hamming_against_index
+
+    idx = spark.createDataFrame(
+        [(0, (1 << 32) - 1, 0)], "id bigint, hi bigint, lo bigint"
+    )
+    # flip the lowest bit of each chunk: distance 2 == max_distance
+    batch = spark.createDataFrame(
+        [(9, (1 << 32) - 2, 1)], "id bigint, hi bigint, lo bigint"
+    )
+    fresh, _ = hamming_against_index(
+        batch, idx, "id", ["hi", "lo"], chunk_bits=32, max_distance=2
+    )
+    assert fresh.count() == 0
+
+
 # ------------------------------------------------ fwf tmp-dir cleanup
 def test_fwf_roundtrip_query_registers_atexit_cleanup(spark, tmp_path):
     """The graded fwf round-trip query keys its /tmp spill by (sf_dir,
