@@ -406,3 +406,47 @@ def test_rle_run_signals_match_groupby_reference(spark, texts):
             continue
         runs = sum(1 for _ in itertools.groupby(t))
         assert got[i] == (len(t), runs, 2 * runs * 1_000_000 // len(t))
+
+
+_sig_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=255),   # hi chunk (8 bits used)
+        st.integers(min_value=0, max_value=255),   # lo chunk
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(idx_rows=_sig_rows, batch_rows=_sig_rows,
+       d=st.integers(min_value=0, max_value=5))
+@_SETTINGS
+def test_hamming_against_index_matches_bruteforce(spark, idx_rows, batch_rows, d):
+    """Property (round 13): the banded screen equals the brute-force
+    reference — every batch row within Hamming distance d of ANY index
+    row is dropped, everything else survives, for random signatures
+    and thresholds. Exercises pigeonhole banding (no false negatives)
+    and the bit_count verify (no false positives) together."""
+    from gem_data_wrangle_spark.operators.dedup import hamming_against_index
+
+    idx = spark.createDataFrame(
+        [(i, hi, lo) for i, (hi, lo) in enumerate(idx_rows)],
+        "id long, hi long, lo long",
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, hi, lo) for i, (hi, lo) in enumerate(batch_rows)],
+        "id long, hi long, lo long",
+    )
+    fresh, updated = hamming_against_index(
+        batch, idx, "id", ["hi", "lo"], chunk_bits=8, max_distance=d
+    )
+    expect_survive = {
+        100 + i
+        for i, (bh, bl) in enumerate(batch_rows)
+        if all(
+            bin(bh ^ ih).count("1") + bin(bl ^ il).count("1") > d
+            for ih, il in idx_rows
+        )
+    }
+    assert {r["id"] for r in fresh.collect()} == expect_survive
+    assert updated.count() == len(idx_rows) + len(expect_survive)
