@@ -142,6 +142,7 @@ CASES = {
     # round 13
     "rle_compression_bound": "RLE repetition bound — char-array split + two slice views zipped for boundary flags, exact-integer floor division; one narrow projection, zero exchanges before the sink",
     "neardup_incremental": "incremental near-dup screening — batch signature pass (narrow), ONE (band, signature) equi-join vs the index, LEFT ANTI on the small matched-id set, unionByName index extension",
+    "image_neardup_incremental": "incremental Hamming screening — two dHash Arrow passes, pigeonhole band explode both sides, ONE (_bi, _bv) equi-join + exact bit_count verify, LEFT ANTI + index union",
 }
 
 INTERESTING = (
