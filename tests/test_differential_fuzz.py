@@ -514,3 +514,23 @@ def test_round13_doc_queries_match_oracles_on_fuzzed_corpora(
     # rle_compression_bound adds the BMP-unicode + empty/NULL band
     # edges over the same corpus.
     _compare(spark, tmp_path, _corpus(seed), qname)
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "nfc_canonical_hashes", "rolling_fingerprint", "text_fingerprint",
+        "doc_readability", "lang_id", "chunk_documents",
+        "normalized_dedup", "dedup_exact", "kn_doc_scores",
+    ],
+)
+def test_round13_text_queries_match_oracles_on_fuzzed_corpus(
+    spark, tmp_path, qname
+):
+    """Round-13 breadth pass: the documents-table queries that had no
+    fuzz row yet, over the standard adversarial corpus (duplicate
+    lines, cross-doc spans, empty/solo docs, and doc 102's é/日本語 —
+    which makes nfc_canonical_hashes a real cross-engine NFC test:
+    the injected U+0301 must recompose identically in Python
+    unicodedata and DuckDB utf8proc over non-ASCII neighborhoods)."""
+    _compare(spark, tmp_path, _corpus(7), qname)
