@@ -1626,7 +1626,11 @@ def rle_run_signals(
     runs_col = F.when(valid, n_runs)
     # exact integer floor division in long arithmetic: subtract the
     # remainder first so the double division is of an exact multiple
-    # (always < 2^53 here) — bit-identical to the oracle's `//`
+    # (always < 2^53 here) — bit-identical to the oracle's `//`.
+    # The F.when(valid, ...) gate below is LOAD-BEARING under ANSI
+    # mode (Spark 4 default): CaseWhen short-circuits per row, so the
+    # `% nl` with nl = 0 on empty text is never evaluated — verified
+    # by the fuzz corpus's empty doc under ansi.enabled=true
     num = runs_col * F.lit(2_000_000).cast("long")
     nl = n.cast("long")
     ppm = ((num - num % nl) / nl).cast("long")
