@@ -835,10 +835,12 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # extension: MinHash LSH near-dup pairs + shingle Jaccard verification
 # --------------------------------------------------------------------
 def _minhash_oracle(num_bands: int = 4, rows_per_band: int = 4) -> str:
-    # empty shingle sets (empty/single-token docs) must yield NULL
-    # signatures like Spark's NULL-poisoning concat — DuckDB's concat
-    # SKIPS null args and would emit '', and '' = '' would then pair
-    # every shingle-less doc (found by the round-13 differential fuzz)
+    # empty OR NULL shingle sets (empty/single-token/NULL-text docs)
+    # must yield NULL signatures like Spark's NULL-poisoning concat —
+    # DuckDB's concat SKIPS null args and would emit '', and '' = ''
+    # would then pair every shingle-less doc (found by the round-13
+    # differential fuzz; the s IS NULL arm by the round-13 review —
+    # len(NULL) is NULL, so the ELSE branch fired for NULL text)
     band_selects = []
     for b in range(num_bands):
         mins = ", ".join(
@@ -847,7 +849,8 @@ def _minhash_oracle(num_bands: int = 4, rows_per_band: int = 4) -> str:
         )
         band_selects.append(
             f"SELECT doc_id, {b} AS band, "
-            f"CASE WHEN len(s) = 0 THEN NULL ELSE concat({mins}) END AS sig FROM sh"
+            f"CASE WHEN s IS NULL OR len(s) = 0 THEN NULL "
+            f"ELSE concat({mins}) END AS sig FROM sh"
         )
     return f"""
     WITH toks AS (
@@ -9144,9 +9147,9 @@ def _q_rle_compression_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 # over distinct word bigrams (same machinery as _minhash_oracle).
 # --------------------------------------------------------------------
 def _incremental_minhash_oracle(num_bands: int = 4, rows_per_band: int = 4) -> str:
-    # same NULL-signature contract as _minhash_oracle: empty shingle
-    # sets yield NULL (never ''), so shingle-less docs are never
-    # screened and their index rows carry NULL in both engines
+    # same NULL-signature contract as _minhash_oracle: empty OR NULL
+    # shingle sets yield NULL (never ''), so shingle-less docs are
+    # never screened and their index rows carry NULL in both engines
     band_selects = []
     for b in range(num_bands):
         mins = ", ".join(
@@ -9155,7 +9158,8 @@ def _incremental_minhash_oracle(num_bands: int = 4, rows_per_band: int = 4) -> s
         )
         band_selects.append(
             f"SELECT doc_id, CAST({b} AS BIGINT) AS band, "
-            f"CASE WHEN len(s) = 0 THEN NULL ELSE concat({mins}) END AS sig FROM sh"
+            f"CASE WHEN s IS NULL OR len(s) = 0 THEN NULL "
+            f"ELSE concat({mins}) END AS sig FROM sh"
         )
     return f"""
     WITH toks AS (
@@ -9534,15 +9538,21 @@ _DEFER_TO_TAIL = [
     # new rle_compression_bound registration (VERDICT r12 item 5).
     # Slots come from the 27 r12-green demotions below — every one
     # graded green THIS past round, so each pin is as fresh as a pin
-    # can be. Kept in the head besides the promotions: flagship + the
-    # 11 reference-core rows (every round), the three queries whose
-    # operator paths round 13 CHANGED (fwf_roundtrip_orders — fwf
-    # skip_blank_lines + atexit cleanup; host_k_core — max_iter guard;
-    # host_hits — allow_wide overflow guard), and 8 r12 greens whose
-    # second consecutive grade anchors last round's perf fixes and the
-    # image capstone's inputs (simhash_pairs, lang_id, pq_topk_adc,
-    # neardup_dedup, semdedup, nfc_canonical_hashes, image_dhash_hashes,
-    # image_neardup_pairs).
+    # can be. Kept in the head besides the promotions (FINAL state
+    # after the round's mid/late rotations below — an earlier draft of
+    # this paragraph listed 8 keepers, five of which later yielded
+    # their slots): flagship + the 11 reference-core rows (every
+    # round), the queries whose operator paths round 13 CHANGED
+    # (fwf_roundtrip_orders — fwf skip_blank_lines + atexit cleanup;
+    # host_k_core — max_iter guard; host_hits — allow_wide overflow
+    # guard; neardup_dedup + the three minhash re-promotions — the
+    # empty-shingle NULL fix; image_neardup_pairs +
+    # image_neardup_components — the _packed_bands refactor), and
+    # image_dhash_hashes (second consecutive grade for the capstone's
+    # input). lang_id, pq_topk_adc, semdedup, nfc_canonical_hashes,
+    # and simhash_pairs ride fresh r12 pins instead (late blocks
+    # below) — their slots went to the round's four new registrations
+    # and the three minhash re-promotions.
     #
     # tail block 8 — r12-green, byte-unchanged since:
     "agg_mean_groups",         # r12 green; aggregates mean path unchanged

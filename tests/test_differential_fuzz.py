@@ -534,3 +534,13 @@ def test_round13_text_queries_match_oracles_on_fuzzed_corpus(
     the injected U+0301 must recompose identically in Python
     unicodedata and DuckDB utf8proc over non-ASCII neighborhoods)."""
     _compare(spark, tmp_path, _corpus(7), qname)
+
+
+@pytest.mark.parametrize("qname", ["minhash_lsh_pairs", "neardup_incremental"])
+def test_round13_null_text_minhash_matches_oracle(spark, tmp_path, qname):
+    """NULL text must behave like the other shingle-less docs: NULL
+    band signature, never a candidate. Found by the round-13 review —
+    DuckDB's len(NULL) is NULL, so the len(s)=0 guard alone fell
+    through to concat's '' for NULL text while Spark null-poisoned.
+    Doc 103 is the standing guard."""
+    _compare(spark, tmp_path, _corpus(7) + [(103, None)], qname)

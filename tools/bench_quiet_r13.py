@@ -27,7 +27,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WARM_DIR = "/root/testdata/sf0.001"
 
 REMEASURE = ["window_count_share", "gem_total_consolidation"]
-NEW_ROWS = ["image_neardup_components", "rle_compression_bound"]
+NEW_ROWS = [
+    "image_neardup_components",
+    "rle_compression_bound",
+    "neardup_incremental",
+    "image_neardup_incremental",
+]
 
 
 def loadavg() -> str:
