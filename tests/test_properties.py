@@ -450,3 +450,71 @@ def test_hamming_against_index_matches_bruteforce(spark, idx_rows, batch_rows, d
     }
     assert {r["id"] for r in fresh.collect()} == expect_survive
     assert updated.count() == len(idx_rows) + len(expect_survive)
+
+
+_doc_text = st.one_of(
+    st.none(),
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+        min_size=0, max_size=8,
+    ).map(" ".join),
+)
+_doc_lists = st.lists(_doc_text, min_size=1, max_size=8)
+
+
+def _py_band_sigs(text):
+    """Independent pure-Python replica of minhash_signatures' contract:
+    distinct word bigrams, hash i = md5('{i}|'+shingle), band sig =
+    concat of 4 min-hashes; empty/NULL shingle sets -> None."""
+    import hashlib
+
+    if text is None:
+        return None
+    toks = text.split(" ")
+    sh = list(dict.fromkeys(
+        toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
+    ))
+    if not sh:
+        return None
+    return {
+        (band, "".join(
+            min(hashlib.md5((f"{band * 4 + r}|" + s).encode()).hexdigest()
+                for s in sh)
+            for r in range(4)
+        ))
+        for band in range(4)
+    }
+
+
+@given(idx_texts=_doc_lists, batch_texts=_doc_lists)
+@_SETTINGS
+def test_neardup_against_index_matches_bruteforce(spark, idx_texts, batch_texts):
+    """Property (round 13): the incremental screen equals a pure-Python
+    minhash reference — a batch doc drops iff it shares ANY band
+    signature with the index, and shingle-less docs (empty, single
+    token, NULL text) never match anything (NULL signatures)."""
+    from gem_data_wrangle_spark.operators.dedup import (
+        minhash_signatures,
+        neardup_against_index,
+    )
+
+    idx_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(idx_texts)], "doc_id long, text string"
+    )
+    batch_df = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(batch_texts)],
+        "doc_id long, text string",
+    )
+    index = minhash_signatures(idx_df, "text", "doc_id")
+    fresh, updated = neardup_against_index(batch_df, index, "text", "doc_id")
+
+    idx_sigs = set()
+    for t in idx_texts:
+        idx_sigs |= (_py_band_sigs(t) or set())
+    expect_survive = {
+        100 + i
+        for i, t in enumerate(batch_texts)
+        if not ((_py_band_sigs(t) or set()) & idx_sigs)
+    }
+    assert {r["doc_id"] for r in fresh.collect()} == expect_survive
+    assert updated.count() == 4 * len(idx_texts) + 4 * len(expect_survive)
