@@ -9087,6 +9087,66 @@ def _q_image_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return updated
 
 
+# --------------------------------------------------------------------
+# extension: incremental embedding screening (round 13) — the
+# embedding member of the incremental family (digest / MinHash band /
+# exact Hamming / embedding cosine). Even vec_ids play the persisted
+# vector index, odd vec_ids the arriving snapshot: sign-LSH bucket
+# equi-join candidates, exact cosine >= 0.4 verify (the contract the
+# embedding_neardup_pairs oracle has hash-proven cross-engine since
+# r06), LEFT ANTI, index extension. Graded output re-buckets the
+# updated index (vec arrays themselves are outside the graded type
+# contract), so the hash covers the bucket computation, the screen
+# decisions, and the index composition.
+# --------------------------------------------------------------------
+def _embedding_incremental_oracle() -> str:
+    planes = V.hyperplanes(_LSH_PLANES, _LSH_DIM)
+    bucket_bits = " || ".join(
+        "CASE WHEN list_dot_product(v, [{c}]::DOUBLE[]) > 0 THEN '1' ELSE '0' END".format(
+            c=", ".join(f"{x:.1f}" for x in plane)
+        )
+        for plane in planes
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), eb AS (
+      SELECT vec_id, v, {bucket_bits} AS bucket FROM e
+    ), idx AS (
+      SELECT vec_id, v, bucket FROM eb WHERE vec_id % 2 = 0
+    ), news AS (
+      SELECT vec_id, v, bucket FROM eb WHERE vec_id % 2 = 1
+    ), matched AS (
+      SELECT DISTINCT n.vec_id FROM news n
+      JOIN idx i ON n.bucket = i.bucket
+      WHERE list_cosine_similarity(n.v, i.v) >= 0.4
+    )
+    SELECT vec_id, bucket FROM idx
+    UNION ALL
+    SELECT vec_id, bucket FROM news
+    WHERE vec_id NOT IN (SELECT vec_id FROM matched)
+    """
+
+
+@_register("embedding_neardup_incremental", _embedding_incremental_oracle())
+def _q_embedding_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.similarity import (  # noqa: PLC0415
+        embedding_against_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = V.hyperplanes(_LSH_PLANES, _LSH_DIM)
+    _fresh, updated = embedding_against_index(
+        emb.filter(F.col("vec_id") % 2 == 1),
+        emb.filter(F.col("vec_id") % 2 == 0),
+        "embedding", "vec_id", planes, threshold=0.4,
+    )
+    return updated.select(
+        "vec_id",
+        V.lsh_bucket(V.as_double_array("embedding"), planes).alias("bucket"),
+    )
+
+
 # NOTE (round 12): textops.compression_signals (the RefinedWeb-style
 # DEFLATE-ratio quality signal) is deliberately NOT registered as a
 # driver query — zlib has no DuckDB replay, and since round 5 every
@@ -9547,12 +9607,11 @@ _DEFER_TO_TAIL = [
     # host_k_core — max_iter guard; host_hits — allow_wide overflow
     # guard; neardup_dedup + the three minhash re-promotions — the
     # empty-shingle NULL fix; image_neardup_pairs +
-    # image_neardup_components — the _packed_bands refactor), and
-    # image_dhash_hashes (second consecutive grade for the capstone's
-    # input). lang_id, pq_topk_adc, semdedup, nfc_canonical_hashes,
-    # and simhash_pairs ride fresh r12 pins instead (late blocks
-    # below) — their slots went to the round's four new registrations
-    # and the three minhash re-promotions.
+    # image_neardup_components — the _packed_bands refactor).
+    # lang_id, pq_topk_adc, semdedup, nfc_canonical_hashes,
+    # simhash_pairs, and image_dhash_hashes ride fresh r12 pins
+    # instead (late blocks below) — their slots went to the round's
+    # FIVE new registrations and the three minhash re-promotions.
     #
     # tail block 8 — r12-green, byte-unchanged since:
     "agg_mean_groups",         # r12 green; aggregates mean path unchanged
@@ -9611,6 +9670,15 @@ _DEFER_TO_TAIL = [
     # (it owns its own band explode — verified by source scan), so the
     # round-13 _packed_bands refactor never touches its path.
     "simhash_pairs",           # r12 green; simhash band path unchanged
+    #
+    # round-13 late rotation 3: the FIFTH new registration
+    # (embedding_against_index / embedding_neardup_incremental — the
+    # embedding member of the incremental family) takes the last
+    # byte-stable r12 green's slot; multimodal.image_dhash is
+    # untouched this round (the _packed_bands refactor lives in
+    # dedup.py), and the capstone + pairs queries that consume dHash
+    # remain in the head for their own grades.
+    "image_dhash_hashes",      # r12 green; image_dhash path unchanged
 ]
 
 
@@ -9792,6 +9860,7 @@ _DEFER_HASHES: dict[str, str] = {
     "pq_topk_adc": "788e74766b720596",
     "semdedup": "7939e34ec09dc038",
     "simhash_pairs": "05da45ae783dce70",
+    "image_dhash_hashes": "ee7766169649c072",
 }
 
 

@@ -141,6 +141,9 @@ HEADLINE = [
     # batch vs persisted index, pigeonhole band join + exact bit_count
     # verify + LEFT ANTI
     "image_neardup_incremental",
+    # round 13: the embedding member — sign-LSH bucket join vs the
+    # persisted vector index + exact cosine verify + LEFT ANTI
+    "embedding_neardup_incremental",
 ]
 
 

@@ -1160,3 +1160,76 @@ def jl_project_int(
         )
         outs.append(acc.alias(f"y{k}"))
     return src.select(*outs)
+
+
+def embedding_against_index(
+    new_emb: DataFrame,
+    index_emb: DataFrame | None,
+    vec_col: str,
+    id_col: str,
+    planes: list[list[float]],
+    threshold: float = 0.4,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental embedding-cosine screening — the embedding member
+    of the incremental-screening family (exact digests / MinHash bands
+    / exact-Hamming signatures in ``operators.dedup``, this one for
+    ``array<float>`` columns). A new snapshot's vectors are screened
+    against the persisted ``(id, vector)`` index: candidates come from
+    a sign-LSH bucket equi-join (same contract as the
+    embedding-neardup pair path — recall is bounded by the plane
+    count; add planes or union multiple tables to raise it), an exact
+    cosine verify keeps only true matches ``>= threshold``, and
+    survivors extend the index. Returns ``(fresh_rows,
+    updated_index)``.
+
+    Contract: ``index_emb`` carries ``(id_col, vec_col)``; BOTH sides
+    must bucket with the SAME ``planes`` (pass the generator's seed
+    output around, not regenerated planes — this function derives both
+    sides itself so the tiling always agrees). Zero-norm vectors never
+    match anything (cosine undefined → filtered), mirroring the NULL-
+    signature contract of the dedup-side screens; NULL vectors
+    likewise pass through unscreened.
+
+    Plan/scale: two narrow bucket projections (per-plane dot products
+    in codegen), ONE bucket equi-join of batch against index with the
+    cosine verify folded into the join filter (per-row norms hoisted
+    so they fold once per ROW, not per pair), then a LEFT ANTI of the
+    batch against the small matched-id set. History is never
+    re-bucketed at query time beyond this narrow projection — persist
+    the index with a materialized bucket column to skip even that.
+    """
+    def keyed(df: DataFrame, prefix: str) -> DataFrame:
+        v = as_double_array(F.col(vec_col))
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            v.alias(f"{prefix}_v"),
+            norm(v).alias(f"{prefix}_n"),
+            lsh_bucket(v, planes).alias("_bucket"),
+        )
+
+    if index_emb is None:
+        return new_emb, new_emb.select(id_col, vec_col)
+    missing = {id_col, vec_col} - set(index_emb.columns)
+    if missing:
+        raise ValueError(
+            f"index_emb lacks column(s) {sorted(missing)}; expected the "
+            f"({id_col}, {vec_col}) shape"
+        )
+    batch = keyed(new_emb, "_b")
+    idx = keyed(index_emb, "_i")
+    matched = (
+        batch.join(idx, on="_bucket")
+        .filter(
+            (F.col("_b_n") > 0)
+            & (F.col("_i_n") > 0)
+            & (dot(F.col("_b_v"), F.col("_i_v"))
+               / (F.col("_b_n") * F.col("_i_n")) >= threshold)
+        )
+        .select(F.col("_b_id").alias(id_col))
+        .distinct()
+    )
+    fresh = new_emb.join(matched, on=id_col, how="left_anti")
+    updated = index_emb.select(id_col, vec_col).unionByName(
+        fresh.select(id_col, vec_col)
+    )
+    return fresh, updated

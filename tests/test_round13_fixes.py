@@ -279,3 +279,67 @@ def test_fwf_roundtrip_query_registers_atexit_cleanup(spark, tmp_path):
 
     src = inspect.getsource(entry._QUERIES["fwf_roundtrip_orders"])
     assert "atexit.register(shutil.rmtree" in src
+
+
+# ------------------------------- incremental embedding screening
+def test_embedding_against_index_screens_and_extends(spark):
+    """Bucket candidates + exact cosine verify: a batch vector
+    cosine-similar to an index vector drops; an anti-aligned one
+    survives; zero vectors never match (cosine undefined)."""
+    from gem_data_wrangle_spark.operators.similarity import (
+        embedding_against_index,
+    )
+
+    planes = [[1.0, 0.0], [0.0, 1.0]]
+    idx = spark.createDataFrame(
+        [(2, [1.0, 1.0])], "vec_id bigint, embedding array<double>"
+    )
+    batch = spark.createDataFrame(
+        [(11, [2.0, 2.0]),     # cosine 1.0 with index -> screened
+         (13, [-1.0, -1.0]),   # different bucket -> survives
+         (15, [0.0, 0.0])],    # zero norm -> never matches
+        "vec_id bigint, embedding array<double>",
+    )
+    fresh, updated = embedding_against_index(
+        batch, idx, "embedding", "vec_id", planes, threshold=0.4
+    )
+    assert sorted(r["vec_id"] for r in fresh.collect()) == [13, 15]
+    assert sorted(r["vec_id"] for r in updated.collect()) == [2, 13, 15]
+
+
+def test_embedding_against_index_bootstrap_and_validation(spark):
+    from gem_data_wrangle_spark.operators.similarity import (
+        embedding_against_index,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    fresh, index = embedding_against_index(
+        batch, None, "embedding", "vec_id", [[1.0, 0.0]]
+    )
+    assert fresh.count() == 1 and index.columns == ["vec_id", "embedding"]
+    bad = spark.createDataFrame([(1,)], "vec_id bigint")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="embedding"):
+        embedding_against_index(batch, bad, "embedding", "vec_id", [[1.0]])
+
+
+def test_embedding_against_index_same_bucket_below_threshold_survives(spark):
+    """The false-positive class the verify removes: same bucket (both
+    positive quadrant) but cosine below threshold."""
+    from gem_data_wrangle_spark.operators.similarity import (
+        embedding_against_index,
+    )
+
+    planes = [[1.0, 0.0], [0.0, 1.0]]
+    idx = spark.createDataFrame(
+        [(2, [10.0, 0.1])], "vec_id bigint, embedding array<double>"
+    )
+    batch = spark.createDataFrame(
+        [(11, [0.1, 10.0])], "vec_id bigint, embedding array<double>"
+    )
+    fresh, _ = embedding_against_index(
+        batch, idx, "embedding", "vec_id", planes, threshold=0.4
+    )
+    assert fresh.count() == 1
