@@ -1602,18 +1602,14 @@ def rle_run_signals(
     in characters; at 100 TB this is a per-row map over the scan like
     every other text signal.
 
-    Unicode contract (precise — the casual version of this note was
-    wrong): the whole computation is UTF-16 CODE-UNIT based —
-    ``length`` counts code units, and the slice windows are sized by
-    it while ``split`` is codepoint-aware, so on astral (non-BMP)
-    text the windows overrun into the trailing empty element and BOTH
-    ``n_chars`` and ``n_runs`` exceed the codepoint-based values a
-    SQL engine computes (e.g. one astral char + 'a': Spark (3, 3) vs
-    codepoint (2, 2)). For BMP text — all graded and fuzz corpora,
-    asserted ASCII/BMP — code unit == codepoint and the engines agree
-    exactly. Corpora with emoji/astral chars should strip or
-    transcode them upstream before banding on ``rle_ppm`` across
-    engines.
+    Unicode contract (EMPIRICALLY verified — two earlier drafts of
+    this note each guessed a divergence that does not exist): Spark's
+    ``length`` and ``split`` operate on Unicode CODEPOINTS
+    (UTF8String), exactly like a codepoint-based SQL engine, so the
+    run counts agree cross-engine on astral (non-BMP) text too —
+    measured on this repo's engines: ``'𝄞a'`` → (2, 2),
+    ``'aa𝄞𝄞'`` → (4, 2), ``'𝄞'`` → (1, 1), identical on both
+    sides. No upstream transcoding is needed.
     """
     if id_col in ("n_chars", "n_runs", "rle_ppm"):
         raise ValueError(f"id_col {id_col!r} collides with an output column")

@@ -32,6 +32,7 @@ NEW_ROWS = [
     "rle_compression_bound",
     "neardup_incremental",
     "image_neardup_incremental",
+    "embedding_neardup_incremental",
 ]
 
 
