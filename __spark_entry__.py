@@ -9359,25 +9359,25 @@ _DEFER_TO_TAIL = [
     # carry them until the round-8 rotation, the same new-operator
     # pattern every round has used.
     #
-    # tail block 3 — r6-green, byte-unchanged since:
-    "filter_isin",             # r06 green; cleaning.py unchanged
-    "cast_regex_extract",      # r06 green; cleaning.py unchanged
-    "explode_split",           # r06 green; strings.py unchanged
-    "split_ownership_strict",  # r06 green; kernels.py:31 unchanged
-    "window_count_share",      # r06 green; aggregates window path unchanged
-    "dedup_first_per_key",     # r06 green; aggregates dedup path unchanged
-    "harmonize_coordinates",   # r06 green; kernels.py:84 unchanged
-    "join_left_enrich",        # r06 green; joins.py unchanged
-    "join_left_coalesce",      # r06 green; joins.py unchanged
-    "join_fallback_chain",     # r06 green; joins.py unchanged
-    "expand_years",            # r06 green; kernels expand path unchanged
+    # tail block 3 — r6-green, byte-unchanged since. ROUND-14 ROTATION
+    # (VERDICT r13 item 1): the r06 pin block became the oldest anchor
+    # (7+ rounds stale), so its FIRST 25 queries (filter_isin,
+    # cast_regex_extract, explode_split, split_ownership_strict,
+    # window_count_share, dedup_first_per_key, harmonize_coordinates,
+    # join_left_enrich, join_left_coalesce, join_fallback_chain,
+    # expand_years, case_when_classify, dedup_exact, text_fingerprint,
+    # text_quality, jaccard_neighbors, simhash, similarity_bruteforce,
+    # similarity_lsh, similarity_ivf, stream_tumbling_window,
+    # stream_sliding_window, stream_session_window, multimodal_bytes,
+    # embedding_neardup_pairs) re-enter the graded head for a fresh
+    # driver grade; their slots come from demoting 25 byte-stable r13
+    # greens (tail block 9 below). The REMAINING 8 r06 pins below are
+    # the round-15 half of the stated two-round plan (VERDICT r13
+    # item 1 sizes the block at ~33 — more than one 50-slot window
+    # holds alongside the 12 every-round reference-core rows):
     # surrogate_ids RE-PROMOTED round 9: kernels.surrogate_ids gained
     # the persist() pin (ADVICE r9 high — two-action range-partition
     # consistency), so its green needs refreshing.
-    "case_when_classify",      # r06 green; conditional.py unchanged
-    "dedup_exact",             # r06 green; dedup exact path unchanged
-    "text_fingerprint",        # r06 green; textops fingerprint unchanged
-    "text_quality",            # r06 green; textops quality path unchanged
     # lang_id RE-PROMOTED round 11: textops.lang_id rebuilt as the
     # script router (VERDICT r10 directive 8) with a regenerated
     # oracle — the r06 green no longer covers it.
@@ -9385,17 +9385,8 @@ _DEFER_TO_TAIL = [
     # empty-shingle contract changed ('' -> NULL, the one-global-bucket
     # fix) and the oracle gained the matching CASE — both sides of its
     # fingerprint changed deliberately.
-    "jaccard_neighbors",       # r06 green; dedup jaccard path unchanged
-    "simhash",                 # r06 green; dedup simhash path unchanged
-    "similarity_bruteforce",   # r06 green; cosine_topk unchanged
-    "similarity_lsh",          # r06 green; lsh_topk unchanged
-    "similarity_ivf",          # r06 green; ivf_topk unchanged (it does
-                               # NOT call the r7-touched kmeans_assign)
-    "stream_tumbling_window",  # r06 green; streaming windows unchanged
-    "stream_sliding_window",   # r06 green; streaming windows unchanged
-    "stream_session_window",   # r06 green; streaming windows unchanged
-    "multimodal_bytes",        # r06 green; multimodal bytes path unchanged
-    "embedding_neardup_pairs", # r06 green; similarity pair path unchanged
+    # semdedup RE-PROMOTED round 12: query fn gained the _spread
+    # single-partition fix (2.5 s -> 1.1 s at sf0.1).
     "salted_aggregation",      # r06 green; aggregates salting unchanged
     "token_counts",            # r06 green; textops token path unchanged
     "shared_substring_pairs",  # r06 green; dedup span fns unchanged (r7
@@ -9404,8 +9395,6 @@ _DEFER_TO_TAIL = [
     "cut_duplicate_spans",     # r06 green; dedup span fns unchanged
     "gopher_quality_flags",    # r06 green; gopher path unchanged
     "embedding_quantize_int8", # r06 green; quantize path unchanged
-    # semdedup RE-PROMOTED round 12: query fn gained the _spread
-    # single-partition fix (2.5 s -> 1.1 s at sf0.1).
     "normalized_dedup",        # r06 green; canonicalize path unchanged
     # ------------------------------------------------------------------
     # round-8 rotation (VERDICT r7 item 3): the 20 round-7
@@ -9679,6 +9668,48 @@ _DEFER_TO_TAIL = [
     # dedup.py), and the capstone + pairs queries that consume dHash
     # remain in the head for their own grades.
     "image_dhash_hashes",      # r12 green; image_dhash path unchanged
+    # ------------------------------------------------------------------
+    # round-14 rotation (VERDICT r13 item 1): the 25 r13-green rows
+    # below demote under fingerprints; their slots go to the 25 oldest
+    # r06 pins re-entering the graded head (see the tail-block-3 note
+    # above). Kept in the head besides the promotions: flagship + the
+    # 11 reference-core rows (every round), and the three incremental-
+    # screen queries whose operator paths round 14 CHANGES
+    # (neardup_incremental / image_neardup_incremental /
+    # embedding_neardup_incremental — the materialize= persisted-
+    # signature contract, VERDICT r13 item 4 + ADVICE r13), plus
+    # minhash_lsh_pairs / neardup_components / neardup_dedup /
+    # neardup_keep_best / fwf_roundtrip_orders / host_k_core /
+    # host_hits / image_neardup_pairs / image_neardup_components /
+    # rle_compression_bound, whose r13 greens are fresh enough that
+    # another head round costs nothing while the r06 block drains.
+    #
+    # tail block 9 — r13-green, byte-unchanged since:
+    "project",                 # r13 green; cleaning projection unchanged
+    "filter_not_and",          # r13 green; cleaning.py:56 unchanged
+    "filter_null_or_ge",       # r13 green; cleaning.py:98 unchanged
+    "replace_value_global",    # r13 green; cleaning.py:105 unchanged
+    "split_ownership_equal",   # r13 green; kernels.py:31 unchanged
+    "join_lookup_dim",         # r13 green; joins.py:41 + country dim unchanged
+    "union_rows",              # r13 green; aggregates union path unchanged
+    "distinct_rows",           # r13 green; aggregates distinct unchanged
+    "string_format",           # r13 green; strings format path unchanged
+    "window_rank",             # r13 green; query-local window, unchanged
+    "top_k",                   # r13 green; aggregates top-k unchanged
+    "impute_year",             # r13 green; cleaning.py:115 unchanged
+    "strip_pct_suffix",        # r13 green; strings.py:80 unchanged
+    "union_rows_byname",       # r13 green; aggregates union path unchanged
+    "expand_years_retirement", # r13 green; kernels expand path unchanged
+    "agg_global_mean",         # r13 green; aggregates.py:39 unchanged
+    "harmonize_na_poisoning",  # r13 green; kernels.py:84 unchanged
+    "tfidf_top_terms",         # r13 green; textops tfidf path unchanged
+    "ml_minhash_join_verified",# r13 green; ml_lsh path unchanged
+    "ml_brp_join_verified",    # r13 green; ml_lsh path unchanged
+    "training_data_pipeline",  # r13 green; sampling/textops paths unchanged
+    "stratified_sample",       # r13 green; sampling stratified unchanged
+    "sample_to_token_budget",  # r13 green; sampling budget path unchanged
+    "chunk_documents",         # r13 green; textops chunk path unchanged
+    "weighted_sample",         # r13 green; sampling weighted unchanged
 ]
 
 
@@ -9704,31 +9735,6 @@ def _defer_fingerprint(name: str) -> str:
 
 # Regenerate via tools/gen_defer_hashes.py after a DELIBERATE change.
 _DEFER_HASHES: dict[str, str] = {
-    "filter_isin": "511530f2dd36c7e8",
-    "cast_regex_extract": "caf35822ececbacf",
-    "explode_split": "68ee199b5c3da537",
-    "split_ownership_strict": "88aca9a672b4b1b9",
-    "window_count_share": "2b80f335c6badb80",
-    "dedup_first_per_key": "6599421550ed8cba",
-    "harmonize_coordinates": "102448ca2061e9c3",
-    "join_left_enrich": "19d45dbe8ae4a9fc",
-    "join_left_coalesce": "b9994c429932914b",
-    "join_fallback_chain": "922fd078ac49f00d",
-    "expand_years": "3b56946da2023aaf",
-    "case_when_classify": "0a9e17b051c21a23",
-    "dedup_exact": "f49df5544fb70089",
-    "text_fingerprint": "20401cde9270e27b",
-    "text_quality": "4ef6e6d2b0182197",
-    "jaccard_neighbors": "f5ef3b537b9359ad",
-    "simhash": "1b747ecd35d5afd0",
-    "similarity_bruteforce": "7288f05c7eb567be",
-    "similarity_lsh": "c25557e83327f938",
-    "similarity_ivf": "8f352ffcb3ba18de",
-    "stream_tumbling_window": "44aa2eab107b3f2a",
-    "stream_sliding_window": "d95ccf75fe6b6519",
-    "stream_session_window": "f2a0c3f7ab54ad5b",
-    "multimodal_bytes": "25c4f08bb9df8ba8",
-    "embedding_neardup_pairs": "140b79379922d877",
     "salted_aggregation": "3e00c50f3238f813",
     "token_counts": "f224865fb01a4cee",
     "shared_substring_pairs": "f2833d58ae9e6f92",
@@ -9861,6 +9867,31 @@ _DEFER_HASHES: dict[str, str] = {
     "semdedup": "7939e34ec09dc038",
     "simhash_pairs": "05da45ae783dce70",
     "image_dhash_hashes": "ee7766169649c072",
+    "project": "e63d5078eaa99831",
+    "filter_not_and": "4a7cf2ba9409f9f2",
+    "filter_null_or_ge": "90ec3885d87582ea",
+    "replace_value_global": "0db49e1c90a3bb0c",
+    "split_ownership_equal": "76e8ae050bedbaa2",
+    "join_lookup_dim": "2246a2f805501cff",
+    "union_rows": "f02c4badce8d2f6a",
+    "distinct_rows": "d6a3fb3ccb0f0551",
+    "string_format": "6c8675dbb4ccef03",
+    "window_rank": "cdb7d6d1b4fc17a6",
+    "top_k": "4df73fb64966eda0",
+    "impute_year": "616eb7efca0c1b13",
+    "strip_pct_suffix": "4c185c442ea859d1",
+    "union_rows_byname": "0f2175ebc647033b",
+    "expand_years_retirement": "f59af127c33491e7",
+    "agg_global_mean": "439642f02685e4bf",
+    "harmonize_na_poisoning": "f26cb6280a425311",
+    "tfidf_top_terms": "bb616e4cb5b2c6da",
+    "ml_minhash_join_verified": "4cd233195427109a",
+    "ml_brp_join_verified": "f2cb8d58723dab33",
+    "training_data_pipeline": "db585891fb511fca",
+    "stratified_sample": "44bfd4171f2d4e82",
+    "sample_to_token_budget": "5639bb17630b5513",
+    "chunk_documents": "c721a1b87a97166d",
+    "weighted_sample": "033b26812c354655",
 }
 
 
