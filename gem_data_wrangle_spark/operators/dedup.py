@@ -670,6 +670,8 @@ def dedup_against_index(
     index: DataFrame | None,
     text_col: str,
     id_col: str,
+    materialize: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental corpus building: drop arriving documents whose text
     digest is already in the historical index, then dedup the batch
@@ -681,6 +683,23 @@ def dedup_against_index(
     range-clustered on the digest for pruning). ``updated_index`` is
     lazy; persist it with the same sink as any table.
 
+    Contract: batch ids must not already exist in the index. The
+    screen keys on CONTENT only, so a re-crawl of an id whose text
+    changed survives screening and its new digest row joins the index
+    alongside the old one — duplicate-id growth the caller must
+    prevent (anti-join the batch on indexed ids first) or accept as
+    per-snapshot versioning.
+
+    ``materialize`` (default True, the simhash cache-release contract)
+    eagerly truncates the screened batch via ``localCheckpoint`` — or
+    a durable ``DataFrame.checkpoint`` under ``checkpoint_dir`` — so
+    acting on BOTH returned frames runs the digest window + index
+    anti-join ONCE instead of per action. The blocks are owned by the
+    returned frames and reclaimed when the caller drops them — no
+    CacheManager entry outlives the call. ``materialize=False`` keeps
+    the fully lazy plan (compose/push filters freely) at the price of
+    recomputing the batch pass per action.
+
     Skew: the batch-internal ``row_number() == 1`` dedup plans as
     ``WindowGroupLimit`` with a Partial map-side stage (plan-verified,
     SCALE.md round 5) — a pathologically duplicated document (empty
@@ -688,6 +707,8 @@ def dedup_against_index(
     the digest exchange, not its full duplicate count.
     """
     from pyspark.sql import Window  # noqa: PLC0415
+
+    from .graph import _checkpointer  # noqa: PLC0415
 
     digest = F.md5(F.col(text_col))
     batch = new_docs.withColumn("_h", digest)
@@ -697,9 +718,13 @@ def dedup_against_index(
     ).filter(F.col("_rn") == 1).drop("_rn")
     if index is not None:
         fresh = batch.join(index.select(F.col("digest").alias("_h")), on="_h", how="left_anti")
+        if materialize:
+            fresh = _checkpointer(checkpoint_dir)(fresh, True)
         updated = index.unionByName(fresh.select(F.col("_h").alias("digest")))
     else:
         fresh = batch
+        if materialize:
+            fresh = _checkpointer(checkpoint_dir)(fresh, True)
         updated = fresh.select(F.col("_h").alias("digest"))
     return fresh.drop("_h"), updated
 
@@ -712,6 +737,8 @@ def neardup_against_index(
     num_bands: int = 4,
     rows_per_band: int = 4,
     ngram: int = 2,
+    materialize: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental NEAR-duplicate screening — the MinHash/LSH sibling
     of :func:`dedup_against_index`. A new crawl snapshot is checked
@@ -739,7 +766,25 @@ def neardup_against_index(
     the standard snapshot-screening trade (tune precision with
     ``rows_per_band``, recall with ``num_bands``). Within-batch
     near-dups are out of scope; run :func:`neardup_dedup` on the batch
-    first.
+    first. Batch ids must not already exist in the index: the screen
+    keys on CONTENT, so a re-crawled id whose text drifted past the
+    band match survives and its signatures join the index alongside
+    the old id's rows — anti-join the batch on indexed ids first if
+    snapshots can re-carry ids.
+
+    ``materialize`` (default True): the batch's shingle→md5→band pass
+    feeds BOTH the matched-id semi-join and the surviving-signature
+    union, so the lazy plan evaluates it up to three times when the
+    caller acts on both returned frames (the class the round-9 simhash
+    fix retired). The default pins the signature frame under a scoped
+    persist, eagerly truncates the SMALL matched-id set and the
+    batch-sized surviving-signature frame (``localCheckpoint``, or a
+    durable ``DataFrame.checkpoint`` under ``checkpoint_dir``), then
+    releases the persist before returning — one signature pass, one
+    index-side scan, no CacheManager entry outliving the call.
+    ``materialize=False`` keeps the fully lazy plan for composition
+    (push filters below the joins, union candidate generators) at the
+    documented recompute price.
 
     Plan/scale: the batch's signature pass is narrow; the screen is
     ONE (band, signature) equi-join of batch-sigs against index-sigs
@@ -749,10 +794,14 @@ def neardup_against_index(
     ``updated_index`` is lazy; persist it with any sink (range-cluster
     on ``signature`` for pruning).
     """
+    from .graph import _checkpointer  # noqa: PLC0415
+
     sigs = minhash_signatures(
         new_docs, text_col, id_col, num_bands, rows_per_band, ngram
     )
     if index_sigs is None:
+        if materialize:
+            sigs = _checkpointer(checkpoint_dir)(sigs, True)
         return new_docs, sigs
     missing = {id_col, "band", "signature"} - set(index_sigs.columns)
     if missing:
@@ -760,6 +809,12 @@ def neardup_against_index(
             f"index_sigs lacks column(s) {sorted(missing)}; expected the "
             "(id, band, signature) shape minhash_signatures emits"
         )
+    if materialize:
+        # Scoped persist: both downstream consumers are materialized
+        # into checkpoint blocks below, so the cache entry is released
+        # before return (the ADVICE-r10 leak class never opens).
+        sigs = sigs.persist()
+    ckpt = _checkpointer(checkpoint_dir)
     matched = (
         sigs.join(
             index_sigs.select("band", "signature"),
@@ -769,10 +824,17 @@ def neardup_against_index(
         .select(id_col)
         .distinct()
     )
+    if materialize:
+        matched = ckpt(matched, True)
+    fresh_sigs = sigs.join(matched, on=id_col, how="left_anti").select(
+        id_col, "band", "signature"
+    )
+    if materialize:
+        fresh_sigs = ckpt(fresh_sigs, True)
+        sigs.unpersist()
     fresh = new_docs.join(matched, on=id_col, how="left_anti")
-    fresh_sigs = sigs.join(matched, on=id_col, how="left_anti")
     updated = index_sigs.select(id_col, "band", "signature").unionByName(
-        fresh_sigs.select(id_col, "band", "signature")
+        fresh_sigs
     )
     return fresh, updated
 
@@ -1493,6 +1555,8 @@ def hamming_against_index(
     chunk_cols: list[str],
     chunk_bits: int = 32,
     max_distance: int = 2,
+    materialize: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental EXACT Hamming screening — the perceptual-hash
     member of the incremental-screening triad (:func:`dedup_against_
@@ -1517,7 +1581,21 @@ def hamming_against_index(
     tiling additionally requires the same ``chunk_bits`` /
     ``max_distance`` on both sides of the join, which this function
     guarantees by deriving both sides itself. ``index_sigs=None``
-    bootstraps snapshot 0.
+    bootstraps snapshot 0. Batch ids must not already exist in the
+    index: screening is content-keyed, so a re-crawled id whose
+    signature moved beyond ``max_distance`` survives and its chunk
+    row joins the index alongside the old id's — anti-join on indexed
+    ids first if snapshots re-carry ids.
+
+    ``materialize`` (default True): the matched-id set feeds both
+    returned frames (``fresh`` directly, ``updated_index`` through
+    ``fresh``), so the lazy plan re-runs the index-side band explode +
+    candidate join per action. The default eagerly truncates the
+    SMALL matched-id set (``localCheckpoint``, or durable
+    ``DataFrame.checkpoint`` under ``checkpoint_dir``) so the banded
+    join against history runs ONCE; the surviving batch rows are a
+    narrow scan + broadcast anti either way. ``materialize=False``
+    keeps the fully lazy plan.
 
     Plan/scale: two narrow band explodes (shift/mask in codegen), ONE
     ``(_bi, _bv)`` equi-join of batch bands against index bands (AQE
@@ -1526,6 +1604,8 @@ def hamming_against_index(
     caveat), a fixed per-candidate ``bit_count`` verify, then a LEFT
     ANTI of the batch against the small matched-id set.
     """
+    from .graph import _checkpointer  # noqa: PLC0415
+
     if index_sigs is None:
         # validate the packing params even on the bootstrap path
         _packed_bands(new_sigs, id_col, chunk_cols, chunk_bits, max_distance)
@@ -1562,6 +1642,8 @@ def hamming_against_index(
         .select(id_col)
         .distinct()
     )
+    if materialize:
+        matched = _checkpointer(checkpoint_dir)(matched, True)
     fresh = new_sigs.join(matched, on=id_col, how="left_anti")
     updated = index_sigs.select(id_col, *chunk_cols).unionByName(
         fresh.select(id_col, *chunk_cols)

@@ -1169,6 +1169,8 @@ def embedding_against_index(
     id_col: str,
     planes: list[list[float]],
     threshold: float = 0.4,
+    materialize: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental embedding-cosine screening — the embedding member
     of the incremental-screening family (exact digests / MinHash bands
@@ -1188,7 +1190,23 @@ def embedding_against_index(
     sides itself so the tiling always agrees). Zero-norm vectors never
     match anything (cosine undefined → filtered), mirroring the NULL-
     signature contract of the dedup-side screens; NULL vectors
-    likewise pass through unscreened.
+    likewise pass through unscreened. ``planes`` must be non-empty —
+    an empty list would bucket the ENTIRE corpus into one '' key and
+    turn the equi-join quadratic (the same landmine the minhash
+    empty-shingle fix closed), so it raises on BOTH paths, bootstrap
+    included. Batch ids must not already exist in the index:
+    screening is content-keyed, so a re-crawled id whose vector
+    drifted below ``threshold`` survives and its row joins the index
+    alongside the old id's — anti-join on indexed ids first if
+    snapshots re-carry ids.
+
+    ``materialize`` (default True): the matched-id set feeds both
+    returned frames, so the lazy plan re-runs the index-side bucket
+    projection + cosine-verified join per action. The default eagerly
+    truncates the SMALL matched-id set (``localCheckpoint``, or a
+    durable ``DataFrame.checkpoint`` under ``checkpoint_dir``) so the
+    bucket join against history runs ONCE; ``materialize=False``
+    keeps the fully lazy plan for composition.
 
     Plan/scale: two narrow bucket projections (per-plane dot products
     in codegen), ONE bucket equi-join of batch against index with the
@@ -1198,6 +1216,10 @@ def embedding_against_index(
     re-bucketed at query time beyond this narrow projection — persist
     the index with a materialized bucket column to skip even that.
     """
+    from gem_data_wrangle_spark.operators.graph import (  # noqa: PLC0415
+        _checkpointer,
+    )
+
     def keyed(df: DataFrame, prefix: str) -> DataFrame:
         v = as_double_array(F.col(vec_col))
         return df.select(
@@ -1207,6 +1229,21 @@ def embedding_against_index(
             lsh_bucket(v, planes).alias("_bucket"),
         )
 
+    # validated on the bootstrap path too (parity with
+    # hamming_against_index's packing-param check): an empty planes
+    # list is never a usable index geometry, and a bootstrap batch
+    # missing its own columns should fail here, not one snapshot later
+    if not planes:
+        raise ValueError(
+            "planes must be non-empty — an empty plane list buckets "
+            "every row into one '' key (quadratic equi-join)"
+        )
+    missing_new = {id_col, vec_col} - set(new_emb.columns)
+    if missing_new:
+        raise ValueError(
+            f"new_emb lacks column(s) {sorted(missing_new)}; expected the "
+            f"({id_col}, {vec_col}) shape"
+        )
     if index_emb is None:
         return new_emb, new_emb.select(id_col, vec_col)
     missing = {id_col, vec_col} - set(index_emb.columns)
@@ -1228,6 +1265,8 @@ def embedding_against_index(
         .select(F.col("_b_id").alias(id_col))
         .distinct()
     )
+    if materialize:
+        matched = _checkpointer(checkpoint_dir)(matched, True)
     fresh = new_emb.join(matched, on=id_col, how="left_anti")
     updated = index_emb.select(id_col, vec_col).unionByName(
         fresh.select(id_col, vec_col)

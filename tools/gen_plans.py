@@ -141,8 +141,8 @@ CASES = {
     "image_neardup_components": "image near-dup removal capstone — dHash pairs (the plan above) feed the min-label CC closure; rounds checkpoint-truncated, so the captured plan is the final component-map aggregate + survivor flag",
     # round 13
     "rle_compression_bound": "RLE repetition bound — char-array split + two slice views zipped for boundary flags, exact-integer floor division; one narrow projection, zero exchanges before the sink",
-    "neardup_incremental": "incremental near-dup screening — batch signature pass (narrow), ONE (band, signature) equi-join vs the index, LEFT ANTI on the small matched-id set, unionByName index extension",
-    "image_neardup_incremental": "incremental Hamming screening — two dHash Arrow passes, pigeonhole band explode both sides, ONE (_bi, _bv) equi-join + exact bit_count verify, LEFT ANTI + index union",
+    "neardup_incremental": "incremental near-dup screening — batch signature pass (narrow), ONE (band, signature) equi-join vs the index, LEFT ANTI on the small matched-id set, unionByName index extension; the registered form materializes (round-14 contract), so the LAZY plan below comes from materialize=False",
+    "image_neardup_incremental": "incremental Hamming screening — two dHash Arrow passes, pigeonhole band explode both sides, ONE (_bi, _bv) equi-join + exact bit_count verify, LEFT ANTI + index union; registered form materializes (round-14), LAZY plan below from materialize=False",
 }
 
 INTERESTING = (
@@ -183,6 +183,35 @@ def main() -> None:
             pairs, sig = _simhash_pairs_lazy(docs, "text", "doc_id", 32, 2, 2)
             sig.unpersist()  # plan-only: nothing materialized
             return pairs
+        if name == "neardup_incremental":
+            # round-14 materialize contract: the registered form's
+            # explain is a checkpoint RDD scan — audit the lazy plan
+            from gem_data_wrangle_spark.operators import dedup as D
+            from pyspark.sql import functions as F
+
+            docs = entrymod._spread(spark, entrymod._t(spark, sf, "documents"))
+            index = D.minhash_signatures(
+                docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id"
+            )
+            _fresh, updated = D.neardup_against_index(
+                docs.filter(F.col("doc_id") % 2 == 1), index,
+                "text", "doc_id", materialize=False,
+            )
+            return updated
+        if name == "image_neardup_incremental":
+            from gem_data_wrangle_spark.operators import dedup as D
+            from gem_data_wrangle_spark.operators import multimodal as M
+            from pyspark.sql import functions as F
+
+            media = entrymod._synth_dhash_media(spark, sf)
+            hashes = M.image_dhash(media).select("id", "hash_hi", "hash_lo")
+            in_index = (F.col("id") % 50 < 25) & (F.col("id") < 250)
+            _fresh, updated = D.hamming_against_index(
+                hashes.filter(~in_index), hashes.filter(in_index),
+                "id", ["hash_hi", "hash_lo"], max_distance=4,
+                materialize=False,
+            )
+            return updated
         return qs[name](spark, sf)
 
     for name, why in CASES.items():
