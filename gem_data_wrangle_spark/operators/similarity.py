@@ -1178,16 +1178,31 @@ def embedding_against_index(
     ``array<float>`` columns). A new snapshot's vectors are screened
     against the persisted ``(id, vector)`` index: candidates come from
     a sign-LSH bucket equi-join (same contract as the
-    embedding-neardup pair path — recall is bounded by the plane
-    count; add planes or union multiple tables to raise it), an exact
+    embedding-neardup pair path), an exact
     cosine verify keeps only true matches ``>= threshold``, and
     survivors extend the index. Returns ``(fresh_rows,
     updated_index)``.
 
+    Recall (MEASURED, ``tools/embed_recall.py`` at sf0.01 — an earlier
+    draft of this note had the direction backwards): single-table
+    bucket collision is ``P = (1 - θ/π)^planes`` (Charikar 2002), so
+    recall FALLS as planes rise — 0.24 at 4 planes, 0.04 at 8, 0.00
+    at 16+ for cos ≥ 0.4 on the 64-dim testdata — while the candidate
+    count falls with it (4,076 → 305 → 0). More planes buy PRECISION
+    of the candidate stage (cost), never recall. To raise recall,
+    pass MULTIPLE independently-seeded plane tables (a list of plane
+    lists): a pair qualifies by colliding in ANY table
+    (OR-amplification, the same knob as ``lsh_topk(num_tables=)``),
+    recall ``1 - (1 - P)^tables`` at candidate cost ∝ tables.
+    Precision of the SCREEN itself is always 1.0 — the exact cosine
+    verify removes every bucket false positive.
+
     Contract: ``index_emb`` carries ``(id_col, vec_col)``; BOTH sides
     must bucket with the SAME ``planes`` (pass the generator's seed
     output around, not regenerated planes — this function derives both
-    sides itself so the tiling always agrees). Zero-norm vectors never
+    sides itself so the tiling always agrees). ``planes`` is one plane
+    table ``list[list[float]]`` or several ``list[list[list[float]]]``
+    — nesting depth selects single- vs multi-table. Zero-norm vectors never
     match anything (cosine undefined → filtered), mirroring the NULL-
     signature contract of the dedup-side screens; NULL vectors
     likewise pass through unscreened. ``planes`` must be non-empty —
@@ -1209,7 +1224,9 @@ def embedding_against_index(
     keeps the fully lazy plan for composition.
 
     Plan/scale: two narrow bucket projections (per-plane dot products
-    in codegen), ONE bucket equi-join of batch against index with the
+    in codegen; the multi-table form explodes ``tables`` rows per
+    vector, cost ∝ tables), ONE bucket equi-join of batch against
+    index with the
     cosine verify folded into the join filter (per-row norms hoisted
     so they fold once per ROW, not per pair), then a LEFT ANTI of the
     batch against the small matched-id set. History is never
@@ -1220,15 +1237,6 @@ def embedding_against_index(
         _checkpointer,
     )
 
-    def keyed(df: DataFrame, prefix: str) -> DataFrame:
-        v = as_double_array(F.col(vec_col))
-        return df.select(
-            F.col(id_col).alias(f"{prefix}_id"),
-            v.alias(f"{prefix}_v"),
-            norm(v).alias(f"{prefix}_n"),
-            lsh_bucket(v, planes).alias("_bucket"),
-        )
-
     # validated on the bootstrap path too (parity with
     # hamming_against_index's packing-param check): an empty planes
     # list is never a usable index geometry, and a bootstrap batch
@@ -1238,6 +1246,29 @@ def embedding_against_index(
             "planes must be non-empty — an empty plane list buckets "
             "every row into one '' key (quadratic equi-join)"
         )
+    # nesting depth selects single- vs multi-table OR-amplification
+    multi = bool(planes[0]) and isinstance(planes[0][0], (list, tuple))
+    tables: list = list(planes) if multi else [planes]
+    if any(not t for t in tables):
+        raise ValueError("every plane table must be non-empty")
+
+    def keyed(df: DataFrame, prefix: str) -> DataFrame:
+        v = as_double_array(F.col(vec_col))
+        base = [
+            F.col(id_col).alias(f"{prefix}_id"),
+            v.alias(f"{prefix}_v"),
+            norm(v).alias(f"{prefix}_n"),
+        ]
+        if len(tables) == 1:
+            # single-table: the original narrow projection, no explode
+            return df.select(*base, lsh_bucket(v, tables[0]).alias("_bucket"))
+        # one row per (vector, table); the table index prefixes the
+        # bucket key so buckets from different tables never equi-match
+        buckets = F.array(*[
+            F.concat_ws("|", F.lit(str(t)), lsh_bucket(v, tbl))
+            for t, tbl in enumerate(tables)
+        ])
+        return df.select(*base, F.explode(buckets).alias("_bucket"))
     missing_new = {id_col, vec_col} - set(new_emb.columns)
     if missing_new:
         raise ValueError(

@@ -180,3 +180,33 @@ def test_rle_astral_text_contract(spark):
             params=[t],
         ).fetchone()
         assert (n_chars, n_runs) == expect[i], f"doc {i} oracle divergence"
+
+
+def test_embedding_against_index_multi_table_or_amplification(spark):
+    """planes may be a LIST of plane tables (round 14): a batch id is
+    screened iff it collides with a true match in ANY table, so the
+    multi-table matched set is exactly the union of the single-table
+    matched sets — the OR-amplification recall knob measured in
+    tools/embed_recall.py."""
+    t0 = V.hyperplanes(4, 3, seed=V._LSH_SEED)
+    t1 = V.hyperplanes(4, 3, seed=V._LSH_SEED + 7919)
+    idx = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    batch = spark.createDataFrame(
+        [(1, [0.9, 0.1, 0.0]), (3, [0.1, 0.9, 0.0]), (5, [-1.0, -1.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+
+    def screened(planes):
+        fresh, _ = V.embedding_against_index(
+            batch, idx, "embedding", "vec_id", planes, threshold=0.4
+        )
+        batch_ids = {1, 3, 5}
+        return batch_ids - {r["vec_id"] for r in fresh.collect()}
+
+    s0, s1, s01 = screened(t0), screened(t1), screened([t0, t1])
+    assert s01 == s0 | s1
+    # single-table call is unchanged by the multi-table addition
+    assert screened([t0]) == s0
