@@ -1162,6 +1162,77 @@ def jl_project_int(
     return src.select(*outs)
 
 
+def _plane_tables(planes: list) -> list:
+    """Validate + normalize the ``planes`` argument of the embedding
+    screen family to a list of plane tables (nesting depth selects
+    single- vs multi-table OR-amplification). Empty tables raise: an
+    empty plane list buckets every row into one ``''`` key and turns
+    the equi-join quadratic (the landmine the minhash empty-shingle
+    fix closed)."""
+    if not planes:
+        raise ValueError(
+            "planes must be non-empty — an empty plane list buckets "
+            "every row into one '' key (quadratic equi-join)"
+        )
+    multi = bool(planes[0]) and isinstance(planes[0][0], (list, tuple))
+    tables: list = list(planes) if multi else [planes]
+    if any(not t for t in tables):
+        raise ValueError("every plane table must be non-empty")
+    return tables
+
+
+def _bucket_expr(v: Column, tables: list) -> Column:
+    """Bucket key expression shared by the batch projection and
+    :func:`embedding_index_signatures` — ONE definition so persisted
+    index buckets always equi-match live batch buckets. Single table →
+    the bare bucket string; multi-table → an array of table-index-
+    prefixed keys (buckets from different tables never collide)."""
+    if len(tables) == 1:
+        return lsh_bucket(v, tables[0])
+    return F.array(*[
+        F.concat_ws("|", F.lit(str(t)), lsh_bucket(v, tbl))
+        for t, tbl in enumerate(tables)
+    ])
+
+
+def embedding_index_signatures(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    planes: list[list[float]],
+) -> DataFrame:
+    """Persistable signature table for :func:`embedding_against_index`
+    — ``(id_col, vec_col, norm, bucket)``, one row per vector per
+    plane table. The embedding sibling of
+    :func:`~gem_data_wrangle_spark.operators.dedup.minhash_signatures`:
+    write THIS (not raw vectors) as the history index so each
+    snapshot's screen skips the O(history · planes) norm +
+    per-plane-dot recompute. Persisted signatures are HALF the scale
+    recipe: the asymmetric curve (SCALE.md round 14) decomposes the
+    raw screen's 23× wall at 100× index into (a) index re-bucketing —
+    removed by this table — and (b) bucket-population growth in the
+    verify join — removed by scaling the plane count with log2(index
+    growth); signatures alone measure 22.6× (the verify dominates),
+    scaled planes alone 6.7×, BOTH 1.9×. The vector column rides along
+    because the screen's exact cosine verify needs it; at rest the
+    table is still O(index · tables) rows with no re-derivation at
+    query time.
+
+    Contract: the SAME ``planes`` value (and nesting) must build the
+    index and screen every batch — bucket keys from different plane
+    tables or orderings never equi-match, so a drift silently screens
+    nothing. Partition the persisted table by ``bucket`` to let
+    dynamic partition pruning skip history partitions no batch row
+    lands in."""
+    tables = _plane_tables(planes)
+    v = as_double_array(F.col(vec_col))
+    base = [F.col(id_col), F.col(vec_col), norm(v).alias("norm")]
+    buckets = _bucket_expr(v, tables)
+    if len(tables) == 1:
+        return df.select(*base, buckets.alias("bucket"))
+    return df.select(*base, F.explode(buckets).alias("bucket"))
+
+
 def embedding_against_index(
     new_emb: DataFrame,
     index_emb: DataFrame | None,
@@ -1197,7 +1268,15 @@ def embedding_against_index(
     Precision of the SCREEN itself is always 1.0 — the exact cosine
     verify removes every bucket false positive.
 
-    Contract: ``index_emb`` carries ``(id_col, vec_col)``; BOTH sides
+    Contract: ``index_emb`` carries ``(id_col, vec_col)`` raw, or the
+    persisted-signature shape ``(id_col, vec_col, norm, bucket)`` from
+    :func:`embedding_index_signatures` — the signature shape skips the
+    O(history · planes) index-side norm/bucket recompute. The raw
+    fixed-geometry screen is LINEAR in index size (23× wall at 100×
+    index); staying flat needs BOTH persisted signatures and a plane
+    count scaled with log2(index growth) — 1.9× at 100×, SCALE.md
+    round 14 — and ``updated_index`` then stays in signature shape so
+    the loop composes. BOTH sides
     must bucket with the SAME ``planes`` (pass the generator's seed
     output around, not regenerated planes — this function derives both
     sides itself so the tiling always agrees). ``planes`` is one plane
@@ -1229,28 +1308,18 @@ def embedding_against_index(
     index with the
     cosine verify folded into the join filter (per-row norms hoisted
     so they fold once per ROW, not per pair), then a LEFT ANTI of the
-    batch against the small matched-id set. History is never
-    re-bucketed at query time beyond this narrow projection — persist
-    the index with a materialized bucket column to skip even that.
+    batch against the small matched-id set. With a raw index, history
+    is re-bucketed per screen (linear in index size — the interpreted
+    higher-order lambdas dominate); persist
+    :func:`embedding_index_signatures` instead, bucket-partitioned so
+    dynamic partition pruning drops history partitions the batch
+    never lands in.
     """
     from gem_data_wrangle_spark.operators.graph import (  # noqa: PLC0415
         _checkpointer,
     )
 
-    # validated on the bootstrap path too (parity with
-    # hamming_against_index's packing-param check): an empty planes
-    # list is never a usable index geometry, and a bootstrap batch
-    # missing its own columns should fail here, not one snapshot later
-    if not planes:
-        raise ValueError(
-            "planes must be non-empty — an empty plane list buckets "
-            "every row into one '' key (quadratic equi-join)"
-        )
-    # nesting depth selects single- vs multi-table OR-amplification
-    multi = bool(planes[0]) and isinstance(planes[0][0], (list, tuple))
-    tables: list = list(planes) if multi else [planes]
-    if any(not t for t in tables):
-        raise ValueError("every plane table must be non-empty")
+    tables = _plane_tables(planes)
 
     def keyed(df: DataFrame, prefix: str) -> DataFrame:
         v = as_double_array(F.col(vec_col))
@@ -1259,15 +1328,12 @@ def embedding_against_index(
             v.alias(f"{prefix}_v"),
             norm(v).alias(f"{prefix}_n"),
         ]
+        buckets = _bucket_expr(v, tables)
         if len(tables) == 1:
             # single-table: the original narrow projection, no explode
-            return df.select(*base, lsh_bucket(v, tables[0]).alias("_bucket"))
+            return df.select(*base, buckets.alias("_bucket"))
         # one row per (vector, table); the table index prefixes the
         # bucket key so buckets from different tables never equi-match
-        buckets = F.array(*[
-            F.concat_ws("|", F.lit(str(t)), lsh_bucket(v, tbl))
-            for t, tbl in enumerate(tables)
-        ])
         return df.select(*base, F.explode(buckets).alias("_bucket"))
     missing_new = {id_col, vec_col} - set(new_emb.columns)
     if missing_new:
@@ -1284,22 +1350,57 @@ def embedding_against_index(
             f"({id_col}, {vec_col}) shape"
         )
     batch = keyed(new_emb, "_b")
-    idx = keyed(index_emb, "_i")
+    if {"bucket", "norm"} <= set(index_emb.columns):
+        # persisted-signature index (embedding_index_signatures): skip
+        # the O(history) norm + per-plane-dot recompute — the
+        # interpreted higher-order aggregate lambdas dominate the
+        # screen at large index (asymmetric curve, SCALE.md round 14)
+        idx = index_emb.select(
+            F.col(id_col).alias("_i_id"),
+            as_double_array(F.col(vec_col)).alias("_i_v"),
+            F.col("norm").alias("_i_n"),
+            F.col("bucket").alias("_i_bucket"),
+        )
+        sig_index = True
+    else:
+        idx = keyed(index_emb, "_i").withColumnRenamed("_bucket", "_i_bucket")
+        sig_index = False
+    # LEFT SEMI with the cosine verify INSIDE the join condition (round
+    # 14, asymmetric-curve finding): a batch row only needs ANY index
+    # match, so the hash/sort-merge semi probe STOPS at the first
+    # bucket-mate above threshold instead of scoring every one — with
+    # a k-times-replicated history the old inner-join+filter+distinct
+    # scored all k copies and the screen ran linear in index size
+    # (measured 35x wall at 100x index; semi form re-measured in
+    # SCALE.md round 14). Matching the minhash screen's semi-join
+    # shape, which measured 1.7x at the same 100x growth.
     matched = (
-        batch.join(idx, on="_bucket")
-        .filter(
-            (F.col("_b_n") > 0)
-            & (F.col("_i_n") > 0)
-            & (dot(F.col("_b_v"), F.col("_i_v"))
-               / (F.col("_b_n") * F.col("_i_n")) >= threshold)
+        batch.filter(F.col("_b_n") > 0)
+        .join(
+            idx.filter(F.col("_i_n") > 0),
+            on=(
+                (F.col("_bucket") == F.col("_i_bucket"))
+                & (dot(F.col("_b_v"), F.col("_i_v"))
+                   / (F.col("_b_n") * F.col("_i_n")) >= threshold)
+            ),
+            how="left_semi",
         )
         .select(F.col("_b_id").alias(id_col))
-        .distinct()
+        .distinct()  # multi-table mode explodes one batch row per table
     )
     if materialize:
         matched = _checkpointer(checkpoint_dir)(matched, True)
     fresh = new_emb.join(matched, on=id_col, how="left_anti")
-    updated = index_emb.select(id_col, vec_col).unionByName(
-        fresh.select(id_col, vec_col)
-    )
+    if sig_index:
+        # keep the persisted-signature shape so the screen composes
+        # snapshot-over-snapshot without ever re-bucketing history
+        updated = index_emb.select(
+            id_col, vec_col, "norm", "bucket"
+        ).unionByName(
+            embedding_index_signatures(fresh, vec_col, id_col, planes)
+        )
+    else:
+        updated = index_emb.select(id_col, vec_col).unionByName(
+            fresh.select(id_col, vec_col)
+        )
     return fresh, updated
