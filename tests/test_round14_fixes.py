@@ -210,3 +210,113 @@ def test_embedding_against_index_multi_table_or_amplification(spark):
     assert s01 == s0 | s1
     # single-table call is unchanged by the multi-table addition
     assert screened([t0]) == s0
+
+
+def test_stream_neardup_screen_matches_batch_replay(spark, tmp_path):
+    """foreachBatch composition of neardup_against_index (VERDICT r13
+    item 8): three snapshots arrive as three availableNow micro-batches
+    with the parquet signature index as cross-batch state; the per-
+    batch survivors must equal a sequential replay of the BATCH
+    operator over the same snapshots, and the index must hold exactly
+    the survivors' signatures."""
+    from gem_data_wrangle_spark.streaming import stream_neardup_screen
+
+    src = str(tmp_path / "src")
+    index_dir = str(tmp_path / "index")
+    fresh_dir = str(tmp_path / "fresh")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id bigint, text string"
+
+    t1 = "the quick brown fox jumps over the lazy dog near the river"
+    t2 = "pack my box with five dozen liquor jugs before the auction"
+    t3 = "sphinx of black quartz judge my vow said the museum curator"
+    t4 = "how vexingly quick daft zebras jump over fences at midnight"
+    snapshots = [
+        [(1, t1), (2, t2)],                              # bootstrap
+        [(3, t1 + " today"), (4, t3)],                   # 3 near-dups 1
+        [(5, t3), (6, t2), (7, t4)],                     # 5,6 dup earlier
+    ]
+
+    for snap in snapshots:
+        spark.createDataFrame(snap, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = stream_neardup_screen(
+            spark.readStream.schema(schema).parquet(src),
+            index_dir, fresh_dir, ckpt, "text", "doc_id",
+        )
+        q.awaitTermination(120)
+
+    got = {
+        (r["batch_id"], r["doc_id"])
+        for r in spark.read.parquet(fresh_dir).collect()
+    }
+
+    # sequential replay through the batch operator
+    expect, index = set(), None
+    for bid, snap in enumerate(snapshots):
+        fresh, index = D.neardup_against_index(
+            spark.createDataFrame(snap, schema), index, "text", "doc_id"
+        )
+        expect |= {(bid, r["doc_id"]) for r in fresh.collect()}
+    assert got == expect
+
+    # index holds exactly the survivors' signatures (num_bands=4 each)
+    idx = spark.read.parquet(index_dir)
+    survivors = {d for _, d in got}
+    assert {r["doc_id"] for r in idx.collect()} == survivors
+    assert idx.count() == 4 * len(survivors)
+    # replay of the batch operator leaves the same signature set
+    assert _rows(idx, "doc_id", "band", "signature") == _rows(
+        index, "doc_id", "band", "signature"
+    )
+
+
+def test_embedding_against_index_signature_index_parity(spark):
+    """Persisted-signature index path (round 14, asymmetric-curve
+    finding): screening against embedding_index_signatures(raw) must
+    produce the SAME fresh set as screening against the raw index, and
+    updated_index must stay in signature shape, equal to re-deriving
+    signatures from the raw path's updated index — so the loop
+    composes snapshot-over-snapshot without re-bucketing history."""
+    for planes in (
+        V.hyperplanes(4, 3),
+        [V.hyperplanes(4, 3, seed=V._LSH_SEED),
+         V.hyperplanes(4, 3, seed=V._LSH_SEED + 7919)],
+    ):
+        idx_raw = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],
+            "vec_id bigint, embedding array<double>",
+        )
+        batch = spark.createDataFrame(
+            [(1, [0.99, 0.01, 0.0]), (3, [-1.0, -1.0, 0.0]),
+             (5, [0.0, 0.0, 0.0])],
+            "vec_id bigint, embedding array<double>",
+        )
+        fresh_raw, upd_raw = V.embedding_against_index(
+            batch, idx_raw, "embedding", "vec_id", planes, threshold=0.4
+        )
+        idx_sig = V.embedding_index_signatures(
+            idx_raw, "embedding", "vec_id", planes
+        )
+        fresh_sig, upd_sig = V.embedding_against_index(
+            batch, idx_sig, "embedding", "vec_id", planes, threshold=0.4
+        )
+        assert _rows(fresh_sig, "vec_id") == _rows(fresh_raw, "vec_id")
+        assert set(upd_sig.columns) == {"vec_id", "embedding", "norm", "bucket"}
+        assert _rows(upd_sig, "vec_id", "norm", "bucket") == _rows(
+            V.embedding_index_signatures(upd_raw, "embedding", "vec_id", planes),
+            "vec_id", "norm", "bucket",
+        )
+        # second snapshot through the signature-shaped updated index
+        batch2 = spark.createDataFrame(
+            [(7, [0.98, 0.02, 0.0]), (9, [0.0, 0.0, 1.0])],
+            "vec_id bigint, embedding array<double>",
+        )
+        fresh2_sig, _ = V.embedding_against_index(
+            batch2, upd_sig, "embedding", "vec_id", planes, threshold=0.4
+        )
+        fresh2_raw, _ = V.embedding_against_index(
+            batch2, upd_raw, "embedding", "vec_id", planes, threshold=0.4
+        )
+        assert _rows(fresh2_sig, "vec_id") == _rows(fresh2_raw, "vec_id")
