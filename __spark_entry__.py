@@ -9371,10 +9371,11 @@ _DEFER_TO_TAIL = [
     # stream_sliding_window, stream_session_window, multimodal_bytes,
     # embedding_neardup_pairs) re-enter the graded head for a fresh
     # driver grade; their slots come from demoting 25 byte-stable r13
-    # greens (tail block 9 below). The REMAINING 8 r06 pins below are
-    # the round-15 half of the stated two-round plan (VERDICT r13
-    # item 1 sizes the block at ~33 — more than one 50-slot window
-    # holds alongside the 12 every-round reference-core rows):
+    # greens (tail block 9 below). The remaining 8 r06 pins were
+    # promoted LATER THE SAME ROUND (round-14 rotation 2, tail block 10
+    # below) — the full 33-query r06 arc closes in r14 instead of the
+    # stated two-round fallback, so after this round NO pin is older
+    # than r07:
     # surrogate_ids RE-PROMOTED round 9: kernels.surrogate_ids gained
     # the persist() pin (ADVICE r9 high — two-action range-partition
     # consistency), so its green needs refreshing.
@@ -9387,15 +9388,6 @@ _DEFER_TO_TAIL = [
     # fingerprint changed deliberately.
     # semdedup RE-PROMOTED round 12: query fn gained the _spread
     # single-partition fix (2.5 s -> 1.1 s at sf0.1).
-    "salted_aggregation",      # r06 green; aggregates salting unchanged
-    "token_counts",            # r06 green; textops token path unchanged
-    "shared_substring_pairs",  # r06 green; dedup span fns unchanged (r7
-                               # touched exact_jaccard_join + neardup only)
-    "duplicate_spans",         # r06 green; dedup span fns unchanged
-    "cut_duplicate_spans",     # r06 green; dedup span fns unchanged
-    "gopher_quality_flags",    # r06 green; gopher path unchanged
-    "embedding_quantize_int8", # r06 green; quantize path unchanged
-    "normalized_dedup",        # r06 green; canonicalize path unchanged
     # ------------------------------------------------------------------
     # round-8 rotation (VERDICT r7 item 3): the 20 round-7
     # registrations (rollup_sum_groups … mp4_probe, former positions
@@ -9710,6 +9702,32 @@ _DEFER_TO_TAIL = [
     "sample_to_token_budget",  # r13 green; sampling budget path unchanged
     "chunk_documents",         # r13 green; textops chunk path unchanged
     "weighted_sample",         # r13 green; sampling weighted unchanged
+    # ------------------------------------------------------------------
+    # round-14 rotation 2: the LAST 8 r06 pins (salted_aggregation,
+    # token_counts, shared_substring_pairs, duplicate_spans,
+    # cut_duplicate_spans, gopher_quality_flags, embedding_quantize_
+    # int8, normalized_dedup — all 8 re-verified green at sf0.01 before
+    # promotion) enter the graded head, completing the r06 re-anchoring
+    # arc in ONE round. Their slots come from demoting 8 of the 10
+    # r13-fresh rows the first round-14 rotation had kept "because
+    # another head round costs nothing" — that reasoning inverts once
+    # the alternative is a 7-round-old pin. Kept in the head: the three
+    # incremental-screen queries (operator paths changed again this
+    # round — LEFT SEMI verify + signature-index support), fwf_
+    # roundtrip_orders and rle_compression_bound (io/textops paths
+    # untouched, cheap rows), flagship + the 11 reference-core rows.
+    #
+    # tail block 10 — r13-green, byte-unchanged since:
+    "minhash_lsh_pairs",       # r13 green; lsh_candidate_pairs unchanged
+                               # (r14 touched neardup_against_index only)
+    "neardup_components",      # r13 green; CC closure path unchanged
+    "neardup_dedup",           # r13 green; end-to-end removal unchanged
+    "neardup_keep_best",       # r13 green; keep-best path unchanged
+    "host_k_core",             # r13 green; graph.py untouched in r14
+    "host_hits",               # r13 green; graph.py untouched in r14
+    "image_neardup_pairs",     # r13 green; banded-pair path unchanged
+                               # (r14 touched hamming_against_index only)
+    "image_neardup_components",# r13 green; CC path unchanged
 ]
 
 
@@ -9735,14 +9753,6 @@ def _defer_fingerprint(name: str) -> str:
 
 # Regenerate via tools/gen_defer_hashes.py after a DELIBERATE change.
 _DEFER_HASHES: dict[str, str] = {
-    "salted_aggregation": "3e00c50f3238f813",
-    "token_counts": "f224865fb01a4cee",
-    "shared_substring_pairs": "f2833d58ae9e6f92",
-    "duplicate_spans": "d8215443fcd132b1",
-    "cut_duplicate_spans": "887ff9000ae21132",
-    "gopher_quality_flags": "1a379aa526525ee1",
-    "embedding_quantize_int8": "c4a3a9970f58767f",
-    "normalized_dedup": "04b35d9b9fb6d87b",
     "mixture_rebalance": "a924ac4be734b2b2",
     "dedup_lines": "1d8dd7efa15d5c2b",
     "c4_filters": "d4ba672cc63a30d1",
@@ -9892,6 +9902,14 @@ _DEFER_HASHES: dict[str, str] = {
     "sample_to_token_budget": "5639bb17630b5513",
     "chunk_documents": "c721a1b87a97166d",
     "weighted_sample": "033b26812c354655",
+    "minhash_lsh_pairs": "636ed5979e2356a9",
+    "neardup_components": "de12f0c4d5f64199",
+    "neardup_dedup": "25d29e159bcb3005",
+    "neardup_keep_best": "c3423828122f6bd9",
+    "host_k_core": "a0fba60216054f0d",
+    "host_hits": "8f4976b988d48f26",
+    "image_neardup_pairs": "3ada605f260a3975",
+    "image_neardup_components": "abf1f35f7013aff3",
 }
 
 
