@@ -9147,6 +9147,41 @@ def _q_embedding_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+# --------------------------------------------------------------------
+# extension: the persisted-signature index path of the embedding
+# screen (round 14) — same snapshot split, same screen contract, but
+# the index side is the write-once (vec_id, embedding, norm, bucket)
+# table from embedding_index_signatures, the shape that keeps the
+# screen flat under index growth (SCALE.md round-14 asymmetric
+# curves: raw fixed-plane index 23× wall at 100× index, signatures +
+# scaled planes 1.9×). Same oracle as embedding_neardup_incremental:
+# a DuckDB replay cannot tell WHICH side derived the buckets, so a
+# hash match proves the persisted table's norms/buckets and the
+# signature-shaped updated_index agree exactly with the from-raw
+# derivation — the cross-engine version of the pytest parity test.
+# --------------------------------------------------------------------
+@_register("embedding_incremental_sig", _embedding_incremental_oracle())
+def _q_embedding_incremental_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.similarity import (  # noqa: PLC0415
+        embedding_against_index,
+        embedding_index_signatures,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = V.hyperplanes(_LSH_PLANES, _LSH_DIM)
+    sig_index = embedding_index_signatures(
+        emb.filter(F.col("vec_id") % 2 == 0), "embedding", "vec_id", planes
+    )
+    _fresh, updated = embedding_against_index(
+        emb.filter(F.col("vec_id") % 2 == 1),
+        sig_index,
+        "embedding", "vec_id", planes, threshold=0.4,
+    )
+    # updated_index arrives in signature shape: bucket is the PERSISTED
+    # column, not a re-derivation — exactly what the hash must cover
+    return updated.select("vec_id", "bucket")
+
+
 # NOTE (round 12): textops.compression_signals (the RefinedWeb-style
 # DEFLATE-ratio quality signal) is deliberately NOT registered as a
 # driver query — zlib has no DuckDB replay, and since round 5 every
@@ -9713,9 +9748,9 @@ _DEFER_TO_TAIL = [
     # another head round costs nothing" — that reasoning inverts once
     # the alternative is a 7-round-old pin. Kept in the head: the three
     # incremental-screen queries (operator paths changed again this
-    # round — LEFT SEMI verify + signature-index support), fwf_
-    # roundtrip_orders and rle_compression_bound (io/textops paths
-    # untouched, cheap rows), flagship + the 11 reference-core rows.
+    # round — LEFT SEMI verify + signature-index support) plus the new
+    # embedding_incremental_sig registration, rle_compression_bound
+    # (cheap row), flagship + the 11 reference-core rows.
     #
     # tail block 10 — r13-green, byte-unchanged since:
     "minhash_lsh_pairs",       # r13 green; lsh_candidate_pairs unchanged
@@ -9728,6 +9763,11 @@ _DEFER_TO_TAIL = [
     "image_neardup_pairs",     # r13 green; banded-pair path unchanged
                                # (r14 touched hamming_against_index only)
     "image_neardup_components",# r13 green; CC path unchanged
+    "fwf_roundtrip_orders",    # r13 green; sources/io fixed-width path
+                               # unchanged in r14 — demoted to give the
+                               # round-14 registration (embedding_
+                               # incremental_sig, the persisted-
+                               # signature screen path) its head slot
 ]
 
 
@@ -9910,6 +9950,7 @@ _DEFER_HASHES: dict[str, str] = {
     "host_hits": "8f4976b988d48f26",
     "image_neardup_pairs": "3ada605f260a3975",
     "image_neardup_components": "abf1f35f7013aff3",
+    "fwf_roundtrip_orders": "fc10a744e80a4548",
 }
 
 
