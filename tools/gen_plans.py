@@ -143,6 +143,9 @@ CASES = {
     "rle_compression_bound": "RLE repetition bound — char-array split + two slice views zipped for boundary flags, exact-integer floor division; one narrow projection, zero exchanges before the sink",
     "neardup_incremental": "incremental near-dup screening — batch signature pass (narrow), ONE (band, signature) equi-join vs the index, LEFT ANTI on the small matched-id set, unionByName index extension; the registered form materializes (round-14 contract), so the LAZY plan below comes from materialize=False",
     "image_neardup_incremental": "incremental Hamming screening — two dHash Arrow passes, pigeonhole band explode both sides, ONE (_bi, _bv) equi-join + exact bit_count verify, LEFT ANTI + index union; registered form materializes (round-14), LAZY plan below from materialize=False",
+    # round 14
+    "embedding_neardup_incremental": "incremental cosine screening, raw index — two narrow bucket projections, ONE bucket LEFT SEMI with the exact-cosine verify folded into the join condition (round-14 early-exit form), LEFT ANTI + index union; LAZY plan from materialize=False",
+    "embedding_incremental_sig": "incremental cosine screening, persisted-signature index — the index side is a plain (id, vec, norm, bucket) scan with NO bucket recompute (the round-14 flat-curve shape); same LEFT SEMI + LEFT ANTI, updated index stays in signature shape; LAZY plan from materialize=False",
 }
 
 INTERESTING = (
@@ -209,6 +212,23 @@ def main() -> None:
             _fresh, updated = D.hamming_against_index(
                 hashes.filter(~in_index), hashes.filter(in_index),
                 "id", ["hash_hi", "hash_lo"], max_distance=4,
+                materialize=False,
+            )
+            return updated
+        if name in ("embedding_neardup_incremental", "embedding_incremental_sig"):
+            from gem_data_wrangle_spark.operators import similarity as V
+            from pyspark.sql import functions as F
+
+            emb = entrymod._t(spark, sf, "embeddings")
+            planes = V.hyperplanes(entrymod._LSH_PLANES, entrymod._LSH_DIM)
+            index = emb.filter(F.col("vec_id") % 2 == 0)
+            if name == "embedding_incremental_sig":
+                index = V.embedding_index_signatures(
+                    index, "embedding", "vec_id", planes
+                )
+            _fresh, updated = V.embedding_against_index(
+                emb.filter(F.col("vec_id") % 2 == 1), index,
+                "embedding", "vec_id", planes, threshold=0.4,
                 materialize=False,
             )
             return updated
