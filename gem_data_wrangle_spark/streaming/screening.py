@@ -18,7 +18,13 @@ persisted intermediate tables rather than in-process state).
 Exactly-once: both sinks are ``batch_id``-partitioned with dynamic
 partition overwrite, so a replayed micro-batch (same ``batch_id``
 after a crash) overwrites its own partition instead of duplicating —
-the standard idempotent-``foreachBatch`` recipe. The index DELTA per
+the standard idempotent-``foreachBatch`` recipe. The index READ is
+restricted to partitions strictly older than the current
+``batch_id``: a crash between the index write and the checkpoint
+commit replays the batch with its own signatures already persisted,
+and without the restriction the content-keyed screen would match
+every survivor against itself and overwrite both partitions empty
+(verified by the replay test — delete ``commits/N`` and restart). The index DELTA per
 batch is the surviving documents' signatures only (one extra narrow
 pass over the small surviving batch — ``minhash_signatures`` is
 shuffle-free), NOT the unioned ``updated_index``: appending the delta
@@ -88,7 +94,16 @@ def stream_neardup_screen(
         )
         index = spark.read.parquet(index_dir) if has_index else None
         if index is not None:
-            index = index.select(id_col, "band", "signature")
+            # REPLAY GUARD: a crash between the index write and the
+            # checkpoint commit replays this batch_id with its own
+            # signatures already in the index — the content-keyed
+            # screen would then match every surviving doc against
+            # itself and overwrite both partitions EMPTY (silent data
+            # loss). State is "as of the prior batch" by definition,
+            # so read strictly older partitions (partition-pruned).
+            index = index.filter(F.col("batch_id") < batch_id).select(
+                id_col, "band", "signature"
+            )
         fresh, _updated = neardup_against_index(
             batch,
             index,

@@ -320,3 +320,59 @@ def test_embedding_against_index_signature_index_parity(spark):
             batch2, upd_raw, "embedding", "vec_id", planes, threshold=0.4
         )
         assert _rows(fresh2_sig, "vec_id") == _rows(fresh2_raw, "vec_id")
+
+
+def test_stream_neardup_screen_crash_replay_idempotent(spark, tmp_path):
+    """Crash-replay semantics: a failure BETWEEN the index write and
+    the checkpoint commit replays the batch with its own signatures
+    already persisted under batch_id=N. The screen must read state
+    strictly OLDER than the current batch — otherwise every surviving
+    doc matches itself by content and the replay overwrites both
+    partitions empty (silent data loss). Simulated exactly: run one
+    batch, delete commits/0 from the checkpoint (the write happened,
+    the commit did not), restart, and require the final state to be
+    byte-identical to the pre-crash state."""
+    import shutil
+
+    from gem_data_wrangle_spark.streaming import stream_neardup_screen
+
+    src = str(tmp_path / "src")
+    index_dir = str(tmp_path / "index")
+    fresh_dir = str(tmp_path / "fresh")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id bigint, text string"
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog by the river"),
+         (2, "pack my box with five dozen liquor jugs before the auction")],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run():
+        q = stream_neardup_screen(
+            spark.readStream.schema(schema).parquet(src),
+            index_dir, fresh_dir, ckpt, "text", "doc_id",
+        )
+        q.awaitTermination(120)
+
+    run()
+    before_fresh = _rows(spark.read.parquet(fresh_dir), "batch_id", "doc_id")
+    before_index = _rows(
+        spark.read.parquet(index_dir), "doc_id", "band", "signature"
+    )
+    assert {d for _, d in before_fresh} == {1, 2}
+
+    # crash window: index written, commit marker lost -> replay batch 0
+    import glob
+
+    files_before = set(glob.glob(fresh_dir + "/batch_id=0/part-*"))
+    shutil.rmtree(str(tmp_path / "ckpt" / "commits"))
+    run()
+    # the replay really re-executed: dynamic overwrite rewrote the
+    # partition with fresh part files (same rows, new file identities)
+    assert set(glob.glob(fresh_dir + "/batch_id=0/part-*")) != files_before
+    assert _rows(
+        spark.read.parquet(fresh_dir), "batch_id", "doc_id"
+    ) == before_fresh
+    assert _rows(
+        spark.read.parquet(index_dir), "doc_id", "band", "signature"
+    ) == before_index
