@@ -9182,6 +9182,66 @@ def _q_embedding_incremental_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return updated.select("vec_id", "bucket")
 
 
+# --------------------------------------------------------------------
+# extension: multi-table OR-amplification of the embedding screen
+# (round 14) — `planes` as a LIST of independently-seeded plane tables
+# is the measured recall knob (SCALE.md round-14 recall tables: 0.24
+# recall at 4 planes x 1 table vs 0.48 at x4 for cos >= 0.4; more
+# planes per table LOWER recall). The oracle replays BOTH tables'
+# bucket bits and ORs the collisions, so the hash covers the
+# any-table candidate contract plus the shared exact-cosine verify.
+# Graded output is the surviving snapshot ids — the screen decision
+# itself.
+# --------------------------------------------------------------------
+def _embedding_multitable_oracle() -> str:
+    def bits(table):
+        return " || ".join(
+            "CASE WHEN list_dot_product(v, [{c}]::DOUBLE[]) > 0 THEN '1' ELSE '0' END".format(
+                c=", ".join(f"{x:.1f}" for x in plane)
+            )
+            for plane in table
+        )
+
+    t0 = V.hyperplanes(_LSH_PLANES, _LSH_DIM)
+    t1 = V.hyperplanes(_LSH_PLANES, _LSH_DIM, seed=V._LSH_SEED + 31)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), eb AS (
+      SELECT vec_id, v, {bits(t0)} AS b0, {bits(t1)} AS b1 FROM e
+    ), idx AS (
+      SELECT vec_id, v, b0, b1 FROM eb WHERE vec_id % 2 = 0
+    ), news AS (
+      SELECT vec_id, v, b0, b1 FROM eb WHERE vec_id % 2 = 1
+    ), matched AS (
+      SELECT DISTINCT n.vec_id FROM news n
+      JOIN idx i ON (n.b0 = i.b0 OR n.b1 = i.b1)
+      WHERE list_cosine_similarity(n.v, i.v) >= 0.4
+    )
+    SELECT vec_id FROM news
+    WHERE vec_id NOT IN (SELECT vec_id FROM matched)
+    """
+
+
+@_register("embedding_incremental_multitable", _embedding_multitable_oracle())
+def _q_embedding_incremental_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gem_data_wrangle_spark.operators.similarity import (  # noqa: PLC0415
+        embedding_against_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tables = [
+        V.hyperplanes(_LSH_PLANES, _LSH_DIM),
+        V.hyperplanes(_LSH_PLANES, _LSH_DIM, seed=V._LSH_SEED + 31),
+    ]
+    fresh, _updated = embedding_against_index(
+        emb.filter(F.col("vec_id") % 2 == 1),
+        emb.filter(F.col("vec_id") % 2 == 0),
+        "embedding", "vec_id", tables, threshold=0.4,
+    )
+    return fresh.select("vec_id")
+
+
 # NOTE (round 12): textops.compression_signals (the RefinedWeb-style
 # DEFLATE-ratio quality signal) is deliberately NOT registered as a
 # driver query — zlib has no DuckDB replay, and since round 5 every
@@ -9768,6 +9828,11 @@ _DEFER_TO_TAIL = [
                                # round-14 registration (embedding_
                                # incremental_sig, the persisted-
                                # signature screen path) its head slot
+    "rle_compression_bound",   # r13 green; textops rle path unchanged
+                               # in r14 — demoted to give the second
+                               # round-14 registration (embedding_
+                               # incremental_multitable, the OR-
+                               # amplification contract) its head slot
 ]
 
 
@@ -9951,6 +10016,7 @@ _DEFER_HASHES: dict[str, str] = {
     "image_neardup_pairs": "3ada605f260a3975",
     "image_neardup_components": "abf1f35f7013aff3",
     "fwf_roundtrip_orders": "fc10a744e80a4548",
+    "rle_compression_bound": "c394175e5e623f0c",
 }
 
 

@@ -518,3 +518,92 @@ def test_neardup_against_index_matches_bruteforce(spark, idx_texts, batch_texts)
     }
     assert {r["doc_id"] for r in fresh.collect()} == expect_survive
     assert updated.count() == 4 * len(idx_texts) + 4 * len(expect_survive)
+
+
+# ---------------------------------------------------------------------------
+# round 14: the embedding incremental screen vs a pure-Python sign-LSH
+# reference — the embedding mirror of the round-13 minhash property
+# test above. Integer-valued coordinates keep every dot product exact
+# in float64, and the reference folds sums sequentially exactly like
+# F.aggregate(zip_with(...)), so screen decisions are bit-comparable.
+# ---------------------------------------------------------------------------
+_vec3 = st.lists(
+    st.integers(min_value=-3, max_value=3).map(float), min_size=3, max_size=3
+)
+
+
+def _py_bucket(v, table):
+    return "".join(
+        "1" if sum(a * b for a, b in zip(v, plane)) > 0 else "0"
+        for plane in table
+    )
+
+
+def _py_screened(batch, index, tables, threshold):
+    """ids of batch vectors that collide with a true cosine-match in
+    ANY table; zero-norm vectors never match either side."""
+    import math
+
+    out = set()
+    for bid, bv in batch:
+        bn = math.sqrt(sum(x * x for x in bv))
+        if bn == 0:
+            continue
+        for _iid, iv in index:
+            inn = math.sqrt(sum(x * x for x in iv))
+            if inn == 0:
+                continue
+            cos = sum(a * b for a, b in zip(bv, iv)) / (bn * inn)
+            if cos >= threshold and any(
+                _py_bucket(bv, t) == _py_bucket(iv, t) for t in tables
+            ):
+                out.add(bid)
+                break
+    return out
+
+
+@given(
+    idx_vecs=st.lists(_vec3, min_size=1, max_size=5),
+    batch_vecs=st.lists(_vec3, min_size=1, max_size=5),
+    n_tables=st.integers(min_value=1, max_value=3),
+)
+@_SETTINGS
+def test_embedding_against_index_matches_bruteforce(
+    spark, idx_vecs, batch_vecs, n_tables
+):
+    from gem_data_wrangle_spark.operators import similarity as V
+
+    tables = [
+        V.hyperplanes(4, 3, seed=V._LSH_SEED + 31 * t) for t in range(n_tables)
+    ]
+    planes = tables[0] if n_tables == 1 else tables
+    idx_rows = [(i, v) for i, v in enumerate(idx_vecs)]
+    batch_rows = [(100 + i, v) for i, v in enumerate(batch_vecs)]
+    idx_df = spark.createDataFrame(
+        idx_rows, "vec_id long, embedding array<double>"
+    )
+    batch_df = spark.createDataFrame(
+        batch_rows, "vec_id long, embedding array<double>"
+    )
+
+    expect_gone = _py_screened(batch_rows, idx_rows, tables, 0.4)
+
+    fresh_raw, _ = V.embedding_against_index(
+        batch_df, idx_df, "embedding", "vec_id", planes, threshold=0.4
+    )
+    assert {100 + i for i in range(len(batch_vecs))} - {
+        r["vec_id"] for r in fresh_raw.collect()
+    } == expect_gone
+
+    # the persisted-signature index path must decide identically
+    sig = V.embedding_index_signatures(idx_df, "embedding", "vec_id", planes)
+    fresh_sig, upd_sig = V.embedding_against_index(
+        batch_df, sig, "embedding", "vec_id", planes, threshold=0.4
+    )
+    assert {r["vec_id"] for r in fresh_sig.collect()} == {
+        r["vec_id"] for r in fresh_raw.collect()
+    }
+    # signature-shaped updated index: index rows + one row per
+    # surviving batch vector per table
+    n_survive = len(batch_vecs) - len(expect_gone)
+    assert upd_sig.count() == n_tables * (len(idx_vecs) + n_survive)
