@@ -144,6 +144,12 @@ HEADLINE = [
     # round 13: the embedding member — sign-LSH bucket join vs the
     # persisted vector index + exact cosine verify + LEFT ANTI
     "embedding_neardup_incremental",
+    # round 14: the persisted-signature index path (no index-side
+    # bucket recompute — the flat-curve production shape) and the
+    # multi-table OR-amplification contract (two plane tables, any-
+    # table candidates, shared exact verify)
+    "embedding_incremental_sig",
+    "embedding_incremental_multitable",
 ]
 
 
