@@ -1,4 +1,7 @@
-from gem_data_wrangle_spark.streaming.screening import stream_neardup_screen
+from gem_data_wrangle_spark.streaming.screening import (
+    stream_dedup_screen,
+    stream_neardup_screen,
+)
 from gem_data_wrangle_spark.streaming.windows import (
     session_window_agg,
     sliding_window_agg,
@@ -12,6 +15,7 @@ __all__ = [
     "session_window_agg",
     "sliding_window_agg",
     "stream_dedup",
+    "stream_dedup_screen",
     "stream_interval_join",
     "stream_neardup_screen",
     "stream_static_enrich",

@@ -376,3 +376,48 @@ def test_stream_neardup_screen_crash_replay_idempotent(spark, tmp_path):
     assert _rows(
         spark.read.parquet(index_dir), "doc_id", "band", "signature"
     ) == before_index
+
+
+def test_stream_dedup_screen_matches_batch_replay(spark, tmp_path):
+    """Digest sibling of the streaming near-dup screen: per-batch
+    survivors must equal a sequential replay of dedup_against_index,
+    within-batch exact dups must collapse to the lowest id, and the
+    index must hold exactly one digest per distinct surviving text."""
+    from gem_data_wrangle_spark.streaming import stream_dedup_screen
+
+    src = str(tmp_path / "src")
+    index_dir = str(tmp_path / "index")
+    fresh_dir = str(tmp_path / "fresh")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id bigint, text string"
+    snapshots = [
+        [(1, "alpha"), (2, "beta"), (3, "alpha")],   # 3 = in-batch dup
+        [(4, "beta"), (5, "gamma")],                 # 4 = dup of batch 0
+        [(6, "gamma"), (7, "delta"), (8, "delta")],  # 6 dup, 8 in-batch
+    ]
+    for snap in snapshots:
+        spark.createDataFrame(snap, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = stream_dedup_screen(
+            spark.readStream.schema(schema).parquet(src),
+            index_dir, fresh_dir, ckpt, "text", "doc_id",
+        )
+        q.awaitTermination(120)
+
+    got = {
+        (r["batch_id"], r["doc_id"])
+        for r in spark.read.parquet(fresh_dir).collect()
+    }
+    expect, index = set(), None
+    for bid, snap in enumerate(snapshots):
+        fresh, index = D.dedup_against_index(
+            spark.createDataFrame(snap, schema), index, "text", "doc_id"
+        )
+        expect |= {(bid, r["doc_id"]) for r in fresh.collect()}
+    assert got == expect == {(0, 1), (0, 2), (1, 5), (2, 7)}
+    idx = spark.read.parquet(index_dir)
+    assert sorted(r["digest"] for r in idx.collect()) == sorted(
+        r["digest"] for r in index.collect()
+    )
+    assert idx.count() == 4  # one digest per distinct surviving text
