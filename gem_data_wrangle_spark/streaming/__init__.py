@@ -1,5 +1,6 @@
 from gem_data_wrangle_spark.streaming.screening import (
     stream_dedup_screen,
+    stream_embedding_screen,
     stream_neardup_screen,
 )
 from gem_data_wrangle_spark.streaming.windows import (
@@ -16,6 +17,7 @@ __all__ = [
     "sliding_window_agg",
     "stream_dedup",
     "stream_dedup_screen",
+    "stream_embedding_screen",
     "stream_interval_join",
     "stream_neardup_screen",
     "stream_static_enrich",

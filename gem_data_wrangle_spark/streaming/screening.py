@@ -2,9 +2,11 @@
 VERDICT r13 item 8): wire the ``*_against_index`` operators into a
 ``foreachBatch`` loop so a *stream* of crawl snapshots is screened
 against a persisted cross-batch index — the natural production
-deployment of the incremental family. Two compositions ship:
-``stream_neardup_screen`` (MinHash band signatures) and
-``stream_dedup_screen`` (exact content digests).
+deployment of the incremental family. Three compositions ship:
+``stream_neardup_screen`` (MinHash band signatures),
+``stream_dedup_screen`` (exact content digests), and
+``stream_embedding_screen`` (sign-LSH buckets + exact cosine verify,
+with the persisted-signature index shape as the state table).
 
 Why ``foreachBatch`` and not a stateful operator: the screen's state
 (the signature/digest index of ALL history) is a real lakehouse table —
@@ -208,4 +210,50 @@ def stream_dedup_screen(
     return _stream_screen(
         stream_docs, index_dir, fresh_dir, checkpoint,
         ["digest"], screen, delta, trigger_available_now,
+    )
+
+
+def stream_embedding_screen(
+    stream_emb: DataFrame,
+    index_dir: str,
+    fresh_dir: str,
+    checkpoint: str,
+    vec_col: str,
+    id_col: str,
+    planes: list,
+    threshold: float = 0.4,
+    trigger_available_now: bool = True,
+):
+    """Embedding member of the streaming-screen family: each
+    micro-batch of vectors drops rows whose exact cosine against ANY
+    prior batch reaches ``threshold`` (sign-LSH bucket candidates, the
+    ``embedding_against_index`` contract), then appends the survivors'
+    PERSISTED SIGNATURES — ``embedding_index_signatures``' ``(id, vec,
+    norm, bucket)`` shape, so no micro-batch ever re-buckets history
+    (the flat-curve production shape from the round-14 asymmetric
+    measurements). ``planes`` is one plane table or a list of tables
+    (OR-amplification) and must be IDENTICAL across every batch and
+    any offline job sharing the index — drifted planes silently screen
+    nothing. Same exactly-once recipe as the siblings: batch_id
+    dynamic overwrite + the strictly-older replay guard.
+    """
+    from gem_data_wrangle_spark.operators.similarity import (  # noqa: PLC0415
+        embedding_against_index,
+        embedding_index_signatures,
+    )
+
+    def screen(batch: DataFrame, index: DataFrame | None) -> DataFrame:
+        fresh, _updated = embedding_against_index(
+            batch, index, vec_col, id_col, planes,
+            threshold=threshold, materialize=True,
+        )
+        return fresh
+
+    def delta(fresh: DataFrame) -> DataFrame:
+        return embedding_index_signatures(fresh, vec_col, id_col, planes)
+
+    return _stream_screen(
+        stream_emb, index_dir, fresh_dir, checkpoint,
+        [id_col, vec_col, "norm", "bucket"], screen, delta,
+        trigger_available_now,
     )

@@ -421,3 +421,61 @@ def test_stream_dedup_screen_matches_batch_replay(spark, tmp_path):
         r["digest"] for r in index.collect()
     )
     assert idx.count() == 4  # one digest per distinct surviving text
+
+
+def test_stream_embedding_screen_matches_batch_replay(spark, tmp_path):
+    """Embedding member of the streaming-screen family: survivors per
+    micro-batch must equal a sequential embedding_against_index replay,
+    and the state table must be the persisted-signature shape (one
+    (id, vec, norm, bucket) row per survivor) so later batches never
+    re-bucket history."""
+    from gem_data_wrangle_spark.streaming import stream_embedding_screen
+
+    planes = V.hyperplanes(4, 3)
+    src = str(tmp_path / "src")
+    index_dir = str(tmp_path / "index")
+    fresh_dir = str(tmp_path / "fresh")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "vec_id bigint, embedding array<double>"
+    snapshots = [
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],
+        [(3, [0.99, 0.01, 0.0]), (4, [0.0, 0.0, 1.0])],   # 3 ~ dup of 1
+        [(5, [0.0, 0.0, 0.98]), (6, [-1.0, -1.0, -1.0])],  # 5 ~ dup of 4
+    ]
+    for snap in snapshots:
+        spark.createDataFrame(snap, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = stream_embedding_screen(
+            spark.readStream.schema(schema).parquet(src),
+            index_dir, fresh_dir, ckpt, "embedding", "vec_id", planes,
+            threshold=0.4,
+        )
+        q.awaitTermination(120)
+
+    got = {
+        (r["batch_id"], r["vec_id"])
+        for r in spark.read.parquet(fresh_dir).collect()
+    }
+    expect, index = set(), None
+    for bid, snap in enumerate(snapshots):
+        fresh, _upd = V.embedding_against_index(
+            spark.createDataFrame(snap, schema),
+            index, "embedding", "vec_id", planes, threshold=0.4,
+        )
+        expect |= {(bid, r["vec_id"]) for r in fresh.collect()}
+        # replay keeps its own signature-shaped running index, exactly
+        # like the stream's state table
+        base = index if index is not None else spark.createDataFrame(
+            [], "vec_id bigint, embedding array<double>, "
+                "norm double, bucket string"
+        )
+        index = base.unionByName(
+            V.embedding_index_signatures(fresh, "embedding", "vec_id", planes)
+        )
+    assert got == expect
+    idx = spark.read.parquet(index_dir)
+    assert {"vec_id", "embedding", "norm", "bucket", "batch_id"} <= set(idx.columns)
+    assert _rows(idx, "vec_id", "norm", "bucket") == _rows(
+        index, "vec_id", "norm", "bucket"
+    )
