@@ -1,6 +1,7 @@
 from gem_data_wrangle_spark.streaming.screening import (
     stream_dedup_screen,
     stream_embedding_screen,
+    stream_hamming_screen,
     stream_neardup_screen,
 )
 from gem_data_wrangle_spark.streaming.windows import (
@@ -18,6 +19,7 @@ __all__ = [
     "stream_dedup",
     "stream_dedup_screen",
     "stream_embedding_screen",
+    "stream_hamming_screen",
     "stream_interval_join",
     "stream_neardup_screen",
     "stream_static_enrich",

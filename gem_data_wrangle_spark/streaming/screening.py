@@ -1,12 +1,15 @@
 """Streaming composition of the incremental screens (round 14,
-VERDICT r13 item 8): wire the ``*_against_index`` operators into a
-``foreachBatch`` loop so a *stream* of crawl snapshots is screened
-against a persisted cross-batch index — the natural production
-deployment of the incremental family. Three compositions ship:
+VERDICT r13 item 8; production-hardened round 15): wire the
+``*_against_index`` operators into a ``foreachBatch`` loop so a
+*stream* of crawl snapshots is screened against a persisted
+cross-batch index — the natural production deployment of the
+incremental family. Four compositions ship, one per batch screen:
+``stream_dedup_screen`` (exact content digests),
 ``stream_neardup_screen`` (MinHash band signatures),
-``stream_dedup_screen`` (exact content digests), and
-``stream_embedding_screen`` (sign-LSH buckets + exact cosine verify,
-with the persisted-signature index shape as the state table).
+``stream_hamming_screen`` (packed perceptual-hash signatures — the
+image/dHash member), and ``stream_embedding_screen`` (sign-LSH
+buckets + exact cosine verify, with the persisted-signature index
+shape as the state table).
 
 Why ``foreachBatch`` and not a stateful operator: the screen's state
 (the signature/digest index of ALL history) is a real lakehouse table —
@@ -19,43 +22,132 @@ query (the same reasoning as reference-side snapshot jobs — cf.
 ``GEM/TotalData_GEM.R`` consolidating per-tracker snapshots through
 persisted intermediate tables rather than in-process state).
 
-Exactly-once: both sinks are ``batch_id``-partitioned with dynamic
-partition overwrite, so a replayed micro-batch (same ``batch_id``
-after a crash) overwrites its own partition instead of duplicating —
-the standard idempotent-``foreachBatch`` recipe. The index READ is
-restricted to partitions strictly older than the current
-``batch_id``: a crash between the index write and the checkpoint
-commit replays the batch with its own signatures already persisted,
-and without the restriction the content-keyed screen would match
-every survivor against itself and overwrite both partitions empty
-(verified by the replay test — delete ``commits/N`` and restart). The
-index DELTA per batch is the surviving documents' signatures/digests
-only (one extra narrow pass over the small surviving batch), NOT the
-unioned ``updated_index``: appending the delta keeps the per-batch
-write O(batch) while a full-index rewrite would be O(history) per
-micro-batch and unusable at crawl scale.
+Exactly-once: both sinks land under ``<dir>/batch_id=N`` hive-layout
+partitions written with a per-partition overwrite, so a replayed
+micro-batch (same ``batch_id`` after a crash) overwrites its own
+partition instead of duplicating — the standard idempotent-
+``foreachBatch`` recipe. The index READ is restricted to partitions
+strictly older than the current ``batch_id``: a crash between the
+index write and the checkpoint commit replays the batch with its own
+signatures already persisted, and without the restriction the
+content-keyed screen would match every survivor against itself and
+overwrite both partitions empty (verified by the replay test — delete
+``commits/N`` and restart). The index DELTA per batch is the
+surviving documents' signatures/digests only (one extra narrow pass
+over the small surviving batch), NOT the unioned ``updated_index``:
+appending the delta keeps the per-batch write O(batch) while a
+full-index rewrite would be O(history) per micro-batch and unusable
+at crawl scale.
 
-Scale: per micro-batch the work is exactly one batch signature/digest
-pass + ONE equi-join against the index + one LEFT ANTI on the
-broadcastable matched set (the ``*_against_index`` contracts), plus an
-O(batch) parquet append. History is touched only through its index
-table, which the reader prunes to the index columns.
+Scale — the per-micro-batch cost model (round 15, VERDICT r14 items
+1-2):
+
+* **Index probing goes through the Hadoop FileSystem API**, never
+  driver-local ``os.path``: on ``hdfs://`` / ``s3a://`` / ``abfs://``
+  (the lakehouse deployment this module targets) ``os.path.isdir``
+  returns False forever, which silently disabled screening — every
+  duplicate passed as fresh while the index kept growing, a
+  silent-correctness failure with no error anywhere. The probe now
+  resolves ``index_dir`` through ``Path.getFileSystem(hadoopConf)``,
+  so any scheme the session can read is probed correctly
+  (``tests/test_round15_fixes.py`` exercises a non-``file:`` scheme
+  end-to-end).
+* **The index read is join-key-pruned, not a full-history scan.**
+  The ``batch_id``-partition layout alone gives the screen's join key
+  (``digest`` / ``signature`` / ``band_value`` / ``bucket``) no
+  pruning, so every micro-batch would scan (and worse, SHUFFLE — the
+  batch side of a left-semi join cannot be the broadcast side) the
+  entire history. Each screen instead computes its micro-batch's
+  small distinct key set (one narrow O(batch) pass) and pushes it
+  into the index read: an ``isin`` predicate when the set is at most
+  ``max_isin_keys`` (reaches the parquet scan — row-group/page stats
+  pruning against the key-sorted deltas below), else a broadcast
+  LEFT SEMI prune (scan-side filter, still no history shuffle). The
+  filtered index is candidate-bounded — O(batch-keys-hit), not
+  O(history) — so AQE plans the screen join as a broadcast, and the
+  only O(history) term left is the pruned key-column scan.
+  Equality-join semantics make the prune lossless: an index row whose
+  key no batch row carries can never match.
+* **Index deltas are written sorted by the join key**
+  (``sortWithinPartitions``) so parquet row-group min/max stats are
+  tight slices of the key space and the pushed ``isin`` skips row
+  groups. Writes go directly to ``<dir>/batch_id=N`` (not
+  ``partitionBy``) because a partitioned write may re-sort rows by
+  the partition column and Spark's sort is not stable — the direct
+  path guarantees the key order survives into the files. Periodic
+  compaction of old ``batch_id`` partitions into key-range-clustered
+  files (the batch operators' own persistence advice) tightens the
+  pruning further; the screen reads the same directory either way.
+
+Per micro-batch the work is then: one batch signature/digest pass +
+one key-set collect + ONE key-pruned equi-join + one LEFT ANTI on the
+broadcastable matched set (the ``*_against_index`` contracts), plus
+an O(batch) sorted parquet append. Measured: ``tools/scale_stream.py``
+holds the batch fixed and grows ONLY the index 100x (SCALE.md round
+15 rows).
 """
 
 from __future__ import annotations
 
-import os
 from typing import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gem_data_wrangle_spark.operators.dedup import (
+    _packed_bands,
     dedup_against_index,
+    hamming_against_index,
     minhash_signatures,
     neardup_against_index,
 )
 from gem_data_wrangle_spark.streaming.sinks import foreach_batch_sink
+
+
+def _index_exists(spark: SparkSession, index_dir: str) -> bool:
+    """True if ``index_dir`` exists and holds at least one non-hidden
+    entry, probed through the Hadoop FileSystem API so ANY scheme the
+    session can read (``file://``, ``hdfs://``, ``s3a://``,
+    ``abfs://``) is probed correctly (VERDICT r14 item 1 / ADVICE
+    r14 high: the former driver-local ``os.path.isdir`` returned
+    False forever on object storage and silently disabled screening).
+    An empty bootstrap dir and a missing dir behave identically —
+    batch 0 screens against ``index=None``."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(index_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return False
+    for status in fs.listStatus(path):
+        name = status.getPath().getName()
+        if not name.startswith(("_", ".")):
+            return True
+    return False
+
+
+def _pruned_index(
+    index: DataFrame,
+    batch_keys: DataFrame,
+    max_isin_keys: int,
+) -> DataFrame:
+    """Push the micro-batch's distinct join-key set into the index
+    read (VERDICT r14 item 2). ``batch_keys`` is a one-column frame
+    whose column name matches the index's join-key column. Small key
+    sets become an ``isin`` predicate (pushed to the parquet scan —
+    row-group pruning against the key-sorted deltas); larger ones a
+    broadcast LEFT SEMI (scan-side filter, no history shuffle). NULL
+    keys never equi-match, so they are dropped from the prune set and
+    NULL-key index rows are allowed to fall away with it."""
+    kcol = batch_keys.columns[0]
+    kdf = batch_keys.filter(F.col(kcol).isNotNull()).distinct()
+    head = kdf.limit(max_isin_keys + 1).collect()
+    if len(head) <= max_isin_keys:
+        vals = [r[0] for r in head]
+        if not vals:
+            # empty batch key set: nothing can match, skip the index
+            return index.filter(F.lit(False))
+        return index.filter(F.col(kcol).isin(vals))
+    return index.join(F.broadcast(kdf), on=kcol, how="left_semi")
 
 
 def _stream_screen(
@@ -66,48 +158,60 @@ def _stream_screen(
     index_cols: list[str],
     screen: Callable[[DataFrame, DataFrame | None], DataFrame],
     delta: Callable[[DataFrame], DataFrame],
+    batch_keys: Callable[[DataFrame], DataFrame],
     trigger_available_now: bool,
+    max_isin_keys: int,
 ):
-    """Shared foreachBatch engine: replay-guarded index read →
-    ``screen(batch, index|None) -> fresh`` → batch_id-partitioned
-    dynamic-overwrite writes of ``fresh`` and ``delta(fresh)``."""
+    """Shared foreachBatch engine: replay-guarded + join-key-pruned
+    index read → ``screen(batch, index|None) -> fresh`` → per-
+    ``batch_id`` overwrite writes of ``fresh`` and ``delta(fresh)``
+    (the delta sorted by the join key for row-group stats pruning).
+
+    ``batch_keys(batch)`` returns a one-column frame of the batch's
+    join-key values; its column name is both the prune column and the
+    delta sort key."""
     spark = stream_docs.sparkSession
 
     def _run(batch: DataFrame, batch_id: int) -> None:
-        # cross-batch state: read the index table as of this batch.
-        # Listing the directory (not try/except on read) so an empty
-        # bootstrap dir and a missing dir behave identically.
-        has_index = os.path.isdir(index_dir) and any(
-            not e.startswith(("_", ".")) for e in os.listdir(index_dir)
-        )
-        index = spark.read.parquet(index_dir) if has_index else None
-        if index is not None:
-            # REPLAY GUARD: a crash between the index write and the
-            # checkpoint commit replays this batch_id with its own
-            # rows already in the index — the content-keyed screen
-            # would then match every surviving doc against itself and
-            # overwrite both partitions EMPTY (silent data loss).
-            # State is "as of the prior batch" by definition, so read
-            # strictly older partitions (partition-pruned).
-            index = index.filter(F.col("batch_id") < batch_id).select(
-                *index_cols
+        # the batch feeds the key-set collect, the screen, and the
+        # delta pass — pin it so the source isn't re-read per action
+        batch = batch.persist()
+        try:
+            index = None
+            if _index_exists(spark, index_dir):
+                raw = spark.read.parquet(index_dir)
+                # REPLAY GUARD: a crash between the index write and
+                # the checkpoint commit replays this batch_id with its
+                # own rows already in the index — the content-keyed
+                # screen would then match every surviving doc against
+                # itself and overwrite both partitions EMPTY (silent
+                # data loss). State is "as of the prior batch" by
+                # definition, so read strictly older partitions
+                # (partition-pruned on batch_id).
+                raw = raw.filter(F.col("batch_id") < batch_id).select(
+                    *index_cols
+                )
+                index = _pruned_index(
+                    raw, batch_keys(batch), max_isin_keys
+                )
+            fresh = screen(batch, index)
+            # per-partition overwrite == idempotent replay per batch_id;
+            # direct-path (not partitionBy) so the delta's key sort is
+            # not destroyed by the writer's partition-column re-sort
+            fresh.write.mode("overwrite").parquet(
+                f"{fresh_dir}/batch_id={batch_id}"
             )
-        fresh = screen(batch, index)
-        stamped = fresh.withColumn("batch_id", F.lit(batch_id))
-        # dynamic partition overwrite == idempotent replay per batch_id
-        (
-            stamped.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(fresh_dir)
-        )
-        (
-            delta(fresh).withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(index_dir)
-        )
+            d = delta(fresh)
+            sort_col = next(
+                (c for c in d.columns if c in _SORTABLE_KEYS), None
+            )
+            if sort_col is not None:
+                d = d.sortWithinPartitions(sort_col)
+            d.write.mode("overwrite").parquet(
+                f"{index_dir}/batch_id={batch_id}"
+            )
+        finally:
+            batch.unpersist()
 
     return foreach_batch_sink(
         stream_docs,
@@ -115,6 +219,11 @@ def _stream_screen(
         checkpoint,
         trigger_available_now=trigger_available_now,
     )
+
+
+# join-key columns the delta writer sorts by (row-group stats pruning
+# for the pushed isin — one per screen family)
+_SORTABLE_KEYS = {"digest", "signature", "band_value", "bucket"}
 
 
 def stream_neardup_screen(
@@ -128,6 +237,7 @@ def stream_neardup_screen(
     rows_per_band: int = 4,
     ngram: int = 2,
     trigger_available_now: bool = True,
+    max_isin_keys: int = 10_000,
 ):
     """Screen a streaming document source against a persisted MinHash
     band-signature index; returns the started ``StreamingQuery``.
@@ -135,9 +245,14 @@ def stream_neardup_screen(
     Per micro-batch: near-dups of ANY prior batch (via the index at
     ``index_dir``) are dropped; survivors land under
     ``fresh_dir/batch_id=N`` and their signatures are appended under
-    ``index_dir/batch_id=N``. An empty/missing ``index_dir``
-    bootstraps batch 0 with no screening (every doc survives), exactly
-    like ``neardup_against_index(..., index_sigs=None)``.
+    ``index_dir/batch_id=N`` (sorted by ``signature`` for row-group
+    pruning). The index read is pruned to the batch's own signature
+    set before the join — a match requires equality on (band,
+    signature), so filtering history to the batch's signatures keeps
+    every possible match while bounding the join's index side by the
+    batch, not the archive. An empty/missing ``index_dir`` bootstraps
+    batch 0 with no screening (every doc survives), exactly like
+    ``neardup_against_index(..., index_sigs=None)``.
 
     Within-batch near-dups are out of scope here as in the batch
     operator (run ``neardup_dedup`` upstream); ids must be globally
@@ -171,10 +286,13 @@ def stream_neardup_screen(
             ngram=ngram,
         )
 
+    def batch_keys(batch: DataFrame) -> DataFrame:
+        return delta(batch).select("signature")
+
     return _stream_screen(
         stream_docs, index_dir, fresh_dir, checkpoint,
-        [id_col, "band", "signature"], screen, delta,
-        trigger_available_now,
+        [id_col, "band", "signature"], screen, delta, batch_keys,
+        trigger_available_now, max_isin_keys,
     )
 
 
@@ -186,15 +304,17 @@ def stream_dedup_screen(
     text_col: str,
     id_col: str,
     trigger_available_now: bool = True,
+    max_isin_keys: int = 10_000,
 ):
     """Exact-digest sibling of :func:`stream_neardup_screen`: each
     micro-batch drops documents whose md5(text) digest already exists
     in ANY prior batch's index partition, then appends the survivors'
-    digests. Unlike the near-dup screen, within-batch exact dups ARE
-    handled (``dedup_against_index`` keeps the lowest-id row per
-    digest), so a batch never contributes the same digest twice. Same
-    exactly-once recipe: batch_id-partitioned dynamic overwrite on
-    both sinks plus the strictly-older replay guard.
+    digests (sorted, for row-group pruning of the pushed digest set).
+    Unlike the near-dup screen, within-batch exact dups ARE handled
+    (``dedup_against_index`` keeps the lowest-id row per digest), so a
+    batch never contributes the same digest twice. Same exactly-once
+    recipe: per-``batch_id`` overwrite on both sinks plus the
+    strictly-older replay guard.
     """
 
     def screen(batch: DataFrame, index: DataFrame | None) -> DataFrame:
@@ -207,9 +327,97 @@ def stream_dedup_screen(
         # fresh is within-batch deduped: exactly one row per digest
         return fresh.select(F.md5(F.col(text_col)).alias("digest"))
 
+    def batch_keys(batch: DataFrame) -> DataFrame:
+        return batch.select(F.md5(F.col(text_col)).alias("digest"))
+
     return _stream_screen(
         stream_docs, index_dir, fresh_dir, checkpoint,
-        ["digest"], screen, delta, trigger_available_now,
+        ["digest"], screen, delta, batch_keys,
+        trigger_available_now, max_isin_keys,
+    )
+
+
+def stream_hamming_screen(
+    stream_sigs: DataFrame,
+    index_dir: str,
+    fresh_dir: str,
+    checkpoint: str,
+    id_col: str,
+    chunk_cols: list[str],
+    chunk_bits: int = 32,
+    max_distance: int = 2,
+    trigger_available_now: bool = True,
+    max_isin_keys: int = 10_000,
+):
+    """Packed-Hamming member of the streaming-screen family (round
+    15, VERDICT r14 item 3 — the one batch screen that had no
+    ``foreachBatch`` composition): each micro-batch of packed
+    signatures (e.g. ``image_dhash`` halves for a stream of crawled
+    image snapshots, SimHash words for text) drops rows within
+    Hamming distance ``max_distance`` of ANY prior batch, then
+    appends the survivors. Exact both ways, like the batch operator:
+    pigeonhole banding generates candidates with no false negatives
+    and the ``bit_count(xor)`` verify removes every false positive.
+
+    Index layout: one row per (survivor, band) — ``(id_col,
+    *chunk_cols, band_idx, band_value)``, the Hamming analogue of the
+    MinHash screen's band-signature table — written sorted by
+    ``band_value`` so the batch's pushed band-value set prunes row
+    groups. The banded layout exists exactly so the per-micro-batch
+    index read can be key-pruned: bands are computed bit-slices, so a
+    raw ``(id, chunks)`` table could never push a band predicate into
+    the scan. The pruned rows collapse back to distinct ``(id,
+    chunks)`` for :func:`~gem_data_wrangle_spark.operators.dedup.
+    hamming_against_index`, which re-derives both sides' bands itself
+    (the tiling always agrees). Pruning is lossless by pigeonhole: an
+    index row within ``max_distance`` of a batch row shares at least
+    one band value, so filtering history to the batch's band values
+    keeps every true candidate.
+
+    ``chunk_cols`` / ``chunk_bits`` / ``max_distance`` must match
+    across every batch AND any offline job sharing the index — the
+    band tiling is the join-key space, and a drift silently screens
+    nothing. Ids must be globally unique across batches. Same
+    exactly-once recipe as the siblings: per-``batch_id`` overwrite +
+    the strictly-older replay guard (``tests/test_round15_fixes.py``
+    replays the crash window).
+    """
+
+    def _bands(df: DataFrame) -> DataFrame:
+        return _packed_bands(
+            df, id_col, chunk_cols, chunk_bits, max_distance
+        ).select(
+            id_col, *chunk_cols,
+            F.col("_bi").alias("band_idx"),
+            F.col("_bv").alias("band_value"),
+        )
+
+    def screen(batch: DataFrame, index: DataFrame | None) -> DataFrame:
+        if index is not None:
+            # collapse the pruned banded rows back to one signature
+            # row per historical id (ids are unique in the index, so
+            # chunks are functionally dependent on id)
+            index = index.select(id_col, *chunk_cols).dropDuplicates(
+                [id_col]
+            )
+        fresh, _updated = hamming_against_index(
+            batch, index, id_col, chunk_cols,
+            chunk_bits=chunk_bits, max_distance=max_distance,
+            materialize=True,
+        )
+        return fresh
+
+    def delta(fresh: DataFrame) -> DataFrame:
+        return _bands(fresh)
+
+    def batch_keys(batch: DataFrame) -> DataFrame:
+        return _bands(batch).select("band_value")
+
+    return _stream_screen(
+        stream_sigs, index_dir, fresh_dir, checkpoint,
+        [id_col, *chunk_cols, "band_idx", "band_value"],
+        screen, delta, batch_keys,
+        trigger_available_now, max_isin_keys,
     )
 
 
@@ -223,6 +431,7 @@ def stream_embedding_screen(
     planes: list,
     threshold: float = 0.4,
     trigger_available_now: bool = True,
+    max_isin_keys: int = 10_000,
 ):
     """Embedding member of the streaming-screen family: each
     micro-batch of vectors drops rows whose exact cosine against ANY
@@ -231,11 +440,15 @@ def stream_embedding_screen(
     PERSISTED SIGNATURES — ``embedding_index_signatures``' ``(id, vec,
     norm, bucket)`` shape, so no micro-batch ever re-buckets history
     (the flat-curve production shape from the round-14 asymmetric
-    measurements). ``planes`` is one plane table or a list of tables
-    (OR-amplification) and must be IDENTICAL across every batch and
-    any offline job sharing the index — drifted planes silently screen
-    nothing. Same exactly-once recipe as the siblings: batch_id
-    dynamic overwrite + the strictly-older replay guard.
+    measurements). The index read is pruned to the batch's own bucket
+    set (candidates require bucket equality, so the prune is
+    lossless) and the delta is written sorted by ``bucket``.
+    ``planes`` is one plane table or a list of tables
+    (OR-amplification; build with ``plane_tables``) and must be
+    IDENTICAL across every batch and any offline job sharing the
+    index — drifted planes silently screen nothing. Same exactly-once
+    recipe as the siblings: per-``batch_id`` overwrite + the
+    strictly-older replay guard.
     """
     from gem_data_wrangle_spark.operators.similarity import (  # noqa: PLC0415
         embedding_against_index,
@@ -252,8 +465,13 @@ def stream_embedding_screen(
     def delta(fresh: DataFrame) -> DataFrame:
         return embedding_index_signatures(fresh, vec_col, id_col, planes)
 
+    def batch_keys(batch: DataFrame) -> DataFrame:
+        return embedding_index_signatures(
+            batch, vec_col, id_col, planes
+        ).select("bucket")
+
     return _stream_screen(
         stream_emb, index_dir, fresh_dir, checkpoint,
-        [id_col, vec_col, "norm", "bucket"], screen, delta,
-        trigger_available_now,
+        [id_col, vec_col, "norm", "bucket"], screen, delta, batch_keys,
+        trigger_available_now, max_isin_keys,
     )

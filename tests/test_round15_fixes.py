@@ -1,0 +1,287 @@
+"""Round-15 production hardening of the streaming screens (VERDICT
+r14 items 1-3 / ADVICE r14 high): the index-existence probe goes
+through the Hadoop FileSystem API (a driver-local ``os.path.isdir``
+returned False forever on any non-local scheme and silently disabled
+screening), the per-micro-batch index read is join-key-pruned
+(isin pushdown with a broadcast LEFT SEMI fallback) instead of an
+O(history) scan+shuffle, and the packed-Hamming screen completes the
+four-member streaming family with the same batch-parity and
+crash-replay contracts as its siblings."""
+
+import glob
+import shutil
+
+from pyspark.sql import functions as F
+
+from gem_data_wrangle_spark.operators import dedup as D
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+# ------------------------------------------------- Hadoop FS probing
+def test_stream_screen_probes_non_local_scheme(spark, tmp_path):
+    """The index probe must work for ANY Hadoop-readable scheme, not
+    just local paths: mount a ``viewfs://`` table (Hadoop's built-in
+    client-side federation FS — a real non-``file:`` scheme whose
+    paths ``os.path`` can never resolve) over the test directory and
+    run the digest screen end-to-end through it. Under the former
+    os.path.isdir probe the scheme-prefixed index_dir is never a
+    local directory name, so screening was silently DISABLED: the
+    cross-batch duplicate below would pass as fresh and this test
+    fails. Covers both the bootstrap branch (batch 0: missing dir →
+    no screening) and the existing-index branch (batch 1: duplicate
+    dropped)."""
+    from gem_data_wrangle_spark.streaming import stream_dedup_screen
+
+    spark.sparkContext._jsc.hadoopConfiguration().set(
+        "fs.viewfs.mounttable.r15screen.link./data",
+        tmp_path.as_uri(),
+    )
+    src = str(tmp_path / "src")
+    index_dir = "viewfs://r15screen/data/index"
+    fresh_dir = "viewfs://r15screen/data/fresh"
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id bigint, text string"
+
+    snapshots = [
+        [(1, "alpha"), (2, "beta")],
+        [(3, "alpha"), (4, "gamma")],  # 3 duplicates batch 0's text
+    ]
+    for snap in snapshots:
+        spark.createDataFrame(snap, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = stream_dedup_screen(
+            spark.readStream.schema(schema).parquet(src),
+            index_dir, fresh_dir, ckpt, "text", "doc_id",
+        )
+        q.awaitTermination(120)
+
+    got = {
+        (r["batch_id"], r["doc_id"])
+        for r in spark.read.parquet(fresh_dir).collect()
+    }
+    # doc 3 screened against history THROUGH the non-local scheme
+    assert got == {(0, 1), (0, 2), (1, 4)}
+    # and the index (also scheme-prefixed) holds exactly the
+    # survivors' digests
+    assert spark.read.parquet(index_dir).count() == 3
+
+
+def test_index_exists_missing_and_empty_non_local(spark, tmp_path):
+    """Bootstrap contract through the Hadoop API: a missing dir and
+    an empty dir (or one holding only hidden entries) both report
+    'no index' — and do so for a scheme-prefixed path too."""
+    from gem_data_wrangle_spark.streaming.screening import _index_exists
+
+    spark.sparkContext._jsc.hadoopConfiguration().set(
+        "fs.viewfs.mounttable.r15probe.link./data",
+        tmp_path.as_uri(),
+    )
+    assert not _index_exists(spark, str(tmp_path / "nope"))
+    assert not _index_exists(spark, "viewfs://r15probe/data/nope")
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    (empty / "_SUCCESS").touch()
+    (empty / ".hidden").touch()
+    assert not _index_exists(spark, str(empty))
+    assert not _index_exists(spark, "viewfs://r15probe/data/empty")
+    (empty / "part-00000.parquet").touch()
+    assert _index_exists(spark, str(empty))
+    assert _index_exists(spark, "viewfs://r15probe/data/empty")
+
+
+# ------------------------------------------- join-key prune fallback
+def test_stream_screen_key_prune_fallback_parity(spark, tmp_path):
+    """max_isin_keys=0 forces every batch down the broadcast LEFT
+    SEMI prune path (the large-key-set fallback); the screened output
+    must be identical to the isin path and to a sequential batch
+    replay — the prune is a lossless optimization, never a semantics
+    knob."""
+    from gem_data_wrangle_spark.streaming import stream_dedup_screen
+
+    schema = "doc_id bigint, text string"
+    snapshots = [
+        [(1, "t-a"), (2, "t-b"), (3, "t-c")],
+        [(4, "t-b"), (5, "t-d")],          # 4 dups batch 0
+        [(6, "t-d"), (7, "t-a"), (8, "t-e")],  # 6,7 dup earlier
+    ]
+
+    results = {}
+    for mode, cap in (("isin", 10_000), ("fallback", 0)):
+        src = str(tmp_path / mode / "src")
+        index_dir = str(tmp_path / mode / "index")
+        fresh_dir = str(tmp_path / mode / "fresh")
+        ckpt = str(tmp_path / mode / "ckpt")
+        for snap in snapshots:
+            spark.createDataFrame(snap, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q = stream_dedup_screen(
+                spark.readStream.schema(schema).parquet(src),
+                index_dir, fresh_dir, ckpt, "text", "doc_id",
+                max_isin_keys=cap,
+            )
+            q.awaitTermination(120)
+        results[mode] = {
+            (r["batch_id"], r["doc_id"])
+            for r in spark.read.parquet(fresh_dir).collect()
+        }
+
+    # sequential replay through the batch operator
+    expect, index = set(), None
+    for bid, snap in enumerate(snapshots):
+        fresh, index = D.dedup_against_index(
+            spark.createDataFrame(snap, schema), index, "text", "doc_id"
+        )
+        expect |= {(bid, r["doc_id"]) for r in fresh.collect()}
+
+    assert results["isin"] == expect
+    assert results["fallback"] == expect
+
+
+# --------------------------------------------- packed-Hamming member
+def _sig_snapshots():
+    """Packed 2x32-bit signatures: batch-1 carries one row within
+    Hamming distance 2 of batch-0 (id 3: one bit flipped from id 1)
+    and one far row; batch-2 repeats a batch-0 signature exactly and
+    adds a far row."""
+    return [
+        [(1, 0x0F0F0F0F, 0x33333333), (2, 0x55555555, 0x00FF00FF)],
+        [(3, 0x0F0F0F0E, 0x33333333),   # dist 1 from id 1 -> screened
+         (4, 0x7777AAAA, 0x11112222)],
+        [(5, 0x55555555, 0x00FF00FF),   # dist 0 from id 2 -> screened
+         (6, 0x12345678, 0x0BADF00D)],
+    ]
+
+
+def test_stream_hamming_screen_matches_batch_replay(spark, tmp_path):
+    """foreachBatch composition of hamming_against_index (VERDICT r14
+    item 3): three signature snapshots arrive as three availableNow
+    micro-batches with the banded parquet index as cross-batch state;
+    the per-batch survivors must equal a sequential replay of the
+    BATCH operator, and the index must hold exactly the survivors'
+    banded rows (bands_per_sig rows per survivor, carrying the full
+    chunks for the exact verify)."""
+    from gem_data_wrangle_spark.streaming import stream_hamming_screen
+
+    src = str(tmp_path / "src")
+    index_dir = str(tmp_path / "index")
+    fresh_dir = str(tmp_path / "fresh")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id bigint, hash_hi bigint, hash_lo bigint"
+    snapshots = _sig_snapshots()
+
+    for snap in snapshots:
+        spark.createDataFrame(snap, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = stream_hamming_screen(
+            spark.readStream.schema(schema).parquet(src),
+            index_dir, fresh_dir, ckpt, "id", ["hash_hi", "hash_lo"],
+            max_distance=2,
+        )
+        q.awaitTermination(120)
+
+    got = {
+        (r["batch_id"], r["id"])
+        for r in spark.read.parquet(fresh_dir).collect()
+    }
+
+    expect, index = set(), None
+    for bid, snap in enumerate(snapshots):
+        fresh, index = D.hamming_against_index(
+            spark.createDataFrame(snap, schema), index,
+            "id", ["hash_hi", "hash_lo"], max_distance=2,
+        )
+        expect |= {(bid, r["id"]) for r in fresh.collect()}
+    assert got == expect
+    assert {d for _, d in got} == {1, 2, 4, 6}
+
+    # index: bands_per_sig banded rows per survivor, full chunks along
+    idx = spark.read.parquet(index_dir)
+    survivors = {d for _, d in got}
+    assert {r["id"] for r in idx.collect()} == survivors
+    bands_per_sig = idx.select("band_idx").distinct().count()
+    assert idx.count() == bands_per_sig * len(survivors)
+    # collapsing the banded rows reproduces the batch replay's index
+    assert _rows(
+        idx.select("id", "hash_hi", "hash_lo").dropDuplicates(["id"]),
+        "id", "hash_hi", "hash_lo",
+    ) == _rows(index, "id", "hash_hi", "hash_lo")
+
+
+def test_stream_hamming_screen_crash_replay_idempotent(spark, tmp_path):
+    """Crash-replay semantics for the Hamming member, simulated
+    exactly as for its siblings: run one batch, delete commits/0 (the
+    index write happened, the checkpoint commit did not), restart, and
+    require the final state to be byte-identical — without the
+    strictly-older replay guard every survivor would Hamming-match
+    itself (distance 0) and the replay would overwrite both
+    partitions empty."""
+    from gem_data_wrangle_spark.streaming import stream_hamming_screen
+
+    src = str(tmp_path / "src")
+    index_dir = str(tmp_path / "index")
+    fresh_dir = str(tmp_path / "fresh")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id bigint, hash_hi bigint, hash_lo bigint"
+    spark.createDataFrame(
+        _sig_snapshots()[0], schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run():
+        q = stream_hamming_screen(
+            spark.readStream.schema(schema).parquet(src),
+            index_dir, fresh_dir, ckpt, "id", ["hash_hi", "hash_lo"],
+            max_distance=2,
+        )
+        q.awaitTermination(120)
+
+    run()
+    before_fresh = _rows(spark.read.parquet(fresh_dir), "batch_id", "id")
+    before_index = _rows(
+        spark.read.parquet(index_dir),
+        "id", "hash_hi", "hash_lo", "band_idx", "band_value",
+    )
+    assert {d for _, d in before_fresh} == {1, 2}
+
+    files_before = set(glob.glob(fresh_dir + "/batch_id=0/part-*"))
+    shutil.rmtree(str(tmp_path / "ckpt" / "commits"))
+    run()
+    # the replay really re-executed (fresh part-file identities)
+    assert set(glob.glob(fresh_dir + "/batch_id=0/part-*")) != files_before
+    assert _rows(
+        spark.read.parquet(fresh_dir), "batch_id", "id"
+    ) == before_fresh
+    assert _rows(
+        spark.read.parquet(index_dir),
+        "id", "hash_hi", "hash_lo", "band_idx", "band_value",
+    ) == before_index
+
+
+def test_index_delta_written_sorted_by_join_key(spark, tmp_path):
+    """The index delta lands sorted by the screen's join key so the
+    pushed isin predicate can prune parquet row groups against tight
+    min/max stats — read a written digest partition back file-by-file
+    and assert the physical row order is the key order."""
+    from gem_data_wrangle_spark.streaming import stream_dedup_screen
+
+    src = str(tmp_path / "src")
+    index_dir = str(tmp_path / "index")
+    schema = "doc_id bigint, text string"
+    rows = [(i, f"text-{i * 37 % 101}") for i in range(101)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    q = stream_dedup_screen(
+        spark.readStream.schema(schema).parquet(src),
+        index_dir, str(tmp_path / "fresh"), str(tmp_path / "ckpt"),
+        "text", "doc_id",
+    )
+    q.awaitTermination(120)
+
+    for f in glob.glob(index_dir + "/batch_id=0/part-*.parquet"):
+        got = [r["digest"] for r in spark.read.parquet(f).collect()]
+        assert got == sorted(got)
+        assert got  # non-empty: the assertion above actually bites
