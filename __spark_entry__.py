@@ -9202,8 +9202,9 @@ def _embedding_multitable_oracle() -> str:
             for plane in table
         )
 
-    t0 = V.hyperplanes(_LSH_PLANES, _LSH_DIM)
-    t1 = V.hyperplanes(_LSH_PLANES, _LSH_DIM, seed=V._LSH_SEED + 31)
+    # the helper's geometry (seed stride 7919), not hand-rolled seeds —
+    # the oracle replays the exact constants plane_tables generates
+    t0, t1 = V.plane_tables(2, _LSH_PLANES, _LSH_DIM)
     return f"""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -9230,10 +9231,9 @@ def _q_embedding_incremental_multitable(spark: SparkSession, sf_dir: str) -> Dat
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    tables = [
-        V.hyperplanes(_LSH_PLANES, _LSH_DIM),
-        V.hyperplanes(_LSH_PLANES, _LSH_DIM, seed=V._LSH_SEED + 31),
-    ]
+    # multi-table geometry via the round-15 helper (VERDICT r14 item
+    # 6) — one call, independent seeds guaranteed, no hand assembly
+    tables = V.plane_tables(2, _LSH_PLANES, _LSH_DIM)
     fresh, _updated = embedding_against_index(
         emb.filter(F.col("vec_id") % 2 == 1),
         emb.filter(F.col("vec_id") % 2 == 0),

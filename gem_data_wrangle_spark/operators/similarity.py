@@ -33,6 +33,38 @@ def hyperplanes(num_planes: int, dim: int, seed: int = _LSH_SEED) -> list[list[f
     return (rng.integers(0, 2, size=(num_planes, dim)) * 2.0 - 1.0).tolist()
 
 
+def plane_tables(
+    num_tables: int, num_planes: int, dim: int, seed: int = _LSH_SEED
+) -> list[list[list[float]]]:
+    """OR-amplified sign-LSH geometry (round 15, VERDICT r14 item 6):
+    ``num_tables`` independently-seeded plane tables, ready to pass as
+    the ``planes=`` argument of the embedding screen family
+    (:func:`embedding_against_index`, ``stream_embedding_screen``) and
+    :func:`embedding_index_signatures`. Replaces the hand-rolled
+    ``[hyperplanes(..), hyperplanes(.., seed=+k)]`` assembly — a
+    caller who picks colliding seeds gets duplicate tables, which
+    silently buys NOTHING (identical buckets OR to themselves).
+
+    The two knobs, with measured numbers (SCALE.md round 14/15 recall
+    grids): ``num_planes`` sets per-table candidate cost and
+    candidate-stage precision (P(bucket collision) = (1-θ/π)^planes —
+    recall per table FALLS as planes rise); ``num_tables`` is the
+    recall knob (1-(1-P)^tables, candidate cost ∝ tables). The screen
+    recipe at growing index: planes ≈ base + log2(index growth) keeps
+    per-bucket population flat, tables sized to the recall target.
+    Seeds stride 7919 (prime) from ``seed`` — the same convention as
+    ``tools/embed_recall.py``, so its measured grid rows transfer.
+
+    ``num_tables=1`` returns the nested single-table form, which the
+    screens accept identically to a bare table."""
+    if num_tables < 1:
+        raise ValueError("num_tables must be >= 1")
+    return [
+        hyperplanes(num_planes, dim, seed=seed + 7919 * t)
+        for t in range(num_tables)
+    ]
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential dot product of two array<double> columns (JVM-side)."""
     return F.aggregate(
@@ -1271,7 +1303,13 @@ def embedding_against_index(
     Contract: ``index_emb`` carries ``(id_col, vec_col)`` raw, or the
     persisted-signature shape ``(id_col, vec_col, norm, bucket)`` from
     :func:`embedding_index_signatures` — the signature shape skips the
-    O(history · planes) index-side norm/bucket recompute. The raw
+    O(history · planes) index-side norm/bucket recompute. Persisted
+    buckets are shape-checked per row against the passed ``planes``
+    (bit-string length + table prefix): an index built under different
+    geometry RAISES at execution instead of silently screening
+    nothing (round 15, ADVICE r14; same-count different-seed drift
+    remains undetectable from bucket strings — keep the geometry with
+    the index, e.g. :func:`plane_tables` under a fixed seed). The raw
     fixed-geometry screen is LINEAR in index size (23× wall at 100×
     index); staying flat needs BOTH persisted signatures and a plane
     count scaled with log2(index growth) — 1.9× at 100×, SCALE.md
@@ -1354,12 +1392,57 @@ def embedding_against_index(
         # persisted-signature index (embedding_index_signatures): skip
         # the O(history) norm + per-plane-dot recompute — the
         # interpreted higher-order aggregate lambdas dominate the
-        # screen at large index (asymmetric curve, SCALE.md round 14)
+        # screen at large index (asymmetric curve, SCALE.md round 14).
+        # Shape validation (ADVICE r14): the signature path is
+        # detected by column names alone, so an index whose buckets
+        # were built with DIFFERENT planes (or a raw table that
+        # happens to carry norm/bucket columns from another
+        # derivation) would silently equi-match nothing — the drift
+        # failure the docstring warns about, previously undetectable.
+        # Persisted buckets must LOOK like this geometry's buckets:
+        # single-table → exactly len(table) sign bits, no table
+        # prefix; multi-table → '<t>|<bits>' with a per-table length.
+        # A per-row check folded into the projection (zero extra
+        # jobs); same plane COUNT with different seeds still passes —
+        # that drift is undetectable from bucket strings, carry the
+        # geometry with the index (plane_tables + a fixed seed).
+        if len(tables) == 1:
+            shape_ok = (
+                F.length(F.col("bucket")) == len(tables[0])
+            ) & (~F.col("bucket").contains("|"))
+            want = f"{len(tables[0])} sign bits, no table prefix"
+        else:
+            lens = sorted({
+                len(str(t)) + 1 + len(tbl)
+                for t, tbl in enumerate(tables)
+            })
+            shape_ok = F.length(F.col("bucket")).isin(lens) & F.col(
+                "bucket"
+            ).contains("|")
+            want = (
+                f"'t|bits' of length in {lens} "
+                f"({len(tables)} prefixed tables)"
+            )
+        checked_bucket = F.when(shape_ok, F.col("bucket")).otherwise(
+            F.raise_error(F.concat(
+                F.lit(
+                    "embedding_against_index: persisted index bucket "
+                ),
+                F.col("bucket"),
+                F.lit(
+                    f" does not match the passed planes (expected "
+                    f"{want}); the index was built with different "
+                    "geometry and would silently screen nothing — "
+                    "rebuild it with embedding_index_signatures under "
+                    "the SAME planes"
+                ),
+            ))
+        )
         idx = index_emb.select(
             F.col(id_col).alias("_i_id"),
             as_double_array(F.col(vec_col)).alias("_i_v"),
             F.col("norm").alias("_i_n"),
-            F.col("bucket").alias("_i_bucket"),
+            checked_bucket.alias("_i_bucket"),
         )
         sig_index = True
     else:

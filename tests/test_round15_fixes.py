@@ -285,3 +285,78 @@ def test_index_delta_written_sorted_by_join_key(spark, tmp_path):
         got = [r["digest"] for r in spark.read.parquet(f).collect()]
         assert got == sorted(got)
         assert got  # non-empty: the assertion above actually bites
+
+
+# ------------------------------ plane_tables + geometry validation
+def test_plane_tables_helper():
+    from gem_data_wrangle_spark.operators import similarity as V
+
+    tables = V.plane_tables(3, 4, 8)
+    assert len(tables) == 3
+    assert all(len(t) == 4 and len(t[0]) == 8 for t in tables)
+    # independently seeded: no duplicate tables (identical tables
+    # OR-amplify to nothing)
+    flat = [tuple(map(tuple, t)) for t in tables]
+    assert len(set(flat)) == 3
+    # documented stride convention: table t == hyperplanes(seed+7919t)
+    assert tables[2] == V.hyperplanes(4, 8, seed=V._LSH_SEED + 7919 * 2)
+    # num_tables=1 is the nested single-table form the screens accept
+    assert V.plane_tables(1, 4, 8) == [V.hyperplanes(4, 8)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        V.plane_tables(0, 4, 8)
+
+
+def test_embedding_sig_index_geometry_mismatch_raises(spark):
+    """ADVICE r14: the persisted-signature index is detected by
+    column names alone, so buckets built under DIFFERENT planes used
+    to silently screen nothing. The per-row shape check must raise on
+    (a) a different plane count, (b) a single-table index screened
+    with multi-table geometry, and (c) the reverse — while the
+    matched geometry still screens normally."""
+    import pytest as _pytest
+
+    from gem_data_wrangle_spark.operators import similarity as V
+
+    idx_raw = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    batch = spark.createDataFrame(
+        [(1, [0.99, 0.01, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    sig6 = V.embedding_index_signatures(
+        idx_raw, "embedding", "vec_id", V.hyperplanes(6, 3)
+    )
+    sig_multi = V.embedding_index_signatures(
+        idx_raw, "embedding", "vec_id", V.plane_tables(2, 5, 3)
+    )
+
+    # matched geometry: screens normally (id 1 matches id 0)
+    fresh, _ = V.embedding_against_index(
+        batch, sig6, "embedding", "vec_id", V.hyperplanes(6, 3),
+        threshold=0.4,
+    )
+    assert [r["vec_id"] for r in fresh.collect()] == []
+
+    for sig, planes in [
+        (sig6, V.hyperplanes(4, 3)),            # plane-count drift
+        (sig6, V.plane_tables(2, 5, 3)),        # single idx, multi scr
+        (sig_multi, V.hyperplanes(6, 3)),       # multi idx, single scr
+    ]:
+        # materialize=True executes eagerly, so the raise may surface
+        # at the call itself; materialize=False defers it to the
+        # action — both must raise, never silently screen nothing
+        with _pytest.raises(Exception, match="different geometry"):
+            fresh, _ = V.embedding_against_index(
+                batch, sig, "embedding", "vec_id", planes, threshold=0.4
+            )
+            fresh.collect()
+        with _pytest.raises(Exception, match="different geometry"):
+            fresh, _ = V.embedding_against_index(
+                batch, sig, "embedding", "vec_id", planes,
+                threshold=0.4, materialize=False,
+            )
+            fresh.collect()
