@@ -23,6 +23,9 @@ recall; recall is raised by unioning independently-seeded tables
 planes to one table. The harness verifies this direction empirically.
 
     python tools/embed_recall.py [sf_dir]   # default /root/testdata/sf0.01
+    python tools/embed_recall.py sf_dir 4x8 12x32   # only those
+    # (planes x tables) multi-table rows — the full grid exceeds one
+    # JVM's budget at the 32/64-table corner, so big combos run alone
 """
 
 from __future__ import annotations
@@ -42,11 +45,24 @@ PLANE_GRID = [4, 8, 12, 16, 24]
 # operator default 0.4 plus two looser bands — the testdata has no
 # cross-split pairs above ~0.5, so tighter thresholds measure nothing
 THRESHOLDS = [0.2, 0.3, 0.4]
-TABLE_GRID = [(4, 2), (4, 4), (8, 4), (8, 8)]  # (planes, tables)
+# (planes, tables): the r14 grid stopped at 8x8 (recall 0.724 @
+# cos>=0.2); round 15 (VERDICT r14 item 6) extends to the production
+# corner — scaled plane counts (the per-bucket-population knob, 9-12
+# ~ base + log2(index growth)) crossed with stacked tables (the
+# recall knob) until a row clears >=0.9 recall at a graded threshold
+TABLE_GRID = [
+    (4, 2), (4, 4), (8, 4), (8, 8),
+    (8, 16), (8, 32), (9, 8), (9, 16), (9, 32),
+    (12, 16), (12, 32), (12, 64),
+]
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = [
+        tuple(int(x) for x in a.split("x")) for a in sys.argv[2:]
+    ]
+    table_grid = only or TABLE_GRID
     spark = get_spark("embed-recall")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dim = len(emb.select("embedding").first()[0])
@@ -83,7 +99,7 @@ def main() -> None:
 
     # --- surface 1: the incremental screen, per plane count ---------
     batch_ids = {r["vec_id"] for r in batch.select("vec_id").collect()}
-    for p in PLANE_GRID:
+    for p in ([] if only else PLANE_GRID):
         planes = V.hyperplanes(p, dim)
         # candidate volume of the bucket equi-join (the cost axis)
         bb = batch.select(V.lsh_bucket(v, planes).alias("bk")).groupBy("bk").count()
@@ -109,12 +125,22 @@ def main() -> None:
         print(json.dumps(row))
 
     # --- surface 1b: multi-table OR-amplification (the recall knob) -
-    for p, nt in TABLE_GRID:
-        tables = [
-            V.hyperplanes(p, dim, seed=V._LSH_SEED + 7919 * t)
-            for t in range(nt)
-        ]
-        row = {"planes": p, "tables": nt}
+    for p, nt in table_grid:
+        tables = V.plane_tables(nt, p, dim)
+        # per-bucket population of the INDEX side (the join-cost axis
+        # the plane count controls): max + mean rows per (table,
+        # bucket) key — "flat" means max stays O(1) as planes scale
+        pop = (
+            V.embedding_index_signatures(
+                index, "embedding", "vec_id", tables
+            )
+            .groupBy("bucket").count()
+            .agg(F.max("count").alias("mx"), F.avg("count").alias("av"))
+            .first()
+        )
+        row = {"planes": p, "tables": nt,
+               "bucket_pop_max": int(pop["mx"]),
+               "bucket_pop_mean": round(float(pop["av"]), 1)}
         for t in THRESHOLDS:
             t0 = time.time()
             fresh, _upd = V.embedding_against_index(
@@ -130,6 +156,9 @@ def main() -> None:
         print(json.dumps(row))
 
     # --- surface 2: lsh_topk single-table screen over the same grid -
+    if only:
+        truth.unpersist()
+        return
     k = 10
     probes = emb.orderBy("vec_id").limit(50)
     exact = {
