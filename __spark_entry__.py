@@ -9496,36 +9496,58 @@ _DEFER_TO_TAIL = [
     # funnel_latency also changed (single-partition-exchange kills)
     # and are in the promoted 20 anyway.
     #
-    # tail block 4 — r7-green, byte-unchanged since:
-    "mixture_rebalance",       # r07 green; sampling mixture path unchanged
-    "dedup_lines",             # r07 green; textops line-dedup unchanged
-    "c4_filters",              # r07 green; textops c4 path unchanged
-    "corpus_shuffle",          # r07 green; sampling shuffle path unchanged
-    "warc_html_extract",       # r07 green; sources/warc.py unchanged
-    "url_dedup",               # r07 green; dedup url path unchanged
-    "blocked_domains",         # r07 green; textops domain path unchanged
-    "boilerplate_removal",     # r07 green; textops boilerplate unchanged
-    "geo_radius_join",         # r07 green; joins geo path unchanged
-    "fuzzy_match",             # r07 green; strings fuzzy path unchanged
-    "resample_events",         # r07 green; asof resample path unchanged
-    "orders_upsert",           # r07 green; kernels upsert path unchanged
-    "scd2_history",            # r07 green; kernels scd2 path unchanged
-    "rolling_event_sums",      # r07 green; aggregates rolling unchanged
-    "cosine_pairs",            # r07 green; similarity posting join unchanged
-    "heavy_hitter_keys",       # r07 green; skew sketch path unchanged
-    "kmeans_assign",           # r07 green; similarity assign unchanged
-    "kmeans_lloyd",            # r07 green; similarity lloyd unchanged
-    "unigram_logprob",         # r07 green; textops unigram unchanged
-    "char_entropy",            # r07 green; textops entropy unchanged
+    # tail block 4 — EMPTY since round 15 (VERDICT r14 item 4): the
+    # ENTIRE r07 pin block — the 20 r7-green rows parked here since
+    # round 8 (mixture_rebalance, dedup_lines, c4_filters,
+    # corpus_shuffle, warc_html_extract, url_dedup, blocked_domains,
+    # boilerplate_removal, geo_radius_join, fuzzy_match,
+    # resample_events, orders_upsert, scd2_history, rolling_event_sums,
+    # cosine_pairs, heavy_hitter_keys, kmeans_assign, kmeans_lloyd,
+    # unigram_logprob, char_entropy) plus the two round-8 mid-round
+    # demotions (script_fractions, event_zscores) — re-entered the
+    # graded head for a fresh driver grade, continuing the oldest-pin
+    # re-anchoring arc (r05 retired in r13, r06 in r14): after round
+    # 15 NO pin is older than r08. All 22 re-verified green at sf0.01
+    # via tools/check_parity.py before promotion. Their head slots
+    # come from demoting the 22 fresh r14 greens below (tail block
+    # 11).
     # ------------------------------------------------------------------
-    # round-8 mid-round promotion: the two round-8 registrations
-    # (mp4_sample_offsets, bloom_pruned_join) take head slots 49-50 so
-    # they get driver evidence THIS round instead of parking; the two
-    # demotions below are r07-green and their operator paths are
-    # byte-untouched in round 8 (script_fractions: textops script
-    # tables; event_zscores: asof.rolling_zscores).
-    "script_fractions",        # r07 green; textops script path unchanged
-    "event_zscores",           # r07 green; asof zscores path unchanged
+    # round-15 rotation (tail block 11): 22 r14-green rows demote
+    # under fingerprints to open slots for the r07 block above. Kept
+    # in the head besides the promotions: the flagship + the 11
+    # reference-core pipeline/consolidation rows (every round), the
+    # three embedding incremental-screen queries whose operator path
+    # changed this round (embedding_against_index gained the persisted-
+    # bucket geometry validation; embedding_incremental_multitable
+    # also moved to the plane_tables helper geometry), plus
+    # image_neardup_incremental / neardup_incremental (the streaming
+    # family's batch counterparts, graded alongside), similarity_
+    # bruteforce/lsh/ivf, salted_aggregation, harmonize_coordinates,
+    # stream_tumbling/session_window, shared_substring_pairs,
+    # duplicate_spans, cut_duplicate_spans, normalized_dedup.
+    "filter_isin",             # r14 green; cleaning filter path unchanged
+    "cast_regex_extract",      # r14 green; cleaning cast path unchanged
+    "explode_split",           # r14 green; strings explode path unchanged
+    "split_ownership_strict",  # r14 green; kernels ownership unchanged
+    "window_count_share",      # r14 green; aggregates window unchanged
+    "dedup_first_per_key",     # r14 green; aggregates dedup unchanged
+    "join_left_enrich",        # r14 green; joins enrich path unchanged
+    "join_left_coalesce",      # r14 green; joins coalesce unchanged
+    "join_fallback_chain",     # r14 green; joins fallback unchanged
+    "expand_years",            # r14 green; kernels expand unchanged
+    "case_when_classify",      # r14 green; conditional path unchanged
+    "dedup_exact",             # r14 green; dedup exact path unchanged
+    "text_fingerprint",        # r14 green; textops fingerprint unchanged
+    "text_quality",            # r14 green; textops quality unchanged
+    "jaccard_neighbors",       # r14 green; dedup jaccard unchanged
+    "simhash",                 # r14 green; dedup simhash unchanged
+    "stream_sliding_window",   # r14 green; windows.py untouched in r15
+    "multimodal_bytes",        # r14 green; multimodal probe unchanged
+    "embedding_neardup_pairs", # r14 green; pair path unchanged (r15
+                               # touched the sig-index screen path only)
+    "token_counts",            # r14 green; textops token path unchanged
+    "embedding_quantize_int8", # r14 green; quantize path unchanged
+    "gopher_quality_flags",    # r14 green; textops gopher unchanged
     # ------------------------------------------------------------------
     # round-9 rotation (VERDICT r8 item 4): the 30 r8-green rows below
     # demote under fingerprints; their slots go to the six round-8
@@ -9858,28 +9880,28 @@ def _defer_fingerprint(name: str) -> str:
 
 # Regenerate via tools/gen_defer_hashes.py after a DELIBERATE change.
 _DEFER_HASHES: dict[str, str] = {
-    "mixture_rebalance": "a924ac4be734b2b2",
-    "dedup_lines": "1d8dd7efa15d5c2b",
-    "c4_filters": "d4ba672cc63a30d1",
-    "corpus_shuffle": "498f9a902c697f08",
-    "warc_html_extract": "fb82769e81acaf1e",
-    "url_dedup": "6cb3dba4cc9af605",
-    "blocked_domains": "200bb5adbfa62c74",
-    "boilerplate_removal": "2a4b77933182a235",
-    "geo_radius_join": "7b531067dc4e2ab9",
-    "fuzzy_match": "b5177012dea3236e",
-    "resample_events": "cddcfd4a4ad51540",
-    "orders_upsert": "29a5b92bcbae58c6",
-    "scd2_history": "d9cf1f46bb22a4ba",
-    "rolling_event_sums": "1e79406768345463",
-    "cosine_pairs": "09cdbf0823e99566",
-    "heavy_hitter_keys": "105905576fbc9562",
-    "kmeans_assign": "69ea45029e82e5ae",
-    "kmeans_lloyd": "f515bf844f15167e",
-    "unigram_logprob": "4f08ba2fd892d53b",
-    "char_entropy": "fa742c81c635a692",
-    "script_fractions": "cd88eb613b5f1404",
-    "event_zscores": "84863b9d1f8c20a9",
+    "filter_isin": "511530f2dd36c7e8",
+    "cast_regex_extract": "caf35822ececbacf",
+    "explode_split": "68ee199b5c3da537",
+    "split_ownership_strict": "88aca9a672b4b1b9",
+    "window_count_share": "2b80f335c6badb80",
+    "dedup_first_per_key": "6599421550ed8cba",
+    "join_left_enrich": "19d45dbe8ae4a9fc",
+    "join_left_coalesce": "b9994c429932914b",
+    "join_fallback_chain": "922fd078ac49f00d",
+    "expand_years": "3b56946da2023aaf",
+    "case_when_classify": "0a9e17b051c21a23",
+    "dedup_exact": "f49df5544fb70089",
+    "text_fingerprint": "20401cde9270e27b",
+    "text_quality": "4ef6e6d2b0182197",
+    "jaccard_neighbors": "f5ef3b537b9359ad",
+    "simhash": "1b747ecd35d5afd0",
+    "stream_sliding_window": "d95ccf75fe6b6519",
+    "multimodal_bytes": "25c4f08bb9df8ba8",
+    "embedding_neardup_pairs": "140b79379922d877",
+    "token_counts": "f224865fb01a4cee",
+    "embedding_quantize_int8": "c4a3a9970f58767f",
+    "gopher_quality_flags": "1a379aa526525ee1",
     "stream_running_totals": "807a5c69f29d2cb4",
     "cdc_chunks": "c560bf74472dedb9",
     "host_pagerank": "5719a32790ed687a",
