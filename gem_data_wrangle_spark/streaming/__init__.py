@@ -1,4 +1,5 @@
 from gem_data_wrangle_spark.streaming.screening import (
+    compact_screen_index,
     stream_dedup_screen,
     stream_embedding_screen,
     stream_hamming_screen,
@@ -14,6 +15,7 @@ from gem_data_wrangle_spark.streaming.windows import (
 )
 
 __all__ = [
+    "compact_screen_index",
     "session_window_agg",
     "sliding_window_agg",
     "stream_dedup",

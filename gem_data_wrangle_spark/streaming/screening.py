@@ -135,9 +135,16 @@ def _pruned_index(
     whose column name matches the index's join-key column. Small key
     sets become an ``isin`` predicate (pushed to the parquet scan —
     row-group pruning against the key-sorted deltas); larger ones a
-    broadcast LEFT SEMI (scan-side filter, no history shuffle). NULL
-    keys never equi-match, so they are dropped from the prune set and
-    NULL-key index rows are allowed to fall away with it."""
+    broadcast LEFT SEMI (scan-side filter through the broadcast
+    probe, no history shuffle either way). The cap is deliberately
+    LOW: ``Column.isin`` creates one Py4J literal per value (~1 ms
+    each, measured ~1.5-3 s for a 2,500-key batch — dwarfing the
+    prune's benefit), so ``isin`` only pays for genuinely tiny key
+    sets where its parquet stats pruning is free; the broadcast semi
+    costs a flat ~0.5 s regardless of key count (A/B in SCALE.md
+    round 15). NULL keys never equi-match, so they are dropped from
+    the prune set and NULL-key index rows are allowed to fall away
+    with it."""
     kcol = batch_keys.columns[0]
     kdf = batch_keys.filter(F.col(kcol).isNotNull()).distinct()
     head = kdf.limit(max_isin_keys + 1).collect()
@@ -226,6 +233,107 @@ def _stream_screen(
 _SORTABLE_KEYS = {"digest", "signature", "band_value", "bucket"}
 
 
+def compact_screen_index(
+    spark: SparkSession,
+    index_dir: str,
+    key_col: str,
+    num_files: int | None = None,
+) -> int:
+    """Key-range-clustered compaction of a streaming-screen index —
+    the maintenance job the per-delta sort can only approximate. Each
+    micro-batch delta is sorted WITHIN itself, but every delta file
+    still spans the full key range, so parquet stats pruning cannot
+    skip whole files; this job rewrites all COMMITTED ``batch_id``
+    partitions into one partition clustered globally by ``key_col``
+    (``repartitionByRange`` + in-file sort), after which a pushed
+    ``isin`` key set touches only the row groups whose range contains
+    a batch key. Returns the compacted partition's ``batch_id`` stamp
+    (or -(2**31) when nothing was compacted).
+
+    Correctness under the replay guard: the newest visible partition
+    may belong to a crashed, uncommitted batch (its write precedes the
+    checkpoint commit), so compaction takes only partitions STRICTLY
+    BELOW the maximum visible ``batch_id`` — those are committed by
+    construction (foreachBatch starts batch N+1 only after N commits)
+    — and stamps the output with the largest compacted id C. Every
+    row in the compacted partition came from a batch ≤ C, and any
+    running or replayed batch k satisfies k > C, so the strictly-older
+    read guard (``batch_id < k``) includes exactly the same history
+    before and after compaction.
+
+    Crash safety (run ONLY while the stream is stopped — this is a
+    maintenance job, not a concurrent compactor): the clustered copy
+    is first written under ``<index_dir>/_compact/batch_id=C``
+    (underscore-prefixed = invisible to partition discovery and to
+    ``_index_exists``), then the source partitions (``batch_id ≤ C``)
+    are deleted, then the copy is renamed into place. A crash anywhere
+    in that sequence is repaired by re-running this function: a
+    leftover ``_compact`` tree with a ``_SUCCESS`` marker is completed
+    (delete sources ≤ its stamp, rename) before any new work, so the
+    sequence is idempotent and the index never loses committed rows —
+    at worst the screens briefly see duplicates of compacted rows,
+    which every screen tolerates (candidate joins are semi-join
+    semantics; duplicate signatures change nothing).
+
+    All filesystem operations go through the Hadoop FileSystem API —
+    same contract as the index probe, any scheme the session can read.
+    """
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(index_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    nothing = -(2 ** 31)
+
+    def _partition_ids() -> dict[int, object]:
+        out = {}
+        if not fs.exists(root):
+            return out
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("batch_id="):
+                out[int(name.split("=", 1)[1])] = st.getPath()
+        return out
+
+    def _finish(stamp: int, staged) -> None:
+        # delete every source partition the staged copy covers, then
+        # move the copy into place — idempotent: already-deleted
+        # sources and an already-renamed copy are both no-ops
+        for bid, path in _partition_ids().items():
+            if bid <= stamp:
+                fs.delete(path, True)
+        fs.rename(staged, jvm.org.apache.hadoop.fs.Path(
+            f"{index_dir}/batch_id={stamp}"
+        ))
+
+    compact_root = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/_compact")
+    if fs.exists(compact_root):
+        for st in fs.listStatus(compact_root):
+            name = st.getPath().getName()
+            ok = jvm.org.apache.hadoop.fs.Path(
+                f"{index_dir}/_compact/{name}/_SUCCESS"
+            )
+            if name.startswith("batch_id=") and fs.exists(ok):
+                # crashed previous run, copy complete: finish it
+                _finish(int(name.split("=", 1)[1]), st.getPath())
+        fs.delete(compact_root, True)
+
+    parts = _partition_ids()
+    if len(parts) < 2:
+        return nothing  # nothing strictly below the max to compact
+    stamp = sorted(parts)[-2]  # max committed id (all but the newest)
+    src = [str(p) for bid, p in parts.items() if bid <= stamp]
+    df = spark.read.parquet(*src)
+    clustered = (
+        df.repartitionByRange(num_files, F.col(key_col))
+        if num_files
+        else df.repartitionByRange(F.col(key_col))
+    ).sortWithinPartitions(key_col)
+    staged = f"{index_dir}/_compact/batch_id={stamp}"
+    clustered.write.mode("overwrite").parquet(staged)
+    _finish(stamp, jvm.org.apache.hadoop.fs.Path(staged))
+    fs.delete(compact_root, True)
+    return stamp
+
+
 def stream_neardup_screen(
     stream_docs: DataFrame,
     index_dir: str,
@@ -237,7 +345,7 @@ def stream_neardup_screen(
     rows_per_band: int = 4,
     ngram: int = 2,
     trigger_available_now: bool = True,
-    max_isin_keys: int = 10_000,
+    max_isin_keys: int = 100,
 ):
     """Screen a streaming document source against a persisted MinHash
     band-signature index; returns the started ``StreamingQuery``.
@@ -304,7 +412,7 @@ def stream_dedup_screen(
     text_col: str,
     id_col: str,
     trigger_available_now: bool = True,
-    max_isin_keys: int = 10_000,
+    max_isin_keys: int = 100,
 ):
     """Exact-digest sibling of :func:`stream_neardup_screen`: each
     micro-batch drops documents whose md5(text) digest already exists
@@ -347,7 +455,7 @@ def stream_hamming_screen(
     chunk_bits: int = 32,
     max_distance: int = 2,
     trigger_available_now: bool = True,
-    max_isin_keys: int = 10_000,
+    max_isin_keys: int = 100,
 ):
     """Packed-Hamming member of the streaming-screen family (round
     15, VERDICT r14 item 3 — the one batch screen that had no
@@ -431,7 +539,7 @@ def stream_embedding_screen(
     planes: list,
     threshold: float = 0.4,
     trigger_available_now: bool = True,
-    max_isin_keys: int = 10_000,
+    max_isin_keys: int = 100,
 ):
     """Embedding member of the streaming-screen family: each
     micro-batch of vectors drops rows whose exact cosine against ANY

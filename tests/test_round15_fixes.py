@@ -360,3 +360,132 @@ def test_embedding_sig_index_geometry_mismatch_raises(spark):
                 threshold=0.4, materialize=False,
             )
             fresh.collect()
+
+
+# -------------------------------------------------- index compaction
+def _run_digest_batches(spark, base, snapshots, schema):
+    from gem_data_wrangle_spark.streaming import stream_dedup_screen
+
+    src = str(base / "src")
+    for snap in snapshots:
+        spark.createDataFrame(snap, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = stream_dedup_screen(
+            spark.readStream.schema(schema).parquet(src),
+            str(base / "index"), str(base / "fresh"), str(base / "ckpt"),
+            "text", "doc_id",
+        )
+        q.awaitTermination(120)
+
+
+def test_compact_screen_index_preserves_screen_results(spark, tmp_path):
+    """Compacting committed partitions into one key-range-clustered
+    partition must not change what the screen drops: run three
+    batches, compact, run a fourth; survivors must equal the
+    uncompacted replica. Layout contract: only {stamp, newest}
+    partitions remain, every compacted file is sorted by the key, and
+    file key-ranges are disjoint (the row-group/file pruning the
+    per-delta sort cannot deliver)."""
+    from gem_data_wrangle_spark.streaming import compact_screen_index
+
+    schema = "doc_id bigint, text string"
+    first3 = [
+        [(1, "a"), (2, "b")],
+        [(3, "a"), (4, "c")],          # 3 dups batch 0
+        [(5, "d"), (6, "b")],          # 6 dups batch 0
+    ]
+    batch4 = [(7, "c"), (8, "d"), (9, "e")]  # 7,8 dup history
+
+    for mode in ("plain", "compacted"):
+        base = tmp_path / mode
+        _run_digest_batches(spark, base, first3, schema)
+        if mode == "compacted":
+            stamp = compact_screen_index(
+                spark, str(base / "index"), "digest", num_files=2
+            )
+            assert stamp == 1  # all but the newest partition (2)
+            idx = base / "index"
+            vis = sorted(
+                int(p.name.split("=")[1])
+                for p in idx.iterdir()
+                if p.name.startswith("batch_id=")
+            )
+            assert vis == [1, 2]
+            assert not (idx / "_compact").exists()
+            # clustered: per-file sorted, disjoint key ranges
+            ranges = []
+            for f in sorted((idx / "batch_id=1").glob("part-*.parquet")):
+                vals = [r["digest"]
+                        for r in spark.read.parquet(str(f)).collect()]
+                if not vals:
+                    continue
+                assert vals == sorted(vals)
+                ranges.append((vals[0], vals[-1]))
+            ranges.sort()
+            assert len(ranges) >= 2  # num_files=2 really ranged
+            for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+                assert hi <= lo
+        _run_digest_batches(spark, base, [batch4], schema)
+
+    got = {
+        mode: _rows(
+            spark.read.parquet(str(tmp_path / mode / "fresh")),
+            "batch_id", "doc_id",
+        )
+        for mode in ("plain", "compacted")
+    }
+    assert got["plain"] == got["compacted"]
+    assert {d for _, d in got["plain"]} == {1, 2, 4, 5, 9}
+    # the index holds one digest per unique surviving text either way
+    assert (
+        sorted(r["digest"] for r in
+               spark.read.parquet(str(tmp_path / "compacted" / "index")).collect())
+        == sorted(r["digest"] for r in
+                  spark.read.parquet(str(tmp_path / "plain" / "index")).collect())
+    )
+
+
+def test_compact_screen_index_crash_recovery_and_noop(spark, tmp_path):
+    """A crash between the staged clustered copy and the source
+    deletion leaves a completed ``_compact/batch_id=C`` tree; the next
+    run must FINISH it (delete sources ≤ C, rename) before doing new
+    work, and a single-partition index is a no-op."""
+    from gem_data_wrangle_spark.streaming import compact_screen_index
+
+    schema = "doc_id bigint, text string"
+    base = tmp_path / "s"
+    _run_digest_batches(
+        spark, base, [[(1, "a"), (2, "b")], [(3, "c")]], schema
+    )
+    idx = base / "index"
+    before = sorted(r["digest"]
+                    for r in spark.read.parquet(str(idx)).collect())
+
+    # simulate the crash window: stage the clustered copy of the
+    # committed partition (batch_id=0) exactly as the function does,
+    # but "crash" before deleting the source
+    spark.read.parquet(str(idx / "batch_id=0")).repartitionByRange(
+        1, F.col("digest")
+    ).sortWithinPartitions("digest").write.mode("overwrite").parquet(
+        str(idx / "_compact" / "batch_id=0")
+    )
+
+    stamp = compact_screen_index(spark, str(idx), "digest")
+    # recovery finished the staged copy, then normal compaction ran
+    # over the recovered layout; no hidden tree survives
+    assert not (idx / "_compact").exists()
+    vis = sorted(
+        int(p.name.split("=")[1])
+        for p in idx.iterdir() if p.name.startswith("batch_id=")
+    )
+    assert vis == [0, 1] and stamp == 0
+    after = sorted(r["digest"]
+                   for r in spark.read.parquet(str(idx)).collect())
+    assert after == before
+
+    # no-op guard: nothing strictly below the max partition
+    import shutil as _sh
+
+    _sh.rmtree(idx / "batch_id=0")
+    assert compact_screen_index(spark, str(idx), "digest") == -(2 ** 31)
