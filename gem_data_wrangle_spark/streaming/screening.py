@@ -168,15 +168,23 @@ def _stream_screen(
     batch_keys: Callable[[DataFrame], DataFrame],
     trigger_available_now: bool,
     max_isin_keys: int,
+    validate: Callable[[DataFrame], None] | None = None,
 ):
-    """Shared foreachBatch engine: replay-guarded + join-key-pruned
-    index read → ``screen(batch, index|None) -> fresh`` → per-
-    ``batch_id`` overwrite writes of ``fresh`` and ``delta(fresh)``
-    (the delta sorted by the join key for row-group stats pruning).
+    """Shared foreachBatch engine: replay-guarded index read →
+    geometry validation → join-key prune → ``screen(batch,
+    index|None) -> fresh`` → per-``batch_id`` overwrite writes of
+    ``fresh`` and ``delta(fresh)`` (the delta sorted by the join key
+    for row-group stats pruning).
 
     ``batch_keys(batch)`` returns a one-column frame of the batch's
     join-key values; its column name is both the prune column and the
-    delta sort key."""
+    delta sort key. ``validate(index)`` (when given) runs on the
+    UNPRUNED replay-guarded index once per micro-batch and must raise
+    on a parameter-drifted index. Ordering is load-bearing: drifted
+    keys never equi-match, so the prune would return an EMPTY index
+    and any per-row check downstream would have no row to fire on —
+    the screen would silently pass every duplicate, the exact failure
+    the validation exists to close."""
     spark = stream_docs.sparkSession
 
     def _run(batch: DataFrame, batch_id: int) -> None:
@@ -198,6 +206,8 @@ def _stream_screen(
                 raw = raw.filter(F.col("batch_id") < batch_id).select(
                     *index_cols
                 )
+                if validate is not None:
+                    validate(raw)  # BEFORE the prune — see docstring
                 index = _pruned_index(
                     raw, batch_keys(batch), max_isin_keys
                 )
@@ -397,10 +407,29 @@ def stream_neardup_screen(
     def batch_keys(batch: DataFrame) -> DataFrame:
         return delta(batch).select("signature")
 
+    def validate(index: DataFrame) -> None:
+        # pre-prune drift check (one limit-1 probe per micro-batch):
+        # signature width is 32·rows_per_band by construction, so a
+        # stream restarted under different banding params must fail
+        # the batch instead of silently never matching (drifted keys
+        # would empty the prune and screen nothing)
+        row = index.select("signature").filter(
+            F.col("signature").isNotNull()
+        ).limit(1).collect()
+        want = 32 * rows_per_band
+        if row and len(row[0][0]) != want:
+            raise ValueError(
+                f"stream_neardup_screen: persisted index signatures are "
+                f"{len(row[0][0])} chars but rows_per_band={rows_per_band} "
+                f"implies {want} — the index was built under different "
+                "banding parameters and would silently screen nothing; "
+                "use the index-build parameterization"
+            )
+
     return _stream_screen(
         stream_docs, index_dir, fresh_dir, checkpoint,
         [id_col, "band", "signature"], screen, delta, batch_keys,
-        trigger_available_now, max_isin_keys,
+        trigger_available_now, max_isin_keys, validate=validate,
     )
 
 
@@ -485,7 +514,12 @@ def stream_hamming_screen(
     ``chunk_cols`` / ``chunk_bits`` / ``max_distance`` must match
     across every batch AND any offline job sharing the index — the
     band tiling is the join-key space, and a drift silently screens
-    nothing. Ids must be globally unique across batches. Same
+    nothing. Unlike the minhash/embedding members, banding-parameter
+    drift here is NOT detectable from the stored values (chunks are
+    plain integers with no width signal; ``band_value`` widths vary
+    legitimately across band positions), so there is no pre-prune
+    probe — the ``chunk_cols`` schema match is the only guard; keep
+    the parameterization with the index. Ids must be globally unique across batches. Same
     exactly-once recipe as the siblings: per-``batch_id`` overwrite +
     the strictly-older replay guard (``tests/test_round15_fixes.py``
     replays the crash window).
@@ -578,8 +612,43 @@ def stream_embedding_screen(
             batch, vec_col, id_col, planes
         ).select("bucket")
 
+    from gem_data_wrangle_spark.operators.similarity import (  # noqa: PLC0415
+        _plane_tables,
+    )
+
+    tables = _plane_tables(planes)
+
+    def validate(index: DataFrame) -> None:
+        # pre-prune geometry check (one limit-1 probe per micro-batch):
+        # the operator's per-row shape check cannot fire through the
+        # streaming path — drifted buckets never equi-match, so the
+        # prune returns an EMPTY index and no row reaches the check;
+        # probe the unpruned index instead and fail the batch loud
+        row = index.select("bucket").filter(
+            F.col("bucket").isNotNull()
+        ).limit(1).collect()
+        if not row:
+            return
+        b = row[0][0]
+        if len(tables) == 1:
+            ok = len(b) == len(tables[0]) and "|" not in b
+            want = f"{len(tables[0])} sign bits, no table prefix"
+        else:
+            lens = {len(str(t)) + 1 + len(tbl)
+                    for t, tbl in enumerate(tables)}
+            ok = len(b) in lens and "|" in b
+            want = f"'t|bits' of length in {sorted(lens)}"
+        if not ok:
+            raise ValueError(
+                f"stream_embedding_screen: persisted index bucket {b!r} "
+                f"does not match the passed planes (expected {want}) — "
+                "the index was built under different geometry and would "
+                "silently screen nothing; pass the index-build planes "
+                "(plane_tables under the same seed)"
+            )
+
     return _stream_screen(
         stream_emb, index_dir, fresh_dir, checkpoint,
         [id_col, vec_col, "norm", "bucket"], screen, delta, batch_keys,
-        trigger_available_now, max_isin_keys,
+        trigger_available_now, max_isin_keys, validate=validate,
     )

@@ -489,3 +489,86 @@ def test_compact_screen_index_crash_recovery_and_noop(spark, tmp_path):
 
     _sh.rmtree(idx / "batch_id=0")
     assert compact_screen_index(spark, str(idx), "digest") == -(2 ** 31)
+
+
+def test_stream_embedding_screen_drifted_planes_fail_loud(spark, tmp_path):
+    """Deployment-shape coverage for the geometry validation: a
+    stream restarted with DIFFERENT planes than the ones that built
+    the persisted signature index must FAIL the micro-batch (the
+    drifted buckets would otherwise equi-match nothing and every
+    duplicate would silently pass — the exact failure the batch-level
+    check closes, here proven through the foreachBatch path)."""
+    from gem_data_wrangle_spark.operators import similarity as V
+    from gem_data_wrangle_spark.streaming import stream_embedding_screen
+
+    src = str(tmp_path / "src")
+    index_dir = str(tmp_path / "index")
+    fresh_dir = str(tmp_path / "fresh")
+    schema = "vec_id bigint, embedding array<double>"
+    spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    q = stream_embedding_screen(
+        spark.readStream.schema(schema).parquet(src),
+        index_dir, fresh_dir, str(tmp_path / "ckpt"),
+        "embedding", "vec_id", V.hyperplanes(4, 3),
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(fresh_dir).count() == 2
+
+    # second snapshot, restarted under DRIFTED geometry (6 planes)
+    spark.createDataFrame(
+        [(3, [0.99, 0.01, 0.0])], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = stream_embedding_screen(
+        spark.readStream.schema(schema).parquet(src),
+        index_dir, fresh_dir, str(tmp_path / "ckpt"),
+        "embedding", "vec_id", V.hyperplanes(6, 3),
+    )
+    try:
+        q.awaitTermination(120)
+        exc = q.exception()
+    except Exception as e:  # noqa: BLE001 — either surface is fine
+        exc = e
+    assert exc is not None, (
+        "micro-batch under drifted planes must fail, not pass "
+        "duplicates silently"
+    )
+    assert "different geometry" in str(exc)
+    # the failed batch wrote nothing: survivors remain batch-0's two
+    assert spark.read.parquet(fresh_dir).count() == 2
+
+
+def test_stream_neardup_screen_drifted_banding_fails_loud(spark, tmp_path):
+    """Same deployment-shape drift guard for the MinHash member: a
+    restart under different rows_per_band (signature width drifts)
+    must fail the micro-batch via the pre-prune width probe."""
+    from gem_data_wrangle_spark.streaming import stream_neardup_screen
+
+    src = str(tmp_path / "src")
+    schema = "doc_id bigint, text string"
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = stream_neardup_screen(
+        spark.readStream.schema(schema).parquet(src),
+        str(tmp_path / "index"), str(tmp_path / "fresh"),
+        str(tmp_path / "ckpt"), "text", "doc_id", rows_per_band=4,
+    )
+    q.awaitTermination(120)
+
+    spark.createDataFrame([(2, "a second snapshot doc")], schema)\
+        .coalesce(1).write.mode("append").parquet(src)
+    q = stream_neardup_screen(
+        spark.readStream.schema(schema).parquet(src),
+        str(tmp_path / "index"), str(tmp_path / "fresh"),
+        str(tmp_path / "ckpt"), "text", "doc_id", rows_per_band=2,
+    )
+    try:
+        q.awaitTermination(120)
+        exc = q.exception()
+    except Exception as e:  # noqa: BLE001
+        exc = e
+    assert exc is not None and "different banding" in str(exc)
