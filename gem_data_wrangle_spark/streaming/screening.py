@@ -310,9 +310,18 @@ def compact_screen_index(
         for bid, path in _partition_ids().items():
             if bid <= stamp:
                 fs.delete(path, True)
-        fs.rename(staged, jvm.org.apache.hadoop.fs.Path(
+        # Hadoop rename reports some failures as a False return, not
+        # an exception — returning a stamp then would claim success
+        # while the clustered rows still sit under the hidden tree
+        # (re-running would repair it, but the caller must know)
+        if not fs.rename(staged, jvm.org.apache.hadoop.fs.Path(
             f"{index_dir}/batch_id={stamp}"
-        ))
+        )):
+            raise IOError(
+                f"compact_screen_index: rename of {staged} into "
+                f"batch_id={stamp} failed; the clustered copy is "
+                "intact under _compact/ — re-run to complete"
+            )
 
     compact_root = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/_compact")
     if fs.exists(compact_root):
