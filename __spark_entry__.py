@@ -2924,9 +2924,13 @@ def _q_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 5)
-    return V.ivf_topk(
+    out = V.ivf_topk(
         emb, probes, "embedding", "vec_id", k=10, cell_assigner=V.sign_grid_cell
     )
+    # rank is a row_number() (int32); every other graded query renders
+    # integer output columns as long to match the oracle exactly
+    # (VERDICT r15 watch item) — remove the one dtype asymmetry.
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 # --------------------------------------------------------------------

@@ -9,6 +9,16 @@ Runs the headline queries (the shuffle/fan-out/join-heavy subset of
 
 Each query is fully executed through a noop sink (no driver collect —
 measures the distributed plan, not result serialization).
+
+Reading late-suite rows: Python workers are REUSED across the suite
+(Spark default), so mapInPandas-heavy queries that run late inherit
+aged worker processes and can read 1.5-3x their standalone wall
+(position-dependent, not code — attributed by controlled experiment,
+BENCH_HISTORY.md round 15, ``vad_speech_segments`` 5.15 s suite-tail
+vs 1.65 s standalone). For a steady-state per-query number, re-run
+the query alone or set ``spark.python.worker.reuse=false`` (which
+costs fork overhead everywhere else, so the suite default keeps
+reuse on).
 """
 
 from __future__ import annotations

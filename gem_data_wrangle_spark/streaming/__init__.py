@@ -1,5 +1,6 @@
 from gem_data_wrangle_spark.streaming.screening import (
     compact_screen_index,
+    maybe_compact,
     stream_dedup_screen,
     stream_embedding_screen,
     stream_hamming_screen,
@@ -16,6 +17,7 @@ from gem_data_wrangle_spark.streaming.windows import (
 
 __all__ = [
     "compact_screen_index",
+    "maybe_compact",
     "session_window_agg",
     "sliding_window_agg",
     "stream_dedup",

@@ -535,7 +535,11 @@ def test_stream_embedding_screen_drifted_planes_fail_loud(spark, tmp_path):
         "micro-batch under drifted planes must fail, not pass "
         "duplicates silently"
     )
-    assert "different geometry" in str(exc)
+    # round 16: the _geometry.json sidecar (planes content hash) now
+    # fires BEFORE the bucket-shape probe — it also catches same-shape
+    # different-seed drift the value probe can't see
+    assert ("different geometry" in str(exc)
+            or "different parameterization" in str(exc))
     # the failed batch wrote nothing: survivors remain batch-0's two
     assert spark.read.parquet(fresh_dir).count() == 2
 
@@ -571,4 +575,9 @@ def test_stream_neardup_screen_drifted_banding_fails_loud(spark, tmp_path):
         exc = q.exception()
     except Exception as e:  # noqa: BLE001
         exc = e
-    assert exc is not None and "different banding" in str(exc)
+    # round 16: the _geometry.json sidecar now fires BEFORE the
+    # signature-width probe (it also catches width-invisible drift
+    # like num_bands/ngram changes)
+    assert exc is not None and ("different banding" in str(exc)
+                                or "different parameterization"
+                                in str(exc))
