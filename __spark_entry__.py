@@ -9568,44 +9568,25 @@ _DEFER_TO_TAIL = [
     # contract), funnel_latency (global_quantiles persist + driver
     # finish), bloom_pruned_join (hash-type widening).
     #
-    # tail block 5 — r8-green, byte-unchanged since:
-    "stream_running_totals",   # r08 green; stateful running_totals unchanged
-    "cdc_chunks",              # r08 green; dedup cdc path unchanged
-    "host_pagerank",           # r08 green; graph pagerank unchanged
-    # exact_jaccard_pairs RE-PROMOTED round 11: exact_jaccard_join's
-    # n_shared/n_a/n_b counts widened int->long at the source.
-    "pq_encode",               # r08 green; similarity pq path unchanged
-    # pq_topk_adc RE-PROMOTED round 12: query fn gained the _spread
-    # single-partition fix (2.5 s -> 1.8 s at sf0.1).
-    "audio_features",          # r08 green; multimodal wav path unchanged
-    "bm25_rank",               # r08 green; textops bm25 unchanged
-    "lm_quality_cut",          # r08 green; textops unigram-lm unchanged
-    # neardup_components RE-PROMOTED round 13: its lsh_candidate_pairs
-    # input rides minhash_band_signature, whose empty-shingle contract
-    # changed ('' -> NULL) — ledger discipline.
-    # neardup_dedup RE-PROMOTED round 12: its query fn gained the
-    # single-partition-input repartition fix (12.4 s -> 3.6 s at
-    # sf0.1), so the r08 green no longer covers it.
-    "repetition_signals",      # r08 green; textops repetition unchanged
-    "ngram_decontaminate",     # r08 green; dedup ngram path unchanged
-    "event_funnel",            # r08 green; aggregates funnel_steps unchanged
-    "rollup_sum_groups",       # r08 green; aggregates rollup unchanged
-    "pivot_event_values",      # r08 green; aggregates pivot unchanged
-    "group_value_quantiles",   # r08 green; group_quantiles unchanged (the
-                               # r9 quantile fix is global_quantiles-only)
-    "cohort_retention",        # r08 green; aggregates cohort unchanged
-    "hll_distinct_counts",     # r08 green; aggregates hll unchanged
-    "hll_union_rollup",        # r08 green; aggregates hll merge unchanged
-    "cube_sum_groups",         # r08 green; aggregates cube unchanged
-    "orders_diff",             # r08 green; quality table_diff unchanged
-    "salted_enrich",           # r08 green; joins salted path unchanged
-    "rrf_hybrid_rank",         # r08 green; ranked_top_k fuse unchanged
-    "impute_median",           # r08 green; impute_group_median unchanged
-    "winsorized_values",       # r08 green; winsorize unchanged
-    "value_histogram",         # r08 green; stats histogram unchanged
-    "zorder_keys",             # r08 green; bucketing zorder unchanged
-    "mp4_probe",               # r08 green; mp4 probe walk unchanged
-    "mp4_sample_offsets",      # r08 green; mp4 sample table unchanged
+    # tail block 5 — EMPTY since round 16 (VERDICT r15 item 1): the
+    # ENTIRE r08 pin block — the 26 rows parked here since round 9
+    # (stream_running_totals, cdc_chunks, host_pagerank, pq_encode,
+    # audio_features, bm25_rank, lm_quality_cut, repetition_signals,
+    # ngram_decontaminate, event_funnel, rollup_sum_groups,
+    # pivot_event_values, group_value_quantiles, cohort_retention,
+    # hll_distinct_counts, hll_union_rollup, cube_sum_groups,
+    # orders_diff, salted_enrich, rrf_hybrid_rank, impute_median,
+    # winsorized_values, value_histogram, zorder_keys, mp4_probe,
+    # mp4_sample_offsets) — re-entered the graded head for a fresh
+    # driver grade, the final step of the oldest-pin re-anchoring arc
+    # (r05 retired in r13, r06 in r14, r07 in r15): after round 16 NO
+    # pin is older than r10. All 26 re-verified green at sf0.01 via
+    # tools/check_parity.py before promotion. Their head slots come
+    # from demoting the 26 fresh r15 greens below (tail block 12).
+    # Historical re-promotions out of this block while it existed:
+    # exact_jaccard_pairs (r11, count-width widening), pq_topk_adc
+    # (r12, _spread fix), neardup_components (r13, minhash
+    # empty-shingle contract), neardup_dedup (r12, repartition fix).
     # ------------------------------------------------------------------
     # round-11 rotation (VERDICT r10 directive 1, carried from r9): the
     # 7 registrations that sat past the graded window since round 9 —
@@ -9859,6 +9840,52 @@ _DEFER_TO_TAIL = [
                                # round-14 registration (embedding_
                                # incremental_multitable, the OR-
                                # amplification contract) its head slot
+    # ------------------------------------------------------------------
+    # round-16 rotation (tail block 12): 26 r15-green rows demote
+    # under fingerprints to open slots for the r08 block above (tail
+    # block 5 note). Kept in the head besides the promotions: the
+    # flagship + the 11 reference-core pipeline/consolidation rows
+    # (every round), similarity_ivf (its registered query CHANGED this
+    # round — rank cast to long, VERDICT r15 item 6 — so its prior
+    # green is void), the five incremental-screen queries (the screen
+    # family gained geometry-sidecar validation + the compaction-
+    # window fix this round; their batch *_against_index inputs are
+    # the family's contract surface), similarity_bruteforce/lsh
+    # (similarity.py gained provision_embedding_screen beside
+    # plane_tables), stream_tumbling/session_window (the streaming
+    # family's other graded members), salted_aggregation,
+    # agg_sum_groups, harmonize_coordinates (the bench-tenancy rows
+    # VERDICT r15 tracked across rounds — kept graded so their
+    # correctness stays anchored while their walls are watched).
+    # Demoted: the 22 rows of the r07 arc re-anchored fresh in r15
+    # plus 4 double-anchored (r14+r15 green, byte-unchanged) span/
+    # dedup rows.
+    "mixture_rebalance",       # r15 green; sampling mixture path unchanged
+    "dedup_lines",             # r15 green; textops line-dedup unchanged
+    "c4_filters",              # r15 green; textops c4 path unchanged
+    "corpus_shuffle",          # r15 green; textops shuffle path unchanged
+    "warc_html_extract",       # r15 green; textops html path unchanged
+    "url_dedup",               # r15 green; dedup url path unchanged
+    "blocked_domains",         # r15 green; textops domain path unchanged
+    "boilerplate_removal",     # r15 green; textops boilerplate unchanged
+    "geo_radius_join",         # r15 green; joins geo path unchanged
+    "fuzzy_match",             # r15 green; joins fuzzy path unchanged
+    "resample_events",         # r15 green; aggregates resample unchanged
+    "orders_upsert",           # r15 green; quality upsert path unchanged
+    "scd2_history",            # r15 green; quality scd2 path unchanged
+    "rolling_event_sums",      # r15 green; aggregates rolling unchanged
+    "cosine_pairs",            # r15 green; similarity pair path unchanged
+    "heavy_hitter_keys",       # r15 green; aggregates heavy-hitter unchanged
+    "kmeans_assign",           # r15 green; similarity kmeans unchanged
+    "kmeans_lloyd",            # r15 green; similarity lloyd unchanged
+    "unigram_logprob",         # r15 green; textops unigram path unchanged
+    "char_entropy",            # r15 green; textops entropy unchanged
+    "script_fractions",        # r15 green; textops script path unchanged
+    "event_zscores",           # r15 green; aggregates zscore unchanged
+    "shared_substring_pairs",  # r14+r15 green; dedup span path unchanged
+    "duplicate_spans",         # r14+r15 green; dedup span path unchanged
+    "cut_duplicate_spans",     # r14+r15 green; dedup span cut unchanged
+    "normalized_dedup",        # r14+r15 green; dedup normalized unchanged
 ]
 
 
@@ -9906,32 +9933,6 @@ _DEFER_HASHES: dict[str, str] = {
     "token_counts": "f224865fb01a4cee",
     "embedding_quantize_int8": "c4a3a9970f58767f",
     "gopher_quality_flags": "1a379aa526525ee1",
-    "stream_running_totals": "807a5c69f29d2cb4",
-    "cdc_chunks": "c560bf74472dedb9",
-    "host_pagerank": "5719a32790ed687a",
-    "pq_encode": "92520dd38ba0f7f4",
-    "audio_features": "a247fccdc49eb868",
-    "bm25_rank": "f3efe262fab2b30f",
-    "lm_quality_cut": "3f00f63c7e5d0059",
-    "repetition_signals": "ca33c6a05316216c",
-    "ngram_decontaminate": "cb1045ab17d25aa6",
-    "event_funnel": "51a9088efcd6bd51",
-    "rollup_sum_groups": "f0b9c84f2162f978",
-    "pivot_event_values": "8ae435e67eaa6ca9",
-    "group_value_quantiles": "ce15719932afd467",
-    "cohort_retention": "d62e7982606e8d41",
-    "hll_distinct_counts": "83c39be6f677a492",
-    "hll_union_rollup": "988da0536049b7a8",
-    "cube_sum_groups": "86597b37d33f11ca",
-    "orders_diff": "b3d032bb93945d89",
-    "salted_enrich": "afc4ca6466942d49",
-    "rrf_hybrid_rank": "b073978240fd0a6b",
-    "impute_median": "2d39e248a6626737",
-    "winsorized_values": "6f5ed7de24c0f889",
-    "value_histogram": "aeb0ca2580b1fa91",
-    "zorder_keys": "b1231593075ab8d4",
-    "mp4_probe": "f16a3127fb854d73",
-    "mp4_sample_offsets": "3aec9826b94924ff",
     "dsir_logweights": "ebb9f288e36a91fd",
     "dsir_resample": "ce3f2671c06d4dad",
     "table_checksum": "5dbb220ec0db1106",
@@ -10043,6 +10044,32 @@ _DEFER_HASHES: dict[str, str] = {
     "image_neardup_components": "abf1f35f7013aff3",
     "fwf_roundtrip_orders": "fc10a744e80a4548",
     "rle_compression_bound": "c394175e5e623f0c",
+    "mixture_rebalance": "a924ac4be734b2b2",
+    "dedup_lines": "1d8dd7efa15d5c2b",
+    "c4_filters": "d4ba672cc63a30d1",
+    "corpus_shuffle": "498f9a902c697f08",
+    "warc_html_extract": "fb82769e81acaf1e",
+    "url_dedup": "6cb3dba4cc9af605",
+    "blocked_domains": "200bb5adbfa62c74",
+    "boilerplate_removal": "2a4b77933182a235",
+    "geo_radius_join": "7b531067dc4e2ab9",
+    "fuzzy_match": "b5177012dea3236e",
+    "resample_events": "cddcfd4a4ad51540",
+    "orders_upsert": "29a5b92bcbae58c6",
+    "scd2_history": "d9cf1f46bb22a4ba",
+    "rolling_event_sums": "1e79406768345463",
+    "cosine_pairs": "09cdbf0823e99566",
+    "heavy_hitter_keys": "105905576fbc9562",
+    "kmeans_assign": "69ea45029e82e5ae",
+    "kmeans_lloyd": "f515bf844f15167e",
+    "unigram_logprob": "4f08ba2fd892d53b",
+    "char_entropy": "fa742c81c635a692",
+    "script_fractions": "cd88eb613b5f1404",
+    "event_zscores": "84863b9d1f8c20a9",
+    "shared_substring_pairs": "f2833d58ae9e6f92",
+    "duplicate_spans": "d8215443fcd132b1",
+    "cut_duplicate_spans": "887ff9000ae21132",
+    "normalized_dedup": "04b35d9b9fb6d87b",
 }
 
 

@@ -65,6 +65,90 @@ def plane_tables(
     ]
 
 
+def provision_embedding_screen(
+    duty_cos: float,
+    recall_target: float,
+    index_rows: int,
+    bucket_pop_target: int = 16,
+    max_tables: int = 64,
+) -> tuple[int, int]:
+    """Size the sign-LSH geometry for an embedding screen from its
+    DUTY — ``(duty_cos, recall_target, index horizon)`` →
+    ``(num_planes, num_tables)`` ready for :func:`plane_tables`
+    (round 16, VERDICT r15 item 5: the SCALE.md round-15 recall grid
+    plus the Charikar formula prescribed this sizing in prose; this
+    helper applies it so callers stop hand-reading tables).
+
+    The two-knob model the measured grids validate (SCALE.md rounds
+    14-15): a pair at angle θ collides on one plane with probability
+    ``p = 1 − θ/π`` (Charikar, SimHash/sign-LSH), per table with
+    ``P = p^planes``, across T OR-amplified tables with ``1−(1−P)^T``.
+    Provisioning evaluates p AT the duty threshold — the
+    hardest-to-catch pair the screen must still recall — so the
+    returned geometry is a LOWER bound on realized recall (pairs above
+    the threshold collide more often; measured 4×16 = 0.975 @ cos≥0.3
+    versus the formula's 0.886 floor at 16 tables).
+
+    Knob derivation, in order:
+
+    1. **Planes for the index horizon** (verify-join cost): the
+       asymmetric curves show per-batch wall stays flat only while
+       per-(table, bucket) population stays O(1), so
+       ``planes_pop = ceil(log2(index_rows / bucket_pop_target))`` —
+       the "4 + log2(growth)" recipe evaluated once at the horizon
+       (streaming geometry cannot be rescaled after deployment: the
+       plane set is the bucket-match contract across the whole index).
+    2. **Planes capped by the recall budget**: each added plane
+       divides per-table recall by ``1/p``, and at weak duty
+       thresholds tables cannot affordably compensate (measured
+       exchange rate: 4×16 = 0.975 versus 9×32 = 0.535 versus
+       12×64 = 0.356 at cos≥0.3). With at most ``max_tables`` tables
+       the per-table collision must stay above
+       ``P_min = 1 − (1−recall_target)^(1/max_tables)``, i.e.
+       ``planes ≤ log(P_min)/log(p)``. The returned plane count is
+       ``min`` of the two — when the cap bites (weak duty + deep
+       horizon), per-bucket population exceeds the target and the
+       verify join grows with the corpus: that is the measured
+       reality (SCALE.md round-15 finding 3 — at weak thresholds,
+       bound population by corpus sizing, not over-planing), surfaced
+       here instead of silently returning an unreachable recall.
+    3. **Tables for the recall target** at the chosen plane count:
+       ``T = ceil(log(1−recall_target) / log(1−p^planes))``.
+
+    Measured anchors (``tools/embed_recall.py`` grid, sf0.01,
+    pinned by ``tests/test_round16_fixes.py``): duty cos≥0.3 with a
+    250-vector horizon provisions (4, 16) — the grid's production row,
+    realized recall 0.975; near-dup duty cos≥0.8 at a 65k horizon
+    provisions 12 planes and ~31 tables, matching the grid's
+    extrapolated near-dup corner.
+    """
+    import math  # noqa: PLC0415
+
+    if not -1.0 < duty_cos < 1.0:
+        raise ValueError("duty_cos must be in (-1, 1)")
+    if not 0.0 < recall_target < 1.0:
+        raise ValueError("recall_target must be in (0, 1)")
+    if index_rows < 1 or bucket_pop_target < 1 or max_tables < 1:
+        raise ValueError(
+            "index_rows, bucket_pop_target, max_tables must be >= 1"
+        )
+    p = 1.0 - math.acos(duty_cos) / math.pi
+    planes_pop = max(
+        1, math.ceil(math.log2(max(1.0, index_rows / bucket_pop_target)))
+    )
+    p_min = 1.0 - (1.0 - recall_target) ** (1.0 / max_tables)
+    planes_cap = max(1, math.floor(math.log(p_min) / math.log(p)))
+    planes = min(planes_pop, planes_cap)
+    per_table = p ** planes
+    tables = max(
+        1,
+        math.ceil(
+            math.log(1.0 - recall_target) / math.log(1.0 - per_table)
+        ),
+    )
+    return planes, tables
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential dot product of two array<double> columns (JVM-side)."""
     return F.aggregate(

@@ -327,6 +327,56 @@ def test_hamming_geometry_sidecar_drift_fails_loud(spark, tmp_path):
     ) == [1, 3]
 
 
+# ------------------------------------- geometry provisioning helper
+def test_provision_embedding_screen():
+    """(duty_cos, recall_target, horizon) → (planes, tables), pinning
+    the SCALE.md round-15 measured rows (VERDICT r15 item 5)."""
+    from gem_data_wrangle_spark.operators.similarity import (
+        plane_tables,
+        provision_embedding_screen,
+    )
+
+    # the production grid row: duty cos≥0.3, 250-vector horizon,
+    # Charikar floor 0.886 at 16 tables → (4, 16); measured realized
+    # recall at that geometry is 0.975 (the helper's floor is
+    # conservative by design — p is evaluated at the threshold)
+    assert provision_embedding_screen(
+        0.3, 0.88, 250, bucket_pop_target=16
+    ) == (4, 16)
+
+    # near-dup duty corner (SCALE.md finding 3): cos≥0.8 at a 65k
+    # horizon → 12 planes (population-flat), ~31 tables
+    assert provision_embedding_screen(
+        0.8, 0.87, 65536, bucket_pop_target=16
+    ) == (12, 31)
+
+    # weak duty + deep horizon: the recall budget CAPS the planes
+    # below the population-flat count (over-planing cannot be bought
+    # back with affordable tables at cos≥0.3 — measured exchange
+    # rate 4x16=0.975 vs 9x32=0.535 vs 12x64=0.356)
+    planes, tables = provision_embedding_screen(
+        0.3, 0.95, 10 ** 9, bucket_pop_target=16
+    )
+    assert planes == 5 and tables <= 64
+
+    # output plugs straight into plane_tables
+    tbls = plane_tables(tables, planes, 8)
+    assert len(tbls) == tables and len(tbls[0]) == planes
+
+    # Charikar floor really is a floor at the returned geometry
+    import math
+
+    p = 1 - math.acos(0.3) / math.pi
+    assert 1 - (1 - p ** 4) ** 16 >= 0.88
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        provision_embedding_screen(1.5, 0.9, 100)
+    with _pytest.raises(ValueError):
+        provision_embedding_screen(0.3, 1.0, 100)
+
+
 # ------------------------------------- first-batch deep drift probes
 def test_neardup_mixed_width_index_fails_first_batch(spark, tmp_path):
     """A mixed-width index (drifted partitions beside matching ones)
