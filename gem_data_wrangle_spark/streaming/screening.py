@@ -859,9 +859,13 @@ def stream_embedding_screen(
     ``planes`` is one plane table or a list of tables
     (OR-amplification; build with ``plane_tables``) and must be
     IDENTICAL across every batch and any offline job sharing the
-    index — drifted planes silently screen nothing. Same exactly-once
-    recipe as the siblings: per-``batch_id`` overwrite + the
-    strictly-older replay guard.
+    index — drifted planes silently screen nothing; size the geometry
+    ONCE for the screen's duty and its full index horizon with
+    ``provision_embedding_screen(threshold, recall_target,
+    horizon_rows)`` (the plane set is the bucket-match contract
+    across the whole index, so it cannot be rescaled after
+    deployment). Same exactly-once recipe as the siblings:
+    per-``batch_id`` overwrite + the strictly-older replay guard.
     """
     from gem_data_wrangle_spark.operators.similarity import (  # noqa: PLC0415
         embedding_against_index,
