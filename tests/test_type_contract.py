@@ -179,7 +179,6 @@ _INT32_ALLOWED: dict[str, frozenset] = {
     "tfidf_top_terms": frozenset({"rank"}),
     "similarity_bruteforce": frozenset({"rank"}),
     "similarity_lsh": frozenset({"rank"}),
-    "similarity_ivf": frozenset({"rank"}),
     "pq_topk_adc": frozenset({"rank"}),
     "window_rank": frozenset({"price_rank"}),
     "rrf_hybrid_rank": frozenset({"rank_dense", "rank_lex"}),
