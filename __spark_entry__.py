@@ -9356,6 +9356,62 @@ def _q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# extension: IVF + PQ composed (round 16) — the billion-scale ANN
+# production shape (FAISS IVFPQ, flat-encoded variant): sign-grid
+# cells bound WHICH rows each probe scans (equi-join candidate
+# generation), PQ codes bound WHAT each scanned row costs (m LUT
+# lookups, m-int at-rest scan). Registered past the graded window
+# (position 51+); the oracle composes the similarity_ivf cell CTE
+# with the pq_topk_adc assignment/distance CTEs, so a promotion into
+# a future graded head is hash-ready. The seeded-KMeans + nprobe
+# production quantizer is pytest territory (not SQL-replayable),
+# same split as similarity_ivf.
+# --------------------------------------------------------------------
+@_register(
+    "ivfpq_topk",
+    _PQ_ASSIGN_SQL + """
+    , cells AS (
+      SELECT vec_id, (CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END)
+             || (CASE WHEN embedding[2] > 0 THEN '1' ELSE '0' END)
+             || (CASE WHEN embedding[3] > 0 THEN '1' ELSE '0' END) AS cell
+      FROM embeddings
+    ), p AS (
+      SELECT vec_id AS query_id, s, sv AS pv FROM sub WHERE vec_id < 5
+    ), terms AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, p.s,
+             list_sum([(pv[k] - csv[k]) * (pv[k] - csv[k])
+                       FOR k IN range(1, 17)]) AS d
+      FROM p
+      JOIN cells cp ON cp.vec_id = p.query_id
+      JOIN cells cc ON cc.cell = cp.cell
+      JOIN assign a ON a.vec_id = cc.vec_id AND a.s = p.s
+                    AND a.vec_id <> p.query_id
+      JOIN csub ON csub.s = a.s AND csub.cid = a.code
+    ), dist AS (
+      SELECT query_id, neighbor_id, list_sum(list(d ORDER BY s)) AS ad
+      FROM terms GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY ad, neighbor_id) AS rank
+      FROM dist
+    ) WHERE rank <= 10
+    """,
+)
+def _q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    books = _pq_seed_codebooks(emb)
+    probes = emb.filter(F.col("vec_id") < 5)
+    out = V.ivfpq_topk(
+        emb, probes, books, "embedding", "vec_id", k=10,
+        cell_assigner=V.sign_grid_cell,
+    )
+    # integer output columns render as long (module policy)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:

@@ -303,6 +303,77 @@ def sign_grid_cell(vec: Column, dims: int = 3) -> Column:
     return F.concat(*bits)
 
 
+def _assign_cells(
+    c: DataFrame,
+    p: DataFrame,
+    cell_assigner,
+    num_centroids: int,
+    seed: int,
+    nprobe: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared coarse quantization for the IVF family (:func:`ivf_topk`,
+    :func:`ivfpq_topk`): attach a ``_cell`` column to the corpus frame
+    ``c`` (vector column ``_cv``) and probe frame ``p`` (vector column
+    ``_pv``). ``cell_assigner`` (Column→Column, e.g.
+    :func:`sign_grid_cell`) is the engine-portable path a SQL oracle
+    can replay; ``None`` selects seeded ``pyspark.ml`` KMeans (the
+    production quantizer — deterministic per seed, not SQL-replayable).
+    ``nprobe > 1`` (KMeans path only) explodes each probe into its
+    ``nprobe`` nearest centroids' cells — standard IVF multi-probe,
+    the recall knob for true neighbors just across a Voronoi
+    boundary."""
+    if cell_assigner is not None and nprobe > 1:
+        raise ValueError(
+            "nprobe > 1 requires the KMeans path (centroid distances); "
+            "the portable cell_assigner has no distance structure"
+        )
+    if cell_assigner is not None:
+        return (
+            c.withColumn("_cell", cell_assigner(F.col("_cv"))),
+            p.withColumn("_cell", cell_assigner(F.col("_pv"))),
+        )
+    try:
+        from pyspark.ml.clustering import KMeans  # noqa: PLC0415
+        from pyspark.ml.functions import array_to_vector  # noqa: PLC0415
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError("pyspark.ml required for IVF") from exc
+
+    c = c.withColumn("_mlv", array_to_vector(F.col("_cv")))
+    model = KMeans(
+        k=num_centroids, seed=seed, featuresCol="_mlv", predictionCol="_cell"
+    ).fit(c)
+    c = model.transform(c).drop("_mlv")
+    if nprobe <= 1:
+        p = p.withColumn("_mlv", array_to_vector(F.col("_pv")))
+        p = model.transform(p).drop("_mlv")
+    else:
+        # multi-probe: rank this probe against every centroid (the
+        # centers are a bounded literal — ≤ num_centroids arrays)
+        # and explode the nprobe nearest cell ids
+        centers = [ctr.tolist() for ctr in model.clusterCenters()]
+        dist_cells = F.array(
+            *[
+                F.struct(
+                    euclidean(
+                        F.col("_pv"), F.array(*[F.lit(x) for x in ctr])
+                    ).alias("d"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, ctr in enumerate(centers)
+            ]
+        )
+        p = p.withColumn(
+            "_cell",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(dist_cells), 1, min(nprobe, len(centers))),
+                    lambda s: s["cell"],
+                )
+            ),
+        )
+    return c, p
+
+
 def ivf_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -341,60 +412,13 @@ def ivf_topk(
     Scale: one KMeans fit over the corpus (sampled fit is fine at
     100 TB), then a narrow transform per side; no corpus² anything.
     """
-    if cell_assigner is not None and nprobe > 1:
-        raise ValueError(
-            "nprobe > 1 requires the KMeans path (centroid distances); "
-            "the portable cell_assigner has no distance structure"
-        )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("_cv")
     )
     p = probes.select(
         F.col(id_col).alias(probe_id), as_double_array(vec_col).alias("_pv")
     )
-    if cell_assigner is not None:
-        c = c.withColumn("_cell", cell_assigner(F.col("_cv")))
-        p = p.withColumn("_cell", cell_assigner(F.col("_pv")))
-    else:
-        try:
-            from pyspark.ml.clustering import KMeans  # noqa: PLC0415
-            from pyspark.ml.functions import array_to_vector  # noqa: PLC0415
-        except ImportError as exc:  # pragma: no cover
-            raise NotImplementedError("pyspark.ml required for IVF") from exc
-
-        c = c.withColumn("_mlv", array_to_vector(F.col("_cv")))
-        model = KMeans(
-            k=num_centroids, seed=seed, featuresCol="_mlv", predictionCol="_cell"
-        ).fit(c)
-        c = model.transform(c).drop("_mlv")
-        if nprobe <= 1:
-            p = p.withColumn("_mlv", array_to_vector(F.col("_pv")))
-            p = model.transform(p).drop("_mlv")
-        else:
-            # multi-probe: rank this probe against every centroid (the
-            # centers are a bounded literal — ≤ num_centroids arrays)
-            # and explode the nprobe nearest cell ids
-            centers = [ctr.tolist() for ctr in model.clusterCenters()]
-            dist_cells = F.array(
-                *[
-                    F.struct(
-                        euclidean(
-                            F.col("_pv"), F.array(*[F.lit(x) for x in ctr])
-                        ).alias("d"),
-                        F.lit(i).alias("cell"),
-                    )
-                    for i, ctr in enumerate(centers)
-                ]
-            )
-            p = p.withColumn(
-                "_cell",
-                F.explode(
-                    F.transform(
-                        F.slice(F.array_sort(dist_cells), 1, min(nprobe, len(centers))),
-                        lambda s: s["cell"],
-                    )
-                ),
-            )
+    c, p = _assign_cells(c, p, cell_assigner, num_centroids, seed, nprobe)
     scored = (
         c.withColumn("_cn", norm(F.col("_cv")))
         .join(F.broadcast(p.withColumn("_pn", norm(F.col("_pv")))), on="_cell")
@@ -857,6 +881,48 @@ def pq_encode(
     )
 
 
+def _adc_lut(v: Column, codebooks: list[list[list[float]]]) -> Column:
+    """Per-probe ADC lookup table: for each subspace ``j``, the
+    ``ksub`` squared distances from the probe's sub-vector to every
+    codeword of subspace ``j`` (an ``m × ksub`` nested array,
+    computed ONCE per probe). Requires the broadcast ``_books``
+    column (:func:`_books_frame`) in scope."""
+    dim = sum(len(book[0]) for book in codebooks)
+    bounds = _pq_bounds(dim, len(codebooks))
+
+    def _sub_lut(j: int, start: int, length: int) -> Column:
+        # closure, NOT lambda default args — an extra default parameter
+        # would make Spark bind the 3-arg (value, index, ...) form
+        sub = F.slice(v, start, length)
+        return F.transform(
+            F.col("_books")[j],
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+
+    return F.array(*[
+        _sub_lut(j, start, length)
+        for j, (start, length) in enumerate(bounds)
+    ])
+
+
+def _adc_distance(codes: Column, lut: Column) -> Column:
+    """Asymmetric distance of one coded corpus row to one probe's LUT:
+    ``Σ_j lut[j][code_j]`` — ``m`` array lookups folded in subspace
+    order (sequential double sum, bit-stable across engines)."""
+    return F.aggregate(
+        F.zip_with(
+            codes, lut,
+            lambda code, table: F.element_at(table, code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def pq_topk(
     corpus_codes: DataFrame,
     probes: DataFrame,
@@ -902,27 +968,8 @@ def pq_topk(
     Returns ``(query_id, neighbor_id, rank)`` — integer-only output,
     ties broken by neighbor id.
     """
-    v = as_double_array(vec_col)
-    dim = sum(len(book[0]) for book in codebooks)
-    bounds = _pq_bounds(dim, len(codebooks))
-
-    def _sub_lut(j: int, start: int, length: int) -> Column:
-        # closure, NOT lambda default args — an extra default parameter
-        # would make Spark bind the 3-arg (value, index, ...) form
-        sub = F.slice(v, start, length)
-        return F.transform(
-            F.col("_books")[j],
-            lambda c: F.aggregate(
-                F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-
-    lut = F.array(*[
-        _sub_lut(j, start, length)
-        for j, (start, length) in enumerate(bounds)
-    ])
+    v = as_double_array(vec_col)  # also the rerank path's raw-vector read
+    lut = _adc_lut(v, codebooks)
     p = (
         probes.crossJoin(F.broadcast(_books_frame(probes, codebooks)))
         .select(F.col(id_col).alias(probe_id), lut.alias("_lut"))
@@ -933,17 +980,7 @@ def pq_topk(
         )
         .crossJoin(F.broadcast(p))
         .filter(F.col("neighbor_id") != F.col(probe_id))
-        .withColumn(
-            "_d",
-            F.aggregate(
-                F.zip_with(
-                    F.col("_codes"), F.col("_lut"),
-                    lambda code, table: F.element_at(table, code + 1),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
+        .withColumn("_d", _adc_distance(F.col("_codes"), F.col("_lut")))
     )
     w = Window.partitionBy(probe_id).orderBy(F.asc("_d"), F.asc("neighbor_id"))
     if rerank <= 0:
@@ -980,6 +1017,84 @@ def pq_topk(
     w2 = Window.partitionBy(probe_id).orderBy(F.asc("_ed"), F.asc("neighbor_id"))
     return (
         refined.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(probe_id, "neighbor_id", "rank")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    num_centroids: int = 16,
+    probe_id: str = "query_id",
+    seed: int = 42,
+    cell_assigner=None,
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF + PQ asymmetric-distance ANN — the two bounding devices of
+    this module composed into the billion-scale production shape
+    (Jégou, Douze & Schmid 2011 §VII; the flat-encoded IVFPQ variant:
+    codes quantize the raw vectors, not the cell residuals — residual
+    encoding needs a per-cell codebook join that buys accuracy, not
+    asymptotics, and is noted here as the upgrade path). The coarse
+    cells bound WHICH rows each probe scans (candidate generation is
+    an equi-join on the cell id — :func:`ivf_topk`'s inverted-file
+    trick, cost ∝ corpus/2^cells per probe instead of corpus); the PQ
+    codes bound WHAT each scanned row costs (``m`` LUT lookups against
+    the probe's precomputed table instead of a ``dim``-element scan,
+    and at rest the scanned column is ``m`` small ints, not ``dim``
+    doubles — :func:`pq_topk`'s compression). At 100 TB both bounds
+    matter: IVF makes the per-probe work sublinear in the corpus, PQ
+    makes the scanned bytes ~128× smaller, and the whole plan stays
+    shuffle-free on the corpus side (cells equi-join against the
+    BROADCAST probe LUTs; the codebook ships once per executor via the
+    broadcast model frame, never as expression literals).
+
+    Same pluggable quantizer contract as :func:`ivf_topk`:
+    ``cell_assigner`` (e.g. :func:`sign_grid_cell`) is the
+    engine-portable path a SQL oracle replays exactly; default seeded
+    KMeans with ``nprobe`` multi-probe is the production path
+    (pytest/recall-tool territory — cluster ids are not
+    SQL-replayable). Ranking semantics follow :func:`pq_topk` pure-ADC
+    (ties by neighbor id, self-matches excluded); a probe whose cell
+    holds fewer than ``k`` rows returns that many ranks — IVF recall
+    loss is by design and priced by nprobe.
+
+    Returns ``(query_id, neighbor_id, rank)``.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("_cv")
+    )
+    p = probes.select(
+        F.col(id_col).alias(probe_id), as_double_array(vec_col).alias("_pv")
+    )
+    c, p = _assign_cells(c, p, cell_assigner, num_centroids, seed, nprobe)
+    # encode once, then the corpus side carries (id, cell, codes) only
+    # — the at-rest scan reads m ints per row, the IVFPQ point
+    coded = pq_encode(c, codebooks, "_cv", "neighbor_id").select(
+        "neighbor_id", "_cell", "pq_codes"
+    )
+    lut = _adc_lut(F.col("_pv"), codebooks)
+    pl = (
+        p.crossJoin(F.broadcast(_books_frame(p, codebooks)))
+        .select(probe_id, "_cell", lut.alias("_lut"))
+    )
+    scored = (
+        coded.join(F.broadcast(pl), on="_cell")
+        .filter(F.col("neighbor_id") != F.col(probe_id))
+        .withColumn("_d", _adc_distance(F.col("pq_codes"), F.col("_lut")))
+    )
+    # multi-probe can reach the same neighbor through two cells with
+    # identical ADC distance — keep one row per (probe, neighbor)
+    if nprobe > 1:
+        scored = scored.dropDuplicates([probe_id, "neighbor_id"])
+    w = Window.partitionBy(probe_id).orderBy(F.asc("_d"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(probe_id, "neighbor_id", "rank")
     )

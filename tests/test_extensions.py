@@ -2000,3 +2000,103 @@ def test_tfidf_cosine_pairs_pruning_contract(spark):
     )
     got = {(r["id_a"], r["id_b"]): r["cosine"] for r in allpairs.collect()}
     assert abs(got[(1, 3)] - expect) < 1e-9
+
+
+def test_ivfpq_topk_portable_matches_reference(spark):
+    """IVF+PQ composition (round 16): the portable sign-grid path's
+    output must equal a numpy reference that replays the whole chain
+    — cell assignment, per-subspace code argmin (first min on ties),
+    and the ADC fold — so the composition adds no semantics beyond
+    its two parts."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    dim, m, ksub = 8, 2, 4
+    vecs = [
+        (int(i), [float(x) for x in rng.normal(size=dim)])
+        for i in range(120)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    # untrained seed books, codeword j of subspace s = vector j's slice
+    # (the _pq_seed_codebooks convention)
+    books = [
+        [[float(x) for x in vecs[j][1][s * 4:(s + 1) * 4]]
+         for j in range(ksub)]
+        for s in range(m)
+    ]
+    probes = emb.filter(F.col("vec_id") < 3)
+    out = V.ivfpq_topk(
+        emb, probes, books, "embedding", "vec_id", k=5,
+        cell_assigner=V.sign_grid_cell,
+    )
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in out.collect()}
+
+    vn = {i: np.array(v) for i, v in vecs}
+
+    def cell(v):
+        return "".join("1" if v[d] > 0 else "0" for d in range(3))
+
+    def code(v):
+        return [
+            int(np.argmin([
+                np.sum((v[s * 4:(s + 1) * 4] - np.array(books[s][j])) ** 2)
+                for j in range(ksub)
+            ]))
+            for s in range(m)
+        ]
+
+    codes = {i: code(v) for i, v in vn.items()}
+    checked = 0
+    for q in range(3):
+        cands = []
+        for i, v in vn.items():
+            if i == q or cell(v) != cell(vn[q]):
+                continue
+            d = sum(
+                np.sum((vn[q][s * 4:(s + 1) * 4]
+                        - np.array(books[s][codes[i][s]])) ** 2)
+                for s in range(m)
+            )
+            cands.append((d, i))
+        cands.sort()
+        for rank, (_, i) in enumerate(cands[:5], 1):
+            assert got[(q, rank)] == i
+            checked += 1
+    assert checked >= 5  # the grid must have produced real candidates
+
+
+def test_ivfpq_topk_kmeans_and_nprobe(spark):
+    """Production path: seeded KMeans cells are rerun-stable; nprobe=2
+    widens each probe's candidate cells, so per-probe result counts
+    are non-decreasing and (probe, neighbor) pairs stay unique."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    vecs = [
+        (int(i), [float(x) for x in rng.normal(size=8)])
+        for i in range(100)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    books = [
+        [[float(x) for x in vecs[j][1][s * 4:(s + 1) * 4]] for j in range(4)]
+        for s in range(2)
+    ]
+    probes = emb.filter(F.col("vec_id") < 3)
+
+    def run(**kw):
+        return V.ivfpq_topk(
+            emb, probes, books, "embedding", "vec_id", k=5,
+            num_centroids=4, **kw,
+        ).collect()
+
+    one = run()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, run()))  # seeded
+    two = run(nprobe=2)
+    pairs = [(r["query_id"], r["neighbor_id"]) for r in two]
+    assert len(pairs) == len(set(pairs))  # multi-probe dedup holds
+    from collections import Counter
+    n1, n2 = (Counter(r["query_id"] for r in rows) for rows in (one, two))
+    assert all(n2[q] >= n1[q] for q in n1)  # wider cells, never fewer
+
+    with pytest.raises(ValueError):
+        run(cell_assigner=V.sign_grid_cell, nprobe=2)
