@@ -121,6 +121,15 @@ def provision_embedding_screen(
     realized recall 0.975; near-dup duty cos≥0.8 at a 65k horizon
     provisions 12 planes and ~31 tables, matching the grid's
     extrapolated near-dup corner.
+
+    Raises ``ValueError`` when the target is UNREACHABLE: if a single
+    plane's collision rate already sits below the per-table floor the
+    table budget demands (weak duty + small ``max_tables`` + high
+    recall), no geometry with ≥ 1 plane can reach the target within
+    ``max_tables`` — returning more tables would silently blow the
+    candidate-cost budget (round-16 property sweep), so the helper
+    refuses exactly that region; the property test pins the refusal
+    boundary at ``p < p_min``.
     """
     import math  # noqa: PLC0415
 
@@ -137,6 +146,20 @@ def provision_embedding_screen(
         1, math.ceil(math.log2(max(1.0, index_rows / bucket_pop_target)))
     )
     p_min = 1.0 - (1.0 - recall_target) ** (1.0 / max_tables)
+    if p < p_min:
+        # even ONE plane sits below the per-table collision floor the
+        # table budget demands — no geometry with >= 1 plane reaches
+        # the target within max_tables. Returning tables > max_tables
+        # would silently blow the candidate-cost budget (found by the
+        # round-16 property sweep); fail loud like the rest of the
+        # screen family.
+        raise ValueError(
+            f"recall_target={recall_target} is unreachable within "
+            f"max_tables={max_tables} at duty_cos={duty_cos}: a single "
+            f"plane's collision rate p={p:.4f} is already below the "
+            f"required per-table floor {p_min:.4f} — raise max_tables, "
+            "lower the recall target, or tighten the duty threshold"
+        )
     planes_cap = max(1, math.floor(math.log(p_min) / math.log(p)))
     planes = min(planes_pop, planes_cap)
     per_table = p ** planes

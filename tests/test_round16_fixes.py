@@ -476,3 +476,56 @@ def test_embedding_mixed_geometry_index_fails_first_batch(
     except Exception as e:  # noqa: BLE001
         exc = e
     assert exc is not None and "different geometry" in str(exc)
+
+
+# ------------------- provisioning closed-form invariants (property)
+def test_provision_recall_floor_and_table_budget_hold_everywhere():
+    """Property over the whole input domain: the returned geometry's
+    Charikar closed-form recall 1-(1-p^planes)^tables must reach the
+    recall target, AND the table count must stay within max_tables —
+    i.e. the plane cap really converts the table budget into a plane
+    bound, for any (duty, recall, horizon) a caller can pass. Pure
+    closed-form math, so hypothesis can sweep it densely."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gem_data_wrangle_spark.operators.similarity import (
+        provision_embedding_screen,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        duty=st.floats(min_value=-0.95, max_value=0.99),
+        recall=st.floats(min_value=0.01, max_value=0.999),
+        rows=st.integers(min_value=1, max_value=10 ** 12),
+        pop=st.integers(min_value=1, max_value=1024),
+        max_tables=st.integers(min_value=1, max_value=256),
+    )
+    def prop(duty, recall, rows, pop, max_tables):
+        p = 1.0 - math.acos(duty) / math.pi
+        p_min = 1.0 - (1.0 - recall) ** (1.0 / max_tables)
+        try:
+            planes, tables = provision_embedding_screen(
+                duty, recall, rows,
+                bucket_pop_target=pop, max_tables=max_tables,
+            )
+        except ValueError:
+            # must refuse EXACTLY the infeasible region: one plane
+            # already below the per-table collision floor
+            assert p < p_min
+            return
+        assert p >= p_min
+        assert planes >= 1 and 1 <= tables <= max_tables
+        formula = 1.0 - (1.0 - p ** planes) ** tables
+        # tables = ceil(...) can only overshoot the target, and the
+        # plane cap guarantees the needed table count is affordable
+        assert formula >= recall - 1e-9
+        # population-flat bound is never exceeded (the cap only ever
+        # LOWERS the plane count)
+        import math as _m
+        planes_pop = max(1, _m.ceil(_m.log2(max(1.0, rows / pop))))
+        assert planes <= planes_pop
+
+    prop()
