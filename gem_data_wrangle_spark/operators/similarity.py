@@ -1057,6 +1057,7 @@ def ivfpq_topk(
     seed: int = 42,
     cell_assigner=None,
     nprobe: int = 1,
+    rerank: int = 0,
 ) -> DataFrame:
     """IVF + PQ asymmetric-distance ANN — the two bounding devices of
     this module composed into the billion-scale production shape
@@ -1085,7 +1086,13 @@ def ivfpq_topk(
     SQL-replayable). Ranking semantics follow :func:`pq_topk` pure-ADC
     (ties by neighbor id, self-matches excluded); a probe whose cell
     holds fewer than ``k`` rows returns that many ranks — IVF recall
-    loss is by design and priced by nprobe.
+    loss is by design and priced by nprobe. ``rerank=R`` (R ≥ k) adds
+    the standard refine stage (Jégou et al. §VI, the full FAISS
+    ``IVFPQR``-style pipeline minus residual books): the ADC pass
+    keeps an R-deep shortlist per probe and only those ``R·|probes|``
+    rows' RAW vectors are fetched and re-ranked by exact squared L2 —
+    quantization recall comes back at the cost of touching R raw
+    vectors per probe, while the candidate bound stays the cells'.
 
     Returns ``(query_id, neighbor_id, rank)``.
     """
@@ -1116,8 +1123,37 @@ def ivfpq_topk(
     if nprobe > 1:
         scored = scored.dropDuplicates([probe_id, "neighbor_id"])
     w = Window.partitionBy(probe_id).orderBy(F.asc("_d"), F.asc("neighbor_id"))
+    if rerank <= 0:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(probe_id, "neighbor_id", "rank")
+        )
+    if rerank < k:
+        raise ValueError(f"rerank={rerank} must be >= k={k}")
+    shortlist = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= rerank)
+        .select(probe_id, "neighbor_id")
+    )
+    refined = (
+        shortlist.join(c.select("neighbor_id", "_cv"), on="neighbor_id")
+        .join(F.broadcast(p.select(probe_id, "_pv").dropDuplicates([probe_id])),
+              on=probe_id)
+        .withColumn(
+            "_ed",
+            F.aggregate(
+                F.zip_with(
+                    F.col("_pv"), F.col("_cv"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w2 = Window.partitionBy(probe_id).orderBy(F.asc("_ed"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        refined.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select(probe_id, "neighbor_id", "rank")
     )

@@ -2100,3 +2100,47 @@ def test_ivfpq_topk_kmeans_and_nprobe(spark):
 
     with pytest.raises(ValueError):
         run(cell_assigner=V.sign_grid_cell, nprobe=2)
+
+
+def test_ivfpq_topk_rerank_recovers_exact_within_cell(spark):
+    """With a shortlist deep enough to hold every cell-mate, the
+    refine stage must rank exactly like brute-force squared L2 within
+    the probe's cell — quantization error fully recovered."""
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    vecs = [
+        (int(i), [float(x) for x in rng.normal(size=8)])
+        for i in range(120)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    books = [
+        [[float(x) for x in vecs[j][1][s * 4:(s + 1) * 4]] for j in range(4)]
+        for s in range(2)
+    ]
+    probes = emb.filter(F.col("vec_id") < 3)
+    out = V.ivfpq_topk(
+        emb, probes, books, "embedding", "vec_id", k=5,
+        cell_assigner=V.sign_grid_cell, rerank=200,
+    )
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in out.collect()}
+
+    vn = {i: np.array(v) for i, v in vecs}
+
+    def cell(v):
+        return "".join("1" if v[d] > 0 else "0" for d in range(3))
+
+    for q in range(3):
+        cands = sorted(
+            (float(np.sum((vn[q] - v) ** 2)), i)
+            for i, v in vn.items()
+            if i != q and cell(v) == cell(vn[q])
+        )
+        for rank, (_, i) in enumerate(cands[:5], 1):
+            assert got[(q, rank)] == i
+
+    with pytest.raises(ValueError):
+        V.ivfpq_topk(
+            emb, probes, books, "embedding", "vec_id", k=5,
+            cell_assigner=V.sign_grid_cell, rerank=3,
+        )
