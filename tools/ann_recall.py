@@ -85,6 +85,20 @@ def main() -> None:
         out[f"pq_recall@{k} (m=8, ksub=32, rerank={rerank})"] = round(
             len(approx & exact) / len(exact), 4
         )
+    # composed IVFPQ (round 16): recall multiplies the two families'
+    # losses — cells bound candidates, codes blur the in-cell ranking,
+    # nprobe buys back the former and rerank the latter
+    for nprobe in (1, 4, 8):
+        for rerank in (0, 4 * k):
+            approx = pairs(
+                V.ivfpq_topk(emb, probes, books, "embedding", "vec_id",
+                             k=k, num_centroids=16, nprobe=nprobe,
+                             rerank=rerank)
+            )
+            out[
+                f"ivfpq_recall@{k} (16 cells, nprobe={nprobe}, m=8, "
+                f"ksub=32, rerank={rerank})"
+            ] = round(len(approx & exact) / len(exact), 4)
     print(json.dumps(out))
 
 
