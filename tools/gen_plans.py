@@ -146,6 +146,8 @@ CASES = {
     # round 14
     "embedding_neardup_incremental": "incremental cosine screening, raw index — two narrow bucket projections, ONE bucket LEFT SEMI with the exact-cosine verify folded into the join condition (round-14 early-exit form), LEFT ANTI + index union; LAZY plan from materialize=False",
     "embedding_incremental_sig": "incremental cosine screening, persisted-signature index — the index side is a plain (id, vec, norm, bucket) scan with NO bucket recompute (the round-14 flat-curve shape); same LEFT SEMI + LEFT ANTI, updated index stays in signature shape; LAZY plan from materialize=False",
+    # round 16
+    "ivfpq_topk": "IVF+PQ composed ANN — ONE BroadcastHashJoin on the cell id (probe LUTs broadcast, corpus never shuffles), codebooks as broadcast model frames (never expression literals), ADC fold inside codegen; the only hash exchange is the per-probe top-k window",
 }
 
 INTERESTING = (
