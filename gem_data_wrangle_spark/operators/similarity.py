@@ -1118,10 +1118,11 @@ def ivfpq_topk(
         .filter(F.col("neighbor_id") != F.col(probe_id))
         .withColumn("_d", _adc_distance(F.col("pq_codes"), F.col("_lut")))
     )
-    # multi-probe can reach the same neighbor through two cells with
-    # identical ADC distance — keep one row per (probe, neighbor)
-    if nprobe > 1:
-        scored = scored.dropDuplicates([probe_id, "neighbor_id"])
+    # no (probe, neighbor) dedup needed even under multi-probe: each
+    # corpus row lives in exactly ONE cell and the probed cell ids are
+    # distinct (array_sort slice of distinct centroid indices), so a
+    # pair can match at most once — same invariant ivf_topk rides; a
+    # dropDuplicates here would be a pure extra shuffle
     w = Window.partitionBy(probe_id).orderBy(F.asc("_d"), F.asc("neighbor_id"))
     if rerank <= 0:
         return (
