@@ -239,7 +239,20 @@ def _check_geometry(
             fs, jvm, sidecar, json.dumps(geometry, sort_keys=True)
         )
         return
-    if json.loads(stored) != geometry:
+    try:
+        on_disk = json.loads(stored)
+    except ValueError as exc:
+        # a crash mid-sidecar-write (fs.create is not atomic) leaves
+        # truncated JSON; surface the repair path instead of a bare
+        # JSONDecodeError every micro-batch
+        raise ValueError(
+            f"screen index {index_dir} has a corrupt _geometry.json "
+            f"sidecar ({stored!r}): likely a crash during the sidecar "
+            "write — delete the sidecar and restart the stream with "
+            "the index-build parameters (the next first batch rewrites "
+            "it); value probes still guard signature-shape drift"
+        ) from exc
+    if on_disk != geometry:
         raise ValueError(
             f"screen index {index_dir} was built under a different "
             f"parameterization: index {stored} vs stream "

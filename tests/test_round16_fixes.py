@@ -529,3 +529,33 @@ def test_provision_recall_floor_and_table_budget_hold_everywhere():
         assert planes <= planes_pop
 
     prop()
+
+
+def test_corrupt_geometry_sidecar_fails_with_repair_path(spark, tmp_path):
+    """A crash mid-sidecar-write leaves truncated JSON; the screen
+    must fail the batch with the repair instruction, not a bare
+    JSONDecodeError."""
+    from gem_data_wrangle_spark.streaming import stream_dedup_screen
+
+    schema = "doc_id bigint, text string"
+    src = str(tmp_path / "src")
+    idx = tmp_path / "index"
+    idx.mkdir()
+    (idx / "_geometry.json").write_text('{"screen": "ded')  # truncated
+
+    spark.createDataFrame([(1, "a")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = stream_dedup_screen(
+        spark.readStream.schema(schema).parquet(src),
+        str(idx), str(tmp_path / "fresh"), str(tmp_path / "ckpt"),
+        "text", "doc_id",
+    )
+    try:
+        q.awaitTermination(120)
+        exc = q.exception()
+    except Exception as e:  # noqa: BLE001
+        exc = e
+    assert exc is not None
+    msg = str(exc)
+    assert "corrupt _geometry.json" in msg and "delete the sidecar" in msg
