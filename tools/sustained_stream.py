@@ -28,10 +28,18 @@ Embedding freshness uses seeded ±1 sign-flip patterns per
 screen everything as dups; flipped patterns of random vectors are
 near-orthogonal instead (|cos| ~ N(0, 1/sqrt(dim))).
 
+Round-16 follow-up: the band-keyed members (neardup, hamming) join
+the matrix — their layout win was measured only as single-batch A/Bs
+(tools/compact_ab_banded.py); the sustained variants here close the
+four-member matrix. Neardup batches are salted docs through the
+MinHash pass (the screen's own cost dominates); hamming batches are
+synthetic 32-bit signature halves (xxhash-derived — random values
+never near-collide, so the dup slice's exact repeats are what the
+screen drops, distance 0 <= max_distance).
+
     python tools/sustained_stream.py [sf_dir] [out_dir] [N] [variant ...]
-    # defaults: /root/testdata/sf0.1  /tmp/sustained  40  all four
-    # variant names: digest_nocompact digest_compact
-    #                embedding_nocompact embedding_compact
+    # defaults: /root/testdata/sf0.1  /tmp/sustained  40  all eight
+    # variant names: {digest,embedding,neardup,hamming}_{nocompact,compact}
 """
 
 from __future__ import annotations
@@ -54,10 +62,12 @@ from gem_data_wrangle_spark.streaming import (  # noqa: E402
     maybe_compact,
     stream_dedup_screen,
     stream_embedding_screen,
+    stream_hamming_screen,
+    stream_neardup_screen,
 )
 
 ID_STRIDE = 100_000_000
-REPS = {"digest": 20, "embedding": 5}
+REPS = {"digest": 20, "embedding": 5, "neardup": 5, "hamming": 10}
 # deployed-screen geometry is provisioned ONCE for the horizon
 # (15 planes ≈ log2(400k vectors / 12-per-bucket), single table —
 # this harness measures cost curves, not recall duty)
@@ -117,6 +127,33 @@ def _embedding_batch(emb, i: int, reps: int):
     return out
 
 
+def _hamming_batch(docs, i: int, reps: int):
+    """reps fresh synthetic 32-bit signature halves + a dup slice
+    repeating batch i-1's rep-0 values under new ids (exact repeats:
+    random 32-bit halves never land within Hamming distance 2 by
+    chance, so the dup slice is the screen's whole duty here)."""
+
+    def sigs(r: int, salt: int, id_off: int):
+        tag = F.concat(F.col("doc_id").cast("string"), F.lit(f"#{salt}"))
+        return docs.select(
+            (F.col("doc_id") + F.lit(id_off * ID_STRIDE)).alias("img_id"),
+            F.pmod(F.xxhash64(tag, F.lit("hi")), F.lit(2 ** 32)).alias(
+                "hash_hi"
+            ),
+            F.pmod(F.xxhash64(tag, F.lit("lo")), F.lit(2 ** 32)).alias(
+                "hash_lo"
+            ),
+        )
+
+    parts = [sigs(r, i * reps + r, i * reps + r) for r in range(reps)]
+    if i > 0:
+        parts.append(sigs(0, (i - 1) * reps, i * reps + reps))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/sustained")
@@ -135,29 +172,46 @@ def main() -> None:
         base.mkdir(parents=True)
         src = str(base / "src")
         idx = str(base / "index")
-        key = "digest" if screen == "digest" else "bucket"
+        key = {
+            "digest": "digest", "embedding": "bucket",
+            "neardup": "signature", "hamming": "band_value",
+        }[screen]
+        mk, tbl = {
+            "digest": (_digest_batch, docs),
+            "neardup": (_digest_batch, docs),
+            "hamming": (_hamming_batch, docs),
+            "embedding": (_embedding_batch, emb),
+        }[screen]
+        schema = {
+            "digest": "doc_id bigint, text string",
+            "neardup": "doc_id bigint, text string",
+            "hamming": "img_id bigint, hash_hi bigint, hash_lo bigint",
+            "embedding": "vec_id bigint, embedding array<double>",
+        }[screen]
         walls, compact_walls, stamps = [], [], []
         for i in range(n_batches):
-            mk = _digest_batch if screen == "digest" else _embedding_batch
-            tbl = docs if screen == "digest" else emb
             mk(tbl, i, REPS[screen]).coalesce(4).write.mode(
                 "append"
             ).parquet(src)
-            schema = (
-                "doc_id bigint, text string"
-                if screen == "digest"
-                else "vec_id bigint, embedding array<double>"
-            )
             stream = spark.readStream.schema(schema).parquet(src)
             t0 = time.time()
+            sinks = (str(base / "fresh"), str(base / "ckpt"))
             if screen == "digest":
                 q = stream_dedup_screen(
-                    stream, idx, str(base / "fresh"), str(base / "ckpt"),
-                    "text", "doc_id",
+                    stream, idx, *sinks, "text", "doc_id",
+                )
+            elif screen == "neardup":
+                q = stream_neardup_screen(
+                    stream, idx, *sinks, "text", "doc_id",
+                )
+            elif screen == "hamming":
+                q = stream_hamming_screen(
+                    stream, idx, *sinks, "img_id",
+                    ["hash_hi", "hash_lo"], max_distance=2,
                 )
             else:
                 q = stream_embedding_screen(
-                    stream, idx, str(base / "fresh"), str(base / "ckpt"),
+                    stream, idx, *sinks,
                     "embedding", "vec_id", PLANES, threshold=0.4,
                 )
             q.awaitTermination(600)
@@ -190,6 +244,8 @@ def main() -> None:
     variants = [
         ("digest", False), ("digest", True),
         ("embedding", False), ("embedding", True),
+        ("neardup", False), ("neardup", True),
+        ("hamming", False), ("hamming", True),
     ]
     picked = [
         (s, c) for s, c in variants
