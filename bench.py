@@ -160,6 +160,9 @@ HEADLINE = [
     # table candidates, shared exact verify)
     "embedding_incremental_sig",
     "embedding_incremental_multitable",
+    # round 16: IVF cells + PQ/ADC composed (one cell broadcast join,
+    # broadcast codebook model frame, WindowGroupLimit top-k)
+    "ivfpq_topk",
 ]
 
 
