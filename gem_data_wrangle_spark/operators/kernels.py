@@ -210,6 +210,8 @@ def surrogate_ids(
     name_col: str,
     id_col: str = "company_id",
     prefix_format: str = "TFL%08d",
+    materialize: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Deterministic surrogate company IDs (``GEM/TotalData_GEM.R:21-34``).
 
@@ -231,7 +233,31 @@ def surrogate_ids(
     the partition id); the old single global ``Window.orderBy`` — an
     ``Exchange SinglePartition`` scale-killer on unbounded keys — is
     gone (asserted in ``tests/test_plans.py``).
+
+    ``materialize`` (default True): ``df`` feeds BOTH the distinct-name
+    dim (through the eager counts action below) and the returned join,
+    so a lazy input subtree executes twice per action — for
+    ``consolidate_total`` that re-ran every per-fuel pipeline
+    (measured: the all-8 capstone spent construct 16.3 s + write
+    19.7 s at sf0.1, two full executions of the 8-pipeline union —
+    optimization guide §1.2/§5: materialize a reused intermediate).
+    The default truncates ``df`` once via lazy ``localCheckpoint``
+    (blocks populate on the counts action and are reused by the
+    returned join; ContextCleaner reclaims them when the caller drops
+    the frame). ``checkpoint_dir`` selects a durable
+    ``DataFrame.checkpoint`` instead for cluster runs (executor loss
+    drops localCheckpoint blocks — the ``graph._checkpointer``
+    trade-off). ``materialize=False`` keeps the fully lazy plan for
+    callers that would rather recompute than store the intermediate
+    (e.g. when ``df`` is a cheap scan at 100 TB and storage is the
+    scarcer resource — two scans beat one materialization there).
     """
+    if materialize:
+        from gem_data_wrangle_spark.operators.graph import (  # noqa: PLC0415
+            _checkpointer,
+        )
+
+        df = _checkpointer(checkpoint_dir)(df, False)
     names = (
         df.select(name_col).where(F.col(name_col).isNotNull()).distinct()
     )

@@ -290,6 +290,8 @@ def consolidate_total(
     steel: DataFrame | None = None,
     emission_factors: DataFrame | None = None,
     country_dim: DataFrame | None = None,
+    materialize: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """``TotalData_GEM.R`` consolidation: union the fuel outputs, mint
     deterministic surrogate company IDs (:21-34), merge the
@@ -308,10 +310,28 @@ def consolidate_total(
     (source_type, iso3_country, emissions_factor) with "Global" rows
     for the fallback level; ``country_dim`` supplies the iso2→iso3
     bridge (``GEM/TotalData_GEM.R:101-103``).
+
+    ``materialize`` (default True): the consolidated union feeds TWO
+    passes (the surrogate-id dim derivation and the returned join), so
+    lazy fuel-output subtrees would execute twice per action — and the
+    per-fuel pipelines are the expensive part of this plan. The
+    default lets :func:`~gem_data_wrangle_spark.operators.kernels.
+    surrogate_ids` truncate the union once (lazy ``localCheckpoint``;
+    durable ``DataFrame.checkpoint`` under ``checkpoint_dir`` for
+    cluster runs) — measured on the all-8 capstone at sf0.1: 36.0 s
+    fully lazy → 19.6 s materialized once (an eager per-pipeline
+    thread-pool variant was tried and measured SLOWER, 21-24 s: eight
+    separate checkpoint jobs beat none of the shared-plan execution,
+    see OPTIMIZATION_r16.md). ``materialize=False`` keeps the fully
+    lazy single-plan form for callers that would rather recompute the
+    pipelines than store the location-grain intermediate.
     """
     total = A.union_rows(fuel_outputs, allow_missing=True)
     total = total.drop("company_id")
-    total = K.surrogate_ids(total, "company_name", id_col="company_id")
+    total = K.surrogate_ids(
+        total, "company_name", id_col="company_id",
+        materialize=materialize, checkpoint_dir=checkpoint_dir,
+    )
     if steel is not None:
         # company_name is open-domain user data, so take the two-phase
         # min_by dedup (VERDICT r4 item 4). Either form is skew-bounded
