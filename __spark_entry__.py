@@ -9024,7 +9024,14 @@ def _q_image_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     media = _synth_dhash_media(spark, sf_dir)
-    hashes = M.image_dhash(media).select("id", "hash_hi", "hash_lo")
+    # the decode+hash pass feeds BOTH the pair join and the vertex set:
+    # truncate it once (lazy; materializes on the pairs job) so the
+    # mapInPandas decode runs ONCE, not once per subtree (guide §5)
+    hashes = (
+        M.image_dhash(media)
+        .select("id", "hash_hi", "hash_lo")
+        .localCheckpoint(eager=False)
+    )
     pairs = packed_hamming_pairs(
         hashes, "id", ["hash_hi", "hash_lo"], max_distance=4
     ).select("id_a", "id_b")
@@ -9081,7 +9088,14 @@ def _q_image_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     media = _synth_dhash_media(spark, sf_dir)
-    hashes = M.image_dhash(media).select("id", "hash_hi", "hash_lo")
+    # the decode+hash pass feeds FOUR subtrees (batch bands, index
+    # bands, the anti-joined fresh side, the returned index union):
+    # truncate it once so the mapInPandas decode runs ONCE (guide §5)
+    hashes = (
+        M.image_dhash(media)
+        .select("id", "hash_hi", "hash_lo")
+        .localCheckpoint(eager=False)
+    )
     in_index = (F.col("id") % 50 < 25) & (F.col("id") < 250)
     _fresh, updated = hamming_against_index(
         hashes.filter(~in_index),
@@ -10097,7 +10111,7 @@ _DEFER_HASHES: dict[str, str] = {
     "host_k_core": "a0fba60216054f0d",
     "host_hits": "8f4976b988d48f26",
     "image_neardup_pairs": "3ada605f260a3975",
-    "image_neardup_components": "abf1f35f7013aff3",
+    "image_neardup_components": "5357a5dba24325fb",
     "fwf_roundtrip_orders": "fc10a744e80a4548",
     "rle_compression_bound": "c394175e5e623f0c",
     "mixture_rebalance": "a924ac4be734b2b2",

@@ -1487,6 +1487,8 @@ def packed_hamming_pairs(
     chunk_cols: list[str],
     chunk_bits: int = 32,
     max_distance: int = 2,
+    materialize: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Banded Hamming-distance pair join over a signature packed into
     integer CHUNK columns — the generic sibling of
@@ -1509,8 +1511,24 @@ def packed_hamming_pairs(
     banding: a band value shared by b rows contributes b² candidates,
     so degenerate corpora (all-black thumbnails) should be
     pre-deduplicated exactly first (:func:`exact_dedup`).
+
+    ``materialize`` (default True): the self-join references ``df``
+    TWICE, so a lazy upstream executes twice per action — for
+    signature sources that are themselves expensive (the
+    ``image_dhash`` decode pass feeding ``image_neardup_pairs``) that
+    doubles the dominant cost, the same re-evaluation
+    :func:`simhash_candidate_pairs` measured at ~6× and fixed in r9.
+    The default persists the banded signature frame for the join,
+    eagerly truncates the (small: true near-dups only) pair set
+    (``localCheckpoint``; durable ``DataFrame.checkpoint`` under
+    ``checkpoint_dir``), and releases the signature cache before
+    returning — the exact lifecycle the SimHash member owns.
+    ``materialize=False`` keeps the fully lazy plan for callers that
+    compose further or cannot afford an eager job at construction.
     """
     sig = _packed_bands(df, id_col, chunk_cols, chunk_bits, max_distance)
+    if materialize:
+        sig = sig.persist()
     a = sig.select(
         F.col(id_col).alias("_ida"),
         *[F.col(c).alias(f"_a_{c}") for c in chunk_cols],
@@ -1537,7 +1555,7 @@ def packed_hamming_pairs(
             F.col(f"_a_{c}").bitwiseXOR(F.col(f"_b_{c}"))
         ).cast("long")
         dist = term if dist is None else dist + term
-    return (
+    pairs = (
         cand.withColumn("distance", dist)
         .filter(F.col("distance") <= max_distance)
         .select(
@@ -1546,6 +1564,13 @@ def packed_hamming_pairs(
             "distance",
         )
     )
+    if not materialize:
+        return pairs
+    from .graph import _checkpointer  # noqa: PLC0415
+
+    out = _checkpointer(checkpoint_dir)(pairs, True)
+    sig.unpersist()
+    return out
 
 
 def hamming_against_index(
