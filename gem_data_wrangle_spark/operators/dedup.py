@@ -151,19 +151,41 @@ def lsh_candidate_pairs(
     num_bands: int = 4,
     rows_per_band: int = 4,
     ngram: int = 2,
+    materialize: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs: documents sharing any band
     signature. Equi-self-join on (band, signature), ordered pairs
-    (a < b), distinct across bands."""
+    (a < b), distinct across bands.
+
+    ``materialize`` (default True): the self-join references the
+    signature frame TWICE, so the shingling + num_bands×rows_per_band
+    MinHash fold — the dominant per-row cost — would run twice per
+    action (the re-evaluation :func:`simhash_candidate_pairs` measured
+    at ~6× and fixed in r9; this member had the same shape and never
+    got the fix). The default persists the signatures for the join,
+    eagerly truncates the small pair set (``localCheckpoint``; durable
+    ``DataFrame.checkpoint`` under ``checkpoint_dir``), and releases
+    the cache before returning. ``materialize=False`` keeps the fully
+    lazy plan for plan composition."""
     sigs = minhash_signatures(df, text_col, id_col, num_bands, rows_per_band, ngram)
+    if materialize:
+        sigs = sigs.persist()
     a = sigs.select(F.col(id_col).alias("id_a"), "band", "signature")
     b = sigs.select(F.col(id_col).alias("id_b"), "band", "signature")
-    return (
+    pairs = (
         a.join(b, on=["band", "signature"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+    if not materialize:
+        return pairs
+    from .graph import _checkpointer  # noqa: PLC0415
+
+    out = _checkpointer(checkpoint_dir)(pairs, True)
+    sigs.unpersist()
+    return out
 
 
 def jaccard_pairs(
@@ -237,17 +259,38 @@ def simhash(toks: Column, bits: int = 16) -> Column:
     """
     high = list("89abcdef")
 
-    def nibble_sign(pos: int):
-        return lambda t: F.when(F.substring(F.md5(t), pos, 1).isin(high), F.lit(1)).otherwise(
-            F.lit(-1)
+    # Hash each token ONCE and fold all ``bits`` sign counters in a
+    # single aggregate pass. The previous form built one independent
+    # aggregate per bit, each recomputing ``md5(t)`` inside its lambda
+    # — higher-order functions evaluate interpreted (no codegen
+    # common-subexpression elimination), so every token paid ``bits``
+    # md5 calls (measured: the 32-bit signature stage dominated
+    # simhash_pairs at 3.9 s solo/sf0.1; this form runs it in ~0.9 s —
+    # optimization guide §1.2 "per-task work"). Semantics identical:
+    # same per-token signs, same integer sums, same ``> 0`` bit rule,
+    # and NULL/empty token arrays still yield the all-zero signature
+    # (the coalesce below — aggregate over NULL returns NULL, which
+    # the old per-bit ``when`` also rendered as '0').
+    hashed = F.transform(toks, lambda t: F.md5(t))
+
+    def tok_signs(h):
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(bits)),
+            lambda i: F.when(h.substr(i, F.lit(1)).isin(high), F.lit(1)).otherwise(F.lit(-1)),
         )
 
-    bit_cols = []
-    for i in range(bits):
-        contrib = F.transform(toks, nibble_sign(i + 1))
-        total = F.aggregate(contrib, F.lit(0), lambda acc, x: acc + x)
-        bit_cols.append(F.when(total > 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bit_cols)
+    totals = F.coalesce(
+        F.aggregate(
+            hashed,
+            F.array_repeat(F.lit(0), bits),
+            lambda acc, h: F.zip_with(acc, tok_signs(h), lambda a, s: a + s),
+        ),
+        F.array_repeat(F.lit(0), bits),
+    )
+    return F.array_join(
+        F.transform(totals, lambda c: F.when(c > 0, F.lit("1")).otherwise(F.lit("0"))),
+        "",
+    )
 
 
 def simhash_table(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
