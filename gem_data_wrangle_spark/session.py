@@ -26,9 +26,17 @@ _DEFAULT_CONF = {
     "spark.sql.session.timeZone": "UTC",
     # Arrow for every pandas exchange (pandas UDFs, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Sized for local[32] at sf<=0.1; a real cluster would raise this
-    # (or rely on AQE initialPartitionNum) — see bench.py.
-    "spark.sql.shuffle.partitions": "32",
+    # Scale-adaptive shuffle sizing (optimization guide §2.2/§2.5):
+    # NOT a constant tuned for one box — the default derives from the
+    # session's core count (local[$SPARK_GRAFT_CPUS] here, so 32 on
+    # the driver's bench box, unchanged numbers), and a cluster run
+    # overrides it per deployment via $SPARK_GRAFT_SHUFFLE_PARTITIONS
+    # (size reducers toward 100 MB-1 GB partitions; AQE coalescing
+    # then shrinks small stages at runtime from actual statistics).
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS",
+        os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    ),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
