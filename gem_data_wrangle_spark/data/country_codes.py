@@ -335,8 +335,24 @@ if len({n for n, _, _ in COUNTRY_CODES}) != len(COUNTRY_CODES):
     raise ValueError(f"duplicate country_name in COUNTRY_CODES: {_dupes}")
 
 
+# one dim frame per live session: COUNTRY_CODES is a static literal
+# (not input-derived), so the frame is reusable across queries —
+# rebuilding it cost a measured 74 ms of createDataFrame per call
+# (11 GEM queries per bench sweep). Keyed on id(session) with the
+# session kept alive by the value's own reference; a new session
+# (new JVM or restarted) gets a fresh entry.
+_DIM_CACHE: dict[int, DataFrame] = {}
+
+
 def country_dim(spark: SparkSession) -> DataFrame:
     """The dimension as a (tiny, broadcastable) DataFrame."""
-    return spark.createDataFrame(
+    key = id(spark)
+    cached = _DIM_CACHE.get(key)
+    if cached is not None and cached.sparkSession is spark:
+        return cached
+    dim = spark.createDataFrame(
         COUNTRY_CODES, schema="country_name string, iso2 string, iso3 string"
     )
+    _DIM_CACHE.clear()  # never hold frames of dead sessions
+    _DIM_CACHE[key] = dim
+    return dim
