@@ -9626,7 +9626,9 @@ _DEFER_TO_TAIL = [
     "text_fingerprint",        # r14 green; textops fingerprint unchanged
     "text_quality",            # r14 green; textops quality unchanged
     "jaccard_neighbors",       # r14 green; dedup jaccard unchanged
-    "simhash",                 # r14 green; dedup simhash unchanged
+    # simhash RE-PROMOTED round 17 (ADVICE r16): dedup.simhash was
+    # rewritten in r16 (single-aggregate bit fold) — its r14 green
+    # predates the operator change, so it re-enters the head.
     "stream_sliding_window",   # r14 green; windows.py untouched in r15
     "multimodal_bytes",        # r14 green; multimodal probe unchanged
     "embedding_neardup_pairs", # r14 green; pair path unchanged (r15
@@ -9715,7 +9717,9 @@ _DEFER_TO_TAIL = [
     # country-dim guard).
     #
     # tail block 7 — r11-green, byte-unchanged since:
-    "surrogate_ids",           # r11 green; kernels surrogate path unchanged
+    # surrogate_ids RE-PROMOTED round 17 (ADVICE r16): kernels.
+    # surrogate_ids gained the materialize/localCheckpoint input
+    # truncation in r16 — its r11 green predates the operator change.
     "exact_jaccard_pairs",     # r11 green; ppjoin path unchanged
     "sessionize_events",       # r11 green; aggregates sessionize unchanged
     "pack_documents",          # r11 green; sampling pack path unchanged
@@ -9834,7 +9838,9 @@ _DEFER_TO_TAIL = [
     # round. simhash_candidate_pairs does NOT ride packed_hamming_pairs
     # (it owns its own band explode — verified by source scan), so the
     # round-13 _packed_bands refactor never touches its path.
-    "simhash_pairs",           # r12 green; simhash band path unchanged
+    # simhash_pairs RE-PROMOTED round 17 (ADVICE r16): r16 rewrote
+    # dedup.simhash (the signature expression on its path) — the r12
+    # green predates the change.
     #
     # round-13 late rotation 3: the FIFTH new registration
     # (embedding_against_index / embedding_neardup_incremental — the
@@ -9879,7 +9885,9 @@ _DEFER_TO_TAIL = [
     "agg_global_mean",         # r13 green; aggregates.py:39 unchanged
     "harmonize_na_poisoning",  # r13 green; kernels.py:84 unchanged
     "tfidf_top_terms",         # r13 green; textops tfidf path unchanged
-    "ml_minhash_join_verified",# r13 green; ml_lsh path unchanged
+    # ml_minhash_join_verified RE-PROMOTED round 17 (ADVICE r16): its
+    # query fn calls lsh_candidate_pairs directly (the r16-changed
+    # lifecycle) — the r13 green predates the change.
     "ml_brp_join_verified",    # r13 green; ml_lsh path unchanged
     "training_data_pipeline",  # r13 green; sampling/textops paths unchanged
     "stratified_sample",       # r13 green; sampling stratified unchanged
@@ -9902,16 +9910,17 @@ _DEFER_TO_TAIL = [
     # (cheap row), flagship + the 11 reference-core rows.
     #
     # tail block 10 — r13-green, byte-unchanged since:
-    "minhash_lsh_pairs",       # r13 green; lsh_candidate_pairs unchanged
-                               # (r14 touched neardup_against_index only)
-    "neardup_components",      # r13 green; CC closure path unchanged
-    "neardup_dedup",           # r13 green; end-to-end removal unchanged
-    "neardup_keep_best",       # r13 green; keep-best path unchanged
+    # minhash_lsh_pairs / neardup_dedup / neardup_components /
+    # neardup_keep_best RE-PROMOTED round 17 (ADVICE r16): r16 gave
+    # lsh_candidate_pairs the persist/eager-checkpoint lifecycle (all
+    # four ride it, default materialize=True) — their r13 greens
+    # predate the operator change.
     "host_k_core",             # r13 green; graph.py untouched in r14
     "host_hits",               # r13 green; graph.py untouched in r14
-    "image_neardup_pairs",     # r13 green; banded-pair path unchanged
-                               # (r14 touched hamming_against_index only)
-    "image_neardup_components",# r13 green; CC path unchanged
+    # image_neardup_pairs / image_neardup_components RE-PROMOTED round
+    # 17 (ADVICE r16): r16 gave packed_hamming_pairs the same
+    # lifecycle and re-fingerprinted the components fn in place —
+    # both re-enter the head for a fresh driver grade.
     "fwf_roundtrip_orders",    # r13 green; sources/io fixed-width path
                                # unchanged in r14 — demoted to give the
                                # round-14 registration (embedding_
@@ -9968,6 +9977,35 @@ _DEFER_TO_TAIL = [
     "duplicate_spans",         # r14+r15 green; dedup span path unchanged
     "cut_duplicate_spans",     # r14+r15 green; dedup span cut unchanged
     "normalized_dedup",        # r14+r15 green; dedup normalized unchanged
+    # ------------------------------------------------------------------
+    # round-17 rotation (ADVICE r16 item 1): the TEN queries whose
+    # operator paths round 16 changed but whose greens predated the
+    # change (simhash, simhash_pairs, surrogate_ids, minhash_lsh_pairs,
+    # neardup_dedup, neardup_components, neardup_keep_best,
+    # ml_minhash_join_verified, image_neardup_pairs,
+    # image_neardup_components — the ledger rule "a deliberate operator
+    # change must re-promote its queries" was bypassed in r16) re-enter
+    # the graded head, together with ivfpq_topk (registered at position
+    # 50 since r16 — benched but never driver-graded). Slots come from
+    # demoting the 11 byte-stable r16 greens below: all graded green in
+    # CORRECTNESS_r16, their operator paths (aggregates/sketches OLAP,
+    # quality diff, skew enrich, rank fusion, stats impute) untouched
+    # by the r16 optimization commits and by round 17 (whose code
+    # changes live in dedup.py lifecycles, kernels/gem construction,
+    # session/country_codes hygiene).
+    #
+    # tail block 13 — r16-green, byte-unchanged since:
+    "rollup_sum_groups",       # r16 green; aggregates rollup unchanged
+    "pivot_event_values",      # r16 green; aggregates pivot unchanged
+    "group_value_quantiles",   # r16 green; aggregates quantile unchanged
+    "cohort_retention",        # r16 green; aggregates cohort unchanged
+    "hll_distinct_counts",     # r16 green; sketches hll unchanged
+    "hll_union_rollup",        # r16 green; sketches hll unchanged
+    "cube_sum_groups",         # r16 green; aggregates cube unchanged
+    "orders_diff",             # r16 green; quality diff unchanged
+    "salted_enrich",           # r16 green; skew enrich unchanged
+    "rrf_hybrid_rank",         # r16 green; rank-fusion path unchanged
+    "impute_median",           # r16 green; stats impute unchanged
 ]
 
 
@@ -10008,7 +10046,6 @@ _DEFER_HASHES: dict[str, str] = {
     "text_fingerprint": "20401cde9270e27b",
     "text_quality": "4ef6e6d2b0182197",
     "jaccard_neighbors": "f5ef3b537b9359ad",
-    "simhash": "1b747ecd35d5afd0",
     "stream_sliding_window": "d95ccf75fe6b6519",
     "multimodal_bytes": "25c4f08bb9df8ba8",
     "embedding_neardup_pairs": "140b79379922d877",
@@ -10026,7 +10063,6 @@ _DEFER_HASHES: dict[str, str] = {
     "temperature_resample_counts": "d23347ecc2e2f41e",
     "ip_prefix_enrich": "a9d285f9724048fc",
     "embedding_gram": "b3b6f238480c8422",
-    "surrogate_ids": "83fe3102e7d61599",
     "exact_jaccard_pairs": "9dc493c25d0a3592",
     "sessionize_events": "69f3c131133093cb",
     "pack_documents": "98a0cb4c3d6e16e6",
@@ -10089,7 +10125,6 @@ _DEFER_HASHES: dict[str, str] = {
     "lang_id": "e3fa4106cea5b370",
     "pq_topk_adc": "788e74766b720596",
     "semdedup": "7939e34ec09dc038",
-    "simhash_pairs": "05da45ae783dce70",
     "image_dhash_hashes": "ee7766169649c072",
     "project": "e63d5078eaa99831",
     "filter_not_and": "4a7cf2ba9409f9f2",
@@ -10109,21 +10144,14 @@ _DEFER_HASHES: dict[str, str] = {
     "agg_global_mean": "439642f02685e4bf",
     "harmonize_na_poisoning": "f26cb6280a425311",
     "tfidf_top_terms": "bb616e4cb5b2c6da",
-    "ml_minhash_join_verified": "4cd233195427109a",
     "ml_brp_join_verified": "f2cb8d58723dab33",
     "training_data_pipeline": "db585891fb511fca",
     "stratified_sample": "44bfd4171f2d4e82",
     "sample_to_token_budget": "5639bb17630b5513",
     "chunk_documents": "c721a1b87a97166d",
     "weighted_sample": "033b26812c354655",
-    "minhash_lsh_pairs": "636ed5979e2356a9",
-    "neardup_components": "de12f0c4d5f64199",
-    "neardup_dedup": "25d29e159bcb3005",
-    "neardup_keep_best": "c3423828122f6bd9",
     "host_k_core": "a0fba60216054f0d",
     "host_hits": "8f4976b988d48f26",
-    "image_neardup_pairs": "3ada605f260a3975",
-    "image_neardup_components": "5357a5dba24325fb",
     "fwf_roundtrip_orders": "fc10a744e80a4548",
     "rle_compression_bound": "c394175e5e623f0c",
     "mixture_rebalance": "a924ac4be734b2b2",
@@ -10152,6 +10180,17 @@ _DEFER_HASHES: dict[str, str] = {
     "duplicate_spans": "d8215443fcd132b1",
     "cut_duplicate_spans": "887ff9000ae21132",
     "normalized_dedup": "04b35d9b9fb6d87b",
+    "rollup_sum_groups": "f0b9c84f2162f978",
+    "pivot_event_values": "8ae435e67eaa6ca9",
+    "group_value_quantiles": "ce15719932afd467",
+    "cohort_retention": "d62e7982606e8d41",
+    "hll_distinct_counts": "83c39be6f677a492",
+    "hll_union_rollup": "988da0536049b7a8",
+    "cube_sum_groups": "86597b37d33f11ca",
+    "orders_diff": "b3d032bb93945d89",
+    "salted_enrich": "afc4ca6466942d49",
+    "rrf_hybrid_rank": "b073978240fd0a6b",
+    "impute_median": "2d39e248a6626737",
 }
 
 

@@ -21,6 +21,8 @@ whole dim so the broadcast lookup join can never fan out.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 
 # (common_name, iso2, iso3) — every assigned ISO 3166-1 code point,
@@ -340,19 +342,32 @@ if len({n for n, _, _ in COUNTRY_CODES}) != len(COUNTRY_CODES):
 # rebuilding it cost a measured 74 ms of createDataFrame per call
 # (11 GEM queries per bench sweep). Keyed on id(session) with the
 # session kept alive by the value's own reference; a new session
-# (new JVM or restarted) gets a fresh entry.
+# (new JVM or restarted) gets a fresh entry. The lock + no-cross-key
+# eviction address ADVICE r16: the old clear()-before-insert evicted
+# OTHER live sessions' entries (cache thrash with two concurrent
+# sessions) and raced under multi-threaded plan building. The bound
+# evicts only when the cache outgrows any plausible live-session
+# count, so a stopped session's frame is dropped soon after a new
+# session appears instead of pinned forever.
 _DIM_CACHE: dict[int, DataFrame] = {}
+_DIM_CACHE_MAX = 4
+_DIM_LOCK = threading.Lock()
 
 
 def country_dim(spark: SparkSession) -> DataFrame:
     """The dimension as a (tiny, broadcastable) DataFrame."""
     key = id(spark)
-    cached = _DIM_CACHE.get(key)
-    if cached is not None and cached.sparkSession is spark:
-        return cached
+    with _DIM_LOCK:
+        cached = _DIM_CACHE.get(key)
+        # identity check: id() can be reused after GC, so the entry
+        # must prove it belongs to THIS session object
+        if cached is not None and cached.sparkSession is spark:
+            return cached
     dim = spark.createDataFrame(
         COUNTRY_CODES, schema="country_name string, iso2 string, iso3 string"
     )
-    _DIM_CACHE.clear()  # never hold frames of dead sessions
-    _DIM_CACHE[key] = dim
+    with _DIM_LOCK:
+        _DIM_CACHE[key] = dim
+        while len(_DIM_CACHE) > _DIM_CACHE_MAX:
+            _DIM_CACHE.pop(next(k for k in _DIM_CACHE if k != key))
     return dim

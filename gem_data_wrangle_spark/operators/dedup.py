@@ -183,8 +183,12 @@ def lsh_candidate_pairs(
         return pairs
     from .graph import _checkpointer  # noqa: PLC0415
 
-    out = _checkpointer(checkpoint_dir)(pairs, True)
-    sigs.unpersist()
+    try:
+        out = _checkpointer(checkpoint_dir)(pairs, True)
+    finally:
+        # release even when the checkpoint job throws — a failed eager
+        # job must not leak the signature cache for the session
+        sigs.unpersist()
     return out
 
 
@@ -868,13 +872,19 @@ def neardup_against_index(
         .distinct()
     )
     if materialize:
-        matched = ckpt(matched, True)
-    fresh_sigs = sigs.join(matched, on=id_col, how="left_anti").select(
-        id_col, "band", "signature"
-    )
-    if materialize:
-        fresh_sigs = ckpt(fresh_sigs, True)
-        sigs.unpersist()
+        try:
+            matched = ckpt(matched, True)
+            fresh_sigs = sigs.join(matched, on=id_col, how="left_anti").select(
+                id_col, "band", "signature"
+            )
+            fresh_sigs = ckpt(fresh_sigs, True)
+        finally:
+            # release even when a checkpoint job throws (ADVICE r16)
+            sigs.unpersist()
+    else:
+        fresh_sigs = sigs.join(matched, on=id_col, how="left_anti").select(
+            id_col, "band", "signature"
+        )
     fresh = new_docs.join(matched, on=id_col, how="left_anti")
     updated = index_sigs.select(id_col, "band", "signature").unionByName(
         fresh_sigs
@@ -1301,8 +1311,11 @@ def simhash_candidate_pairs(
     # _simhash_pairs_lazy (tools/gen_plans.py).
     from .graph import _checkpointer  # noqa: PLC0415
 
-    out = _checkpointer(checkpoint_dir)(pairs, True)
-    sig.unpersist()
+    try:
+        out = _checkpointer(checkpoint_dir)(pairs, True)
+    finally:
+        # release even when the checkpoint job throws (ADVICE r16)
+        sig.unpersist()
     return out
 
 
@@ -1611,8 +1624,11 @@ def packed_hamming_pairs(
         return pairs
     from .graph import _checkpointer  # noqa: PLC0415
 
-    out = _checkpointer(checkpoint_dir)(pairs, True)
-    sig.unpersist()
+    try:
+        out = _checkpointer(checkpoint_dir)(pairs, True)
+    finally:
+        # release even when the checkpoint job throws (ADVICE r16)
+        sig.unpersist()
     return out
 
 

@@ -11,6 +11,26 @@ import os
 
 from pyspark.sql import SparkSession
 
+
+def _int_env(names: tuple[str, ...], default: int) -> int:
+    """First numeric value among the named env vars, else ``default``.
+
+    ``SPARK_GRAFT_CPUS`` feeds the ``local[...]`` master string, where
+    non-numeric values like ``*`` are legal — but
+    ``spark.sql.shuffle.partitions`` needs an integer, so a raw
+    passthrough would build a session that dies with a
+    NumberFormatException at its first shuffle (ADVICE r16)."""
+    for name in names:
+        raw = os.environ.get(name)
+        if raw is None:
+            continue
+        try:
+            return int(raw)
+        except ValueError:
+            continue
+    return default
+
+
 # Defaults chosen for the driver environment (local[N], 128 GiB, small
 # scale factors) but expressed so the same code runs on a real cluster:
 # AQE coalesces the 32 shuffle partitions locally and splits skewed
@@ -33,9 +53,8 @@ _DEFAULT_CONF = {
     # overrides it per deployment via $SPARK_GRAFT_SHUFFLE_PARTITIONS
     # (size reducers toward 100 MB-1 GB partitions; AQE coalescing
     # then shrinks small stages at runtime from actual statistics).
-    "spark.sql.shuffle.partitions": os.environ.get(
-        "SPARK_GRAFT_SHUFFLE_PARTITIONS",
-        os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.sql.shuffle.partitions": str(
+        _int_env(("SPARK_GRAFT_SHUFFLE_PARTITIONS", "SPARK_GRAFT_CPUS"), 32)
     ),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
