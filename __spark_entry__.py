@@ -9614,13 +9614,15 @@ _DEFER_TO_TAIL = [
     "filter_isin",             # r14 green; cleaning filter path unchanged
     "cast_regex_extract",      # r14 green; cleaning cast path unchanged
     "explode_split",           # r14 green; strings explode path unchanged
-    "split_ownership_strict",  # r14 green; kernels ownership unchanged
+    # split_ownership_strict RE-PROMOTED round 17: kernels.split_
+    # ownership rebuilt expr-based (r17 construction-latency work).
     "window_count_share",      # r14 green; aggregates window unchanged
     "dedup_first_per_key",     # r14 green; aggregates dedup unchanged
     "join_left_enrich",        # r14 green; joins enrich path unchanged
     "join_left_coalesce",      # r14 green; joins coalesce unchanged
     "join_fallback_chain",     # r14 green; joins fallback unchanged
-    "expand_years",            # r14 green; kernels expand unchanged
+    # expand_years RE-PROMOTED round 17: kernels.expand_years rebuilt
+    # expr-based (r17 construction-latency work).
     "case_when_classify",      # r14 green; conditional path unchanged
     "dedup_exact",             # r14 green; dedup exact path unchanged
     "text_fingerprint",        # r14 green; textops fingerprint unchanged
@@ -9871,7 +9873,8 @@ _DEFER_TO_TAIL = [
     "filter_not_and",          # r13 green; cleaning.py:56 unchanged
     "filter_null_or_ge",       # r13 green; cleaning.py:98 unchanged
     "replace_value_global",    # r13 green; cleaning.py:105 unchanged
-    "split_ownership_equal",   # r13 green; kernels.py:31 unchanged
+    # split_ownership_equal RE-PROMOTED round 17: kernels.split_
+    # ownership rebuilt expr-based (r17 construction-latency work).
     "join_lookup_dim",         # r13 green; joins.py:41 + country dim unchanged
     "union_rows",              # r13 green; aggregates union path unchanged
     "distinct_rows",           # r13 green; aggregates distinct unchanged
@@ -9881,9 +9884,11 @@ _DEFER_TO_TAIL = [
     "impute_year",             # r13 green; cleaning.py:115 unchanged
     "strip_pct_suffix",        # r13 green; strings.py:80 unchanged
     "union_rows_byname",       # r13 green; aggregates union path unchanged
-    "expand_years_retirement", # r13 green; kernels expand path unchanged
+    # expand_years_retirement RE-PROMOTED round 17: same expand_years
+    # rebuild.
     "agg_global_mean",         # r13 green; aggregates.py:39 unchanged
-    "harmonize_na_poisoning",  # r13 green; kernels.py:84 unchanged
+    # harmonize_na_poisoning RE-PROMOTED round 17: kernels.harmonize_
+    # coordinates rebuilt expr-based (r17 construction-latency work).
     "tfidf_top_terms",         # r13 green; textops tfidf path unchanged
     # ml_minhash_join_verified RE-PROMOTED round 17 (ADVICE r16): its
     # query fn calls lsh_candidate_pairs directly (the r16-changed
@@ -10006,6 +10011,18 @@ _DEFER_TO_TAIL = [
     "salted_enrich",           # r16 green; skew enrich unchanged
     "rrf_hybrid_rank",         # r16 green; rank-fusion path unchanged
     "impute_median",           # r16 green; stats impute unchanged
+    # round-17 rotation part 2 (the kernels.py expr rebuild): five
+    # more byte-stable r16 greens demote so the five kernel-riding
+    # tail pins above (expand_years, expand_years_retirement,
+    # split_ownership_equal, split_ownership_strict,
+    # harmonize_na_poisoning) can re-enter the graded head; none of
+    # the five below ride kernels.py, plans/gem.py, or any other file
+    # round 17 touches.
+    "value_histogram",         # r16 green; stats histogram unchanged
+    "winsorized_values",       # r16 green; stats winsorize unchanged
+    "zorder_keys",             # r16 green; z-order path unchanged
+    "mp4_probe",               # r16 green; mp4 probe unchanged
+    "event_funnel",            # r16 green; aggregates funnel unchanged
 ]
 
 
@@ -10034,13 +10051,11 @@ _DEFER_HASHES: dict[str, str] = {
     "filter_isin": "511530f2dd36c7e8",
     "cast_regex_extract": "caf35822ececbacf",
     "explode_split": "68ee199b5c3da537",
-    "split_ownership_strict": "88aca9a672b4b1b9",
     "window_count_share": "2b80f335c6badb80",
     "dedup_first_per_key": "6599421550ed8cba",
     "join_left_enrich": "19d45dbe8ae4a9fc",
     "join_left_coalesce": "b9994c429932914b",
     "join_fallback_chain": "922fd078ac49f00d",
-    "expand_years": "3b56946da2023aaf",
     "case_when_classify": "0a9e17b051c21a23",
     "dedup_exact": "f49df5544fb70089",
     "text_fingerprint": "20401cde9270e27b",
@@ -10130,7 +10145,6 @@ _DEFER_HASHES: dict[str, str] = {
     "filter_not_and": "4a7cf2ba9409f9f2",
     "filter_null_or_ge": "90ec3885d87582ea",
     "replace_value_global": "0db49e1c90a3bb0c",
-    "split_ownership_equal": "76e8ae050bedbaa2",
     "join_lookup_dim": "2246a2f805501cff",
     "union_rows": "f02c4badce8d2f6a",
     "distinct_rows": "d6a3fb3ccb0f0551",
@@ -10140,9 +10154,7 @@ _DEFER_HASHES: dict[str, str] = {
     "impute_year": "616eb7efca0c1b13",
     "strip_pct_suffix": "4c185c442ea859d1",
     "union_rows_byname": "0f2175ebc647033b",
-    "expand_years_retirement": "f59af127c33491e7",
     "agg_global_mean": "439642f02685e4bf",
-    "harmonize_na_poisoning": "f26cb6280a425311",
     "tfidf_top_terms": "bb616e4cb5b2c6da",
     "ml_brp_join_verified": "f2cb8d58723dab33",
     "training_data_pipeline": "db585891fb511fca",
@@ -10191,6 +10203,11 @@ _DEFER_HASHES: dict[str, str] = {
     "salted_enrich": "afc4ca6466942d49",
     "rrf_hybrid_rank": "b073978240fd0a6b",
     "impute_median": "2d39e248a6626737",
+    "value_histogram": "aeb0ca2580b1fa91",
+    "winsorized_values": "6f5ed7de24c0f889",
+    "zorder_keys": "b1231593075ab8d4",
+    "mp4_probe": "f16a3127fb854d73",
+    "event_funnel": "51a9088efcd6bd51",
 }
 
 

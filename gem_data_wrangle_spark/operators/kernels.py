@@ -13,7 +13,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from gem_data_wrangle_spark.functions import strings as S
-from gem_data_wrangle_spark.functions.conditional import case_when_capacity
+
+
+def _sql_str(s: str) -> str:
+    """A Python string as a Spark SQL string literal (regexes carry
+    backslashes; the SQL lexer consumes one escaping level)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _q(name: str) -> str:
+    """A column name as a backtick-quoted SQL identifier (GEM headers
+    carry spaces, slashes and parens)."""
+    return "`" + name.replace("`", "``") + "`"
 
 
 def add_row_id(df: DataFrame, col: str = "row_id") -> DataFrame:
@@ -59,24 +70,44 @@ def split_ownership(
     ``pct_grammar`` selects the percent-extraction grammar (the
     reference scripts use two different regexes — see
     ``functions.strings.owner_pct``).
+
+    Construction note (r17, guide §1.2 "per-task work" — driver
+    edition): every Column below is built as ONE server-side
+    ``F.expr`` parse instead of a chain of py4j Column-object calls.
+    The analyzed plan is IDENTICAL to the Column-built form (asserted
+    in tests/test_round17_fixes.py); only the number of driver
+    round-trips changes. SQL-literal traps encoded here: ``100.0``
+    lexes as DECIMAL(4,1) in Spark SQL, so doubles are written with
+    the ``D`` suffix; regex literals pay one extra escaping level
+    (``_sql_str``).
     """
+    part = "_owner_part"
+    name_sql = f"trim(regexp_extract({_q(part)}, {_sql_str(S.OWNER_NAME_RE)}, 0))"
+    pct_re = _sql_str(S._PCT_GRAMMARS[pct_grammar])
+    pct_extract = f"regexp_extract({_q(part)}, {pct_re}, 1)"
+    pct_sql = (
+        f"case when {pct_extract} != '' "
+        f"then cast({pct_extract} as double) / 100.0D end"
+    )
     exploded = add_row_id(df, row_id_col).withColumn(
-        "_owner_part", S.explode_split(F.col(owner_col))
+        part,
+        F.expr(f"explode(split({_q(owner_col)}, {_sql_str(S.OWNER_SEP)}))"),
     )
     exploded = exploded.withColumns(
-        {
-            out_owner: S.owner_name(F.col("_owner_part")),
-            "_pct": S.owner_pct(F.col("_owner_part"), grammar=pct_grammar),
-        }
+        {out_owner: F.expr(name_sql), "_pct": F.expr(pct_sql)}
     )
     if equal_share:
-        w = Window.partitionBy(row_id_col)
-        share = F.coalesce(F.col("_pct"), F.lit(1.0) / F.count(F.lit(1)).over(w))
+        share = F.expr(
+            f"coalesce(_pct, 1.0D / count(1) over (partition by {_q(row_id_col)}))"
+        )
     else:
         share = F.col("_pct")
     return (
         exploded.withColumn(out_share, share)
-        .withColumn(out_alloc, F.col(capacity_col).try_cast("double") * F.col(out_share))
+        .withColumn(
+            out_alloc,
+            F.expr(f"try_cast({_q(capacity_col)} as double) * {_q(out_share)}"),
+        )
         .drop("_owner_part", "_pct")
     )
 
@@ -104,26 +135,37 @@ def harmonize_coordinates(
     shuffled join when it doesn't (a forced hint would OOM the driver
     at 100× location cardinality).
     """
-    lat, lon = F.col(lat_col), F.col(lon_col)
-    n_rows = F.count(F.lit(1))
-    na_poisoning_mean = lambda c: F.when(F.count(c) < n_rows, F.lit(None).cast("double")).otherwise(F.avg(c))  # noqa: E731
     # "more than one distinct (lat, lon)" as min(struct) != max(struct):
     # a count_distinct here would force an Expand + two-phase aggregate;
     # min/max stay in one partial-aggregation pass and detect exactly
     # the same condition (structs are never null, so min/max see every
     # row and differ iff two rows disagree).
-    pair = F.struct(lat.alias("a"), lon.alias("b"))
+    #
+    # Construction note (r17): each aggregate/projection Column is one
+    # server-side F.expr parse — same analyzed plan as the Column-built
+    # form (tests/test_round17_fixes.py), ~3× fewer py4j round-trips
+    # (this was the chattiest kernel: 401 driver commands per call).
+    lat, lon = _q(lat_col), _q(lon_col)
+    pair = f"struct({lat} as a, {lon} as b)"
+    na_mean = (
+        "case when count({c}) < count(1) then cast(null as double) "
+        "else avg({c}) end"
+    )
     summary = df.groupBy(location_col).agg(
-        (F.min(pair) != F.max(pair)).alias("_coords_differ"),
-        na_poisoning_mean(lat).alias("_lat_mean"),
-        na_poisoning_mean(lon).alias("_lon_mean"),
-        F.first(lat, ignorenulls=False).alias("_lat_first"),
-        F.first(lon, ignorenulls=False).alias("_lon_first"),
+        F.expr(f"min({pair}) != max({pair})").alias("_coords_differ"),
+        F.expr(na_mean.format(c=lat)).alias("_lat_mean"),
+        F.expr(na_mean.format(c=lon)).alias("_lon_mean"),
+        F.expr(f"first({lat})").alias("_lat_first"),
+        F.expr(f"first({lon})").alias("_lon_first"),
     )
     summary = summary.select(
         location_col,
-        F.when(F.col("_coords_differ"), F.col("_lat_mean")).otherwise(F.col("_lat_first")).alias(lat_col),
-        F.when(F.col("_coords_differ"), F.col("_lon_mean")).otherwise(F.col("_lon_first")).alias(lon_col),
+        F.expr(
+            "case when _coords_differ then _lat_mean else _lat_first end"
+        ).alias(lat_col),
+        F.expr(
+            "case when _coords_differ then _lon_mean else _lon_first end"
+        ).alias(lon_col),
     )
     return df.drop(lat_col, lon_col).join(summary, on=location_col, how="left")
 
@@ -147,19 +189,26 @@ def expand_years(
     the left side is 100 TB: a crossJoin would force an exchange, the
     explode is free and stays in codegen.
     """
-    year = F.col(out_year)
-    start = F.col(start_year_col).try_cast("double")
+    # Construction note (r17): the per-year case is one server-side
+    # F.expr parse (same analyzed plan as the Column-built
+    # case_when_capacity — tests/test_round17_fixes.py; doubles carry
+    # the D suffix so the SQL lexer does not read them as DECIMAL).
+    year = _q(out_year)
+    start = f"try_cast({_q(start_year_col)} as double)"
     ret = (
-        F.col(retirement_col).try_cast("double")
+        f"try_cast({_q(retirement_col)} as double)"
         if retirement_col is not None
-        else F.lit(None).cast("double")
+        else "cast(null as double)"
+    )
+    case_sql = (
+        f"case when {year} < {start} then 0.0D "
+        f"when {ret} is not null and {year} >= {ret} "
+        f"and {ret} <= {year_end} then 0.0D "
+        f"else {_q(alloc_col)} end"
     )
     return df.withColumn(
-        out_year, F.explode(F.sequence(F.lit(year_start), F.lit(year_end)))
-    ).withColumn(
-        out_value,
-        case_when_capacity(year, start, ret, F.col(alloc_col), horizon_end=year_end),
-    )
+        out_year, F.expr(f"explode(sequence({year_start}, {year_end}))")
+    ).withColumn(out_value, F.expr(case_sql))
 
 
 def binational_split(

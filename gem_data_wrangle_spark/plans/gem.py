@@ -58,6 +58,12 @@ from gem_data_wrangle_spark.functions.conditional import classify_first_mention
 from gem_data_wrangle_spark.operators import aggregates as A
 from gem_data_wrangle_spark.operators import kernels as K
 from gem_data_wrangle_spark.operators.joins import join_lookup_dim
+from gem_data_wrangle_spark.operators.kernels import _q, _sql_str
+
+
+def _sql_in(values) -> str:
+    """Sequence of strings as a SQL IN-list body."""
+    return ", ".join(_sql_str(v) for v in values)
 
 # The 19-column output contract, identical in every reference script
 # (``GEM/Coalplants_GEM.R:214-219``, ``GEM/TotalData_GEM.R:38-41``).
@@ -170,17 +176,22 @@ def run_fuel_pipeline(df: DataFrame, cfg: FuelConfig, country_dim: DataFrame) ->
             missing_sentinels=("not found",),
         )
     else:
-        start = F.col(cfg.start_year_col)
-        missing = start.isin(list(cfg.start_drop_sentinels))
+        # one server-side expr parse per conjunct (r17 construction-
+        # latency work — analyzed plan identical to the Column form,
+        # same mechanism as the kernels.py rewrite)
+        start = _q(cfg.start_year_col)
+        missing_sql = f"{start} in ({_sql_in(cfg.start_drop_sentinels)})"
         if cfg.start_drop_null:
-            missing = missing | start.isNull()
+            missing_sql = f"({missing_sql} or {start} is null)"
         else:
             # coal (Coalplants_GEM.R:46-47): `start == 'unknown'` under R
             # NA semantics never matches NULL; force the conjunct FALSE so
             # NULL-start rows are kept.
-            missing = F.coalesce(missing, F.lit(False))
+            missing_sql = f"coalesce({missing_sql}, false)"
         out = C.filter_not_and(
-            out, F.col("Status").isin(list(cfg.future_statuses)), missing
+            out,
+            F.expr(f"Status in ({_sql_in(cfg.future_statuses)})"),
+            F.expr(missing_sql),
         )
     # the ">0" sentinel replace runs AFTER the start-year step (:46→:50)
     out = C.replace_value_global(out, ">0", "unknown")
@@ -225,10 +236,16 @@ def run_fuel_pipeline(df: DataFrame, cfg: FuelConfig, country_dim: DataFrame) ->
         out.withColumnRenamed(cfg.country_col, "country_name"),
         country_dim.select("country_name", "iso2"),
         key="country_name",
-        overrides={"iso2": F.when(F.col("country_name") == "Kosovo", "XK").otherwise(F.col("iso2"))},
+        overrides={
+            "iso2": F.expr(
+                "case when country_name = 'Kosovo' then 'XK' else iso2 end"
+            )
+        },
     )
     out = (
-        out.withColumn("coordinates", S.concat_coords(F.col("Latitude"), F.col("Longitude")))
+        out.withColumn(
+            "coordinates", F.expr("concat_ws(', ', Latitude, Longitude)")
+        )
         .withColumnsRenamed(
             {
                 cfg.location_col: "asset_id",
@@ -239,20 +256,24 @@ def run_fuel_pipeline(df: DataFrame, cfg: FuelConfig, country_dim: DataFrame) ->
         )
         .withColumns(
             {
-                "company_id": F.lit(None).cast("string"),
-                "workforce_size": F.lit(None).cast("double"),
-                "workforce_source": F.lit(None).cast("string"),
+                "company_id": F.expr("cast(null as string)"),
+                "workforce_size": F.expr("cast(null as double)"),
+                "workforce_source": F.expr("cast(null as string)"),
                 "sector": F.lit("Power"),
-                **({"technology": F.lit(cfg.technology)} if cfg.technology is not None else {}),
+                **(
+                    {"technology": F.lit(cfg.technology)}
+                    if cfg.technology is not None
+                    else {}
+                ),
                 "capacity_unit": F.lit("MW"),
                 "plant_age_years": (
-                    F.col(cfg.plant_age_col).try_cast("double")
+                    F.expr(f"try_cast({_q(cfg.plant_age_col)} as double)")
                     if cfg.plant_age_col
-                    else F.lit(None).cast("double")
+                    else F.expr("cast(null as double)")
                 ),
-                "plant_age_rank": F.lit(None).cast("double"),
-                "capacity_factor": F.lit(None).cast("double"),
-                "emission_factor": F.lit(None).cast("double"),
+                "plant_age_rank": F.expr("cast(null as double)"),
+                "capacity_factor": F.expr("cast(null as double)"),
+                "emission_factor": F.expr("cast(null as double)"),
             }
         )
     )
