@@ -167,7 +167,8 @@ def lsh_candidate_pairs(
     eagerly truncates the small pair set (``localCheckpoint``; durable
     ``DataFrame.checkpoint`` under ``checkpoint_dir``), and releases
     the cache before returning. ``materialize=False`` keeps the fully
-    lazy plan for plan composition."""
+    lazy plan for plan composition. Cluster sizing/durability notes:
+    SCALE.md "Cluster note: the r16 materialize=True defaults"."""
     sigs = minhash_signatures(df, text_col, id_col, num_bands, rows_per_band, ngram)
     if materialize:
         sigs = sigs.persist()
@@ -1581,6 +1582,8 @@ def packed_hamming_pairs(
     returning — the exact lifecycle the SimHash member owns.
     ``materialize=False`` keeps the fully lazy plan for callers that
     compose further or cannot afford an eager job at construction.
+    Cluster sizing/durability notes: SCALE.md "Cluster note: the r16
+    materialize=True defaults".
     """
     sig = _packed_bands(df, id_col, chunk_cols, chunk_bits, max_distance)
     if materialize:

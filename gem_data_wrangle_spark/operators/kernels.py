@@ -300,6 +300,8 @@ def surrogate_ids(
     callers that would rather recompute than store the intermediate
     (e.g. when ``df`` is a cheap scan at 100 TB and storage is the
     scarcer resource — two scans beat one materialization there).
+    Cluster sizing/durability notes: SCALE.md "Cluster note: the r16
+    materialize=True defaults".
     """
     if materialize:
         from gem_data_wrangle_spark.operators.graph import (  # noqa: PLC0415

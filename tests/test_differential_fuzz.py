@@ -19,6 +19,9 @@ import sys
 import duckdb
 import pytest
 
+# whole-file slow tier: ~825 s of fuzz sweeps (r17 fast-tier split)
+pytestmark = pytest.mark.slow
+
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tools")
 

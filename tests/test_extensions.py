@@ -551,6 +551,7 @@ def test_shared_substring_pairs_finds_spans_and_gates_boilerplate(spark):
     assert all(p == (1, 2) for p in pairs)
 
 
+@pytest.mark.slow
 def test_duplicate_spans_and_cut(spark):
     """Lee-et-al span dedup, hand-checkable with sample_prefix='' (all
     k-grams fingerprinted): the maximal duplicated span of two docs
@@ -755,6 +756,7 @@ def test_repetition_signals_unigram_empty_doc_no_div0(spark):
     assert abs(out[2]["top_ngram_char_frac"] - 0.4) < 1e-9
 
 
+@pytest.mark.slow
 def test_ann_recall_knobs_improve_recall(spark, sf_dir):
     """The two published recall knobs must actually pay on real data:
     LSH OR-amplification (independent tables, candidate ∈ ANY bucket)
@@ -1496,6 +1498,7 @@ def test_kmeans_assign_values_and_lloyd_step(spark):
         kmeans_assign(pts, cents.filter("vec_id < 0"), "embedding", "vec_id")
 
 
+@pytest.mark.slow
 def test_kmeans_fit_converges_and_carries_empty_clusters(spark):
     """Hand-computed 2-iteration Lloyd on 1-D-ish points, the
     empty-cluster carry-forward rule, and fit/score agreement."""
@@ -1742,6 +1745,7 @@ def test_dsir_resample_is_deterministic_weighted_topk(spark):
     assert ids == again
 
 
+@pytest.mark.slow
 def test_pq_encode_and_adc_topk(spark):
     """Product quantization (Jégou et al. 2011): codes index the
     nearest codeword per subspace; ADC top-k over an obvious planted
@@ -2065,6 +2069,7 @@ def test_ivfpq_topk_portable_matches_reference(spark):
     assert checked >= 5  # the grid must have produced real candidates
 
 
+@pytest.mark.slow
 def test_ivfpq_topk_kmeans_and_nprobe(spark):
     """Production path: seeded KMeans cells are rerun-stable; nprobe=2
     widens each probe's candidate cells, so per-probe result counts

@@ -1,5 +1,7 @@
 """Connected-components label propagation (operators/graph.py)."""
 
+import pytest
+
 from gem_data_wrangle_spark.operators.graph import connected_components
 
 
@@ -76,6 +78,7 @@ def test_neardup_dedup_end_to_end(spark):
     assert neardup_dedup(uniq, "text", "doc_id").count() == 4
 
 
+@pytest.mark.slow
 def test_pagerank_star_graph_and_dangling(spark):
     """4-node graph, hand-checkable: 1->3, 2->3, 3->4; node 4 dangles.
     Ranks must sum to 1 every fixed-iteration depth (dangling mass
@@ -154,6 +157,7 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
+@pytest.mark.slow
 def test_reliable_checkpoint_mode_matches_local(spark, tmp_path):
     """VERDICT r6 item 5: the iterative loops accept a reliable
     checkpoint_dir (cluster durability — localCheckpoint blocks die

@@ -1,3 +1,4 @@
+import pytest
 """End-to-end GEM fuel pipeline on a synthetic mini-tracker exercising
 the full operator chain (FIXTURES.md §A1 shape) plus consolidation.
 
@@ -245,6 +246,7 @@ def test_all_fuel_configs_run(spark):
         assert all(r["technology"] == cfg.technology for r in rows), name
 
 
+@pytest.mark.slow
 def test_prepare_training_corpus_composition(spark, sf_dir):
     from gem_data_wrangle_spark.plans.corpus import prepare_training_corpus
 

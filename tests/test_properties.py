@@ -5,9 +5,14 @@ under repartitioning."""
 
 import math
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
+
+# whole-file slow tier: ~176 s of property sweeps (r17 fast-tier split)
+pytestmark = pytest.mark.slow
 
 from gem_data_wrangle_spark.operators import kernels as K
 

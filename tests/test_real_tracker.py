@@ -203,6 +203,7 @@ def test_real_nuclear_bio_geo_trackers_and_consolidation(spark, tmp_path):
     assert techs == {"NuclearCap", "RenewablesCap"}
 
 
+@pytest.mark.slow
 def test_every_tracker_country_resolves_to_iso2(spark, tmp_path):
     """VERDICT r10 directive 4: the dim covers full ISO 3166-1, so
     every country name in every real tracker workbook (including the

@@ -212,6 +212,7 @@ def test_embedding_against_index_multi_table_or_amplification(spark):
     assert screened([t0]) == s0
 
 
+@pytest.mark.slow
 def test_stream_neardup_screen_matches_batch_replay(spark, tmp_path):
     """foreachBatch composition of neardup_against_index (VERDICT r13
     item 8): three snapshots arrive as three availableNow micro-batches
@@ -272,6 +273,7 @@ def test_stream_neardup_screen_matches_batch_replay(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_embedding_against_index_signature_index_parity(spark):
     """Persisted-signature index path (round 14, asymmetric-curve
     finding): screening against embedding_index_signatures(raw) must
@@ -378,6 +380,7 @@ def test_stream_neardup_screen_crash_replay_idempotent(spark, tmp_path):
     ) == before_index
 
 
+@pytest.mark.slow
 def test_stream_dedup_screen_matches_batch_replay(spark, tmp_path):
     """Digest sibling of the streaming near-dup screen: per-batch
     survivors must equal a sequential replay of dedup_against_index,
@@ -423,6 +426,7 @@ def test_stream_dedup_screen_matches_batch_replay(spark, tmp_path):
     assert idx.count() == 4  # one digest per distinct surviving text
 
 
+@pytest.mark.slow
 def test_stream_embedding_screen_matches_batch_replay(spark, tmp_path):
     """Embedding member of the streaming-screen family: survivors per
     micro-batch must equal a sequential embedding_against_index replay,

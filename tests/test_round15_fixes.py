@@ -8,6 +8,8 @@ O(history) scan+shuffle, and the packed-Hamming screen completes the
 four-member streaming family with the same batch-parity and
 crash-replay contracts as its siblings."""
 
+import pytest
+
 import glob
 import shutil
 
@@ -21,6 +23,7 @@ def _rows(df, *cols):
 
 
 # ------------------------------------------------- Hadoop FS probing
+@pytest.mark.slow
 def test_stream_screen_probes_non_local_scheme(spark, tmp_path):
     """The index probe must work for ANY Hadoop-readable scheme, not
     just local paths: mount a ``viewfs://`` table (Hadoop's built-in
@@ -94,6 +97,7 @@ def test_index_exists_missing_and_empty_non_local(spark, tmp_path):
 
 
 # ------------------------------------------- join-key prune fallback
+@pytest.mark.slow
 def test_stream_screen_key_prune_fallback_parity(spark, tmp_path):
     """max_isin_keys=0 forces every batch down the broadcast LEFT
     SEMI prune path (the large-key-set fallback); the screened output
@@ -157,6 +161,7 @@ def _sig_snapshots():
     ]
 
 
+@pytest.mark.slow
 def test_stream_hamming_screen_matches_batch_replay(spark, tmp_path):
     """foreachBatch composition of hamming_against_index (VERDICT r14
     item 3): three signature snapshots arrive as three availableNow
@@ -379,6 +384,7 @@ def _run_digest_batches(spark, base, snapshots, schema):
         q.awaitTermination(120)
 
 
+@pytest.mark.slow
 def test_compact_screen_index_preserves_screen_results(spark, tmp_path):
     """Compacting committed partitions into one key-range-clustered
     partition must not change what the screen drops: run three
@@ -446,6 +452,7 @@ def test_compact_screen_index_preserves_screen_results(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_compact_screen_index_crash_recovery_and_noop(spark, tmp_path):
     """A crash between the staged clustered copy and the source
     deletion leaves a completed ``_compact/batch_id=C`` tree; the next
@@ -491,6 +498,7 @@ def test_compact_screen_index_crash_recovery_and_noop(spark, tmp_path):
     assert compact_screen_index(spark, str(idx), "digest") == -(2 ** 31)
 
 
+@pytest.mark.slow
 def test_stream_embedding_screen_drifted_planes_fail_loud(spark, tmp_path):
     """Deployment-shape coverage for the geometry validation: a
     stream restarted with DIFFERENT planes than the ones that built
@@ -544,6 +552,7 @@ def test_stream_embedding_screen_drifted_planes_fail_loud(spark, tmp_path):
     assert spark.read.parquet(fresh_dir).count() == 2
 
 
+@pytest.mark.slow
 def test_stream_neardup_screen_drifted_banding_fails_loud(spark, tmp_path):
     """Same deployment-shape drift guard for the MinHash member: a
     restart under different rows_per_band (signature width drifts)

@@ -39,6 +39,7 @@ def _digest_partition(spark, idx, batch_id: int, texts: list[str]):
 
 
 # ------------------------------------------------------ maybe_compact
+@pytest.mark.slow
 def test_maybe_compact_count_threshold(spark, tmp_path):
     from gem_data_wrangle_spark.streaming import maybe_compact
 
@@ -81,6 +82,7 @@ def test_maybe_compact_count_threshold(spark, tmp_path):
     ) == NOTHING
 
 
+@pytest.mark.slow
 def test_maybe_compact_size_ratio_geometric(spark, tmp_path):
     """The LSM-style cadence: deltas must reach ``size_ratio`` x the
     compacted base before a rewrite pays — tiny deltas on a big base
@@ -115,6 +117,7 @@ def test_maybe_compact_size_ratio_geometric(spark, tmp_path):
     assert spark.read.parquet(str(idx)).count() == 1003
 
 
+@pytest.mark.slow
 def test_maybe_compact_bytes_threshold(spark, tmp_path):
     from gem_data_wrangle_spark.streaming import maybe_compact
 
@@ -148,6 +151,7 @@ def _stage_completed_compact(spark, idx, stamp: int):
     shutil.rmtree(idx / f"batch_id={stamp}")
 
 
+@pytest.mark.slow
 def test_restarted_stream_fails_loud_on_unfinished_compaction(
     spark, tmp_path
 ):
@@ -218,6 +222,7 @@ def test_restarted_stream_fails_loud_on_unfinished_compaction(
     assert sorted(r["doc_id"] for r in fresh.collect()) == [1, 2]
 
 
+@pytest.mark.slow
 def test_finish_order_duplicates_then_dedup(spark, tmp_path):
     """Crash AFTER the rename but before the old-source deletes leaves
     visible duplicates — the tolerated side of the window. The screens
@@ -267,6 +272,7 @@ def test_finish_order_duplicates_then_dedup(spark, tmp_path):
 
 
 # ------------------------------------------------- geometry sidecar
+@pytest.mark.slow
 def test_hamming_geometry_sidecar_drift_fails_loud(spark, tmp_path):
     """The Hamming screen's banding drift is invisible in the stored
     values (plain-integer chunks, variable band widths), so the
@@ -378,6 +384,7 @@ def test_provision_embedding_screen():
 
 
 # ------------------------------------- first-batch deep drift probes
+@pytest.mark.slow
 def test_neardup_mixed_width_index_fails_first_batch(spark, tmp_path):
     """A mixed-width index (drifted partitions beside matching ones)
     must fail DETERMINISTICALLY on the first batch of a run: the old
@@ -423,6 +430,7 @@ def test_neardup_mixed_width_index_fails_first_batch(spark, tmp_path):
     assert exc is not None and "signature widths" in str(exc)
 
 
+@pytest.mark.slow
 def test_embedding_mixed_geometry_index_fails_first_batch(
     spark, tmp_path
 ):

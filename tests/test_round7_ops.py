@@ -1,6 +1,8 @@
 """Round-7 operator additions: character statistics, script mix,
 n-gram decontamination, rolling z-scores, funnel analysis."""
 
+import pytest
+
 import datetime as dt
 import math
 
@@ -615,6 +617,7 @@ def test_rrf_fuse_fixed_order_and_absent_ids(spark):
     assert best["id"] == 3
 
 
+@pytest.mark.slow
 def test_stream_hll_equals_batch_sketch(spark, tmp_path):
     """readStream → windowed HLL registers → memory sink across
     multiple micro-batches must yield the IDENTICAL register table (and

@@ -1,5 +1,7 @@
 """Round-9 batch 4: point-in-time SCD2 lookup, last-touch attribution."""
 
+import pytest
+
 import datetime as dt
 
 from pyspark.sql import functions as F
@@ -520,6 +522,7 @@ def test_label_propagation_string_node_ids(spark):
     assert got["a0"] != got["b1"]
 
 
+@pytest.mark.slow
 def test_weighted_pagerank_shifts_rank_toward_heavy_edges(spark):
     from gem_data_wrangle_spark.operators.graph import pagerank
 

@@ -366,6 +366,7 @@ def test_trailing_window_totals_stream_matches_batch(spark, tmp_path):
     assert got == batch
 
 
+@pytest.mark.slow
 def test_trailing_window_totals_very_late_event_and_string_key(spark, tmp_path):
     """Regressions (ADVICE r6): (a) an event arriving more than
     window_seconds behind its key's stream head must still count
@@ -421,6 +422,7 @@ def test_trailing_window_totals_very_late_event_and_string_key(spark, tmp_path):
 
 
 @pytest.mark.soak
+@pytest.mark.slow
 def test_trailing_window_rate_source_soak_state_bounded(spark, tmp_path):
     """VERDICT r6 item 8: soak the custom stateful operator against a
     REAL unbounded streaming source (rate-micro-batch) for >= 100
