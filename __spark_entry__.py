@@ -9633,8 +9633,9 @@ _DEFER_TO_TAIL = [
     # predates the operator change, so it re-enters the head.
     "stream_sliding_window",   # r14 green; windows.py untouched in r15
     "multimodal_bytes",        # r14 green; multimodal probe unchanged
-    "embedding_neardup_pairs", # r14 green; pair path unchanged (r15
-                               # touched the sig-index screen path only)
+    # embedding_neardup_pairs RE-PROMOTED round 17: lsh_bucket (its
+    # bucket expression) rebuilt as one-parse literals (r17
+    # construction-latency work).
     "token_counts",            # r14 green; textops token path unchanged
     "embedding_quantize_int8", # r14 green; quantize path unchanged
     "gopher_quality_flags",    # r14 green; textops gopher unchanged
@@ -9745,7 +9746,8 @@ _DEFER_TO_TAIL = [
     "kmv_segment_overlap",     # r11 green; sketches kmv path unchanged
     "mad_outlier_flags",       # r11 green; stats mad path unchanged
     "host_communities",        # r11 green; graph labelprop unchanged
-    "jl_sketch",               # r11 green; similarity jl path unchanged
+    # jl_sketch RE-PROMOTED round 17: jl_project sign-matrix literals
+    # rebuilt as one-parse arrays (r17 construction-latency work).
     "host_assortativity",      # r11 green; graph assortativity unchanged
     "rank_normalized_values",  # r11 green; stats rank path unchanged
     "containment_screen",      # r11 green; dedup containment unchanged
@@ -10023,6 +10025,13 @@ _DEFER_TO_TAIL = [
     "zorder_keys",             # r16 green; z-order path unchanged
     "mp4_probe",               # r16 green; mp4 probe unchanged
     "event_funnel",            # r16 green; aggregates funnel unchanged
+    # round-17 rotation part 3 (the similarity literal-construction
+    # rebuild): two more byte-stable r16 greens demote so the two
+    # similarity-riding tail pins above (embedding_neardup_pairs,
+    # jl_sketch) can re-enter the graded head; neither row below
+    # rides similarity.py or any other r17-touched file.
+    "lm_quality_cut",          # r16 green; ml_quality path unchanged
+    "bm25_rank",               # r16 green; textops bm25 path unchanged
 ]
 
 
@@ -10063,7 +10072,6 @@ _DEFER_HASHES: dict[str, str] = {
     "jaccard_neighbors": "f5ef3b537b9359ad",
     "stream_sliding_window": "d95ccf75fe6b6519",
     "multimodal_bytes": "25c4f08bb9df8ba8",
-    "embedding_neardup_pairs": "140b79379922d877",
     "token_counts": "f224865fb01a4cee",
     "embedding_quantize_int8": "c4a3a9970f58767f",
     "gopher_quality_flags": "1a379aa526525ee1",
@@ -10101,7 +10109,6 @@ _DEFER_HASHES: dict[str, str] = {
     "kmv_segment_overlap": "6df07e089f2a5f24",
     "mad_outlier_flags": "02733d53d34a5797",
     "host_communities": "cd9ccf9ade4f2269",
-    "jl_sketch": "559fd37bc5f742e0",
     "host_assortativity": "d53f11bf66391508",
     "rank_normalized_values": "5de27205a09af521",
     "containment_screen": "940d438d0bd13566",
@@ -10208,6 +10215,8 @@ _DEFER_HASHES: dict[str, str] = {
     "zorder_keys": "b1231593075ab8d4",
     "mp4_probe": "f16a3127fb854d73",
     "event_funnel": "51a9088efcd6bd51",
+    "lm_quality_cut": "3f00f63c7e5d0059",
+    "bm25_rank": "f3efe262fab2b30f",
 }
 
 

@@ -291,11 +291,37 @@ def cosine_topk(
     )
 
 
+def _lit_double_array(values) -> Column:
+    """A literal ``array<double>`` in ONE driver round-trip.
+
+    ``F.array(*[F.lit(v) …])`` pays len(values) py4j commands and
+    ``F.lit(list)``/``F.lit(ndarray)`` still convert element-by-element
+    inside py4j's collection converter (measured: a 64-dim plane cost
+    64+ socket commands either way). One ``F.expr`` parse of the
+    rendered SQL literal costs exactly one command; the ``D`` suffix
+    keeps the SQL lexer from reading the doubles as DECIMAL, and
+    ``repr`` round-trips float64 exactly. The optimized plan is
+    identical to the element-wise form (CreateArray of foldable
+    literals constant-folds to the same array literal — pinned in
+    tests/test_round17_fixes.py). Non-finite values fall back to the
+    element-wise builder (no SQL literal form)."""
+    vals = [float(v) for v in values]
+    if all(np.isfinite(vals)):
+        return F.expr("array(" + ", ".join(f"{v!r}D" for v in vals) + ")")
+    return F.array(*[F.lit(v) for v in vals])
+
+
 def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Sign-LSH bucket id: one bit per hyperplane (dot > 0)."""
+    """Sign-LSH bucket id: one bit per hyperplane (dot > 0).
+
+    Construction note (r17): each plane array is ONE server-side
+    literal parse (:func:`_lit_double_array`) — an 8×64 geometry costs
+    8 driver commands instead of 512+. Measured on
+    embedding_neardup_incremental: the three bucket expressions were
+    ~0.6 s of that query's 1.5 s construction before the change."""
     bits = []
     for plane in planes:
-        plane_col = F.array(*[F.lit(v) for v in plane])
+        plane_col = _lit_double_array(plane)
         bits.append(F.when(dot(vec_col, plane_col) > 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
@@ -377,9 +403,8 @@ def _assign_cells(
         dist_cells = F.array(
             *[
                 F.struct(
-                    euclidean(
-                        F.col("_pv"), F.array(*[F.lit(x) for x in ctr])
-                    ).alias("d"),
+                    # one literal parse per centroid, not dim lits (r17)
+                    euclidean(F.col("_pv"), _lit_double_array(ctr)).alias("d"),
                     F.lit(i).alias("cell"),
                 )
                 for i, ctr in enumerate(centers)
@@ -1442,8 +1467,12 @@ def jl_project_int(
     # BENCH_HISTORY round-9)
     outs = [F.col(id_col)]
     for k in range(out_dim):
-        sgn = F.array(
-            *[F.lit(jl_sign(seed, k, j)) for j in range(in_dim)]
+        # one server-side literal parse per sign row, not in_dim lits
+        # — out_dim=16 × in_dim=64 was 1024 py4j round-trips (r17)
+        sgn = F.expr(
+            "array("
+            + ", ".join(str(jl_sign(seed, k, j)) for j in range(in_dim))
+            + ")"
         )
         terms = F.zip_with(F.col(qcol), sgn, lambda x, s: x * s)
         acc = F.aggregate(

@@ -157,6 +157,64 @@ def test_expand_years_plan_identical(units, retirement):
     assert _norm(new) == _norm(old)
 
 
+def test_lit_double_array_matches_elementwise(spark):
+    """The one-round-trip literal builder must produce the SAME
+    optimized plan and values as the element-wise F.array(F.lit(...))
+    form it replaced — including exponent-formatted, negative-zero and
+    non-finite (fallback path) values."""
+    from gem_data_wrangle_spark.operators.similarity import _lit_double_array
+
+    df = spark.range(2).selectExpr("cast(id as double) as x")
+    for vals in (
+        [1.0, -1.0],
+        [1e-05, 3.141592653589793, 12345678901234.5, -0.0],
+        [float("inf"), 1.0],  # non-finite → element-wise fallback
+    ):
+        a = df.select(F.array(*[F.lit(v) for v in vals]).alias("p"))
+        b = df.select(_lit_double_array(vals).alias("p"))
+        na = re.sub(r"#\d+", "#N", a._jdf.queryExecution().optimizedPlan().toString())
+        nb = re.sub(r"#\d+", "#N", b._jdf.queryExecution().optimizedPlan().toString())
+        assert na == nb
+        assert a.collect() == b.collect()
+
+
+def test_lsh_bucket_values_stable(spark):
+    """lsh_bucket's literal-construction change may not move a single
+    bucket bit: pin the bucket strings on a deterministic frame."""
+    from gem_data_wrangle_spark.operators.similarity import (
+        as_double_array,
+        hyperplanes,
+        lsh_bucket,
+    )
+
+    df = spark.range(16).selectExpr(
+        "id as vec_id",
+        "transform(sequence(1, 8), j -> cast((id * j) % 7 - 3 as double)) as v",
+    )
+    planes = hyperplanes(4, 8)
+    rows = df.select(
+        "vec_id", lsh_bucket(as_double_array(F.col("v")), planes).alias("b")
+    ).collect()
+    elementwise = df.select(
+        "vec_id",
+        F.concat(*[
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        as_double_array(F.col("v")),
+                        F.array(*[F.lit(x) for x in plane]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ) > 0, F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for plane in planes
+        ]).alias("b"),
+    ).collect()
+    assert rows == elementwise
+
+
 def test_split_ownership_values_unchanged(units):
     """Value-level spot check on top of the plan identity: the share
     math survives the D-suffix literal rewrite."""
