@@ -9980,9 +9980,9 @@ _DEFER_TO_TAIL = [
     "char_entropy",            # r15 green; textops entropy unchanged
     "script_fractions",        # r15 green; textops script path unchanged
     "event_zscores",           # r15 green; aggregates zscore unchanged
-    "shared_substring_pairs",  # r14+r15 green; dedup span path unchanged
-    "duplicate_spans",         # r14+r15 green; dedup span path unchanged
-    "cut_duplicate_spans",     # r14+r15 green; dedup span cut unchanged
+    # shared_substring_pairs / duplicate_spans / cut_duplicate_spans
+    # RE-PROMOTED round 17: the spans family gained the fingerprint
+    # materialize lifecycle (50x A/B evidence, OPTIMIZATION_r17.md).
     "normalized_dedup",        # r14+r15 green; dedup normalized unchanged
     # ------------------------------------------------------------------
     # round-17 rotation (ADVICE r16 item 1): the TEN queries whose
@@ -10032,6 +10032,13 @@ _DEFER_TO_TAIL = [
     # rides similarity.py or any other r17-touched file.
     "lm_quality_cut",          # r16 green; ml_quality path unchanged
     "bm25_rank",               # r16 green; textops bm25 path unchanged
+    # round-17 rotation part 4 (the spans-family materialize
+    # lifecycle): three more byte-stable r16 greens demote so the
+    # three spans tail pins above re-enter the graded head; none of
+    # the rows below ride dedup.py or any other r17-touched file.
+    "stream_running_totals",   # r16 green; stateful mirror unchanged
+    "cdc_chunks",              # r16 green; cdc rolling-hash unchanged
+    "host_pagerank",           # r16 green; graph pagerank unchanged
 ]
 
 
@@ -10195,9 +10202,6 @@ _DEFER_HASHES: dict[str, str] = {
     "char_entropy": "fa742c81c635a692",
     "script_fractions": "cd88eb613b5f1404",
     "event_zscores": "84863b9d1f8c20a9",
-    "shared_substring_pairs": "f2833d58ae9e6f92",
-    "duplicate_spans": "d8215443fcd132b1",
-    "cut_duplicate_spans": "887ff9000ae21132",
     "normalized_dedup": "04b35d9b9fb6d87b",
     "rollup_sum_groups": "f0b9c84f2162f978",
     "pivot_event_values": "8ae435e67eaa6ca9",
@@ -10217,6 +10221,9 @@ _DEFER_HASHES: dict[str, str] = {
     "event_funnel": "51a9088efcd6bd51",
     "lm_quality_cut": "3f00f63c7e5d0059",
     "bm25_rank": "f3efe262fab2b30f",
+    "stream_running_totals": "807a5c69f29d2cb4",
+    "cdc_chunks": "c560bf74472dedb9",
+    "host_pagerank": "5719a32790ed687a",
 }
 
 

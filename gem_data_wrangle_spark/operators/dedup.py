@@ -429,6 +429,8 @@ def shared_substring_pairs(
     sample_prefix: str = "0",
     min_shared: int = 2,
     max_df: int = 20,
+    materialize: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Document pairs sharing exact character k-gram windows — the
     candidate stage of exact-substring dedup (Lee et al. 2022,
@@ -449,6 +451,18 @@ def shared_substring_pairs(
     capping any fingerprint's pair contribution at C(max_df, 2).
     Everything aggregates with map-side partial combine; the join is a
     bucket equi-join on the 32-char digest, never all-pairs.
+
+    ``materialize`` (default True): the exploded fingerprint frame
+    feeds BOTH the df-gate aggregate and the join sides, so a lazy
+    plan runs the k-gram hash explode twice (three references in
+    total) per action. The r16 A/B at 10× was noise-level; at 50× the
+    explode dominates and the persist measures **11.3-12.0 s → 6.5-
+    7.8 s** (OPTIMIZATION_r17.md). The default persists the
+    fingerprints, eagerly truncates the (small: gated near-dup pairs
+    only) output, and releases the cache — the simhash lifecycle.
+    ``materialize=False`` keeps the lazy plan; ``checkpoint_dir``
+    selects the durable checkpoint (SCALE.md "Cluster note: the r16
+    materialize=True defaults").
     """
     from gem_data_wrangle_spark.operators.textops import (  # noqa: PLC0415
         rolling_fingerprints,
@@ -460,6 +474,8 @@ def shared_substring_pairs(
             rolling_fingerprints(F.col(text_col), k=k, sample_prefix=sample_prefix)
         ).alias("_fp"),
     )
+    if materialize:
+        fps = fps.persist()
     gate = (
         fps.groupBy("_fp")
         .agg(F.count(F.lit(1)).alias("_d"))
@@ -469,13 +485,23 @@ def shared_substring_pairs(
     kept = fps.join(gate, on="_fp")
     a = kept.select(F.col("_fp"), F.col(id_col).alias("id_a"))
     b = kept.select(F.col("_fp"), F.col(id_col).alias("id_b"))
-    return (
+    pairs = (
         a.join(b, on="_fp")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+    if not materialize:
+        return pairs
+    from .graph import _checkpointer  # noqa: PLC0415
+
+    try:
+        out = _checkpointer(checkpoint_dir)(pairs, True)
+    finally:
+        # release even when the checkpoint job throws (ADVICE r16)
+        fps.unpersist()
+    return out
 
 
 def duplicate_spans(
@@ -485,6 +511,8 @@ def duplicate_spans(
     k: int = 16,
     sample_prefix: str = "0",
     max_df: int = 20,
+    materialize: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Maximal duplicated character spans per document — the actual
     payoff stage of exact-substring dedup (Lee et al. 2022,
@@ -512,6 +540,17 @@ def duplicate_spans(
     the merge window partitions by doc — per-task work bounded by the
     longest single document, the same bound as every per-doc operator
     here. No all-pairs stage anywhere.
+
+    ``materialize`` (default True): the positioned-fingerprint frame
+    feeds BOTH the df-gate aggregate and the join, so a lazy plan runs
+    the per-character hash explode twice per action. The r16 A/B at
+    10× was noise-level; at 50× the explode dominates and the persist
+    measures **13.8-16.1 s → 6.8-8.7 s** (OPTIMIZATION_r17.md). The
+    default persists the fingerprints, eagerly truncates the (narrow:
+    one row per merged span) output, and releases the cache.
+    ``materialize=False`` keeps the lazy plan; ``checkpoint_dir``
+    selects the durable checkpoint (SCALE.md "Cluster note: the r16
+    materialize=True defaults").
     """
     from pyspark.sql import Window  # noqa: PLC0415
 
@@ -535,6 +574,8 @@ def duplicate_spans(
     fps = df.select(F.col(id_col), F.explode(sampled).alias("_s")).select(
         id_col, F.col("_s.pos").alias("_pos"), F.col("_s.fp").alias("_fp")
     )
+    if materialize:
+        fps = fps.persist()
     gate = (
         fps.groupBy("_fp")
         .agg(F.countDistinct(id_col).alias("_d"))
@@ -548,7 +589,7 @@ def duplicate_spans(
         "_new", F.when(prev.isNull() | (F.col("_pos") > prev + k), 1).otherwise(0)
     )
     grouped = flagged.withColumn("_g", F.sum("_new").over(w))
-    return (
+    spans = (
         grouped.groupBy(id_col, "_g")
         .agg(
             F.min("_pos").alias("span_start"),
@@ -556,6 +597,16 @@ def duplicate_spans(
         )
         .drop("_g")
     )
+    if not materialize:
+        return spans
+    from .graph import _checkpointer  # noqa: PLC0415
+
+    try:
+        out = _checkpointer(checkpoint_dir)(spans, True)
+    finally:
+        # release even when the checkpoint job throws (ADVICE r16)
+        fps.unpersist()
+    return out
 
 
 def cut_duplicate_spans(
