@@ -58,8 +58,11 @@ for name in queries:
         pass
     spark.sparkContext.setJobDescription(f"scale-cores: {name}")
     t0 = time.time()
-    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    out[name] = round(time.time() - t0, 2)
+    try:
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 2)
+    except Exception as exc:  # one failing query must not void the rest
+        out[name] = f"ERROR {type(exc).__name__}: {str(exc).splitlines()[0][:160]}"
 print("RESULT " + json.dumps(out))
 """
 
@@ -102,14 +105,13 @@ def main() -> None:
         print(json.dumps({"cores": c, "nx": n, "sec": results[c]}))
 
     lo, hi = min(cores), max(cores)
-    summary = {
-        q: {
-            f"c{lo}": results[lo][q],
-            f"c{hi}": results[hi][q],
-            "speedup_hi_over_lo": round(results[lo][q] / max(results[hi][q], 1e-9), 2),
-        }
-        for q in queries
-    }
+    summary = {}
+    for q in queries:
+        a, b = results[lo][q], results[hi][q]
+        entry = {f"c{lo}": a, f"c{hi}": b}
+        if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+            entry["speedup_hi_over_lo"] = round(a / max(b, 1e-9), 2)
+        summary[q] = entry
     print(json.dumps({"n": n, "cores": cores, "summary": summary}))
 
 
