@@ -39,10 +39,10 @@ CASES = {
     "ml_brp_join_verified": "portable-vs-ml BRP intersection — sign-LSH bucket equi-join, no cartesian; ml side amplified to 16 tables",
     # round 5
     "repetition_signals": "repetition signals — explode → groupBy(doc, unit) with map-side partial combine, per-doc re-agg, AQE join-back; no window over open-domain units",
-    "shared_substring_pairs": "exact-substring candidates — winnowed fingerprints, df-gate BEFORE the equi-self-join (boilerplate fan-out capped), digest-keyed shuffles",
+    "shared_substring_pairs": "exact-substring candidates — winnowed fingerprints, df-gate BEFORE the equi-self-join (boilerplate fan-out capped), digest-keyed shuffles; the registered form materializes (r17 fingerprint persist), so the LAZY plan below comes from materialize=False",
     # round 6
-    "duplicate_spans": "span merge — positioned fingerprints, countDistinct df-gate, per-doc lag window bounded by the longest document",
-    "cut_duplicate_spans": "span cut — gap/tail segments, substring join, per-doc ordered concat; documents without spans pass through a left join",
+    "duplicate_spans": "span merge — positioned fingerprints, countDistinct df-gate, per-doc lag window bounded by the longest document; the registered form materializes (r17 fingerprint persist), so the LAZY plan below comes from materialize=False",
+    "cut_duplicate_spans": "span cut — gap/tail segments, substring join, per-doc ordered concat; documents without spans pass through a left join; spans input audited lazy (materialize=False) so the cut plan stays visible past the r17 checkpoint",
     "c4_filters": "C4 cleaning — pure per-row array algebra (split/filter/array_join) inside one codegen stage; ZERO exchanges before the sink",
     "corpus_shuffle": "deterministic shuffle — md5 key + monotone range-bucket shard; ONE hash exchange on the shard column, in-partition sort",
     "kmeans_assign": "k-means assignment — centroids inlined as a literal array, per-row argmin via transform/aggregate; ZERO exchanges, no join",
@@ -188,6 +188,24 @@ def main() -> None:
             pairs, sig = _simhash_pairs_lazy(docs, "text", "doc_id", 32, 2, 2)
             sig.unpersist()  # plan-only: nothing materialized
             return pairs
+        if name in ("duplicate_spans", "shared_substring_pairs"):
+            # r17 fingerprint materialize: the registered form's
+            # explain is a checkpoint RDD scan — audit the lazy plan
+            from gem_data_wrangle_spark.operators import dedup as D
+
+            docs = entrymod._t(spark, sf, "documents")
+            fn = (
+                D.duplicate_spans
+                if name == "duplicate_spans"
+                else D.shared_substring_pairs
+            )
+            return fn(docs, "text", "doc_id", materialize=False)
+        if name == "cut_duplicate_spans":
+            from gem_data_wrangle_spark.operators import dedup as D
+
+            docs = entrymod._t(spark, sf, "documents")
+            spans = D.duplicate_spans(docs, "text", "doc_id", materialize=False)
+            return D.cut_duplicate_spans(docs, spans, "text", "doc_id")
         if name == "neardup_incremental":
             # round-14 materialize contract: the registered form's
             # explain is a checkpoint RDD scan — audit the lazy plan
